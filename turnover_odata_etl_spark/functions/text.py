@@ -1,0 +1,133 @@
+"""Text-analysis column functions (all built-in expressions, no UDFs).
+
+Designed for the ``documents`` fixture and, at scale, any text corpus:
+token counting, quality scoring, a stopword-based language heuristic,
+and md5 fingerprinting. Every function composes
+``pyspark.sql.functions`` only, so the whole pipeline stays inside
+whole-stage codegen — the 100 TB path is a single scan + project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny function-word inventory per language — enough for a
+# deterministic, SQL-mirrorable heuristic (not a real langid model).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "von", "mit", "ein", "zu"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, _WS))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length, 0.0 for empty text; rounded to 2 dp."""
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0)), 2
+    )
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    """Count of word-boundary stopword matches for ``lang``."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(1))).cast(
+        "long"
+    )
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"([.,;:!?])"), F.lit(1))).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword ratio
+    − punctuation excess. Deterministic, SQL-mirrorable, rounded 4 dp.
+    """
+    n_tok = token_count(col)
+    sw = stopword_count(col)
+    pc = punct_count(col)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_tok > 0, pc.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    score = length_ok + F.least(sw_ratio * F.lit(2.0), F.lit(0.3)) + F.when(
+        punct_ratio <= 0.2, F.lit(0.2)
+    ).otherwise(F.lit(0.0))
+    return F.round(F.least(score, F.lit(1.0)), 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Pick the language whose stopword inventory matches most.
+
+    Ties break by fixed language order (en, es, fr, de); zero matches
+    everywhere → 'und'. Mirrors exactly in SQL via the same regexes.
+    """
+    counts = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # Build reversed so earlier languages win ties via later when().
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (lowercase, punctuation stripped, whitespace collapsed). The
+    normalization makes near-identical formatting variants collide —
+    the cheap first tier of a dedup cascade.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) — MinHash/Jaccard input.
+
+    Text shorter than k tokens yields a single shingle of the whole
+    text so every non-empty doc has ≥1 shingle.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))

@@ -1,0 +1,73 @@
+"""Central query registry.
+
+Every operator in SURVEY.md §2 gets one entry here: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a DuckDB
+oracle SQL string over the same parquet tables.  The driver's
+correctness gate hash-compares the two at sf0.01 (row count + schema +
+order-insensitive value hash, columns sorted by name) — so the Spark
+result and the oracle must agree on *column names* exactly; every
+computed column is aliased identically on both sides.
+
+Conventions that keep the hash comparison robust:
+
+- floating-point aggregates are ``round(x, 2)`` on both sides;
+- timestamps cross the boundary as epoch-millis BIGINT or DATE
+  (``unix_millis`` / ``epoch_ms``) unless the query is *about*
+  timestamps;
+- DuckDB ``sum(int)`` yields HUGEINT — oracles cast to BIGINT;
+- nondeterministic top-k/limit queries always carry a total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query with its DuckDB oracle."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
+    }

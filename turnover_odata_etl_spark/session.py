@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+One place to set the scale-posture defaults: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), Arrow on (fast
+pandas/Python interchange for the few Pandas-UDF operators), UTC
+session timezone (determinism vs. the DuckDB oracle), shuffle
+partitions sized to the local core count rather than the 200 default.
+
+On a real cluster these same settings hold; only ``master`` and the
+memory knobs change (they come from spark-submit, not from here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "turnover_odata_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The events fixture stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert at the
+        # loader edge (tables.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
