@@ -1,3 +1,542 @@
-"""Relational extension queries (SURVEY §2.12 E1–E7, E13) — M3."""
+"""Relational extension queries (SURVEY §2.12 E1–E7, E13) — M3.
+
+The reference has no joins/windows/grouped aggregation (SURVEY §2.9 —
+its one measure arrives pre-aggregated from the SAP analytics
+backend), so this module is the relational surface a Spark user
+actually needs, exercised over the star schema. Scale notes live on
+each query.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.topk import top_k_per_group
+from ..tables import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# E1 — grouped aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "e1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 2) AS avg_qty,
+      round(avg(l_extendedprice), 2) AS avg_price,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg", "bench"),
+)
+def e1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure grouped aggregation (TPC-H Q1 shape). Partial
+    (map-side) aggregation means the shuffle carries ~6 groups per
+    partition regardless of input size — the 100 TB plan is scan-bound,
+    exactly what you want."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — rollup / cube
+# ---------------------------------------------------------------------------
+@register(
+    "e2_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def e2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; Spark expands grouping sets in one pass
+    (Expand operator) — no repeated scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "e2_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+)
+def e2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — join family
+# ---------------------------------------------------------------------------
+@register(
+    "e3_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; customer is small relative to orders, and the
+    segment filter prunes it further → Catalyst broadcasts it (AQE
+    would anyway at these stats). No shuffle of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total"))
+
+
+@register(
+    "e3_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (count=0); the
+    ON-clause extra predicate (not a WHERE) is the classic outer-join
+    correctness trap — expressed the same on both sides."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F"),
+        "left",
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+
+
+@register(
+    "e3_join_full_outer",
+    oracle="""
+    WITH big_cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7500
+    ), urgent AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT b.c_custkey, b.c_name, u.o_custkey, u.n_urgent
+    FROM big_cust b FULL OUTER JOIN urgent u ON b.c_custkey = u.o_custkey
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big_cust = customer.filter(F.col("c_acctbal") > 7500).select(
+        "c_custkey", "c_name"
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return big_cust.join(
+        urgent, big_cust.c_custkey == urgent.o_custkey, "full_outer"
+    ).select("c_custkey", "c_name", "o_custkey", "n_urgent")
+
+
+@register(
+    "e3_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders (every customer
+    has *some* order in the fixtures, so the urgent filter keeps the
+    result non-trivial)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "e3_star_join_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("relational", "join", "bench"),
+)
+def e3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact (lineitem) against an orders bridge and three
+    dimensions. nation/region/customer are broadcast (dims stay small
+    at every SF — customer is the largest and still dwarfed by
+    lineitem); the only shuffle is lineitem⋈orders on orderkey and the
+    final tiny aggregation. This is the plan shape that survives
+    100 TB: one fact shuffle, everything else map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched_orders = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    return (
+        li.join(enriched_orders, li.l_orderkey == enriched_orders.o_orderkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — range join + as-of join
+# ---------------------------------------------------------------------------
+@register(
+    "e4_range_join",
+    oracle="""
+    SELECT a.event_id AS first_event, b.event_id AS follow_event
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("relational", "join"),
+)
+def e4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: per-user event pairs within a 30-minute
+    follow window. Catalyst executes the user_id equality as the join
+    key and the time range as a post-join filter — the scalable form
+    whenever an equi-key exists (validity-window lookups on the
+    reference's Date From/Date To columns are this exact shape)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select(
+        F.col("event_id").alias("first_event"),
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = events.select(
+        F.col("event_id").alias("follow_event"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (a.user_id == b.b_user)
+        & (b.b_ts > a.a_ts)
+        & (b.b_ts <= a.a_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return a.join(b, cond).select("first_event", "follow_event")
+
+
+@register(
+    "e4_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey, round(o.o_totalprice, 2) AS last_order_total
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("relational", "join", "asof"),
+)
+def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at
+    event time. Implemented union+sort+carry-forward (operators/asof),
+    one shuffle, no pairwise blow-up — see module docstring. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "user_id"
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders.select("user_id", "o_orderdate", "o_orderkey", "o_totalprice"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("last_order_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 — window functions
+# ---------------------------------------------------------------------------
+@register(
+    "e5_window_ranks",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank share one window definition → one
+    shuffle+sort serves all three."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    )
+
+
+@register(
+    "e5_window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice) OVER w, 2) AS prev_total,
+           round(lead(o_totalprice) OVER w, 2) AS next_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+    )
+
+
+@register(
+    "e5_window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (deterministic under
+    ties, unlike the default RANGE frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — top-k per group
+# ---------------------------------------------------------------------------
+@register(
+    "e6_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+    tags=("relational", "window"),
+)
+def e6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment. Spark's WindowGroupLimit
+    physical rule keeps only k rows per group through the sort — it
+    never fully ranks each group."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    topk = top_k_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return topk.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — set operations
+# ---------------------------------------------------------------------------
+@register(
+    "e7_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "setop"),
+)
+def e7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics, same as SQL)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "e7_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("relational", "setop"),
+)
+def e7_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers without any pending ('P') order."""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return customer.select("c_custkey").exceptAll(
+        pending.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# E13 — percentiles (exact) + approx aggregates (rows-only check)
+# ---------------------------------------------------------------------------
+@register(
+    "e13_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(max(o_totalprice), 2) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def e13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approx variant is e13_approx below; at
+    100 TB you reach for that one."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
+@register(
+    "e13_approx_aggs",
+    oracle=None,  # sketch-based results differ across engines by design
+    tags=("relational", "agg", "approx"),
+)
+def e13_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HLL++ distinct counts and GK-sketch
+    percentiles. These are the 100 TB substitutes for exact
+    countDistinct/percentile (bounded memory, one pass, mergeable
+    sketches). No SQL oracle: sketch outputs are engine-specific, so
+    the driver applies its rows-only check; tests/test_relational.py
+    asserts the values against exact results with error bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
+            "approx_p50_price"
+        ),
+    )
