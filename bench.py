@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution notes: each query materializes via the noop sink (full
+computation, no write cost, nothing collected to the driver). A
+throwaway warm-up query first absorbs JVM/codegen startup so
+per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from turnover_odata_etl_spark.plans import registry  # noqa: E402
+from turnover_odata_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_turnover",
+    "e1_pricing_summary",
+    "e3_star_join_revenue",
+    "e4_asof_join",
+    "e5_window_running_sum",
+    "e6_topk_per_group",
+    "t_tfidf_topterms",
+    "d_minhash_lsh_neardup",
+    "s_knn_bruteforce",
+    "st_tumbling_window",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    specs = registry.all_specs()
+    # warm-up: JVM + codegen + parquet footer caches
+    materialize(specs["flagship_turnover"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Bound-asserting tests for the non-oracle (approximate) LLM ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from turnover_odata_etl_spark.operators.dedup import simhash_signatures
+from turnover_odata_etl_spark.operators.similarity import cosine_topk, srp_lsh_topk
+from turnover_odata_etl_spark.plans.llm import d_minhash_lsh_neardup
+from turnover_odata_etl_spark.tables import load_table
+
+
+def _hamming(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Near-dup pairs (from the exact-verified MinHash pipeline) must
+    have far smaller SimHash hamming distance than random pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    pairs = d_minhash_lsh_neardup(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    near = [_hamming(sigs[r.a_id], sigs[r.b_id]) for r in pairs]
+    ids = sorted(sigs)
+    far = [
+        _hamming(sigs[ids[i]], sigs[ids[i + 50]]) for i in range(0, 200, 10)
+    ]
+    assert max(near) < 12, f"near-dup hamming too large: {near}"
+    # the corpus contains planted near-dups, so a sampled "random"
+    # pair can legitimately be close — assert on the bulk instead
+    frac_far = sum(1 for h in far if h > 20) / len(far)
+    assert frac_far >= 0.8, f"random-pair hamming distribution off: {far}"
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = dict(simhash_signatures(docs, "text", "doc_id").collect())
+    b = dict(simhash_signatures(docs, "text", "doc_id").collect())
+    assert a == b
+
+
+def test_srp_lsh_recall_floor(spark, sf_dir):
+    """LSH top-5 must recover a healthy fraction of the true top-5.
+
+    The fixture embeddings are near-random (max cosine ≈ 0.5), which
+    is the WORST case for LSH — real corpora cluster. We assert a
+    modest floor and, separately, that returned neighbors are real
+    (cos values match brute force for the same pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    approx = srp_lsh_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # candidate scores must agree with brute force where pairs overlap
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cos - exact_cos[key]) < 1e-6
+
+
+def test_multimodal_decode_stub_is_gated():
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,217 @@
+"""Deduplication family (SURVEY §2.12 E8) — exact through near-dup.
+
+The reference's only dedup is a full-row ``drop_duplicates`` after
+stringifying cells (reference: src/etl.py:180-209). At training-data
+scale the useful ladder is:
+
+1. exact full-row dedup            → ``relational.dedup_rows``
+2. normalized-fingerprint dedup    → ``fingerprint_dedup`` (md5 of
+   canonicalized text; catches formatting variants; one hash-agg)
+3. MinHash + LSH banding near-dup  → ``near_dup_pairs`` (sub-quadratic
+   candidate generation + exact-Jaccard verification)
+4. SimHash near-dup                → ``simhash`` (64-bit signature;
+   hamming-ball lookup; Pandas-UDF/Arrow path)
+
+Determinism note: MinHash uses ``xxhash64(seed_i, shingle)`` — fixed
+seeds, no RNG — so the whole pipeline is reproducible run-to-run,
+which the correctness gate (and any production backfill) needs.
+
+Scale shape of ``near_dup_pairs``: shingling and signatures are
+map-only; the only shuffles are the band-bucket self-join (keyed on
+band hash — uniformly distributed by construction, no skew) and the
+verify join back to shingle sets. The candidate set is ~|true pairs| +
+false-positive noise, not O(n²). With 16 bands × 2 rows the candidate
+probability at Jaccard 0.6 is ≈ 0.999, so recall loss is negligible —
+the exact-verify step then removes all false positives, making the
+output equal (w.h.p.) to the brute-force pairs the DuckDB oracle
+computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+# -- tier 2: normalized fingerprint ----------------------------------------
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Attach md5-of-normalized-text fingerprint and a ``keep`` flag
+    (first id per fingerprint wins). One window over the fingerprint —
+    equivalently a groupBy(min(id)) — linear, partial-aggregated."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        df.withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+
+
+# -- tier 3: MinHash + LSH --------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) where sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure column expressions — JVM-side, no UDF."""
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    def hash_with_seed(seed: int):
+        # NB: must be a single-argument lambda — F.transform passes
+        # (element, index) to two-argument lambdas, which would shadow
+        # the seed and collapse all signature slots to one function.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingles", hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing ≥1 LSH band bucket.
+
+    Bucket key = hash of the band's signature slice; the self-join is
+    keyed on (band, bucket) so work is proportional to bucket sizes,
+    which stay tiny because minhash values are uniform."""
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, sig_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard
+    (|A∩B| / (|A|+|B|−|A∩B|) — same formula as the SQL oracle) and
+    keep pairs ≥ threshold."""
+    sh = sig_df.select("doc_id", "shingles")
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size("a_sh") + F.size("b_sh") - F.size(
+        F.array_intersect("a_sh", "b_sh")
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jac", F.round(inter / union, 4))
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    buckets → candidate pairs → exact-Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return exact_jaccard(cands, sigs, threshold)
+
+
+# -- tier 4: SimHash (Pandas-UDF / Arrow path) ------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document via ``mapInPandas`` (Arrow-batched;
+    the deliberate demonstration of the vectorized Python path —
+    SURVEY §2.12 E15). Deterministic: md5-derived bit vectors, no RNG.
+
+    Output: (doc_id, simhash:string hex). Near-dup = small hamming
+    distance between signatures; pair search is LSH-style banding on
+    hash prefixes, same shape as MinHash above.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    )
+
+    # The closure must be fully self-contained (stdlib/pandas imports
+    # only, no references to this module's globals): cloudpickle ships
+    # it by value, and Spark's Python workers cannot import this
+    # package unless the driver happens to run from the repo root.
+    def compute(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
+                acc = [0] * 64
+                for s in shingles:
+                    h = int.from_bytes(
+                        _hashlib.md5(s.encode()).digest()[:8], "big", signed=False
+                    )
+                    for bit in range(64):
+                        acc[bit] += 1 if (h >> bit) & 1 else -1
+                sig = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        sig |= 1 << bit
+                out_ids.append(doc_id)
+                out_sigs.append(f"{sig:016x}")
+            yield _pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+    return shingled.mapInPandas(compute, "doc_id long, simhash string")

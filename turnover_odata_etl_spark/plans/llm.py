@@ -1,3 +1,325 @@
-"""LLM-data-pipeline queries (SURVEY §2.12 E8–E11) — M4."""
+"""LLM-data-pipeline queries (SURVEY §2.12 E8–E11) — M4.
+
+Text analysis, the dedup ladder, similarity search, and multimodal
+plumbing over the ``documents``/``embeddings`` fixtures. Oracle notes:
+regex semantics are kept to the Java∩RE2 common subset so Spark and
+DuckDB agree; sketch/LSH internals are deterministic (hash-seeded, no
+RNG) and verified either exactly (LSH+exact-verify == brute force
+w.h.p.) or by rows-only + bound-asserting unit tests.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions.multimodal import extract_binary_features, with_binary_payload
+from ..operators.dedup import fingerprint_dedup, near_dup_pairs, simhash_signatures
+from ..operators.similarity import cosine_topk, srp_lsh_topk
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# E10 — text statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_text_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> length(x))) AS BIGINT) AS tot
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars_measured,
+           CAST((200 * tot + n_tokens) // (2 * n_tokens) AS BIGINT)
+             AS avg_token_len_x100
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting — whitespace tokenization as built-in
+    expressions; the whole query is scan + project (no shuffle).
+
+    avg token length is emitted in integer centi-units via exact
+    integer arithmetic ((200·total + n) div 2n == round-half-up at 2
+    dp): float `round` at a .xx5 boundary diverges between engines
+    (Java rounds the shortest decimal repr, DuckDB the binary value),
+    so cross-engine-checked ratios avoid float rounding entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    tot = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = TXT.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        TXT.char_count("text").alias("n_chars_measured"),
+        ((F.lit(200) * tot + n_tok) / (F.lit(2) * n_tok))
+        .cast("long")
+        .alias("avg_token_len_x100"),
+    )
+
+
+@register(
+    "t_lang_quality",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for)\b')) AS BIGINT) AS sw_en,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|por)\b')) AS BIGINT) AS sw_es,
+             CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des|un|une)\b')) AS BIGINT) AS sw_fr,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|von|mit|ein|zu)\b')) AS BIGINT) AS sw_de,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN greatest(sw_en, sw_es, sw_fr, sw_de) = 0 THEN 'und'
+             WHEN sw_en = greatest(sw_en, sw_es, sw_fr, sw_de) THEN 'en'
+             WHEN sw_es = greatest(sw_en, sw_es, sw_fr, sw_de) THEN 'es'
+             WHEN sw_fr = greatest(sw_en, sw_es, sw_fr, sw_de) THEN 'fr'
+             ELSE 'de'
+           END AS lang_guess,
+           round(least(
+             (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 0.5 ELSE 0.0 END)
+             + least(2.0 * sw_en / n_tok, 0.3)
+             + (CASE WHEN n_punct::DOUBLE / n_tok <= 0.2 THEN 0.2 ELSE 0.0 END),
+             1.0), 4) AS quality
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def t_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language heuristic + composite quality score
+    (length band, stopword ratio, punctuation excess). Deterministic,
+    SQL-mirrorable; one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.lang_id("text").alias("lang_guess"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "t_tfidf_topterms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+    ), n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT doc_id, term, round(score, 4) AS score, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "text"),
+)
+def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, built from explode + two
+    aggregations (no ML pipeline, no hashing trick — exact and
+    oracle-checkable). The document-frequency table is tiny
+    (vocabulary-sized) → broadcast back; the big shuffle is the
+    (doc, term) tf aggregation, partial-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "score", F.col("tf") * (F.log((F.lit(n) + 1) / (F.col("df") + 1)) + 1)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("score", 4).alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — dedup ladder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_fingerprint_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS keep
+    FROM fp
+    """,
+    tags=("llm", "dedup"),
+)
+def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint dedup (tier 2 of the ladder):
+    md5(lowercase, punctuation stripped, whitespace collapsed), first
+    doc_id per fingerprint kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs, "text", "doc_id").select(
+        "doc_id", "fingerprint", "keep"
+    )
+
+
+@register(
+    "d_minhash_lsh_neardup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM toks WHERE len(ws) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    """,
+    tags=("llm", "dedup"),
+)
+def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(16 bands × 2) near-dup pairs at Jaccard ≥ 0.6,
+    exact-verified (operators/dedup.near_dup_pairs). The oracle is the
+    O(n²) brute force — the LSH result equals it w.h.p. because
+    candidate-miss probability at s ≥ 0.6 is < 1e-3 and the verify
+    step removes every false positive. At 100 TB the brute force is
+    impossible and THIS plan (sub-quadratic, skew-free band keys) is
+    the point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+@register(
+    "d_simhash",
+    oracle=None,  # signature internals are engine-specific; unit tests
+    # assert hamming(near-dup pair) << hamming(random pair)
+    tags=("llm", "dedup"),
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures via the Arrow/mapInPandas path —
+    the vectorized-Python demonstration (E15). Rows-only driver check;
+    tests/test_llm.py asserts signature properties."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E9 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_knn_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id < 20
+    ), v AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, v.neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * v.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))) AS cos
+      FROM q JOIN v ON q.query_id <> v.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 20 query vectors — broadcast
+    queries × corpus scan, zip_with/aggregate dot products (no UDF),
+    window top-k. Both engines compute in float64 with the same
+    left-fold summation order, so rounded values hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "s_knn_lsh",
+    oracle=None,  # approximate by construction; recall floor asserted
+    # against brute force in tests/test_llm.py
+    tags=("llm", "similarity"),
+)
+def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH (8 tables × 4
+    planes, deterministic md5-derived hyperplanes) + exact re-rank of
+    candidates. The 100 TB scale path: per-query work is bucket-sized,
+    not corpus-sized. Config note: the fixture vectors are near-random
+    (hardest case for SRP); measured recall@5 ≈ 0.66 here, rising with
+    `tables` (16 → 0.89) and on any genuinely clustered corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return srp_lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# E11 — multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(octet_length(encode(text)) % 256 AS BIGINT) AS fake_width,
+           CAST(octet_length(encode(text)) // 256 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload → per-payload features through the real
+    mapInPandas/Arrow plumbing (schema, batch shape, partitioning);
+    the codec itself is a deterministic byte-feature stub (decode_image
+    is the NotImplementedError-gated extension point), so a SQL oracle
+    can verify the pipeline end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs, "text")
+    return extract_binary_features(payloads, "doc_id")

@@ -1,3 +1,117 @@
-"""Structured Streaming queries (SURVEY §2.12 E14) — M4."""
+"""Structured Streaming queries (SURVEY §2.12 E14) — M4.
+
+Each callable runs a real Structured Streaming query (file source →
+availableNow → memory sink) and returns the materialized result, so
+the driver's oracle comparison exercises genuine streaming execution,
+not a batch re-expression. Oracles are the equivalent time-bucket /
+gaps-and-islands SQL.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.windows import (
+    read_events_stream,
+    run_stream_to_table,
+    session_windows,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+from .registry import register
+
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type, run as a real stream
+    (watermark + availableNow + memory sink). Complete output mode so
+    the final trigger emits every window — append would withhold
+    windows newer than the closing watermark."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(tumbling_counts(events), spark, mode="complete")
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, ts),
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             event_id
+      FROM events
+    )
+    SELECT epoch_ms(window_start) AS window_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM starts
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: every event lands in
+    exactly two windows; the oracle unnests both window starts."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(sliding_counts(events), spark, mode="complete")
+
+
+@register(
+    "st_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming",),
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) as a real stream; the
+    oracle is the classic gaps-and-islands rewrite. Boundary semantics
+    (event at exactly last_ts+gap starts a NEW session) are encoded in
+    the oracle's strict `<` comparison."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(session_windows(events), spark, mode="complete")
+
+
+@register(
+    "st_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on a business key — the incremental
+    replacement for the reference's daily batch drop_duplicates
+    (src/etl.py:209 + etl.yml cron)."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(stream_dedup(events), spark, mode="append")

@@ -1,0 +1,128 @@
+"""Structured Streaming pipelines (SURVEY §2.12 E14).
+
+The reference's streaming story is "cron re-run daily + full-row
+drop_duplicates" (reference: .github/workflows/etl.yml:4-13,
+src/etl.py:209). The Spark-idiomatic upgrade: incremental batch via
+``trigger(availableNow=True)`` — the same code serves scheduled batch
+and continuous streaming — with watermarks for late data and
+windowed/stateful aggregation.
+
+Harness notes: streams read the events parquet through the same
+nanos→timestamp conversion as the batch loader; results land in a
+memory sink so the driver's correctness gate can compare them against
+SQL oracles. ``complete`` output mode is used for windowed
+aggregations so the final batch emits every window (append mode would
+withhold windows newer than the watermark when the stream ends —
+exactly the kind of semantic detail the tests pin down).
+
+At scale: these run against a real source (Kafka/files) with
+checkpointed state; tumbling/sliding windows shuffle once per trigger
+on (window, keys); session windows keep per-key state; watermark
+bounds the state store size.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file stream (schema fixed up-front, as
+    any production file stream requires)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File-stream sources need a directory; pathGlobFilter narrows the
+    # listing to the events table within the shared fixture dir.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # integer div (not /): epoch-nanos exceeds double's 2^53 range
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_table(
+    sdf: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the materialized result as a batch frame."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with a gap timeout. A session spans
+    [first_ts, last_ts + gap); an event exactly at the previous
+    session's end starts a new session."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on a business key — the incremental
+    replacement for the reference's batch drop_duplicates. (In
+    production pair with ``dropDuplicatesWithinWatermark`` so state
+    ages out; here the key space is small.)"""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )

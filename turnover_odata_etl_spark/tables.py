@@ -37,10 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
-        # micros (matches DuckDB's nanos→micros truncation).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # micros (matches DuckDB's nanos→micros truncation). Integer
+        # `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
+        # integer range, so float division corrupts the low bits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
