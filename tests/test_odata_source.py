@@ -1,0 +1,192 @@
+"""Connector tests against the in-process mock OData server.
+
+Covers the reference's protocol edge behaviors (SURVEY §5): V2/V4
+envelopes, pagination, quote escaping, candidate-field probe fallback,
+per-partition skip-and-continue, filter pushdown reaching the wire.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turnover_odata_etl_spark.sources.mock_server import MockOData
+from turnover_odata_etl_spark.sources.odata_client import (
+    ODataClient,
+    ODataError,
+    build_filter_eq,
+    entity_url,
+    extract_missing_segment,
+    extract_results_and_next,
+)
+from turnover_odata_etl_spark.sources.odata_source import ODataDataSource
+
+ROWS = [
+    {"Employee": "alice", "Structure": "S1", "K": "1"},
+    {"Employee": "bob", "Structure": "S1", "K": "2"},
+    {"Employee": "carol", "Structure": "S2", "K": "3"},
+    {"Employee": "dave", "Structure": "S2", "K": "4"},
+    {"Employee": "erin", "Structure": "O'HARA", "K": "5"},
+    {"Employee": "frank", "Structure": "", "K": "6"},
+    {"Employee": "grace", "Structure": "S3", "K": "7"},
+]
+FIELDS = ["Employee", "Structure", "K"]
+
+
+@pytest.fixture()
+def mock_v2():
+    m = MockOData(ROWS, FIELDS, version=2, page_size=3)
+    m.start()
+    yield m
+    m.stop()
+
+
+@pytest.fixture()
+def mock_v4():
+    m = MockOData(ROWS, FIELDS, version=4, page_size=2)
+    m.start()
+    yield m
+    m.stop()
+
+
+# -- pure client ------------------------------------------------------------
+
+
+def test_envelope_v2_v4():
+    rows, nxt = extract_results_and_next(
+        {"d": {"results": [{"a": 1}], "__next": "u"}}
+    )
+    assert rows == [{"a": 1}] and nxt == "u"
+    rows, nxt = extract_results_and_next(
+        {"value": [{"a": 2}], "@odata.nextLink": "v"}
+    )
+    assert rows == [{"a": 2}] and nxt == "v"
+    rows, nxt = extract_results_and_next({"value": [], "odata.nextLink": "w"})
+    assert rows == [] and nxt == "w"
+    assert extract_results_and_next({}) == ([], None)
+
+
+def test_quote_escape_and_url():
+    assert build_filter_eq("S", "O'HARA") == "S eq 'O''HARA'"
+    assert entity_url("http://h/", "/svc/", "E") == "http://h/svc/E"
+
+
+def test_missing_segment_parse():
+    assert (
+        extract_missing_segment("Resource not found for the segment 'COCHAR_X' of")
+        == "COCHAR_X"
+    )
+    assert extract_missing_segment("nope") is None
+
+
+def test_client_pagination_and_filter(mock_v2):
+    client = ODataClient(mock_v2.base_url)
+    pages = list(client.fetch_pages("Emp"))
+    assert [len(p) for p in pages] == [3, 3, 1]  # page_size=3 over 7 rows
+    rows = [
+        r
+        for page in client.fetch_pages("Emp", filter_=build_filter_eq("Structure", "O'HARA"))
+        for r in page
+    ]
+    assert [r["Employee"] for r in rows] == ["erin"]
+
+
+def test_client_probe_fallback(mock_v2):
+    client = ODataClient(mock_v2.base_url)
+    assert client.probe_field("Emp", ["NOPE_A", "Structure"]) == "Structure"
+    with pytest.raises(LookupError):
+        client.probe_field("Emp", ["NOPE_A", "NOPE_B"])
+
+
+def test_client_error_context(mock_v2):
+    client = ODataClient(mock_v2.base_url)
+    with pytest.raises(ODataError) as ei:
+        client.get_json(mock_v2.base_url + "/Emp", {"$filter": "bogus gt"})
+    assert ei.value.status == 400
+
+
+def test_distinct_values_sorted_nonempty(mock_v2):
+    client = ODataClient(mock_v2.base_url)
+    # empty-string structure is dropped (truthiness filter, etl.py:135)
+    assert client.distinct_values("Emp", "Structure") == [
+        "O'HARA",
+        "S1",
+        "S2",
+        "S3",
+    ]
+
+
+# -- Spark data source ------------------------------------------------------
+
+
+def _read(spark, mock, **options):
+    spark.dataSource.register(ODataDataSource)
+    reader = (
+        spark.read.format("odata")
+        .schema("Employee string, Structure string, K string")
+        .option("url", mock.base_url)
+        .option("entity", "Emp")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_source_full_scan_v2(spark, mock_v2):
+    df = _read(spark, mock_v2)
+    assert df.count() == 7
+    assert {r.Employee for r in df.collect()} == {r["Employee"] for r in ROWS}
+
+
+def test_source_full_scan_v4(spark, mock_v4):
+    df = _read(spark, mock_v4)
+    assert df.count() == 7
+
+
+def test_source_partitioned_fanout(spark, mock_v2):
+    df = _read(spark, mock_v2, partitionField="Structure")
+    # one partition per non-empty distinct value; empty-string rows drop
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 6
+
+
+def test_source_filter_pushdown_reaches_wire(spark, mock_v2):
+    df = _read(spark, mock_v2).filter(F.col("Structure") == "O'HARA")
+    assert [r.Employee for r in df.collect()] == ["erin"]
+    assert any(
+        "%27%27HARA" in req or "O''HARA" in req for req in mock_v2.requests
+    ), f"escaped filter never hit the wire: {mock_v2.requests}"
+
+
+def test_source_schema_probe(spark, mock_v2):
+    spark.dataSource.register(ODataDataSource)
+    df = (
+        spark.read.format("odata")
+        .option("url", mock_v2.base_url)
+        .option("entity", "Emp")
+        .load()
+    )
+    assert set(df.columns) == set(FIELDS)
+
+
+def test_source_probe_fields_candidate_fallback(spark, mock_v2):
+    df = _read(spark, mock_v2, partitionField="ignored", probeFields="NOPE,Structure")
+    assert df.count() == 6
+
+
+def test_source_skip_bad_partition(spark):
+    m = MockOData(
+        ROWS, FIELDS, version=2, page_size=3,
+        fail_field="Structure", fail_values={"S2"},
+    )
+    m.start()
+    try:
+        good = _read(
+            spark, m, partitionField="Structure", skipBadPartitions="true"
+        )
+        # S2's two rows are skipped with a log, others survive [C2]
+        assert {r.Employee for r in good.collect()} == {"alice", "bob", "erin", "grace"}
+        with pytest.raises(Exception):
+            _read(spark, m, partitionField="Structure").collect()
+    finally:
+        m.stop()

@@ -162,8 +162,23 @@ def near_dup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
-    buckets → candidate pairs → exact-Jaccard verify ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    buckets → candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    The signature frame feeds four plan branches (both sides of the
+    band self-join, both sides of the verify join); without a persist
+    Spark recomputes shingling+hashing 4× — measured ~4× slower at
+    sf0.1. MEMORY_AND_DISK so oversized corpora spill instead of OOM."""
+    from pyspark import StorageLevel
+
+    # Shingling+hashing is the CPU-heavy stage; a small fixture file
+    # arrives as 1-2 input partitions, which would serialize it. The
+    # repartition cost (shuffling raw text once) is tiny next to
+    # 32 hashes × |shingles| per doc.
+    spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return exact_jaccard(cands, sigs, threshold)
 

@@ -42,6 +42,9 @@ def get_spark(
         # vectorized reader rejects; read as long and convert at the
         # loader edge (tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source filter pushdown (the OData connector's
+        # pushFilters → $filter translation) is gated off by default.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,129 @@
+"""In-process mock OData server for connector tests.
+
+Serves an in-memory entity set over HTTP with the protocol surface the
+connector exercises: ``$select``/``$filter`` (eq, with ``''`` quote
+un-escaping)/``$top``/``$format``, V2 (``d.results`` + ``__next``) or
+V4 (``value`` + ``@odata.nextLink``) envelopes, server-driven
+pagination, 404-with-segment-message for unknown ``$select`` fields
+(drives the schema probe), and an optional per-value failure (drives
+the skip-bad-partition option).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# Quote-aware: the value is a run of non-quotes or doubled quotes, and
+# nothing may follow the closing quote — an ANDed or otherwise
+# unsupported filter fails loudly (400) instead of silently matching.
+_EQ_RE = re.compile(r"^\s*(\w+)\s+eq\s+'((?:[^']|'')*)'\s*$", re.DOTALL)
+
+
+class MockOData:
+    def __init__(
+        self,
+        rows: list[dict],
+        fields: list[str],
+        version: int = 2,
+        page_size: int = 3,
+        fail_values: set[str] | None = None,
+        fail_field: str | None = None,
+    ):
+        self.rows = rows
+        self.fields = fields
+        self.version = version
+        self.page_size = page_size
+        self.fail_values = fail_values or set()
+        self.fail_field = fail_field
+        self.requests: list[str] = []  # observed (for pushdown asserts)
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # -- request handling ---------------------------------------------------
+
+    def handle(self, path: str, query: dict[str, list[str]]) -> tuple[int, dict | str]:
+        qs = {k: v[0] for k, v in query.items()}
+        select = qs.get("$select")
+        filt = qs.get("$filter")
+        top = int(qs["$top"]) if "$top" in qs else None
+        skip = int(qs.get("$skiptoken", "0"))
+
+        if select:
+            for f in select.split(","):
+                if f not in self.fields:
+                    return 404, (
+                        "Resource not found for the segment "
+                        f"'{f}' of the request URL."
+                    )
+
+        rows = self.rows
+        if filt:
+            m = _EQ_RE.match(filt)
+            if not m:
+                return 400, f"unsupported $filter: {filt}"
+            field, raw = m.group(1), m.group(2)
+            value = raw.replace("''", "'")
+            if self.fail_field == field and value in self.fail_values:
+                return 500, f"simulated backend failure for {field}={value!r}"
+            rows = [r for r in rows if str(r.get(field)) == value]
+
+        if select:
+            cols = select.split(",")
+            rows = [{c: r.get(c) for c in cols} for r in rows]
+        if top is not None:
+            rows = rows[:top]
+
+        page = rows[skip : skip + self.page_size]
+        has_more = skip + self.page_size < len(rows)
+        next_link = None
+        if has_more:
+            nq = dict(qs)
+            nq["$skiptoken"] = str(skip + self.page_size)
+            next_link = f"{self.base_url}{path}?{urllib.parse.urlencode(nq)}"
+
+        if self.version == 2:
+            d: dict = {"results": page}
+            if next_link:
+                d["__next"] = next_link
+            return 200, {"d": d}
+        body: dict = {"value": page}
+        if next_link:
+            body["@odata.nextLink"] = next_link
+        return 200, body
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> str:
+        mock = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                mock.requests.append(self.path)
+                status, body = mock.handle(
+                    parsed.path, urllib.parse.parse_qs(parsed.query)
+                )
+                payload = (
+                    json.dumps(body) if isinstance(body, dict) else body
+                ).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self._httpd.server_port}"
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        return self.base_url
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()

@@ -1,0 +1,189 @@
+"""OData protocol client — pure Python, no Spark imports.
+
+Re-expresses the reference's wire behavior (studied at
+/root/reference/src/etl.py — behavior only):
+
+- V2/V4 envelope extraction (``d.results``/``d.__next`` vs
+  ``value``/``@odata.nextLink``) — etl.py:89-93 [SURVEY S2]
+- server-driven pagination loop with inter-request pause —
+  etl.py:140-178 [S1, S6]
+- schema/field-existence probe by candidate ``$select`` + 404-parsing —
+  etl.py:95-121 [S3]
+- ``$filter`` equality rendering with ``'`` → ``''`` escaping —
+  etl.py:147,155-159 [F1/X2]
+- URL normalization — etl.py:72-76 [X4]
+- error-checked fetch with structured context — etl.py:81-87 [S5]
+
+Everything here runs inside data-source read tasks (one executor task
+per partition), so it must stay dependency-light: stdlib urllib only.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+from typing import Any
+
+log = logging.getLogger(__name__)
+
+MISSING_SEGMENT_RE = re.compile(r"segment\s+'([^']+)'")
+
+
+def entity_url(base_url: str, service_path: str, entity: str) -> str:
+    """Join base/service/entity with single slashes [X4]."""
+    return "/".join(
+        p.strip("/") for p in (base_url, service_path, entity) if p and p.strip("/")
+    )
+
+
+def quote_escape(value: str) -> str:
+    """OData string-literal escaping: ``'`` doubles to ``''`` [X2]."""
+    return value.replace("'", "''")
+
+
+def build_filter_eq(field: str, value: str) -> str:
+    """``$filter`` equality predicate [F1]."""
+    return f"{field} eq '{quote_escape(value)}'"
+
+
+def extract_results_and_next(payload: dict) -> tuple[list[dict], str | None]:
+    """Rows + next-page link from a V2 or V4 response envelope [S2]."""
+    if "d" in payload:  # OData V2
+        d = payload["d"]
+        if isinstance(d, dict):
+            rows = d.get("results", [])
+            return (rows if isinstance(rows, list) else []), d.get("__next")
+        return (d if isinstance(d, list) else []), None
+    if "value" in payload:  # OData V4
+        nxt = payload.get("@odata.nextLink") or payload.get("odata.nextLink")
+        rows = payload["value"]
+        return (rows if isinstance(rows, list) else []), nxt
+    return [], None
+
+
+def extract_missing_segment(error_text: str) -> str | None:
+    """Field name out of a 404 body like "...segment 'COCHAR_X'..." [S3]."""
+    m = MISSING_SEGMENT_RE.search(error_text or "")
+    return m.group(1) if m else None
+
+
+class ODataError(RuntimeError):
+    def __init__(self, status: int, url: str, body: str):
+        super().__init__(f"OData request failed: HTTP {status} for {url}: {body[:2000]}")
+        self.status = status
+        self.url = url
+        self.body = body
+
+
+class ODataClient:
+    """Minimal authenticated JSON-over-HTTP client [S4, S5]."""
+
+    def __init__(
+        self,
+        base_url: str,
+        service_path: str = "",
+        user: str | None = None,
+        password: str | None = None,
+        timeout: float = 90.0,
+        pause: float = 0.0,
+    ):
+        self.base_url = base_url
+        self.service_path = service_path
+        self.timeout = timeout
+        self.pause = pause
+        self._opener = urllib.request.build_opener()
+        self._headers = {"Accept": "application/json"}
+        if user is not None:
+            import base64
+
+            token = base64.b64encode(f"{user}:{password or ''}".encode()).decode()
+            self._headers["Authorization"] = f"Basic {token}"
+
+    def url_for(self, entity: str) -> str:
+        return entity_url(self.base_url, self.service_path, entity)
+
+    def get_json(self, url: str, params: dict[str, str] | None = None) -> dict:
+        """GET with query params; non-2xx raises ODataError with the
+        status/url/body context the reference logs [S5]."""
+        if params:
+            sep = "&" if "?" in url else "?"
+            url = url + sep + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, headers=self._headers)
+        try:
+            with self._opener.open(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8", errors="replace")
+            raise ODataError(e.code, url, body) from e
+
+    def fetch_pages(
+        self,
+        entity: str,
+        select: str | None = None,
+        filter_: str | None = None,
+        top: int | None = None,
+    ) -> Iterator[list[dict[str, Any]]]:
+        """Yield row pages, following ``__next``/``@odata.nextLink``
+        until exhausted; optional politeness pause between pages
+        [S1, S6]. Pages stream — nothing is accumulated here (the
+        reference buffers all rows in a list; a Spark read task
+        iterates instead)."""
+        params: dict[str, str] = {"$format": "json"}
+        if select:
+            params["$select"] = select
+        if filter_:
+            params["$filter"] = filter_
+        if top is not None:
+            params["$top"] = str(top)
+        payload = self.get_json(self.url_for(entity), params)
+        while True:
+            rows, nxt = extract_results_and_next(payload)
+            if rows:
+                yield rows
+            if not nxt:
+                return
+            if self.pause:
+                time.sleep(self.pause)
+            payload = self.get_json(nxt)
+
+    def probe_field(self, entity: str, candidates: list[str]) -> str:
+        """First candidate field the entity actually has, discovered by
+        ``$select=<candidate>&$top=1`` probes; a 404 naming that
+        segment means "try the next one" [S3]."""
+        last_error: Exception | None = None
+        for cand in candidates:
+            try:
+                self.get_json(
+                    self.url_for(entity),
+                    {"$select": cand, "$top": "1", "$format": "json"},
+                )
+                return cand
+            except ODataError as e:
+                missing = extract_missing_segment(e.body)
+                if e.status == 404 and missing == cand:
+                    log.info("field probe: %r not present, trying next", cand)
+                    last_error = e
+                    continue
+                raise
+        raise LookupError(
+            f"none of the candidate fields {candidates} exist on {entity!r}"
+        ) from last_error
+
+    def distinct_values(
+        self, entity: str, field: str, top: int = 1_000_000
+    ) -> list[str]:
+        """Sorted distinct non-empty values of one field — the
+        partition-key discovery step (etl.py:124-138) [A1+O1+F2]."""
+        values: set[str] = set()
+        for page in self.fetch_pages(entity, select=field, top=top):
+            for row in page:
+                v = row.get(field)
+                if v:
+                    values.add(v)
+        return sorted(values)
