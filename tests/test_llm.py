@@ -73,3 +73,99 @@ def test_multimodal_decode_stub_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_recall_floor_and_exactness_at_full_probe(spark, sf_dir):
+    """IVF@nprobe=4/16 keeps a recall floor vs. brute force; at
+    nprobe = n_cells the probed set is the whole corpus, so the result
+    must EQUAL brute force exactly."""
+    from turnover_odata_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+
+    approx = ivf_topk(queries, emb, "vec_id", "embedding", k=5).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+    full = ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=8
+    ).collect()
+    full_pairs = {(r.query_id, r.neighbor_id) for r in full}
+    assert full_pairs == exact_pairs
+
+
+def test_embedding_neardup_matches_bruteforce_any_blocking(spark, sf_dir):
+    """The blocked GEMM result is exact — identical pairs for any
+    block count (1 block == plain brute force)."""
+    from turnover_odata_etl_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p8 = {
+        (r.a_id, r.b_id, r.cos)
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.45, blocks=8).collect()
+    }
+    p1 = {
+        (r.a_id, r.b_id, r.cos)
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.45, blocks=1).collect()
+    }
+    p3 = {
+        (r.a_id, r.b_id, r.cos)
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.45, blocks=3).collect()
+    }
+    assert p8 == p1 == p3
+    assert all(c >= 0.45 for _, _, c in p8)
+
+
+def test_ngram_jaccard_equals_minhash_pipeline(spark, sf_dir):
+    """Two independent near-dup strategies (exact inverted-index vs.
+    MinHash-LSH + exact verify) must produce the same pairs."""
+    from turnover_odata_etl_spark.operators.dedup import (
+        near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_index = {
+        (r.a_id, r.b_id, r.jac)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.6).collect()
+    }
+    via_minhash = {
+        (r.a_id, r.b_id, r.jac)
+        for r in near_dup_pairs(docs, "text", "doc_id", 0.6).collect()
+    }
+    assert via_index == via_minhash
+    assert len(via_index) > 0
+
+
+def test_frame_sample_covers_payload(spark, sf_dir):
+    """Frame rows reconstruct the payload prefix: contiguous offsets,
+    correct lengths, first_byte == payload[offset]."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = {r.doc_id: bytes(r.payload) for r in with_binary_payload(docs, "text").collect()}
+    frames = sample_frames(with_binary_payload(docs, "text"), "doc_id").collect()
+    assert len(frames) > 0
+    for r in frames:
+        p = payloads[r.doc_id]
+        assert r.frame_offset == r.frame_idx * 256
+        assert r.frame_len == min(256, len(p) - r.frame_offset)
+        assert r.first_byte == p[r.frame_offset]
+
+
+def test_rolling_hash_locality():
+    """Appending one char changes the hash by the rolling recurrence."""
+    from turnover_odata_etl_spark.functions.text import rolling_hash
+    from turnover_odata_etl_spark.session import get_spark
+
+    spark = get_spark("rh", master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame([("ab",), ("abc",)], "t string")
+    vals = {r.t: r.rh for r in df.select("t", rolling_hash("t").alias("rh")).collect()}
+    assert vals["abc"] == (vals["ab"] * 31 + ord("c")) % 1_000_000_007

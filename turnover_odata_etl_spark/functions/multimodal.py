@@ -78,3 +78,47 @@ def extract_binary_features(df: DataFrame, id_col: str) -> DataFrame:
         features,
         "doc_id long, n_bytes long, first_byte long, fake_width long, fake_height long",
     )
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, frame_bytes: int = 256, max_frames: int = 4
+) -> DataFrame:
+    """Frame sampling as 1→N mapInPandas: slice each opaque payload
+    into fixed-size 'frames' (stand-in for video frame extraction /
+    audio chunking) and emit one row per sampled frame with
+    deterministic byte features — ceil(n/frame_bytes) frames, capped.
+    The expansion happens inside the Arrow batch (no explode shuffle);
+    a real decoder drops in where the slicing is."""
+
+    fb, mf = frame_bytes, max_frames
+
+    def frames(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, lens, firsts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min((n + fb - 1) // fb, mf)
+                for fi in range(n_frames):
+                    off = fi * fb
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(off)
+                    lens.append(min(fb, n - off))
+                    firsts.append(int(payload[off]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_len": lens,
+                    "first_byte": firsts,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), "payload").mapInPandas(
+        frames,
+        "doc_id long, frame_idx long, frame_offset long, frame_len long, "
+        "first_byte long",
+    )

@@ -117,6 +117,36 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+# GPT-2-style pre-tokenizer shape, restricted to the Java∩RE2 regex
+# subset so Spark and DuckDB agree: runs of letters / digits / other
+# non-space symbols, each optionally preceded by one space.
+BPE_ISH_PATTERN = r"( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-pre-tokenizer-style token list (letters|digits|symbol runs,
+    leading-space attached) — the token-count basis real pipelines
+    budget by, vs. naive whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(1))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over the characters of the
+    text: fold acc ← (acc·base + ascii(char)) mod m. Cheap incremental
+    fingerprint (contrast md5 ``fingerprint``: cryptographic, not
+    incrementally maintainable). Mod applied every step keeps the
+    arithmetic in int64 under ANSI mode; mirrors exactly in DuckDB via
+    list_reduce."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined) — MinHash/Jaccard input.
 

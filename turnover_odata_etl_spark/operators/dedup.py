@@ -245,6 +245,57 @@ def near_dup_pairs(
     return exact_jaccard(cands, sigs, threshold)
 
 
+# -- tier 3b: exact n-gram Jaccard via inverted index -----------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs n-gram (k-word shingle) Jaccard ≥ threshold,
+    computed with an inverted index instead of a cross join: explode
+    (doc, shingle), self-join on the shingle, count co-occurrences —
+    |A∩B| — then Jaccard from the counts alone. No verification pass
+    needed because the counts are exact.
+
+    Complement to the MinHash path: exact answer, but candidate work is
+    Σ_shingle freq² — fine while shingles are selective (k ≥ 3 keeps
+    them so), degenerate if a shingle appears in thousands of docs. At
+    100 TB: cap hot shingles (drop shingles with document frequency
+    above a bound from the *index* — standard prefix-filter trade-off,
+    documented recall caveat) or fall back to MinHash+LSH."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(text_col, shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("n", F.size("shingles"))
+    )
+    tok = sh.select("doc_id", "n", F.explode("shingles").alias("shingle"))
+    a = tok.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "shingle"
+    )
+    b = tok.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jac", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
 # -- tier 4: SimHash (Pandas-UDF / Arrow path) ------------------------------
 
 

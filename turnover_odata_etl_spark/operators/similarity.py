@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,6 +85,242 @@ def srp_signature(vec_col, table: int, planes: int, dim: int):
     return sig
 
 
+def srp_bucket_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """(out_id, vec, buckets array<long>) — one SRP bucket per table,
+    computed vectorized over Arrow batches (one numpy GEMM against the
+    fixed hyperplane matrix per batch) instead of per-element
+    interpreted column lambdas. Same md5-derived hyperplanes as
+    ``srp_signature``; map-only, so it scales with partition count."""
+    # (tables*planes, dim) hyperplane matrix, built once on the driver
+    # (tiny) and shipped inside the closure by value.
+    R = np.array(
+        [
+            _hyperplane(t, p, dim)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    )
+    n_tables, n_planes = tables, planes
+
+    def compute(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        weights = 1 << _np.arange(n_planes, dtype=_np.int64)
+        for pdf in batches:
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            bits = (V @ R.T > 0).reshape(len(V), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(_np.int64)
+            yield _pd.DataFrame(
+                {
+                    "out_id": pdf["out_id"],
+                    "vec": pdf["vec"],
+                    "buckets": list(buckets),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("out_id"), F.col(vec_col).alias("vec"))
+        .mapInPandas(compute, "out_id long, vec array<float>, buckets array<bigint>")
+        .withColumnRenamed("out_id", out_id)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs embedding near-dup: every (a_id, b_id, cos) with
+    cosine ≥ threshold and a_id < b_id.
+
+    Scale shape — distributed block matrix multiply: vectors are
+    assigned to ``blocks`` row-blocks by id; each of the
+    blocks·(blocks+1)/2 block *pairs* becomes one cogrouped task that
+    computes its similarity tile as a single numpy GEMM and emits only
+    the tile's over-threshold candidates. Work per task is
+    (n/blocks)², total O(n²/blocks) rows in flight per task — raise
+    ``blocks`` as n² grows; for web-scale corpora switch to the LSH
+    path (``srp_bucket_vectors``) and accept approximate recall.
+
+    Candidates are re-scored with the JVM left-fold ``cosine`` before
+    the final threshold so output values are bit-identical to the SQL
+    oracle's fold arithmetic (GEMM's pairwise summation can differ in
+    the last ulp; the margin re-check removes that risk)."""
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    base = v.withColumn("blk", F.pmod("vid", F.lit(blocks)).cast("int"))
+    blk_ids = F.array(*[F.lit(i) for i in range(blocks)])
+    left = (
+        base.withColumn("j", F.explode(blk_ids))
+        .filter(F.col("j") >= F.col("blk"))
+        .select(F.col("blk").alias("bi"), F.col("j").alias("bj"), "vid", "vec")
+    )
+    right = (
+        base.withColumn("i", F.explode(blk_ids))
+        .filter(F.col("i") <= F.col("blk"))
+        .select(F.col("i").alias("bi"), F.col("blk").alias("bj"), "vid", "vec")
+    )
+    margin = threshold - 1e-6
+
+    def tile(key, lpdf, rpdf):
+        import numpy as _np
+        import pandas as _pd
+
+        bi, bj = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return _pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        L = _np.array(lpdf["vec"].tolist(), dtype=_np.float64)
+        R_ = _np.array(rpdf["vec"].tolist(), dtype=_np.float64)
+        L = L / _np.linalg.norm(L, axis=1, keepdims=True)
+        R_ = R_ / _np.linalg.norm(R_, axis=1, keepdims=True)
+        C = L @ R_.T
+        li = lpdf["vid"].to_numpy()
+        ri = rpdf["vid"].to_numpy()
+        ai, bi_ = _np.nonzero(C >= margin)
+        a, b = li[ai], ri[bi_]
+        if bi == bj:
+            # diagonal tile holds both orders + self-pairs: strict <
+            keep = a < b
+            a, b = a[keep], b[keep]
+        else:
+            # off-diagonal tile holds each cross pair once, but block
+            # membership (vid % blocks) doesn't order ids — orient
+            keep = a != b
+            a, b = a[keep], b[keep]
+            a, b = _np.minimum(a, b), _np.maximum(a, b)
+        return _pd.DataFrame({"a_id": a, "b_id": b})
+
+    cands = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(tile, "a_id long, b_id long")
+    )
+    a = v.select(F.col("vid").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = v.select(F.col("vid").alias("b_id"), F.col("vec").alias("b_vec"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", cosine("a_vec", "b_vec"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around centroids, probe only the
+    ``nprobe`` nearest cells per query, exact-re-rank the candidates.
+
+    Centroids: deterministic seeding (first ``n_cells`` vectors by id)
+    + one distributed Lloyd refinement (assign → per-cell mean via a
+    (cell, dim) aggregation). Only the centroid matrix itself touches
+    the driver — n_cells·dim floats, metadata-sized at any corpus
+    scale. Per-query candidate work is ~nprobe/n_cells of the corpus;
+    recall rises with nprobe (nprobe = n_cells ⇒ exact)."""
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+
+    seed_rows = (
+        c.orderBy("nid").limit(n_cells).select("vec").collect()
+    )  # n_cells vectors — metadata-scale collect, not the data path
+    cents = np.array([r.vec for r in seed_rows], dtype=np.float64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assigner(cmat):
+        def assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+                Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+                cell = (Vn @ cmat.T).argmax(axis=1).astype(_np.int64)
+                yield _pd.DataFrame(
+                    {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
+                )
+
+        return assign
+
+    assigned0 = c.mapInPandas(
+        assigner(cents), "nid long, vec array<float>, cell long"
+    )
+    # One Lloyd iteration: per-cell mean, computed distributed as a
+    # (cell, dim) aggregation; only the n_cells×dim result is collected.
+    means = (
+        assigned0.select("cell", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    cents2 = cents.copy()
+    for r in means:
+        cents2[r.cell][r.dim] = r.m
+    cents2 = cents2 / np.linalg.norm(cents2, axis=1, keepdims=True)
+
+    assigned = c.mapInPandas(
+        assigner(cents2), "nid long, vec array<float>, cell long"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            order = _np.argsort(-(Vn @ cents2.T), axis=1)[:, :nprobe]
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].repeat(nprobe).reset_index(drop=True),
+                    "q_vec": pdf["vec"].repeat(nprobe).reset_index(drop=True),
+                    "cell": order.reshape(-1).astype(_np.int64),
+                }
+            )
+
+    q_probes = q.mapInPandas(probe, "query_id long, q_vec array<float>, cell long")
+    cands = (
+        q_probes.join(
+            assigned.select(
+                "cell", F.col("nid").alias("neighbor_id"), F.col("vec").alias("c_vec")
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -102,42 +339,22 @@ def srp_lsh_topk(
     shuffle keyed on (table, bucket) — 2^planes buckets per table keeps
     partitions balanced. Increasing ``tables`` raises recall at linear
     cost; ``planes`` trades bucket size vs. collision rate."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q_sigs = (
+        srp_bucket_vectors(queries, id_col, vec_col, "query_id", dim, planes, tables)
+        .select(
+            "query_id",
+            F.col("vec").alias("q_vec"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c_sigs = (
+        srp_bucket_vectors(corpus, id_col, vec_col, "neighbor_id", dim, planes, tables)
+        .select(
+            "neighbor_id",
+            F.col("vec").alias("c_vec"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
     )
-    q_sigs = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        srp_signature(F.col("q_vec"), t, planes, dim).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("sb"),
-    ).select("query_id", "q_vec", "sb.tbl", "sb.bucket")
-    c_sigs = c.select(
-        "neighbor_id",
-        "c_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        srp_signature(F.col("c_vec"), t, planes, dim).alias("bucket"),
-                    )
-                    for t in range(tables)
-                ]
-            )
-        ).alias("sb"),
-    ).select("neighbor_id", "c_vec", "sb.tbl", "sb.bucket")
 
     cands = (
         q_sigs.join(c_sigs, ["tbl", "bucket"])

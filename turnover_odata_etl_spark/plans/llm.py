@@ -14,9 +14,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
-from ..functions.multimodal import extract_binary_features, with_binary_payload
-from ..operators.dedup import fingerprint_dedup, near_dup_pairs, simhash_signatures
-from ..operators.similarity import cosine_topk, srp_lsh_topk
+from ..functions.multimodal import (
+    extract_binary_features,
+    sample_frames,
+    with_binary_payload,
+)
+from ..operators.dedup import (
+    fingerprint_dedup,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    srp_lsh_topk,
+)
 from ..tables import load_table
 from .registry import register
 
@@ -223,6 +237,172 @@ def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point."""
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM toks WHERE len(ws) >= 3
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    """,
+    tags=("llm", "dedup"),
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard ≥ 0.6 pairs via inverted-index self-join
+    (operators/dedup.ngram_jaccard_pairs) — no signatures, no
+    probability: Jaccard is derived from exact co-occurrence counts.
+    Same oracle as the MinHash path, so the two strategies
+    cross-validate each other."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+@register(
+    "d_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(range(1, len(a.e) + 1),
+                      i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(cos, 4) AS cos
+    FROM scored WHERE cos >= 0.45
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.45), EXACT, via distributed
+    block-GEMM tiles (operators/similarity.cosine_neardup_pairs): the
+    O(n²) similarity matrix is computed as blocks·(blocks+1)/2
+    independent numpy tiles, each emitting only its over-threshold
+    pairs, then re-scored with the fold-order cosine so values match
+    the oracle bit-for-bit. The oracle is the naive pairwise SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@register(
+    "d_rollhash_fingerprint",
+    oracle="""
+    WITH rh AS (
+      SELECT doc_id,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                           list_transform(string_split(text, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rh
+      FROM documents
+    )
+    SELECT doc_id, rh,
+           row_number() OVER (PARTITION BY rh ORDER BY doc_id) = 1 AS keep
+    FROM rh
+    """,
+    tags=("llm", "dedup"),
+)
+def d_rollhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (cheap,
+    incrementally maintainable — contrast the md5 fingerprint tier) +
+    first-id-wins keep flag. Pure built-in fold; scan + one window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("rh").orderBy("doc_id")
+    return (
+        docs.select("doc_id", TXT.rolling_hash("text").alias("rh"))
+        .withColumn("keep", F.row_number().over(w) == 1)
+    )
+
+
+@register(
+    "t_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)', 1)) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text,
+             '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+)', 1))) AS BIGINT)
+             AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer-style token counting (letter/digit/symbol runs
+    with attached leading space — the budget-relevant count for LLM
+    pipelines, vs. naive whitespace words). Regex kept to the Java∩RE2
+    subset so both engines tokenize identically. Scan + project only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "s_knn_ivf",
+    oracle=None,  # approximate by construction (nprobe < n_cells);
+    # recall floor vs. brute force asserted in tests/test_llm.py
+    tags=("llm", "similarity"),
+)
+def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: deterministic seeded centroids + one
+    distributed Lloyd step, nprobe=4 of 16 cells per query, exact
+    re-rank of the probed cells (operators/similarity.ivf_topk). The
+    third ANN tier next to brute-force (exact) and SRP-LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "m_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ), fr AS (
+      SELECT doc_id, text, n,
+             unnest(range(least((n + 255) // 256, 4))) AS fi
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(fi * 256 AS BIGINT) AS frame_offset,
+           CAST(least(256, n - fi * 256) AS BIGINT) AS frame_len,
+           CAST(ascii(substr(text, CAST(fi * 256 + 1 AS INTEGER), 1)) AS BIGINT)
+             AS first_byte
+    FROM fr
+    """,
+    tags=("llm", "multimodal"),
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over opaque binary payloads: each payload is
+    sliced into ≤4 256-byte 'frames' inside the Arrow batch
+    (functions/multimodal.sample_frames) — the video-frame/audio-chunk
+    extraction shape with a deterministic slicer where the codec goes.
+    The oracle reproduces the slicing with substr arithmetic (fixture
+    text is pure ASCII, so byte == char offsets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs, "text")
+    return sample_frames(payloads, "doc_id")
 
 
 @register(

@@ -16,6 +16,7 @@ from ..streaming.windows import (
     run_stream_to_table,
     session_windows,
     sliding_counts,
+    stateful_user_totals,
     stream_dedup,
     tumbling_counts,
 )
@@ -102,6 +103,26 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's strict `<` comparison."""
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_table(session_windows(events), spark, mode="complete")
+
+
+@register(
+    "st_stateful_user_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) totals held in the state store, emitted per
+    micro-batch. Run as a single availableNow batch the emissions ARE
+    the final totals, which the plain GROUP BY oracle checks."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(stateful_user_totals(events), spark, mode="update")
 
 
 @register(

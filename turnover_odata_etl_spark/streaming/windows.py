@@ -118,6 +118,47 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.12 E14/E15): per-user running (count, sum) state,
+    emitting the updated totals after each micro-batch. The pattern for
+    any accumulator Spark's built-in windows can't express; state lives
+    in the checkpointed state store, one entry per key.
+
+    With an availableNow replay over a single-file source this runs as
+    exactly one batch, so the emitted rows are the final per-user
+    totals (what the SQL oracle computes)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "sum_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="count long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup(events: DataFrame) -> DataFrame:
     """Stateful streaming dedup on a business key — the incremental
     replacement for the reference's batch drop_duplicates. (In
