@@ -31,8 +31,12 @@ HEADLINE = [
     "e5_window_running_sum",
     "e6_topk_per_group",
     "t_tfidf_topterms",
+    "t_bpe_tokens",
     "d_minhash_lsh_neardup",
+    "d_ngram_jaccard",
+    "d_embedding_neardup",
     "s_knn_bruteforce",
+    "s_knn_ivf",
     "st_tumbling_window",
 ]
 
@@ -47,8 +51,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     specs = registry.all_specs()
-    # warm-up: JVM + codegen + parquet footer caches
+    # warm-up: JVM + codegen + parquet footer caches, plus the Python
+    # worker pool (first mapInPandas otherwise pays daemon spawn +
+    # Arrow init inside whichever query hits it first)
     materialize(specs["flagship_turnover"].fn(spark, sf_dir))
+    spark.range(1000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -248,6 +248,55 @@ def near_dup_pairs(
 # -- tier 3b: exact n-gram Jaccard via inverted index -----------------------
 
 
+def shingle_hash_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Exploded inverted-index input: one row per (doc_id, n_shingles,
+    64-bit shingle hash). Shingling + hashing vectorized over Arrow
+    batches (same rationale as ``minhash_signatures``: interpreted
+    column HOFs cost ~10 µs/element); joins downstream key on the LONG
+    hash instead of the shingle string — cheaper shuffle + probe.
+    blake2b(8B) collisions among distinct shingles are ~n²/2⁶⁵
+    (≈10⁻¹¹ at 10⁶ shingles) — the standard w.h.p. trade."""
+    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    k = shingle_k
+
+    def compute(batches):
+        import hashlib as _hashlib
+        import re as _re
+
+        import pandas as _pd
+
+        _ws = _re.compile(r"\s+", _re.ASCII)
+
+        for pdf in batches:
+            ids, ns, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text.strip()
+                toks = _ws.split(t) if t else []
+                if len(toks) >= k:
+                    shingles = set(
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    )
+                else:
+                    shingles = {" ".join(toks)}
+                n = len(shingles)
+                for s in shingles:
+                    ids.append(doc_id)
+                    ns.append(n)
+                    hs.append(
+                        int.from_bytes(
+                            _hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=False,
+                        )
+                        - (1 << 63)
+                    )
+            yield _pd.DataFrame({"doc_id": ids, "n": ns, "sh": hs})
+
+    return raw.mapInPandas(compute, "doc_id long, n long, sh long")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -257,9 +306,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT all-pairs n-gram (k-word shingle) Jaccard ≥ threshold,
     computed with an inverted index instead of a cross join: explode
-    (doc, shingle), self-join on the shingle, count co-occurrences —
+    (doc, shingle-hash), self-join on the hash, count co-occurrences —
     |A∩B| — then Jaccard from the counts alone. No verification pass
-    needed because the counts are exact.
+    needed because the counts are exact (w.h.p., see
+    ``shingle_hash_table``).
 
     Complement to the MinHash path: exact answer, but candidate work is
     Σ_shingle freq² — fine while shingles are selective (k ≥ 3 keeps
@@ -267,23 +317,17 @@ def ngram_jaccard_pairs(
     100 TB: cap hot shingles (drop shingles with document frequency
     above a bound from the *index* — standard prefix-filter trade-off,
     documented recall caveat) or fall back to MinHash+LSH."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            word_shingles(text_col, shingle_k).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .withColumn("n", F.size("shingles"))
+    spark = df.sparkSession
+    tok = shingle_hash_table(
+        df.repartition(spark.sparkContext.defaultParallelism),
+        text_col,
+        id_col,
+        shingle_k,
     )
-    tok = sh.select("doc_id", "n", F.explode("shingles").alias("shingle"))
-    a = tok.select(
-        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "shingle"
-    )
-    b = tok.select(
-        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "shingle"
-    )
+    a = tok.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "sh")
+    b = tok.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "sh")
     inter = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))

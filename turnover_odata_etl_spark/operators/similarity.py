@@ -85,6 +85,77 @@ def srp_signature(vec_col, table: int, planes: int, dim: int):
     return sig
 
 
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, scale-shaped: the query matrix
+    (assumed driver-small — for huge query sets use the blocked-tile
+    pattern of ``cosine_neardup_pairs``) is shipped into a map-only
+    ``mapInPandas`` pass; each Arrow batch scores corpus×queries as one
+    numpy GEMM and emits only its batch-local top-(k+5) per query.
+    Global top-k ⊆ union of batch-local top-k, so correctness is
+    preserved; the +5 margin covers GEMM-vs-fold ulp reordering at the
+    k boundary. Candidates are re-scored with the fold-order JVM
+    ``cosine`` so emitted values match the SQL oracle bit-for-bit.
+
+    Wire cost: |corpus|·(k+5)/batch candidates instead of
+    |corpus|·|queries| scored rows through the window."""
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+    ).collect()
+    qids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.vec for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    take = k + 5
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            C = Qn @ Vn.T  # (n_queries, batch)
+            nids = pdf["nid"].to_numpy()
+            C[qids[:, None] == nids[None, :]] = -_np.inf  # drop self-pairs
+            t = min(take, C.shape[1])
+            idx = _np.argpartition(-C, t - 1, axis=1)[:, :t]
+            out_q = _np.repeat(qids, t)
+            out_n = nids[idx.reshape(-1)]
+            yield _pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    ).mapInPandas(score, "query_id long, neighbor_id long")
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def srp_bucket_vectors(
     df: DataFrame,
     id_col: str,

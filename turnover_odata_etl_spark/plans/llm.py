@@ -27,7 +27,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import (
     cosine_neardup_pairs,
-    cosine_topk,
+    cosine_topk_blocked,
     ivf_topk,
     srp_lsh_topk,
 )
@@ -450,13 +450,13 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for 20 query vectors — broadcast
-    queries × corpus scan, zip_with/aggregate dot products (no UDF),
-    window top-k. Both engines compute in float64 with the same
-    left-fold summation order, so rounded values hash-match."""
+    """Exact top-5 cosine neighbors for 20 query vectors — map-only
+    GEMM scoring per Arrow batch, batch-local top-k merge, fold-order
+    re-score (operators/similarity.cosine_topk_blocked) so values
+    hash-match the DuckDB oracle's left-fold arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return cosine_topk_blocked(queries, emb, "vec_id", "embedding", k=5)
 
 
 @register(
