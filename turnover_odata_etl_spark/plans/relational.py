@@ -540,3 +540,200 @@ def e13_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p50_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 cont. — explicit GROUPING SETS; E3 cont. — right join;
+# E1/E7 cont. — pivot/unpivot; E5 cont. — distribution window functions
+# ---------------------------------------------------------------------------
+@register(
+    "e2_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("relational", "agg"),
+)
+def e2_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets (not expressible as one rollup/cube):
+    per-status totals, per-priority totals, and the grand total in a
+    single Expand-based pass — no repeated scans. gid is built from
+    per-column grouping() so both engines label set membership
+    identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+        )
+    )
+
+
+@register(
+    "e3_join_right",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (customers kept even with zero orders) +
+    per-customer counts. count(col) skips NULLs in both engines, so
+    order-less customers report 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "right_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "e1_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "pivot"),
+)
+def e1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order totals per priority × status. Explicit
+    value list ('F','O','P') keeps the output schema static — at scale
+    an unlisted pivot forces an extra distinct-values job and a
+    driver-side schema round-trip; always list the values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@register(
+    "e1_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             round(l_quantity, 2) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 2)
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 2)
+      FROM lineitem
+    ) WHERE l_orderkey % 100 = 0
+    """,
+    tags=("relational", "pivot"),
+)
+def e1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): three measure columns become
+    (measure, val) rows — Spark's Expand operator, one pass, no joins
+    (vs. the UNION ALL of scans the SQL form implies). Sampled by
+    orderkey to keep the driver comparison small."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        F.round("l_discount", 2).alias("l_discount"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "e5_window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_lowest
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile/
+    nth_value). The order key includes o_orderkey so the total order is
+    unique — ntile's tie-assignment would otherwise be engine-defined
+    and the hash comparison meaningless."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_lowest"),
+    )
+
+
+@register(
+    "e13_exact_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def e13_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts per group (the Expand-based
+    multi-distinct plan). The exact counterpart to e13_approx_aggs —
+    at 100 TB the HLL sketch is the default and this is the audit
+    path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -18,6 +18,7 @@ from ..streaming.windows import (
     sliding_counts,
     stateful_user_totals,
     stream_dedup,
+    stream_stream_join,
     tumbling_counts,
 )
 from .registry import register
@@ -123,6 +124,33 @@ def st_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final totals, which the plain GROUP BY oracle checks."""
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_table(stateful_user_totals(events), spark, mode="update")
+
+
+@register(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           r.event_id AS r_event_id,
+           epoch_ms(l.ts) AS l_ts_ms,
+           epoch_ms(r.ts) AS r_ts_ms
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click'
+     AND r.event_type = 'purchase'
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with two watermarked sides and a
+    bidirectional time bound (click→purchase within 30 min). Inner
+    join results emit as they match, so the availableNow replay yields
+    exactly the batch-SQL join the oracle computes."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(stream_stream_join(events), spark, mode="append")
 
 
 @register(

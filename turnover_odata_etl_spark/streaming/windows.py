@@ -118,6 +118,51 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join (click→purchase attribution shape):
+    match each ``right_type`` event to same-user ``left_type`` events
+    at most ``within`` earlier. Both sides carry watermarks and the
+    join condition bounds event time in both directions — that's what
+    lets Spark age out join state instead of buffering both streams
+    forever (THE stream-stream-join scaling requirement)."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "10 minutes")
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "10 minutes")
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.unix_millis("l_ts").alias("l_ts_ms"),
+        F.unix_millis("r_ts").alias("r_ts_ms"),
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY §2.12 E14/E15): per-user running (count, sum) state,
