@@ -38,8 +38,58 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
 
 def test_simhash_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
-    a = dict(simhash_signatures(docs, "text", "doc_id").collect())
-    b = dict(simhash_signatures(docs, "text", "doc_id").collect())
+    a = sorted(
+        (r.doc_id, r.simhash, r.sig, tuple(r.bands))
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.simhash, r.sig, tuple(r.bands))
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_simhash_banded_pairs_equal_bruteforce(spark, sf_dir):
+    """Banded hamming-≤3 search is exact (pigeonhole over 4 bands):
+    must equal the brute-force pair scan."""
+    from itertools import combinations
+
+    from turnover_odata_etl_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_neardup_pairs(docs, "text", "doc_id", 3).collect()
+    }
+    sigs = {
+        r.doc_id: r.sig for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """Any row-to-salt assignment merges to the plain aggregate."""
+    from turnover_odata_etl_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_suppkey"],
+        partial_aggs={"s": F.sum("l_quantity"), "c": F.count(F.lit(1))},
+        merge_aggs={"s": F.sum("s"), "c": F.sum("c")},
+        salt=16,
+    )
+    plain = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    a = {(r.l_suppkey, float(r.s), r.c) for r in salted.collect()}
+    b = {(r.l_suppkey, float(r.s), r.c) for r in plain.collect()}
     assert a == b
 
 

@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY §5): algebraic invariants that must
+hold for ANY input, checked over hypothesis-generated frames.
+
+Spark jobs are slow per-example, so examples are few but adversarial
+(empty frames, dup-heavy data, unicode-ish strings, nulls).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(min_value=-5, max_value=5),
+    st.one_of(st.none(), st.text(alphabet="ab '\"\\", max_size=4)),
+)
+rows = st.lists(row, max_size=12)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, v string")
+
+
+@SETTINGS
+@given(data=rows)
+def test_dedup_idempotent(spark, data):
+    """dropDuplicates twice == once, and output has no dup rows."""
+    df = _df(spark, data)
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    a = sorted(map(repr, map(tuple, once.collect())))
+    b = sorted(map(repr, map(tuple, twice.collect())))
+    assert a == b
+    assert len(a) == len(set(a))
+    assert set(a) == set(map(repr, map(tuple, df.collect())))
+
+
+@SETTINGS
+@given(x=rows, y=rows, z=rows)
+def test_union_associative_and_counting(spark, x, y, z):
+    """(x∪y)∪z == x∪(y∪z) as multisets; sizes add."""
+    dx, dy, dz = _df(spark, x), _df(spark, y), _df(spark, z)
+    left = dx.unionByName(dy).unionByName(dz)
+    right = dx.unionByName(dy.unionByName(dz))
+    la = sorted(map(repr, map(tuple, left.collect())))
+    ra = sorted(map(repr, map(tuple, right.collect())))
+    assert la == ra
+    assert len(la) == len(x) + len(y) + len(z)
+
+
+@SETTINGS
+@given(data=rows)
+def test_rename_reorder_invariance(spark, data):
+    """Renaming then reordering columns never changes row content
+    (the reference's rename+reorder steps, src/etl.py:201-207)."""
+    df = _df(spark, data)
+    out = df.withColumnsRenamed({"k": "key", "v": "val"}).select("val", "key")
+    orig = sorted(repr((r.v, r.k)) for r in df.collect())
+    after = sorted(repr((r.val, r.key)) for r in out.collect())
+    assert orig == after
+
+
+@SETTINGS
+@given(data=rows)
+def test_filter_partition_complement(spark, data):
+    """A predicate and its null-safe complement partition the frame."""
+    df = _df(spark, data)
+    pred = F.col("v").isNotNull() & (F.col("v") != "")
+    n_yes = df.filter(pred).count()
+    n_no = df.filter(~pred | F.col("v").isNull()).count()
+    assert n_yes + n_no == len(data)
+
+
+@SETTINGS
+@given(data=st.lists(st.text(alphabet="abc xy.", max_size=20), max_size=8))
+def test_jaccard_strategies_agree(spark, data):
+    """MinHash+verify and inverted-index Jaccard agree on ANY corpus
+    (not just the fixtures)."""
+    from turnover_odata_etl_spark.operators.dedup import (
+        near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id long, text string"
+    )
+    via_minhash = {
+        (r.a_id, r.b_id, r.jac)
+        for r in near_dup_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    via_index = {
+        (r.a_id, r.b_id, r.jac)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    assert via_minhash == via_index

@@ -350,9 +350,11 @@ def simhash_signatures(
     the deliberate demonstration of the vectorized Python path —
     SURVEY §2.12 E15). Deterministic: md5-derived bit vectors, no RNG.
 
-    Output: (doc_id, simhash:string hex). Near-dup = small hamming
-    distance between signatures; pair search is LSH-style banding on
-    hash prefixes, same shape as MinHash above.
+    Output: (doc_id, simhash:string hex, sig:int64, bands:4×int16
+    slices). Near-dup = small hamming distance between signatures;
+    ``simhash_neardup_pairs`` finds them by banding (pigeonhole: any
+    pair at hamming ≤ 3 agrees on ≥ 1 of the 4 bands — the search is
+    EXACT for that radius, not probabilistic).
     """
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
@@ -369,7 +371,7 @@ def simhash_signatures(
         import pandas as _pd
 
         for pdf in batches:
-            out_ids, out_sigs = [], []
+            out_ids, out_sigs, out_lng, out_bnd = [], [], [], []
             for doc_id, shingles in zip(pdf["doc_id"], pdf["shingles"]):
                 acc = [0] * 64
                 for s in shingles:
@@ -384,6 +386,58 @@ def simhash_signatures(
                         sig |= 1 << bit
                 out_ids.append(doc_id)
                 out_sigs.append(f"{sig:016x}")
-            yield _pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+                out_lng.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                out_bnd.append([(sig >> (16 * b)) & 0xFFFF for b in range(4)])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "simhash": out_sigs,
+                    "sig": out_lng,
+                    "bands": out_bnd,
+                }
+            )
 
-    return shingled.mapInPandas(compute, "doc_id long, simhash string")
+    return shingled.mapInPandas(
+        compute, "doc_id long, simhash string, sig long, bands array<long>"
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs with SimHash hamming distance ≤ ``max_hamming`` —
+    EXACT for max_hamming ≤ 3 by pigeonhole over the 4 16-bit bands
+    (a pair differing in ≤ 3 bits cannot differ in all 4 bands).
+    Candidate generation is the banded self-join (uniform band keys,
+    same skew-free shape as MinHash LSH); verification is one
+    ``bit_count(xor)`` per candidate, JVM-side."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    sigs = simhash_signatures(
+        df.repartition(spark.sparkContext.defaultParallelism), text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select("doc_id", F.posexplode("bands").alias("band", "bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"))
+    return (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -23,8 +23,10 @@ from ..operators.dedup import (
     fingerprint_dedup,
     near_dup_pairs,
     ngram_jaccard_pairs,
+    simhash_neardup_pairs,
     simhash_signatures,
 )
+from ..operators.skew import salted_agg
 from ..operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk_blocked,
@@ -403,6 +405,52 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs, "text")
     return sample_frames(payloads, "doc_id")
+
+
+@register(
+    "d_simhash_neardup",
+    oracle=None,  # signature values are engine-specific (md5-derived in
+    # Python); exactness of the banded search itself is pinned by
+    # tests/test_llm.py::test_simhash_banded_pairs_equal_bruteforce
+    tags=("llm", "dedup"),
+)
+def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 — banded candidate
+    generation (exact by pigeonhole over 4×16-bit bands) + one
+    bit_count(xor) verify per candidate. Completes the SimHash tier
+    from signatures to actual pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "e1_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    tags=("relational", "agg", "skew"),
+)
+def e1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation
+    (operators/skew.salted_agg): partial-agg on (key, salt) then merge
+    on key — one hot key becomes ``salt`` parallel reducers. The merge
+    decomposition makes the result independent of the random salt
+    assignment, so a plain GROUP BY oracle checks it exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        partial_aggs={"sum_qty": F.sum("l_quantity"), "n": F.count(F.lit(1))},
+        merge_aggs={"sum_qty": F.sum("sum_qty"), "n": F.sum("n")},
+        salt=16,
+    )
+    return out.select(
+        "l_suppkey", F.round("sum_qty", 2).alias("sum_qty"), F.col("n")
+    )
 
 
 @register(

@@ -325,6 +325,33 @@ def e12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "e12_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           props = to_json(json_transform(props, '{"k": "BIGINT"}')) AS roundtrips
+    FROM events
+    """,
+    tags=("reference", "json"),
+)
+def e12_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json -> struct -> field
+    access) plus a to_json round-trip check -- the typed counterpart of
+    e12_json_extract's path extraction. At scale from_json with an
+    explicit schema beats schema_of_json sampling (no extra job, stable
+    types)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k bigint"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("props") == F.to_json("p")).alias("roundtrips"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # C3 — empty-input short-circuit with stable schema
 # ---------------------------------------------------------------------------
