@@ -12,16 +12,18 @@ scale the useful ladder is:
 4. SimHash near-dup                → ``simhash`` (64-bit signature;
    hamming-ball lookup; Pandas-UDF/Arrow path)
 
-Determinism note: MinHash uses ``xxhash64(seed_i, shingle)`` — fixed
-seeds, no RNG — so the whole pipeline is reproducible run-to-run,
-which the correctness gate (and any production backfill) needs.
+Determinism note: MinHash uses blake2b base hashes + fixed affine
+per-slot constants — no RNG anywhere — so the whole pipeline is
+reproducible run-to-run, which the correctness gate (and any
+production backfill) needs.
 
 Scale shape of ``near_dup_pairs``: shingling and signatures are
 map-only; the only shuffles are the band-bucket self-join (keyed on
 band hash — uniformly distributed by construction, no skew) and the
 verify join back to shingle sets. The candidate set is ~|true pairs| +
-false-positive noise, not O(n²). With 16 bands × 2 rows the candidate
-probability at Jaccard 0.6 is ≈ 0.999, so recall loss is negligible —
+false-positive noise, not O(n²). With 32 bands × 2 rows the candidate-miss
+probability at Jaccard 0.6 is (1−0.6²)³² ≈ 6·10⁻⁷, so recall loss is
+negligible —
 the exact-verify step then removes all false positives, making the
 output equal (w.h.p.) to the brute-force pairs the DuckDB oracle
 computes.
@@ -55,9 +57,9 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     shingle_k: int = 3,
-    bands: int = 16,
+    bands: int = 32,
     rows_per_band: int = 2,
 ) -> DataFrame:
     """(doc_id, shingles, sig, buckets) per document.
@@ -159,7 +161,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, rows_per_band: int = 2
+    sig_df: DataFrame, bands: int = 32, rows_per_band: int = 2
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs sharing ≥1 LSH band bucket.
 
@@ -218,8 +220,8 @@ def near_dup_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.6,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int = 64,
+    bands: int = 32,
     rows_per_band: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
