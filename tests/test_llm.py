@@ -219,3 +219,21 @@ def test_rolling_hash_locality():
     df = spark.createDataFrame([("ab",), ("abc",)], "t string")
     vals = {r.t: r.rh for r in df.select("t", rolling_hash("t").alias("rh")).collect()}
     assert vals["abc"] == (vals["ab"] * 31 + ord("c")) % 1_000_000_007
+
+
+def test_lsh_pipelines_repeat_deterministic(spark, sf_dir):
+    """Hash-seeded pipelines must give identical results run-to-run
+    (no RNG anywhere) — the property the correctness gate relies on."""
+    from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
+    from turnover_odata_etl_spark.operators.similarity import srp_lsh_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, near_dup_pairs(docs, "text", "doc_id", 0.6).collect()))
+    b = sorted(map(tuple, near_dup_pairs(docs, "text", "doc_id", 0.6).collect()))
+    assert a == b
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    x = sorted(map(tuple, srp_lsh_topk(q, emb, "vec_id", "embedding", 5).collect()))
+    y = sorted(map(tuple, srp_lsh_topk(q, emb, "vec_id", "embedding", 5).collect()))
+    assert x == y

@@ -737,3 +737,172 @@ def e13_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 extended — scalar function sweeps; SQL entry path
+# ---------------------------------------------------------------------------
+@register(
+    "x_datetime_functions",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(date_trunc('day', ts)) AS day_ms,
+           epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+           CAST(extract(hour FROM ts) AS BIGINT) AS h,
+           CAST(extract(minute FROM ts) AS BIGINT) AS m,
+           CAST(extract(year FROM ts) AS BIGINT) AS y,
+           CAST(extract(month FROM ts) AS BIGINT) AS mon,
+           CAST(extract(dow FROM ts) AS BIGINT) AS dow0,
+           epoch_ms(ts + INTERVAL 90 MINUTE) AS plus90_ms
+    FROM events
+    """,
+    tags=("relational", "scalar"),
+)
+def x_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar sweep: truncation, field extraction, interval
+    arithmetic. All built-ins, scan+project. Day-of-week is normalized
+    to Sunday=0 on both engines (Spark dayofweek is Sunday=1, DuckDB
+    dow is Sunday=0)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.date_trunc("day", ts)).alias("day_ms"),
+        F.unix_millis(F.date_trunc("hour", ts)).alias("hour_ms"),
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("m"),
+        F.year(ts).cast("long").alias("y"),
+        F.month(ts).cast("long").alias("mon"),
+        (F.dayofweek(ts) - 1).cast("long").alias("dow0"),
+        F.unix_millis(ts + F.expr("INTERVAL 90 MINUTES")).alias("plus90_ms"),
+    )
+
+
+@register(
+    "x_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS seg,
+           substr(c_name, 1, 8) AS prefix,
+           CAST(length(c_name) AS BIGINT) AS n,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hashpos,
+           reverse(c_mktsegment) AS rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowvowel
+    FROM customer
+    """,
+    tags=("relational", "scalar"),
+)
+def x_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar sweep (upper/lower/substr/length/replace/lpad/
+    concat_ws/instr/reverse/translate) — the §2.8 family generalized;
+    scan+project, codegen'd."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("seg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("n"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.instr("c_name", "#").cast("long").alias("hashpos"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("lowvowel"),
+    )
+
+
+@register(
+    "e1_string_agg_ordered",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_supps,
+           string_agg(s.s_name, '|' ORDER BY s.s_name) AS supplier_list
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "agg"),
+)
+def e1_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: collect_list is order-nondeterministic
+    after a shuffle, so it is ALWAYS wrapped in sort_array (or a
+    window pre-sort) when output order matters — emitted here as a
+    joined string to keep the comparison type-simple."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_supps"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "supplier_list"
+            ),
+        )
+    )
+
+
+@register(
+    "e1_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+             AS big_total,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS avg_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def e1_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if / sum-case) —
+    one pass over the fact instead of N filtered scans."""
+    o = load_table(spark, sf_dir, "orders")
+    f_status = lambda s: F.col("o_orderstatus") == s  # noqa: E731
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(f_status("F")).alias("n_f"),
+        F.count_if(f_status("O")).alias("n_o"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), 2
+        ).alias("big_total"),
+        F.round(F.avg(F.when(f_status("F"), F.col("o_totalprice"))), 2).alias(
+            "avg_f"
+        ),
+    )
+
+
+@register(
+    "q_sql_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("relational", "sql"),
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path (SURVEY §3.4): a correlated scalar subquery
+    submitted as text — Catalyst decorrelates it into an aggregate +
+    join (no per-row re-execution; confirm via explain: one Aggregate,
+    one Join). Identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
