@@ -1,0 +1,88 @@
+"""Plan-shape regression tests — the scale posture, asserted.
+
+Correctness says WHAT came out; these say HOW: filters reached the
+parquet scan, projections pruned the read schema, small dims
+broadcast, sort+limit became a top-k heap, no row-at-a-time Python
+UDF ever appears on a data path. A regression here is invisible at
+fixture scale and fatal at 100 TB, which is exactly why it's pinned
+in tests.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from turnover_odata_etl_spark.plans import registry
+
+SPECS = registry.all_specs()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_str(SPECS["e1_pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """Q1 touches 6 of lineitem's 11 columns; the scan must not read
+    the rest."""
+    plan = plan_str(SPECS["e1_pricing_summary"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_str(SPECS["e3_star_join_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sort_limit_is_topk_not_full_sort(spark, sf_dir):
+    plan = plan_str(SPECS["o_sort_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the per-row scalar subquery into an
+    aggregate + join; a surviving scalar-subquery node means per-row
+    re-execution."""
+    plan = plan_str(SPECS["q_sql_correlated_subquery"].fn(spark, sf_dir))
+    assert "scalar-subquery" not in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_frame_is_single_window_pass(spark, sf_dir):
+    """The rolling 30-day sum must be a Window over ONE exchange, not
+    a range self-join."""
+    plan = plan_str(SPECS["e5_window_range_frame"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + prefix-sum + groupBy all share the user_id partitioning:
+    exactly one shuffle in the whole sessionization plan."""
+    plan = plan_str(SPECS["e14_sessionize_batch"].fn(spark, sf_dir), mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, s in SPECS.items() if "streaming" not in s.tags),
+)
+def test_no_rowwise_python_udf_anywhere(name, spark, sf_dir):
+    """BatchEvalPython = row-at-a-time Python UDF — banned on every
+    data path (SCALE.md). Arrow paths (ArrowEvalPython, MapInPandas,
+    FlatMapGroupsInPandas) are the sanctioned Python escape hatches."""
+    plan = plan_str(SPECS[name].fn(spark, sf_dir), mode="simple")
+    assert "BatchEvalPython" not in plan

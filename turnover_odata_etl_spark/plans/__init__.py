@@ -12,3 +12,4 @@ from . import reference  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming_plans  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401

@@ -1,0 +1,302 @@
+"""Second-wave relational coverage: time-range window frames, batch
+sessionization, and the scalar families (math / array / null-handling)
+not exercised by plans.relational.
+
+Everything here is built-in-expression only (whole-stage codegen,
+scan+project or a single keyed shuffle) — the 100 TB shape notes live
+on each query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import session_summary
+from ..operators.sinks import colocated_join, write_bucketed, write_partitioned
+from ..tables import load_table
+from .registry import register
+
+_MS_30_DAYS = 30 * 86400 * 1000
+_MS_30_MIN = 30 * 60 * 1000
+
+
+@register(
+    "e5_window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           epoch_ms(o_orderdate) AS order_ms,
+           round(sum(o_totalprice) OVER w, 2) AS sum_30d,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                 RANGE BETWEEN {_MS_30_DAYS} PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-customer rolling 30-day order total.
+    Unlike a ROWS frame this is value-based — peers (equal timestamps)
+    share a frame, so the result is deterministic without a
+    tiebreaker. One shuffle on the partition key; the frame scan is a
+    per-partition sorted sliding pass (no O(n²) self-join, which is
+    how naive SQL writes rolling sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    order_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(order_ms)
+        .rangeBetween(-_MS_30_DAYS, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        order_ms.alias("order_ms"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_30d"),
+    )
+
+
+@register(
+    "e14_sessionize_batch",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                  <= {_MS_30_MIN}
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ms,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ms) AS start_ms,
+           max(ms) AS end_ms,
+           max(ms) - min(ms) AS span_ms
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("relational", "window", "sessionize"),
+)
+def e14_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min gap) — the
+    backfill twin of st_session_window. lag + prefix-sum + groupBy all
+    share the user_id partitioning, so the whole operator costs ONE
+    hash shuffle regardless of scale. Tie order fixed by (ts,
+    event_id) on both engines (operators/sessionize.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_summary(
+        ev, "user_id", "ts", _MS_30_MIN, order_cols=("event_id",)
+    )
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    """Per-SF scratch location for layout demos (outside the repo)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"/tmp/spark_graft_layout/{tag}/{kind}"
+
+
+@register(
+    "s_partitioned_scan_prune",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+    tags=("relational", "sink", "scan"),
+)
+def s_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + pruned re-scan: events written
+    partitionBy(event_type), then the 'click' aggregate reads back
+    through directory pruning — the scan opens ~1/5 of the files
+    (PartitionFilters in the plan; asserted in tests/test_sinks.py).
+    At 100 TB this is the difference between scanning a day and
+    scanning the lake. The write itself shuffle-free (partitionBy
+    splits within each task)."""
+    path = _scratch(sf_dir, "events_by_type")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).drop("ts")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "e3_join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "sink", "bucketed"),
+)
+def e3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer are first written
+    bucketed (8 buckets, bucket-sorted) on their join keys, then the
+    join runs with NO Exchange on either side (asserted in
+    tests/test_sinks.py) — bucket i zips with bucket i inside one
+    task. The shuffle is paid once at layout time; every recurring
+    join on the key afterwards is shuffle-free. This is the layout
+    strategy for a fact table joined daily at 100 TB."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(load_table(spark, sf_dir, "orders"), t_orders, "o_custkey", 8)
+    write_bucketed(
+        load_table(spark, sf_dir, "customer"), t_cust, "c_custkey", 8
+    )
+    joined = colocated_join(spark, t_orders, t_cust, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "x_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS absd,
+           CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+           CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+           round(sqrt(l_extendedprice), 6) AS sqrt_p,
+           round(ln(l_extendedprice + 1), 6) AS ln_p,
+           round(log10(l_extendedprice + 1), 6) AS log10_p,
+           round(exp(l_discount), 6) AS exp_d,
+           round(power(l_quantity, 2), 6) AS q_sq,
+           mod(l_orderkey, 7) AS m7,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn,
+           round(greatest(l_tax, l_discount), 6) AS hi,
+           round(least(l_tax, l_discount), 6) AS lo
+    FROM lineitem
+    """,
+    tags=("relational", "scalar"),
+)
+def x_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar sweep (abs/ceil/floor/sqrt/ln/log10/exp/pow/mod/
+    sign/greatest/least) — scan+project, codegen'd, shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(d - 0.05), 6).alias("absd"),
+        F.ceil("l_quantity").cast("long").alias("ceil_q"),
+        F.floor("l_quantity").cast("long").alias("floor_q"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_p"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_p"),
+        F.round(F.exp(d), 6).alias("exp_d"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        F.signum(d - 0.05).cast("long").alias("sgn"),
+        F.round(F.greatest("l_tax", "l_discount"), 6).alias("hi"),
+        F.round(F.least("l_tax", "l_discount"), 6).alias("lo"),
+    )
+
+
+@register(
+    "x_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+           round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_v,
+           round(list_sum(list_transform(list_slice(embedding, 1, 3),
+                                         x -> CAST(x AS DOUBLE))), 6)
+             AS head3_sum,
+           CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_neg,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_v,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_v,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("relational", "scalar", "array"),
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar sweep over ArrayType(Float): size/element_at/slice/
+    filter/min/max plus an L2 norm as a left-fold aggregate. All
+    float32 values are cast to double BEFORE any arithmetic/rounding
+    on both engines — float32 rounding differs between engines, the
+    f32→f64 widening is exact. Interpreted-HOF cost is fine here (one
+    pass, dozens of elements/row); hot-loop vector math goes through
+    the mapInPandas kernels instead (SCALE.md)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(arr, 1), 6).alias("first_v"),
+        F.round(F.element_at(arr, -1), 6).alias("last_v"),
+        F.round(
+            F.aggregate(F.slice(arr, 1, 3), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head3_sum"),
+        F.size(F.filter(arr, lambda v: v < 0)).cast("long").alias("n_neg"),
+        F.round(F.array_max(arr), 6).alias("max_v"),
+        F.round(F.array_min(arr), 6).alias("min_v"),
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("l2_norm"),
+    )
+
+
+@register(
+    "x_null_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(nullif(o_orderpriority, '1-URGENT') IS NULL AS BIGINT)
+             AS is_urgent,
+           round(coalesce(nullif(o_totalprice, 0), -1), 2) AS price_or_neg1
+    FROM orders
+    """,
+    tags=("relational", "scalar"),
+)
+def x_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling & conditional scalar sweep: nullif/coalesce/CASE.
+    The fixtures carry no NULLs, so nullif synthesizes them — the
+    point is that three-valued logic flows identically through both
+    engines. Scan+project, shuffle-free."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.when(price < 50000, "low")
+        .when(price < 150000, "mid")
+        .otherwise("high")
+        .alias("band"),
+        F.nullif("o_orderpriority", F.lit("1-URGENT"))
+        .isNull()
+        .cast("long")
+        .alias("is_urgent"),
+        F.round(F.coalesce(F.nullif(price, F.lit(0)), F.lit(-1)), 2).alias(
+            "price_or_neg1"
+        ),
+    )

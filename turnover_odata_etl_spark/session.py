@@ -46,6 +46,13 @@ def get_spark(
         # pushFilters → $filter translation) is gated off by default.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Bucketed-table support (operators/sinks.py): the in-memory
+        # catalog's saveAsTable needs a warehouse dir; keep it out of
+        # the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
