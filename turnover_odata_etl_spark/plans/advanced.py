@@ -173,6 +173,143 @@ def e3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+           round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+    """,
+    tags=("relational", "dedup", "window"),
+)
+def a_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the LATEST row per key (argmax by event
+    time) — the upsert-compaction shape every CDC/ETL pipeline needs,
+    vs. the reference's whole-row drop_duplicates (src/etl.py:209).
+    One shuffle on the key; row_number, not a self-join against
+    max(ts). Tie-broken by event_id for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ms.desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("ms", ms)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ms",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "c_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             round(o_totalprice + 1000, 2) AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice, 2) AS price, 0 AS src
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, price, 1 FROM updates
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, price
+    FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1
+    """,
+    tags=("relational", "etl", "merge"),
+)
+def c_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as union + keep-highest-priority — the engine-
+    agnostic CDC merge (what Delta/Iceberg MERGE INTO compiles to
+    without a transaction log): base ∪ updates, one shuffle on the
+    key, winner by source priority. The update batch is synthesized
+    deterministically (every 10th order, price+1000 — an exact-in-binary
+    delta, so round() can't hit a half-way case that the two engines
+    tie-break differently). At 100 TB the
+    update side is typically <<1% of base — AQE picks a broadcast for
+    it automatically when small enough."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    ).withColumn("src", F.lit(0))
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 1000, 2).alias("price"),
+        )
+        .withColumn("src", F.lit(1))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "price")
+    )
+
+
+@register(
+    "e15_udtf_split_words",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT doc_id, u.term AS term, u.pos AS pos FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) + 1),
+                                   i -> {'term': w[i], 'pos': i})) AS u
+      FROM ws
+    )
+    """,
+    tags=("relational", "udtf", "text"),
+)
+def e15_udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E15 UDTF surface: an Arrow-optimized Python UDTF (one row
+    in → N rows out) applied via LATERAL join. The plan node is
+    ArrowEvalPythonUDTF — Arrow-batched, NOT row-at-a-time (the
+    BatchEvalPython ban in tests/test_plan_shape.py still holds).
+    The class is defined inside this function so cloudpickle ships it
+    by value — workers don't need this package importable. Built-in
+    explode covers this particular job (llm.t_tfidf_topterms); the
+    point here is the API surface for logic that genuinely needs
+    imperative row expansion."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, pos bigint", useArrow=True)
+    class SplitWords:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(), start=1):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.pos
+        FROM documents d, LATERAL split_words(d.text) t
+        """
+    )
+
+
+@register(
     "x_math_functions",
     oracle="""
     SELECT l_orderkey, l_linenumber,
