@@ -59,3 +59,36 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[c.alias(n) for n, c in merge_aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side's key randomly, replicate
+    the small side ``salt`` times, join on (key, salt).
+
+    A hot key's rows land in ``salt`` different shuffle partitions
+    instead of one straggler task; the small side pays a ×salt
+    replication (fine when it's dimension-sized). The row-to-salt
+    assignment is random but the JOIN RESULT is deterministic — every
+    big row still meets exactly its matching small rows. Use when AQE's
+    skew splitting can't help (e.g. the skew is in a grouped shuffle
+    that AQE won't split, or on engines/paths without AQE); otherwise
+    prefer AQE (on by default in session.py).
+    """
+    big_s = big.withColumn("__salt_l", (F.rand(seed=7) * salt).cast("int"))
+    small_s = small.withColumn(
+        "__salt_r", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    joined = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key])
+        & (big_s["__salt_l"] == small_s["__salt_r"]),
+        how,
+    )
+    return joined.drop("__salt_l", "__salt_r")

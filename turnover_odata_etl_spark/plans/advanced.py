@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sessionize import session_summary
 from ..operators.sinks import colocated_join, write_bucketed, write_partitioned
+from ..operators.skew import salted_join
 from ..tables import load_table
 from .registry import register
 
@@ -169,6 +170,34 @@ def e3_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "e3_join_salted_skew",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    tags=("relational", "join", "skew"),
+)
+def e3_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-proof join (operators/skew.salted_join): the fact
+    side's key is salted 8 ways and the dimension replicated 8×, so a
+    hot supplier's rows spread over 8 tasks instead of one straggler.
+    Result is provably identical to the plain join (the oracle IS the
+    plain join) — salting changes placement, never matches. The
+    default path is AQE skew splitting (on in session.py); this is
+    the explicit rewrite for shuffles AQE can't split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    j = salted_join(li, s, "l_suppkey", "s_suppkey", salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
 
 

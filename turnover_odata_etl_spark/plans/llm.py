@@ -26,6 +26,7 @@ from ..operators.dedup import (
     simhash_neardup_pairs,
     simhash_signatures,
 )
+from ..operators.cluster import connected_components
 from ..operators.skew import salted_agg
 from ..operators.similarity import (
     cosine_neardup_pairs,
@@ -269,6 +270,55 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validate each other."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+@register(
+    "d_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM toks WHERE len(ws) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           least(src, min(dst)) AS cluster,
+           CAST(least(src, min(dst)) = src AS BIGINT) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components by
+    iterative min-label propagation (operators/cluster.py) over the
+    exact 3-gram-Jaccard edge set, labeling each doc with its
+    cluster's min doc_id and flagging the canonical keeper. This is
+    the genuinely iterative operator in the inventory (rounds =
+    graph diameter, driver sees one scalar per round); the oracle is
+    a recursive-CTE transitive closure over the identical pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+    cc = connected_components(pairs, "a_id", "b_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).cast("long").alias("is_canonical"),
+    )
 
 
 @register(
