@@ -158,6 +158,26 @@ def test_source_filter_pushdown_reaches_wire(spark, mock_v2):
     ), f"escaped filter never hit the wire: {mock_v2.requests}"
 
 
+def test_source_select_reaches_wire(spark, mock_v2):
+    """P1: the projection must be pushed as $select, not filtered
+    client-side after a full-width fetch."""
+    df = _read(spark, mock_v2, select="Employee,Structure")
+    df.collect()
+    assert any(
+        "%24select=Employee%2CStructure" in req or "$select=Employee,Structure" in req
+        for req in mock_v2.requests
+    ), f"$select never hit the wire: {mock_v2.requests}"
+
+
+def test_source_top_reaches_wire(spark, mock_v2):
+    """O2: the $top page-size ceiling must reach the server."""
+    df = _read(spark, mock_v2, top="3")
+    df.collect()
+    assert any(
+        "%24top=3" in req or "$top=3" in req for req in mock_v2.requests
+    ), f"$top never hit the wire: {mock_v2.requests}"
+
+
 def test_source_schema_probe(spark, mock_v2):
     spark.dataSource.register(ODataDataSource)
     df = (
