@@ -100,3 +100,42 @@ def test_jaccard_strategies_agree(spark, data):
         for r in ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
     }
     assert via_minhash == via_index
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # user
+            st.integers(min_value=0, max_value=10_000),  # ms offset
+        ),
+        max_size=15,
+    )
+)
+def test_sessionize_gap_invariants(spark, data):
+    """For ANY event set: within a session every inter-event gap is
+    <= the threshold; across consecutive sessions the gap is > it;
+    sessions partition the input rows exactly."""
+    from turnover_odata_etl_spark.operators.sessionize import sessionize
+
+    gap = 1000
+    rows = [
+        (i, u, ms * 1_000_000)  # micros epoch
+        for i, (u, ms) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    out = sessionize(df, "user_id", "ts", gap, order_cols=("event_id",)).collect()
+    assert len(out) == len(rows)
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ms, r.event_id))
+        for prev, cur in zip(rs, rs[1:]):
+            delta = cur.ms - prev.ms
+            if cur.session_id == prev.session_id:
+                assert delta <= gap
+            else:
+                assert cur.session_id == prev.session_id + 1
+                assert delta > gap

@@ -428,6 +428,88 @@ def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_regex_hash_functions",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(regexp_matches(c_name, '0{2}') AS BIGINT) AS has_00,
+           string_split(c_name, '#')[1] AS before_hash,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256
+    FROM customer
+    """,
+    tags=("relational", "scalar", "regex"),
+)
+def x_regex_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + cryptographic-hash scalar sweep (regexp_extract/
+    replace/match, split, md5, sha256). Patterns stay in the
+    RE2 ∩ Java-regex common subset so both engines agree. Hashes are
+    the backbone of fingerprint dedup — exact hex parity matters.
+    Spark regexp_replace replaces all matches; DuckDB needs the 'g'
+    flag for the same semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike("0{2}").cast("long").alias("has_00"),
+        F.split("c_name", "#").getItem(0).alias("before_hash"),
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+@register(
+    "x_struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           {'k': o_custkey, 's': o_orderstatus}.k AS sk,
+           {'k': o_custkey, 's': o_orderstatus}.s AS ss,
+           CAST({'a': 1, 'b': o_custkey} = {'a': 1, 'b': o_custkey} AS BIGINT)
+             AS eq_self
+    FROM orders
+    """,
+    tags=("relational", "scalar", "struct"),
+)
+def x_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access + struct equality — nested types
+    as first-class columns (the engine keeps __metadata-style nested
+    data native; stringification happens only at the CSV sink,
+    SURVEY §1.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    t = F.struct(F.lit(1).alias("a"), F.col("o_custkey").alias("b"))
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("sk"),
+        s.getField("s").alias("ss"),
+        (t == t).cast("long").alias("eq_self"),
+    )
+
+
+@register(
+    "e3_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("relational", "join"),
+)
+def e3_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — legal only when at least one side is tiny
+    (it's a BroadcastNestedLoopJoin; |L|×|R| output). Guarded in real
+    pipelines by spark.sql.crossJoin semantics: Spark requires the
+    explicit crossJoin() call, which is the API telling you you're
+    doing something O(n²)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
     "x_null_conditional",
     oracle="""
     SELECT o_orderkey,
