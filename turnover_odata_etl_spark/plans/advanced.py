@@ -428,6 +428,122 @@ def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) // 80 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_pos,
+           substr(text, s, 100) AS chunk
+    FROM (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1, 80)) AS s
+      FROM documents
+    )
+    """,
+    tags=("llm", "text", "chunk"),
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed 100-char
+    windows with 20-char overlap (stride 80), as sequence + explode +
+    substring — one narrow pass, no shuffle, 1→N row expansion
+    without Python. Both engines substring 1-based; Spark `sequence`
+    is stop-inclusive and DuckDB `range` stop-exclusive, so the
+    oracle uses len+1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(80))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 80).cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("start_pos"),
+            F.substring(F.col("text"), F.col("s"), F.lit(100)).alias("chunk"),
+        )
+    )
+
+
+@register(
+    "m_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, e,
+             127.0 / nullif(list_aggregate(list_transform(e, x -> abs(x)),
+                                           'max'), 0) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(u.i AS BIGINT) AS i,
+           CAST(round(u.q) AS BIGINT) AS q
+    FROM (
+      SELECT vec_id,
+             unnest(list_transform(range(1, len(e) + 1),
+                                   i -> {'i': i, 'q': e[i] * scale})) AS u
+      FROM scaled
+    )
+    """,
+    tags=("llm", "multimodal", "quantize"),
+)
+def m_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (per-vector absmax
+    scaling) — the storage-side op that shrinks a 100 TB float32
+    embedding store 4×. Map-only: per-row absmax, scale, posexplode
+    to (vec_id, dim, int8). All arithmetic in double on both engines
+    (f32→f64 exact), round at the very end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(arr, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.nullif(absmax, F.lit(0.0))
+    return (
+        e.select("vec_id", arr.alias("e"), scale.alias("scale"))
+        .select("vec_id", F.posexplode("e").alias("i0", "v"), "scale")
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).cast("long").alias("i"),
+            F.round(F.col("v") * F.col("scale")).cast("long").alias("q"),
+        )
+    )
+
+
+@register(
+    "q_sql_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sql"),
+)
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates to a
+    LEFT SEMI join on (orderkey + date predicate), one pass over each
+    table instead of a per-order probe. Identical SQL text runs on
+    both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "x_regex_hash_functions",
     oracle=r"""
     SELECT c_custkey,
