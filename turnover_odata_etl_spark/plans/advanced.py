@@ -428,6 +428,97 @@ def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "sink", "source", "json"),
+)
+def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second source/sink format: events written as JSON-lines, read
+    back with an explicit schema (schema inference over JSONL is a
+    full extra pass — never at 100 TB), aggregated, and checked
+    against the parquet originals. JSONL costs ~5-10× parquet in scan
+    time and bytes (row-major text, no column pruning or predicate
+    pushdown) — it's the interchange format, parquet is the compute
+    format."""
+    path = _scratch(sf_dir, "events_jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    ev.write.mode("overwrite").json(path)
+    schema = "event_id long, user_id long, event_type string, value double, ms long"
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@register(
+    "e6_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_ms(o.o_orderdate) AS orderdate_ms,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "agg", "bench"),
+)
+def e6_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables (pushed
+    to each scan), customer broadcast after its 1/5 segment cut, one
+    fact shuffle, top-10 via TakeOrderedAndProject (heap, no global
+    sort). Limit ties broken by orderkey so the top-10 row SET is
+    deterministic — the registry rule for every limit query."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
     "t_chunk_documents",
     oracle="""
     SELECT doc_id,

@@ -18,6 +18,7 @@ from ..streaming.windows import (
     sliding_counts,
     stateful_user_totals,
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_stream_join,
     tumbling_counts,
 )
@@ -164,3 +165,19 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/etl.py:209 + etl.yml cron)."""
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_table(stream_dedup(events), spark, mode="append")
+
+
+@register(
+    "st_stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def st_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup whose state store is
+    bounded by the watermark horizon instead of growing forever —
+    the form you actually deploy. Horizon covers the fixture replay,
+    so the result equals DISTINCT (the oracle)."""
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        stream_dedup_within_watermark(events), spark, mode="append"
+    )
