@@ -755,3 +755,151 @@ def x_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_or_neg1"
         ),
     )
+
+
+@register(
+    "s_csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "sink", "source", "csv"),
+)
+def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only sink is a CSV file (S7, src/etl.py:220-222
+    `df.to_csv`). Spark form: header'd multi-part CSV write + read
+    back with an EXPLICIT schema — inference is a second full scan,
+    and CSV types are lossy (timestamps go through ISO strings), so
+    the timestamp travels as epoch-ms. CSV is fine as an egress
+    format; at 100 TB the compute format stays parquet (column
+    pruning + predicate pushdown don't exist on CSV)."""
+    path = _scratch(sf_dir, "orders_csv")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ms"),
+        "o_orderpriority",
+    )
+    o.write.mode("overwrite").option("header", True).csv(path)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, ms long, o_orderpriority string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "e6_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join", "agg", "bench"),
+)
+def e6_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: a 6-table star-ish join where the dimension
+    chain region→nation→supplier collapses into ONE broadcast before
+    it ever touches the fact table. The only shuffles are the two
+    fact-side equi-joins (lineitem⋈orders on orderkey, ⋈customer on
+    custkey); 'local supplier' (c_nationkey = s_nationkey) rides the
+    broadcast join as a residual condition instead of a second
+    shuffle. At 100 TB the date filter prunes orders at the scan and
+    AQE sizes the post-filter sides."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "e6_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS orderdate_ms,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("relational", "join", "agg", "bench"),
+)
+def e6_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact FIRST (map-side partial sum
+    on l_orderkey, then HAVING cuts ~99.7% of groups), and only the
+    surviving handful of orderkeys join to orders/customer. Writing it
+    join-first would shuffle the whole lineitem×orders product; agg-
+    first makes the big table touch one shuffle and AQE turns both
+    subsequent joins into broadcasts at runtime (the post-HAVING side
+    is tiny at any SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("sum_qty"),
+        )
+    )

@@ -601,3 +601,76 @@ def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs, "text")
     return extract_binary_features(payloads, "doc_id")
+
+
+@register(
+    "t_hash_split",
+    oracle="""
+    SELECT CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h, n_chars
+          FROM documents)
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "split"),
+)
+def t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket on md5(doc_id) hex
+    prefix ('cc'/256 ≈ 80% train, 'e6' → 10% val, 10% test). The
+    assignment is a pure projection — no shuffle, no RNG, no state —
+    so it is stable across runs, engines, cluster sizes, and
+    re-partitioning, which is the property a training-data split
+    must have (rand()-based splits leak rows between splits on
+    re-execution). Extends the reference's determinism habit
+    (sorted(set(...)), src/etl.py:136) to sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE h4 < CASE WHEN lang = 'en'
+                                               THEN '8000' ELSE 'cccc' END)
+                AS BIGINT) AS n_kept
+    FROM (SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+          FROM documents)
+    GROUP BY lang
+    """,
+    tags=("llm", "text", "split"),
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: per-language keep-rate
+    via an md5 threshold (en → 50%, minority languages → 80%) — the
+    standard rebalancing move for a multilingual training corpus.
+    Same no-RNG/no-shuffle argument as t_hash_split: `sampleBy()`
+    draws from a seeded RNG per task, so its output changes with
+    partitioning; a hash threshold never does. Reported as per-lang
+    totals so the oracle checks the exact membership count."""
+    d = load_table(spark, sf_dir, "documents")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", "8000").otherwise("cccc")
+    return (
+        d.select("lang", (h4 < thr).cast("long").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
