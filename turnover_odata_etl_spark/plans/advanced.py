@@ -903,3 +903,133 @@ def e6_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("qty", 2).alias("sum_qty"),
         )
     )
+
+
+_MS_HOUR = 3600 * 1000
+_MS_MAX_SENTINEL = 253402300799999  # 9999-12-31T23:59:59.999
+
+
+@register(
+    "e4_scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+    ), flagged AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ms, event_id) AS prev
+      FROM e
+    ), changes AS (
+      SELECT user_id, event_type, ms, event_id
+      FROM flagged WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ms AS valid_from_ms,
+           coalesce(lead(ms) OVER (PARTITION BY user_id
+                                   ORDER BY ms, event_id) - 1,
+                    253402300799999) AS valid_to_ms,
+           CAST(lead(ms) OVER (PARTITION BY user_id
+                               ORDER BY ms, event_id) IS NULL
+                AS BIGINT) AS is_current
+    FROM changes
+    """,
+    tags=("relational", "window", "scd2"),
+)
+def e4_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: compact a changelog (drop rows equal to
+    the previous state) and assign [valid_from, valid_to] validity
+    windows via lead() — exactly the `Date From`/`Date To` interval
+    columns the reference's SAP backend serves pre-built
+    (src/etl.py:47-48 C0DATEFROM/C0DATETO); here we build them from
+    raw events. Both window passes and the filter share the user_id
+    partitioning: ONE shuffle total at any scale. Open intervals get
+    a far-future sentinel so downstream BETWEEN range-joins
+    (e4_range_join) need no NULL branch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w_full = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    changes = ev.withColumn(
+        "prev", F.lag("event_type").over(w_full)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w_chg = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    nxt = F.lead("ms").over(w_chg)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ms").alias("valid_from_ms"),
+        F.coalesce(nxt - 1, F.lit(_MS_MAX_SENTINEL)).alias("valid_to_ms"),
+        nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "e14_gapfill_resample",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, (epoch_ms(ts) // {_MS_HOUR}) * {_MS_HOUR} AS bucket,
+             value
+      FROM events
+    ), agg AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS total
+      FROM b GROUP BY 1, 2
+    ), grid AS (
+      SELECT et.event_type,
+             unnest(generate_series((SELECT min(bucket) FROM b),
+                                    (SELECT max(bucket) FROM b),
+                                    {_MS_HOUR})) AS bucket
+      FROM (SELECT DISTINCT event_type FROM b) et
+    )
+    SELECT g.event_type, g.bucket,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           round(coalesce(a.total, 0), 2) AS total
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+    """,
+    tags=("relational", "agg", "timeseries"),
+)
+def e14_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: hourly rollup per event_type with
+    explicit zero rows for empty buckets (gap-fill), the shape
+    time-series stores call time_bucket_gapfill. The dense grid is
+    keys × sequence(min,max) — generated, never scanned; the bounds
+    row broadcasts to the grid build, and the left join back to the
+    rollup is a broadcast at any scale where n_keys × n_buckets stays
+    dimension-sized (it grows with time span, not with data volume —
+    the 100 TB fact table only ever passes through the one rollup
+    shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / _MS_HOUR)
+            * _MS_HOUR
+        ).alias("bucket"),
+        "value",
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    bounds = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_MS_HOUR).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    return grid.join(
+        F.broadcast(agg), ["event_type", "bucket"], "left"
+    ).select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
+    )
