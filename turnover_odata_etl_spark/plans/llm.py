@@ -674,3 +674,112 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").alias("n_kept"),
         )
     )
+
+
+@register(
+    "d_levenshtein_blocked",
+    oracle="""
+    SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+           CAST(levenshtein(d1.p, d2.p) AS BIGINT) AS edit_dist
+    FROM (SELECT doc_id, lang, substr(text, 1, 32) AS p,
+                 substr(text, 1, 8) AS b FROM documents) d1
+    JOIN (SELECT doc_id, lang, substr(text, 1, 32) AS p,
+                 substr(text, 1, 8) AS b FROM documents) d2
+      ON d1.b = d2.b AND d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE levenshtein(d1.p, d2.p) <= 6
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def d_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: candidate pairs via equi-join on a
+    cheap blocking key (lang + 8-char prefix), then exact
+    levenshtein on a 32-char prefix only for within-block pairs.
+    The O(n²·m²) all-pairs edit distance becomes O(Σ block²) with
+    dimension-sized blocks — same blocked-verify architecture as the
+    MinHash and SimHash tiers, but with a metric that catches small
+    in-place edits shingling dilutes. Built-in F.levenshtein (JVM,
+    codegen), no UDF."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 32).alias("p"),
+        F.substring("text", 1, 8).alias("b"),
+    )
+    d1 = d.alias("d1")
+    d2 = d.alias("d2")
+    dist = F.levenshtein(F.col("d1.p"), F.col("d2.p"))
+    return (
+        d1.join(
+            d2,
+            (F.col("d1.b") == F.col("d2.b"))
+            & (F.col("d1.lang") == F.col("d2.lang"))
+            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
+        )
+        .filter(dist <= 6)
+        .select(
+            F.col("d1.doc_id").alias("doc_a"),
+            F.col("d2.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "t_corpus_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT * FROM documents WHERE n_chars >= 100
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+      FROM q
+    ), kept AS (
+      SELECT * FROM ranked WHERE rn = 1
+    ), tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM tagged
+    GROUP BY split, lang
+    """,
+    tags=("llm", "text", "dedup", "split", "etl"),
+)
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build in ONE declarative job:
+    quality gate (length floor) → exact dedup on content fingerprint
+    keeping the lowest doc_id → deterministic md5 train/val/test
+    split → per-(split, lang) corpus stats. Because it is a single
+    plan, Catalyst pushes the quality filter into the parquet scan
+    and the whole thing costs one shuffle (dedup window) plus one
+    final agg shuffle — the composition is free, which is exactly
+    why pipeline stages should be DataFrame ops, not separate
+    materialized passes."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 100
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    return (
+        kept.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
