@@ -1033,3 +1033,39 @@ def e14_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.round(F.coalesce("total", F.lit(0.0)), 2).alias("total"),
     )
+
+
+@register(
+    "x_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey << 2) AS shl,
+           (o_orderkey >> 1) AS shr,
+           (o_orderkey & 255) AS band,
+           (o_orderkey | 4096) AS bor,
+           xor(o_orderkey, 1023) AS bxor,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt,
+           (~o_orderkey) AS bnot
+    FROM orders
+    """,
+    tags=("relational", "scalar", "bitwise"),
+)
+def x_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar sweep — shifts, and/or/xor/not, popcount. These
+    are the primitives the engine's own sketches are built from
+    (SimHash bands, MinHash bucketing, bloom probes), so they must be
+    codegen'd JVM expressions, not UDFs: a Python-UDF popcount in a
+    100 TB fingerprint pass would dominate the job. Scan+project,
+    shuffle-free."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1023)).alias("bxor"),
+        F.bit_count(k).alias("popcnt"),
+        F.bitwise_not(k).alias("bnot"),
+    )

@@ -395,3 +395,40 @@ def semi_join_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=orders.o_custkey == keys.c_custkey,
         how="left_semi",
     ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+
+
+@register(
+    "e12_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("reference", "json", "variant"),
+)
+def e12_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured done the Spark-4 way: parse once into the
+    binary VARIANT type, then typed `try_variant_get` extraction —
+    versus from_json (needs a declared schema up front) or repeated
+    get_json_object (re-parses the string per path). At 100 TB you
+    parse each payload exactly once, extractions are O(fields
+    touched) over the binary encoding, and unknown/missing paths
+    yield NULL instead of failing the job. Oracle is the equivalent
+    string-path extraction (DuckDB has no variant type — same
+    values, different storage)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
