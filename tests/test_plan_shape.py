@@ -86,3 +86,36 @@ def test_no_rowwise_python_udf_anywhere(name, spark, sf_dir):
     FlatMapGroupsInPandas) are the sanctioned Python escape hatches."""
     plan = plan_str(SPECS[name].fn(spark, sf_dir), mode="simple")
     assert "BatchEvalPython" not in plan
+
+
+def test_q5_dimension_chain_broadcasts(spark, sf_dir):
+    """Q5's region→nation→supplier chain must collapse into broadcasts
+    — the fact table never shuffles for a dimension."""
+    plan = plan_str(SPECS["e6_q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3
+    # lineitem scan reads only the 4 columns the query touches
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint," in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 must be agg-first: the lineitem scan feeds a 2-column
+    partial aggregate, not a join (join-first would widen the scan)."""
+    plan = plan_str(SPECS["e6_q18_large_volume_customer"].fn(spark, sf_dir))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    assert "partial_sum" in plan
+
+
+def test_corpus_pipeline_quality_filter_pushed_to_scan(spark, sf_dir):
+    """The composed pipeline's first stage (n_chars >= 100) must reach
+    the parquet scan as a pushed filter, not run post-materialization."""
+    plan = plan_str(SPECS["t_corpus_pipeline"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
+    assert "n_chars" in pushed
+
+
+def test_snapshot_diff_is_copartitioned_join(spark, sf_dir):
+    """The full-outer snapshot diff must be a keyed join — never a
+    nested-loop/cartesian fallback."""
+    plan = plan_str(SPECS["c_snapshot_diff"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1069,3 +1069,83 @@ def x_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcnt"),
         F.bitwise_not(k).alias("bnot"),
     )
+
+
+@register(
+    "c_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), snap_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_cents
+      FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                     OR o.price_cents <> n.price_cents THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM snap_old o FULL OUTER JOIN snap_new n USING (o_orderkey)
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus = n.o_orderstatus
+               AND o.price_cents = n.price_cents)
+    """,
+    tags=("relational", "join", "diff", "reference"),
+)
+def c_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection, done relationally. The reference's
+    de-facto change detector is `git diff` on the daily committed CSV
+    (S8, .github/workflows/etl.yml:43-66) — O(full snapshot) text
+    diff on the driver. Spark form: full outer join of the two keyed
+    snapshots, classify added / removed / changed per key, drop
+    unchanged. One co-partitioned shuffle pair at any scale, and the
+    comparison is typed (price in exact cents), not a text diff. The
+    two synthetic snapshots carve adds/removes/changes out of orders
+    deterministically so the result is oracle-checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snap_old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("price_cents"),
+    )
+    snap_new = o.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0)
+        ).alias("price_cents"),
+    )
+    old = snap_old.alias("old")
+    new = snap_new.alias("new")
+    ok, nk = F.col("old.o_orderkey"), F.col("new.o_orderkey")
+    same = (
+        ok.isNotNull()
+        & nk.isNotNull()
+        & (F.col("old.o_orderstatus") == F.col("new.o_orderstatus"))
+        & (F.col("old.price_cents") == F.col("new.price_cents"))
+    )
+    status = (
+        F.when(nk.isNull(), "removed")
+        .when(ok.isNull(), "added")
+        .when(
+            (F.col("old.o_orderstatus") != F.col("new.o_orderstatus"))
+            | (F.col("old.price_cents") != F.col("new.price_cents")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, ok == nk, "full_outer")
+        .filter(~same)
+        .select(
+            F.coalesce(ok, nk).alias("o_orderkey"),
+            status.alias("status"),
+        )
+    )
