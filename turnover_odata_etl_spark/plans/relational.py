@@ -522,23 +522,53 @@ def e13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e13_approx_aggs",
-    oracle=None,  # sketch-based results differ across engines by design
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_orders_ok,
+           TRUE AS hll_parts_ok,
+           TRUE AS approx_p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("relational", "agg", "approx"),
 )
 def e13_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HLL++ distinct counts and GK-sketch
-    percentiles. These are the 100 TB substitutes for exact
-    countDistinct/percentile (bounded memory, one pass, mergeable
-    sketches). No SQL oracle: sketch outputs are engine-specific, so
-    the driver applies its rows-only check; tests/test_relational.py
-    asserts the values against exact results with error bounds."""
+    percentiles, the 100 TB substitutes for exact countDistinct /
+    percentile (bounded memory, one pass, mergeable sketches).
+
+    Sketch outputs are engine-specific, so the oracle contract is a
+    *bound check*: Spark emits the exact values plus booleans asserting
+    each sketch landed within its published error bound (HLL++ default
+    rsd=5% → we allow 3×rsd; GK accuracy 10000 → ≤1% relative on the
+    median). DuckDB emits the same exact values and constant TRUE —
+    the hash only matches when every sketch is in-bound, making the
+    approximate path fully gateable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
-            "approx_p50_price"
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("hll_orders"),
+        F.approx_count_distinct("l_partkey").alias("hll_parts"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
         ),
+    )
+
+    def within(approx: str, exact: str, rel: float):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(rel)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("hll_orders", "exact_orders", 0.15).alias("hll_orders_ok"),
+        within("hll_parts", "exact_parts", 0.15).alias("hll_parts_ok"),
+        within("p50_approx", "p50_exact", 0.01).alias("approx_p50_ok"),
     )
 
 

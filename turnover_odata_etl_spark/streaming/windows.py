@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file stream (schema fixed up-front, as
     any production file stream requires)."""
+    # Runtime-settable; don't depend on which factory built the session
+    # (the driver's gate uses a vanilla session without this conf).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # File-stream sources need a directory; pathGlobFilter narrows the
     # listing to the events table within the shared fixture dir.

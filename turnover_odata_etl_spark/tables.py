@@ -34,6 +34,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a stock session throws
+        # PARQUET_TYPE_ILLEGAL at the scan. nanosAsLong is runtime-settable,
+        # so set it here rather than relying on whichever factory built the
+        # session (session.py sets it too, but callers may bring their own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
