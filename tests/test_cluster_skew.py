@@ -57,3 +57,15 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = salted_join(big, small, "k", "k2", salt=4, how="left")
     rows = {r.v: r.d for r in out.collect()}
     assert rows == {"x": "dim", "y": None}
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """right/full-outer would emit each unmatched small row `salt`
+    times (the small side is replicated); the operator must refuse."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "dim")], "k2 long, d string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", "k2", salt=4, how=how)

@@ -237,3 +237,55 @@ def test_lsh_pipelines_repeat_deterministic(spark, sf_dir):
     x = sorted(map(tuple, srp_lsh_topk(q, emb, "vec_id", "embedding", 5).collect()))
     y = sorted(map(tuple, srp_lsh_topk(q, emb, "vec_id", "embedding", 5).collect()))
     assert x == y
+
+
+def test_neardup_oracle_short_doc_contract(spark, tmp_path):
+    """Sub-k-token docs get a whole-text shingle in the Spark shingler;
+    the DuckDB oracle must mirror that (it used to drop docs with <3
+    tokens, so two identical short docs were a Spark-only pair)."""
+    import duckdb as _duckdb
+
+    from turnover_odata_etl_spark.plans import registry
+    from .oracle_utils import compare_spark_vs_oracle
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "a genuinely longer document with plenty of tokens in it"),
+            (4, "a genuinely longer document with plenty of tokens in it"),
+            (5, "completely different text about unrelated matters entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = _duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("d_minhash_lsh_neardup", "d_ngram_jaccard"):
+        spec = registry.all_specs()[name]
+        sdf = spec.fn(spark, str(tmp_path))
+        assert {(r.a_id, r.b_id) for r in sdf.select("a_id", "b_id").collect()} >= {(1, 2)}, (
+            f"{name}: short-doc pair missing from Spark result"
+        )
+        compare_spark_vs_oracle(sdf, con, spec.oracle, f"{name}_short_docs")
+
+
+def test_tiled_topk_equals_blocked_at_full_query_set(spark, sf_dir):
+    """cosine_topk_tiled (fully distributed, |Q| = corpus) must equal
+    the driver-collected cosine_topk_blocked on the same inputs."""
+    from turnover_odata_etl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        cosine_topk_tiled,
+    )
+    from turnover_odata_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tiled = cosine_topk_tiled(emb, emb, "vec_id", "embedding", k=3,
+                              q_blocks=4, c_blocks=4)
+    blocked = cosine_topk_blocked(emb, emb, "vec_id", "embedding", k=3)
+    a = sorted(map(tuple, tiled.collect()))
+    b = sorted(map(tuple, blocked.collect()))
+    assert a == b

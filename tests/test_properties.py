@@ -139,3 +139,23 @@ def test_sessionize_gap_invariants(spark, data):
             else:
                 assert cur.session_id == prev.session_id + 1
                 assert delta > gap
+
+
+def test_events_nanos_truncation_matches_duckdb(spark, oracle_con, sf_dir):
+    """Cross-engine timestamp contract: our nanos→micros conversion
+    (integer `ts div 1000` in tables.load_table) must agree with
+    DuckDB's read of the same TIMESTAMP(NANOS) parquet at microsecond
+    precision for EVERY row — guards rounding/precision drift (float
+    division would corrupt the low bits: epoch-nanos > 2^53)."""
+    from turnover_odata_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "unix_micros(cast(ts as timestamp)) AS us"
+    )
+    spark_us = {r.event_id: r.us for r in ev.collect()}
+    oracle = oracle_con.sql(
+        "SELECT event_id, epoch_us(ts) AS us FROM events"
+    ).fetchall()
+    assert len(oracle) == len(spark_us)
+    mismatches = [(i, u, spark_us[i]) for i, u in oracle if spark_us[i] != u]
+    assert not mismatches, f"first diffs: {mismatches[:5]}"

@@ -48,21 +48,32 @@ def asof_join(
 
     ts_type = dict(left.dtypes)[left_ts]
 
+    # The matched right row travels as ONE struct (ts + attributes), so
+    # a single last(ignorenulls=True) carries the whole row atomically.
+    # Carrying each column independently would backfill a NULL attribute
+    # of the most recent right row from an OLDER right row — emitting a
+    # "match" that mixes columns from different right records.
+    right_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    right_struct_type = right.select(right_struct.alias("__asof_right")).schema[
+        "__asof_right"
+    ].dataType
+
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias("__asof_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_left"),
-        F.lit(None).cast("timestamp").alias("__asof_right_ts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right_struct_type).alias("__asof_right"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).cast(ts_type).alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),
         F.lit(None).cast(l_tagged.schema["__asof_left"].dataType).alias("__asof_left"),
-        F.col(right_ts).cast("timestamp").alias("__asof_right_ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        right_struct.alias("__asof_right"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -74,31 +85,21 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
-        F.last("__asof_right_ts", ignorenulls=True).over(w).alias("__c_ts"),
+        F.last("__asof_right", ignorenulls=True).over(w).alias("__c"),
     )
 
     out = carried.filter(F.col("__asof_side") == 1)
     if tolerance_ms is not None:
         in_tol = (
             F.unix_millis(F.col("__asof_ts").cast("timestamp"))
-            - F.unix_millis(F.col("__c_ts"))
+            - F.unix_millis(F.col("__c.__ts"))
         ) <= tolerance_ms
-        out = out.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"__c_{c}")).alias(f"__t_{c}")
-                for c in right_cols
-            ],
-        )
-        picked = {c: f"__t_{c}" for c in right_cols}
+        matched = F.when(in_tol, F.col("__c"))
     else:
-        picked = {c: f"__c_{c}" for c in right_cols}
+        matched = F.col("__c")
+    out = out.select("*", matched.alias("__m"))
 
     return out.select(
         *[F.col(f"__asof_left.{c}").alias(c) for c in left.columns],
-        *[F.col(picked[c]).alias(c) for c in right_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )

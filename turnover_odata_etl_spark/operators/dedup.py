@@ -206,12 +206,16 @@ def exact_jaccard(
     union = F.size("a_sh") + F.size("b_sh") - F.size(
         F.array_intersect("a_sh", "b_sh")
     )
+    # Filter on the UNROUNDED jaccard (matching the SQL oracle and
+    # ngram_jaccard_pairs); round only the projected output column — a
+    # pair with true Jaccard in [threshold-5e-5, threshold) must not
+    # survive via round-up.
     return (
         pairs.join(a, "a_id")
         .join(b, "b_id")
-        .withColumn("jac", F.round(inter / union, 4))
-        .filter(F.col("jac") >= threshold)
-        .select("a_id", "b_id", "jac")
+        .withColumn("__jac_raw", inter / union)
+        .filter(F.col("__jac_raw") >= threshold)
+        .select("a_id", "b_id", F.round("__jac_raw", 4).alias("jac"))
     )
 
 

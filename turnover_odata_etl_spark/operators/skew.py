@@ -80,7 +80,18 @@ def salted_join(
     skew splitting can't help (e.g. the skew is in a grouped shuffle
     that AQE won't split, or on engines/paths without AQE); otherwise
     prefer AQE (on by default in session.py).
+
+    Only big-side-preserving join types are allowed: replicating the
+    small side ``salt`` times would emit each unmatched small row
+    ``salt`` times under right/full-outer semantics.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — small-side replication "
+            f"breaks right/full-outer semantics; use one of {sorted(allowed)}"
+        )
     big_s = big.withColumn("__salt_l", (F.rand(seed=7) * salt).cast("int"))
     small_s = small.withColumn(
         "__salt_r", F.explode(F.array([F.lit(i) for i in range(salt)]))

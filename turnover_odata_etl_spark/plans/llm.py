@@ -31,6 +31,7 @@ from ..operators.skew import salted_agg
 from ..operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk_blocked,
+    cosine_topk_tiled,
     ivf_topk,
     srp_lsh_topk,
 )
@@ -217,9 +218,14 @@ def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-      FROM toks WHERE len(ws) >= 3
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  -- mirror the Spark shingler: sub-k-token docs get one
+                  -- whole-text shingle (whitespace-normalized)
+                  ELSE [array_to_string(ws, ' ')]
+             END AS s
+      FROM toks
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(len(list_intersect(a.s, b.s))::DOUBLE /
@@ -249,9 +255,14 @@ def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-      FROM toks WHERE len(ws) >= 3
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  -- mirror the Spark shingler: sub-k-token docs get one
+                  -- whole-text shingle (whitespace-normalized)
+                  ELSE [array_to_string(ws, ' ')]
+             END AS s
+      FROM toks
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(len(list_intersect(a.s, b.s))::DOUBLE /
@@ -279,9 +290,14 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-      FROM toks WHERE len(ws) >= 3
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  -- mirror the Spark shingler: sub-k-token docs get one
+                  -- whole-text shingle (whitespace-normalized)
+                  ELSE [array_to_string(ws, ' ')]
+             END AS s
+      FROM toks
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -555,6 +571,39 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk_blocked(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "s_knn_tiled",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+                      i -> q.e[i] * c.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cos
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def s_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 neighbors for EVERY vector (|Q| = |corpus|) via the
+    fully-distributed tiled GEMM (operators/similarity.cosine_topk_tiled)
+    — 2D block matmul over cogrouped tiles, per-query tile-local top-k
+    merge, fold-order re-score. Unlike cosine_topk_blocked nothing is
+    collected to the driver, so this is the shape that survives a
+    corpus-sized query set at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_tiled(emb, emb, "vec_id", "embedding", k=3)
 
 
 @register(

@@ -53,7 +53,16 @@ def run_stream_to_table(
     sdf: DataFrame, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; return the materialized result as a batch frame."""
+    a memory sink; return the materialized result as a batch frame.
+
+    ORACLE-HARNESS ONLY. ``mode="complete"`` + the memory sink keep
+    every window's state AND the full result in driver memory — exactly
+    what you want for a correctness gate over a fixture, and exactly
+    what you must not deploy: at production scale the driver OOMs on
+    result size alone. The production pattern is append/update mode
+    into a distributed sink — see ``streaming/incremental.py``
+    (``run_incremental_upsert``: availableNow + foreachBatch merge into
+    a keyed parquet state table) and SCALE.md §streaming."""
     name = f"st_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.format("memory")
