@@ -59,11 +59,24 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Repeat each query and keep the fastest run: single-shot timings
+    # at this scale are dominated by JIT/GC/OS noise (observed ±2×
+    # run-to-run on identical plans); min-of-N is the steady-state
+    # number the plan actually costs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # Drop DataFrames persisted inside operators (e.g. the
+            # minhash signature frame): each invocation builds a new
+            # lineage, so leftover cache blocks from earlier reps only
+            # eat storage memory and skew later timings.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
