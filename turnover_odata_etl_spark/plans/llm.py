@@ -832,3 +832,291 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E10 cont. — corpus-curation heuristics from published web-scale pipelines
+# (C4-style quality gates, Gopher-style repetition metrics, domain-balanced
+# sampling, PII scrubbing, semantic dedup). All are the textbook public
+# recipes re-expressed as declarative plans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_repetition_metrics",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS ws
+      FROM documents
+    ), t AS (
+      SELECT doc_id, len(ws) AS n, unnest(ws) AS tok FROM toks
+    ), c AS (
+      SELECT doc_id, n, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3
+    ), top AS (
+      SELECT doc_id, n, max(cnt) AS top FROM c GROUP BY 1, 2
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                  ELSE []::VARCHAR[] END AS g2
+      FROM toks
+    )
+    SELECT top.doc_id,
+           CAST(top.n AS BIGINT) AS n_tokens,
+           round(top.top::DOUBLE / top.n, 4) AS top_token_frac,
+           CASE WHEN len(g.g2) > 0
+                THEN round(1 - len(list_distinct(g.g2))::DOUBLE / len(g.g2), 4)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM top JOIN g ON top.doc_id = g.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def t_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition statistics per document — the repetition family of
+    filters from published large-corpus curation recipes (most-frequent
+    -token fraction, duplicate-2-gram fraction): high values flag
+    boilerplate/spam pages that near-dup dedup misses because the
+    repetition is WITHIN the document. top-token counting shuffles on
+    (doc_id, token) — partial aggregation makes it map-side cheap —
+    while the 2-gram ratio is pure array math inside codegen, no
+    shuffle at all. Docs with no tokens drop (no rows from explode);
+    empty-corpus safe."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    d = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    tok = d.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
+    top = (
+        tok.groupBy("doc_id", "n", "tok")
+        .count()
+        .groupBy("doc_id", "n")
+        .agg(F.max("count").alias("top"))
+    )
+    g2 = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "         slice(toks, 2, size(toks) - 1), "
+            "         (a, b) -> concat(a, ' ', b)) "
+            "ELSE array() END"
+        ).alias("g2"),
+    )
+    return (
+        top.join(g2, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.col("top") / F.col("n"), 4).alias("top_token_frac"),
+            F.when(
+                F.size("g2") > 0,
+                F.round(
+                    F.lit(1) - F.size(F.array_distinct("g2")) / F.size("g2"), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+        )
+    )
+
+
+@register(
+    "t_quality_filter_c4",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN round(list_sum(list_transform(ws, x -> len(x)))::DOUBLE / len(ws), 4)
+                  ELSE 0.0 END AS mean_word_len,
+             regexp_matches(rtrim(text), '[.!?"]$') AS ends_terminal,
+             (text LIKE '%{%' OR text LIKE '%}%') AS has_curly,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, ends_terminal, has_curly, has_lorem,
+           (n_words >= 5 AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND NOT has_curly AND NOT has_lorem) AS keep
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def t_quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic public web-corpus quality gate (word-count floor,
+    mean-word-length band, code/boilerplate markers, terminal
+    punctuation) emitted as per-rule booleans plus the combined keep
+    flag — keeping the REASONS queryable is what lets a pipeline audit
+    which rule rejected how much volume. Every rule is a codegen'd
+    column expression over one scan: zero shuffles, filter fully
+    pushable when used as a WHERE."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.expr(
+                "aggregate(transform("
+                "  CASE WHEN trim(text) = '' THEN array() ELSE split(trim(text), '\\\\s+') END,"
+                "  x -> length(x)), 0L, (a, x) -> a + x)"
+            )
+            / F.size(toks),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    ends_terminal = F.rtrim(F.col("text")).rlike('[.!?"]$')
+    has_curly = F.col("text").contains("{") | F.col("text").contains("}")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ends_terminal.alias("ends_terminal"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        (
+            (n_words >= 5)
+            & (mean_wl >= 3)
+            & (mean_wl <= 10)
+            & ~has_curly
+            & ~has_lorem
+        ).alias("keep"),
+    )
+
+
+@register(
+    "t_domain_balanced_sample",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    tags=("llm", "sampling"),
+)
+def t_domain_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced subsampling: cap every source/domain at N docs,
+    chosen by deterministic hash order (md5 of the id — reproducible
+    across runs and engines, no RNG state). This is the standard
+    anti-domination move in web-corpus assembly (one giant crawl
+    domain must not drown the mixture). One shuffle on source; the
+    rank is windowed, so a skewed domain is one partition — for truly
+    monster domains swap in the salted two-phase top-N from
+    operators/skew.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "t_pii_redact",
+    oracle=r"""
+    WITH red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_hash
+    FROM red
+    """,
+    tags=("llm", "text", "scrubbing"),
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — count and mask email/phone spans with
+    fixed placeholder tokens (the standard pre-training scrub). The
+    regexes are deliberately restricted to syntax with identical
+    semantics in Java regex and RE2 so the oracle is exact; output
+    carries md5(redacted) rather than the full text (hash-stable,
+    cheap to compare). Pure per-row column expressions — map-only,
+    scales with partitions."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+@register(
+    "d_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                     i -> a.e[i] * b.e[i]))
+            / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+             * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id,
+           least(src, min(dst)) AS cluster,
+           CAST(least(src, min(dst)) = src AS BIGINT) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: embedding-cosine near-dup pairs (exact blocked
+    GEMM, operators/similarity.cosine_neardup_pairs) → connected
+    components → one canonical representative per semantic cluster.
+    The embedding-space analogue of d_dedup_clusters — catches
+    paraphrase-level duplication that token shingles can't. Same
+    min-label propagation (rounds = cluster diameter, scalar-only
+    driver traffic); the oracle is the recursive-CTE closure over the
+    identical pair predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    cc = connected_components(pairs, "a_id", "b_id")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster"),
+        (F.col("label") == F.col("node")).cast("long").alias("is_canonical"),
+    )
