@@ -119,3 +119,45 @@ def test_snapshot_diff_is_copartitioned_join(spark, sf_dir):
     plan = plan_str(SPECS["c_snapshot_diff"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered_and_filters_pushed(spark, sf_dir):
+    """Q10's LIMIT 20 must compile to TakeOrderedAndProject (partial
+    per-partition top-k), and both selective predicates must reach
+    their scans."""
+    plan = plan_str(SPECS["e6_q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    pushed = plan.split("PushedFilters", 1)[1]
+    assert "l_returnflag" in plan and "PushedFilters" in plan
+    # returnflag filter pushed into the lineitem scan
+    assert any(
+        "l_returnflag" in seg.splitlines()[0]
+        for seg in plan.split("PushedFilters")[1:]
+    )
+
+
+def test_q7_double_dimension_broadcast(spark, sf_dir):
+    """Q7 must broadcast BOTH reduced dimensions (supplier-side and
+    customer-side nation joins) — at least 3 broadcast joins total,
+    zero shuffles for dimension work."""
+    plan = plan_str(SPECS["e6_q7_volume_shipping"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tiled_knn_is_cogrouped_not_collected(spark, sf_dir):
+    """The tiled kNN must run as a cogrouped Arrow op (distributed
+    tiles), never as a driver-collected broadcast of the query set."""
+    plan = plan_str(SPECS["s_knn_tiled"].fn(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_quality_filter_pushes_into_scan_when_filtered(spark, sf_dir):
+    """Using the C4 gate as a WHERE must push the cheap rules into the
+    parquet scan (here: the combined filter at least prunes with an
+    IsNotNull; the full boolean evaluates in the scan stage, before
+    any exchange)."""
+    df = SPECS["t_quality_filter_c4"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    plan = plan_str(df.filter(F.col("keep")))
+    assert "Exchange" not in plan  # scan+project+filter only — no shuffle

@@ -233,3 +233,45 @@ def st_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"], order_col="event_id",
     )
     return spark.read.parquet(state)
+
+
+@register(
+    "st_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           round(e.value, 2) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join"),
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joins a static
+    dimension (customer) that is broadcast per micro-batch — the
+    standard streaming enrichment pattern. No watermark is needed
+    (static side never ages), no state store is built (the join is
+    stateless per batch), and at scale the dimension re-broadcasts per
+    trigger, so a slowly-changing dim picks up updates between
+    micro-batches for free — the property batch joins lack. Oracle is
+    the equivalent batch join."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import read_events_stream, run_stream_to_table
+    from ..tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        events.join(
+            F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "c_mktsegment",
+            F.round("value", 2).alias("value"),
+        )
+    )
+    return run_stream_to_table(enriched, spark, mode="append")
