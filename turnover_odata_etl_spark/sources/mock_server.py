@@ -17,10 +17,27 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-# Quote-aware: the value is a run of non-quotes or doubled quotes, and
-# nothing may follow the closing quote — an ANDed or otherwise
-# unsupported filter fails loudly (400) instead of silently matching.
-_EQ_RE = re.compile(r"^\s*(\w+)\s+eq\s+'((?:[^']|'')*)'\s*$", re.DOTALL)
+# Quote-aware: the value is a run of non-quotes or doubled quotes.
+# Grammar: conjunctions of `field op literal` terms where op ∈
+# {eq, gt, le} and the literal is quoted (string) or bare (numeric) —
+# the subset the connector emits (eq pushdown + incremental-stream
+# cursor bounds). Anything else fails loudly (400) instead of silently
+# matching.
+_TERM_RE = re.compile(
+    r"^\s*(\w+)\s+(eq|gt|le)\s+(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))\s*$",
+    re.DOTALL,
+)
+
+
+def _cmp(row_value, op: str, literal: str, quoted: bool) -> bool:
+    s = str(row_value)
+    if not quoted:
+        try:
+            a, b = float(s), float(literal)
+        except (TypeError, ValueError):
+            return False
+        return {"eq": a == b, "gt": a > b, "le": a <= b}[op]
+    return {"eq": s == literal, "gt": s > literal, "le": s <= literal}[op]
 
 
 class MockOData:
@@ -61,14 +78,27 @@ class MockOData:
 
         rows = self.rows
         if filt:
-            m = _EQ_RE.match(filt)
-            if not m:
-                return 400, f"unsupported $filter: {filt}"
-            field, raw = m.group(1), m.group(2)
-            value = raw.replace("''", "'")
-            if self.fail_field == field and value in self.fail_values:
-                return 500, f"simulated backend failure for {field}={value!r}"
-            rows = [r for r in rows if str(r.get(field)) == value]
+            terms = []
+            for part in filt.split(" and "):
+                m = _TERM_RE.match(part)
+                if not m:
+                    return 400, f"unsupported $filter: {filt}"
+                field, op = m.group(1), m.group(2)
+                quoted = m.group(3) is not None
+                raw = m.group(3) if quoted else m.group(4)
+                value = raw.replace("''", "'") if quoted else raw
+                if (
+                    op == "eq"
+                    and self.fail_field == field
+                    and value in self.fail_values
+                ):
+                    return 500, f"simulated backend failure for {field}={value!r}"
+                terms.append((field, op, value, quoted))
+            rows = [
+                r
+                for r in rows
+                if all(_cmp(r.get(f), op, v, q) for f, op, v, q in terms)
+            ]
 
         if select:
             cols = select.split(",")

@@ -52,6 +52,21 @@ def build_filter_eq(field: str, value: str) -> str:
     return f"{field} eq '{quote_escape(value)}'"
 
 
+def build_filter_cmp(
+    field: str, op: str, value: str, numeric: bool = False
+) -> str:
+    """``$filter`` comparison term (``eq``/``gt``/``le``). Strings are
+    quoted+escaped; numeric cursors render as bare literals so the
+    server compares numerically (used by the incremental stream
+    reader's cursor bounds)."""
+    if op not in ("eq", "gt", "le"):
+        raise ValueError(f"unsupported OData comparison {op!r}")
+    if numeric:
+        float(value)  # fail fast on a non-numeric cursor
+        return f"{field} {op} {value}"
+    return f"{field} {op} '{quote_escape(value)}'"
+
+
 def extract_results_and_next(payload: dict) -> tuple[list[dict], str | None]:
     """Rows + next-page link from a V2 or V4 response envelope [S2]."""
     if "d" in payload:  # OData V2
