@@ -161,3 +161,11 @@ def test_quality_filter_pushes_into_scan_when_filtered(spark, sf_dir):
 
     plan = plan_str(df.filter(F.col("keep")))
     assert "Exchange" not in plan  # scan+project+filter only — no shuffle
+
+
+def test_profile_is_single_scan_single_aggregate(spark, sf_dir):
+    """profile_table computes all N×5 statistics over ONE scan — never
+    one query per column (the 4·N-scan anti-pattern). Exactly one file
+    index (= one scan) may appear in the physical plan."""
+    plan = plan_str(SPECS["p_profile_table"].fn(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1

@@ -1277,3 +1277,85 @@ def e6_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "s_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("relational", "sink", "source", "orc"),
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip — the other columnar format Spark
+    ships natively. Unlike CSV, ORC keeps types, column pruning, and
+    predicate pushdown, so it's a legitimate compute format; the
+    roundtrip proves the engine's sink surface isn't parquet-only.
+    The aggregate after read-back only touches 2 of the 5 written
+    columns — the ORC scan prunes the rest (same ReadSchema contract
+    as parquet)."""
+    path = _scratch(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus",
+        "l_extendedprice", "l_quantity",
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+def _profile_oracle_col(col: str, numeric: bool, fractional: bool) -> str:
+    mn, mx = f"min({col})", f"max({col})"
+    if fractional:
+        mn = f"round({mn}, 4)::DECIMAL(38,4)"
+        mx = f"round({mx}, 4)::DECIMAL(38,4)"
+    mean = f"round(avg({col}), 4)" if numeric else "NULL::DOUBLE"
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+           round((count(*) - count({col}))::DOUBLE / count(*), 4) AS null_frac,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn}::VARCHAR AS min_str,
+           {mx}::VARCHAR AS max_str,
+           {mean} AS mean
+    FROM orders
+    """
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", True, False),
+    ("o_custkey", True, False),
+    ("o_orderstatus", False, False),
+    ("o_totalprice", True, True),
+    ("o_orderdate", False, False),
+    ("o_orderpriority", False, False),
+]
+
+
+@register(
+    "p_profile_table",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_col(c, n, f) for c, n, f in _PROFILE_COLS
+    ),
+    tags=("relational", "profiling"),
+)
+def p_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (operators/profile.profile_table):
+    row count + per-column null count/rate, distinct count, min/max,
+    numeric mean — all N×5 statistics in a single aggregation over a
+    single scan (the oracle needs one subquery per column; the Spark
+    plan is exactly one HashAggregate). The long-form output (row per
+    column) is what a data-quality harness joins expectation rules
+    against. At 100 TB set approx=True (HLL distinct, same shape)."""
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders).withColumnRenamed("column", "col_name")
