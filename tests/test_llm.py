@@ -289,3 +289,52 @@ def test_tiled_topk_equals_blocked_at_full_query_set(spark, sf_dir):
     a = sorted(map(tuple, tiled.collect()))
     b = sorted(map(tuple, blocked.collect()))
     assert a == b
+
+
+def test_pq_recall_floor_and_determinism(spark, sf_dir):
+    """PQ+ADC+rerank must (a) hit a recall@5 floor vs brute force on
+    the near-random fixture corpus (hardest case for quantization),
+    (b) be deterministic across invocations (k-means seeding and tie
+    breaks are fixed), and (c) emit EXACT cosines for whatever
+    neighbors it returns (re-rank contract)."""
+    from turnover_odata_etl_spark.operators.similarity import (
+        cosine_topk_blocked,
+        pq_topk,
+    )
+    from turnover_odata_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 20)
+    exact = cosine_topk_blocked(queries, emb, "vec_id", "embedding", k=5)
+    approx = pq_topk(queries, emb, "vec_id", "embedding", k=5)
+
+    exact_rows = exact.collect()
+    approx_rows = approx.collect()
+    exact_sets = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    approx_cos = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        approx_cos[(r.query_id, r.neighbor_id)] = r.cos
+
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+    # exact-cosine contract: returned pairs carry the true cosine
+    true_cos = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact_rows
+    }
+    for pair, c in approx_cos.items():
+        if pair in true_cos:
+            assert abs(c - true_cos[pair]) < 1e-9
+
+    again = pq_topk(queries, emb, "vec_id", "embedding", k=5)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, approx_rows)
+    )
