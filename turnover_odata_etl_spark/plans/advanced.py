@@ -1359,3 +1359,77 @@ def p_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_table(orders).withColumnRenamed("column", "col_name")
+
+
+@register(
+    "p_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+    SELECT key, n,
+           round(n::DOUBLE / total, 6) AS frac,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT key, n, total,
+             row_number() OVER (ORDER BY n DESC, key) AS rnk
+      FROM counts CROSS JOIN tot
+    ) WHERE rnk <= 10
+    """,
+    tags=("relational", "profiling", "skew"),
+)
+def p_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: top-10 heaviest join/group keys with their
+    row fraction — the query you run BEFORE deciding whether a join
+    needs salting (operators/skew.py) or AQE skew handling suffices.
+    One partial-aggregated count shuffle + a TakeOrdered top-10; the
+    grand total rides along via a 1-row broadcast cross join, so the
+    fact table is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "key")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "x_try_functions",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS DOUBLE) AS et_num,
+           CASE WHEN value = 0 THEN NULL ELSE round(1.0 / value, 4) END
+             AS inv_value,
+           TRY_CAST('2024-13-99' AS DATE) IS NULL AS bad_date_nulled
+    FROM events
+    """,
+    tags=("relational", "scalar", "cleaning"),
+)
+def x_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant parsing sweep (`try_*` family) — malformed input
+    yields NULL instead of failing the job, the contract batch
+    data-cleaning needs (one bad row must not kill a 100 TB pass).
+    Mirrors DuckDB TRY_CAST semantics; try_divide(x, 0) → NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("double").alias("et_num"),
+        F.round(F.try_divide(F.lit(1.0), F.col("value")), 4).alias(
+            "inv_value"
+        ),
+        F.lit("2024-13-99").try_cast("date").isNull().alias("bad_date_nulled"),
+    )
