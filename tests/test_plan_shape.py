@@ -169,3 +169,18 @@ def test_profile_is_single_scan_single_aggregate(spark, sf_dir):
     index (= one scan) may appear in the physical plan."""
     plan = plan_str(SPECS["p_profile_table"].fn(spark, sf_dir))
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_lateral_join_is_decorrelated(spark, sf_dir):
+    """The correlated LATERAL subquery must compile to aggregate +
+    equi-join (no per-outer-row LateralJoin loop node)."""
+    plan = plan_str(SPECS["q_sql_lateral_join"].fn(spark, sf_dir), mode="simple")
+    assert "LateralJoin" not in plan
+    assert "Join" in plan
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_dir):
+    """The recursive spine must execute as Spark 4's UnionLoop
+    operator (true recursion), not some unrolled approximation."""
+    plan = plan_str(SPECS["q_sql_recursive_cte"].fn(spark, sf_dir), mode="simple")
+    assert "UnionLoop" in plan

@@ -1433,3 +1433,174 @@ def x_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("2024-13-99").try_cast("date").isNull().alias("bad_date_nulled"),
     )
+
+
+@register(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-31'
+    )
+    SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = CAST(d AS DATE)
+    GROUP BY 1
+    """,
+    tags=("relational", "sql", "recursive"),
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): a Q1-1995 calendar spine generated by
+    recursion, left-joined to orders for a dense per-day count —
+    gap-days emit 0 instead of vanishing. The recursion is
+    driver-cheap (90 rows, depth 90); the fact side joins once. At
+    scale prefer `sequence()` for pure date spines (e14_gapfill) —
+    this registers the recursive-query capability itself, which
+    sequence() can't replace for genuinely recursive shapes
+    (hierarchies, closures)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-31'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q_sql_lateral_join",
+    oracle="""
+    SELECT o.o_orderkey, t.top_price, t.n_lines
+    FROM orders o,
+    LATERAL (
+      SELECT round(max(l_extendedprice), 2) AS top_price,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem WHERE l_orderkey = o.o_orderkey
+    ) t
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    tags=("relational", "sql", "join"),
+)
+def q_sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 3.2+ SQL): per urgent
+    order, the max line price and line count from a dependent
+    subquery. Catalyst decorrelates this into an aggregate + equi-join
+    (no per-row re-execution) — the plan to check is the same as
+    q_sql_correlated_subquery's; LATERAL is the multi-column variant
+    scalar subqueries can't express."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.top_price, t.n_lines
+        FROM orders o,
+        LATERAL (
+          SELECT round(max(l_extendedprice), 2) AS top_price,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem WHERE l_orderkey = o.o_orderkey
+        ) t
+        WHERE o.o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+@register(
+    "e5_window_ntile_nth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(nth_value(o_totalprice, 3) OVER w, 2) AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window"),
+)
+def e5_window_ntile_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window-function family: ntile quartiles plus
+    first/nth value over a running frame — one shuffle on the
+    partition key, one sort, all four outputs from the same window
+    definition (Spark evaluates them in a single Window exec). Total
+    order (price, key) keeps ntile deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 3).over(w), 2).alias(
+            "third_price"
+        ),
+    )
+
+
+@register(
+    "x_hof_functions",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS prio,
+             list(round(o_totalprice, 2) ORDER BY o_orderkey) AS prices
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT prio,
+           round(list_sum(list_transform(prices, x -> x * 1.1)), 2)
+             AS uplifted_sum,
+           CAST(len(list_filter(prices, x -> x > 100000)) AS BIGINT)
+             AS n_large,
+           list_max(prices) > 400000 AS any_huge,
+           len(list_filter(prices, x -> x <= 0)) = 0 AS all_positive
+    FROM t
+    """,
+    tags=("relational", "scalar", "hof"),
+)
+def x_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function sweep — transform/aggregate/filter/
+    exists/forall over per-group price arrays. HOFs run inside codegen
+    on the array WITHOUT exploding (no row-count blowup, no shuffle
+    beyond the initial collect_list) — the difference between
+    'process a 1000-element array column' and '1000× the rows'. The
+    fold order is pinned by sorting the collected list, so float sums
+    agree with the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("o_orderkey", F.round("o_totalprice", 2).alias("p"))
+            )
+        ).alias("kp")
+    ).select(
+        "prio", F.expr("transform(kp, s -> s.p)").alias("prices")
+    )
+    return t.select(
+        "prio",
+        F.round(
+            F.aggregate(
+                F.expr("transform(prices, x -> x * 1.1D)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("uplifted_sum"),
+        F.size(F.filter("prices", lambda x: x > 100000)).cast("long").alias(
+            "n_large"
+        ),
+        F.exists("prices", lambda x: x > 400000).alias("any_huge"),
+        F.forall("prices", lambda x: x > 0).alias("all_positive"),
+    )
