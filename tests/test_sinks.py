@@ -76,3 +76,30 @@ def test_unbucketed_same_join_does_exchange(spark, sf_dir):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_check_expectations_null_predicate_counts_as_violation(spark):
+    """A rule whose predicate evaluates to NULL (e.g. comparison
+    against a NULL cell) must count as a VIOLATION, not a pass — an
+    unevaluable expectation is a failed expectation."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    report = {
+        r.rule: r
+        for r in check_expectations(
+            df,
+            [
+                {"name": "v_positive", "predicate": "v > 0"},
+                {"name": "id_small", "predicate": F.col("id") < 100},
+            ],
+        ).collect()
+    }
+    assert report["v_positive"].n_violations == 2  # NULL row + negative row
+    assert not report["v_positive"].passed
+    assert report["id_small"].n_violations == 0
+    assert report["id_small"].passed

@@ -102,3 +102,46 @@ def profile_table(
         wide.select(F.explode(structs).alias("s"))
         .select("s.*")
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Declarative data-quality gate: evaluate expectation rules in ONE
+    aggregation pass and emit a violations report (rule, n_violations,
+    violation_frac, passed).
+
+    Each rule is a dict: ``{"name": str, "predicate": Column-or-SQL}``
+    where the predicate expresses the EXPECTED condition per row
+    (violations = rows where it is false or null). Because every rule
+    compiles to ``count(CASE WHEN NOT p THEN 1 END)``, N rules cost
+    one scan with N counting aggregates — the same single-pass shape
+    as profile_table, and the scan prunes to exactly the columns the
+    rules mention. The report is rule-sized (driver-tiny); gating a
+    pipeline is `assert report.filter(~col("passed")).isEmpty()`.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for r in rules:
+        pred = r["predicate"]
+        cond = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(
+                f"__viol_{r['name']}"
+            )
+        )
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(r["name"]).alias("rule"),
+                F.col(f"__viol_{r['name']}").alias("n_violations"),
+                F.round(
+                    F.col(f"__viol_{r['name']}") / F.col("__n"), 6
+                ).alias("violation_frac"),
+                (F.col(f"__viol_{r['name']}") == 0).alias("passed"),
+            )
+            for r in rules
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")

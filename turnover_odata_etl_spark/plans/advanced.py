@@ -1604,3 +1604,62 @@ def x_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("prices", lambda x: x > 400000).alias("any_huge"),
         F.forall("prices", lambda x: x > 0).alias("all_positive"),
     )
+
+
+@register(
+    "p_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             count(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                        THEN 1 END) AS v_price_positive,
+             count(CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+                          OR o_orderstatus IS NULL
+                        THEN 1 END) AS v_status_domain,
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v_key_not_null,
+             count(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01')
+                          OR o_orderdate IS NULL
+                        THEN 1 END) AS v_date_floor
+      FROM orders
+    )
+    SELECT 'price_positive' AS rule, CAST(v_price_positive AS BIGINT) AS n_violations,
+           round(v_price_positive::DOUBLE / n, 6) AS violation_frac,
+           v_price_positive = 0 AS passed FROM agg
+    UNION ALL
+    SELECT 'status_domain', CAST(v_status_domain AS BIGINT),
+           round(v_status_domain::DOUBLE / n, 6), v_status_domain = 0 FROM agg
+    UNION ALL
+    SELECT 'key_not_null', CAST(v_key_not_null AS BIGINT),
+           round(v_key_not_null::DOUBLE / n, 6), v_key_not_null = 0 FROM agg
+    UNION ALL
+    SELECT 'date_floor', CAST(v_date_floor AS BIGINT),
+           round(v_date_floor::DOUBLE / n, 6), v_date_floor = 0 FROM agg
+    """,
+    tags=("relational", "profiling", "quality"),
+)
+def p_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations gate (operators/profile.
+    check_expectations): N data-quality rules evaluated as counting
+    aggregates in ONE scan, emitting a rule-sized violations report —
+    the pre-flight check a pipeline runs before trusting 100 TB of
+    input (and the audit artifact it stores after). NULL predicate
+    results count as violations (a rule that can't evaluate is not a
+    pass)."""
+    from ..operators.profile import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            {"name": "price_positive", "predicate": "o_totalprice > 0"},
+            {
+                "name": "status_domain",
+                "predicate": "o_orderstatus IN ('F','O','P')",
+            },
+            {"name": "key_not_null", "predicate": "o_orderkey IS NOT NULL"},
+            {
+                "name": "date_floor",
+                "predicate": "o_orderdate >= TIMESTAMP '1990-01-01'",
+            },
+        ],
+    )
