@@ -17,12 +17,15 @@ from . import advanced  # noqa: E402,F401
 # curate that window to cover one representative per operator family —
 # reference ETL, projection/filter, agg/rollup, join family (incl.
 # range/as-of), windows, top-k + TPC-H join-order, set ops, JSON,
-# approx aggs, scalar sweeps, subqueries, text analysis, the dedup
-# ladder (fingerprint/minhash/ngram/clusters), similarity search,
+# approx aggs, scalar sweeps, subqueries (correlated + LATERAL),
+# recursive CTE, text analysis + corpus curation (C4 quality gate,
+# domain-balanced sampling), profiling, the dedup ladder
+# (fingerprint/minhash/ngram/clusters/semantic), similarity search,
 # multimodal, UDTF, streaming (tumbling/session/incremental), and the
-# snapshot-diff + CSV sinks. Redundant variants (right join, cube,
-# extra window frames, …) sit past the window; every oracle-bearing
-# query — gated or not — is still checked by tests/test_oracle_parity.
+# snapshot-diff + CSV sinks. Redundant within-family variants (right
+# join, cube, from_json next to json_extract, extra window frames, …)
+# sit past the window; every oracle-bearing query — gated or not — is
+# still checked by tests/test_oracle_parity.
 GATED_QUERIES = [
     "flagship_turnover",
     "p_rename_coalesce_reorder",
@@ -30,17 +33,17 @@ GATED_QUERIES = [
     "f_eq_predicate",
     "f_notnull_nonempty",
     "a_distinct_sorted",
-    "a_dedup_rows",
+    "t_quality_filter_c4",
     "o_sort_limit",
     "u_union_by_name",
     "x_odata_date_roundtrip",
     "e12_json_extract",
-    "e12_from_json",
+    "p_profile_table",
     "c3_empty_relation",
     "semi_join_orchestration",
     "e1_pricing_summary",
     "e2_rollup",
-    "e2_grouping_sets",
+    "q_sql_lateral_join",
     "e3_join_inner",
     "e3_join_left",
     "e3_join_anti",
@@ -48,12 +51,12 @@ GATED_QUERIES = [
     "e4_range_join",
     "e4_asof_join",
     "e5_window_ranks",
-    "e5_window_running_sum",
+    "q_sql_recursive_cte",
     "e6_topk_per_group",
     "e7_intersect",
-    "e13_percentiles",
+    "t_domain_balanced_sample",
     "e13_approx_aggs",
-    "e1_pivot",
+    "d_semantic_dedup",
     "x_datetime_functions",
     "x_string_functions",
     "e1_string_agg_ordered",
