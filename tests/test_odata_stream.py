@@ -126,3 +126,34 @@ def test_numeric_cursor_renders_bare_literal():
         build_filter_cmp("Seq", "lt", "1")
     with pytest.raises(ValueError):
         build_filter_cmp("Seq", "gt", "not-a-number", numeric=True)
+
+
+def test_string_cursor_iso_timestamps(mock):
+    """String cursors (ISO timestamps) compare lexicographically —
+    correct for zero-padded ISO-8601 — and render quoted into
+    $filter."""
+    mock.rows.clear()
+    mock.rows.extend(
+        [
+            {"Seq": f"2024-01-0{i}T00:00:00", "Employee": f"e{i}"}
+            for i in range(1, 6)
+        ]
+    )
+    reader = ODataStreamReader(
+        StructType.fromDDL("Seq string, Employee string"),
+        {
+            "url": mock.base_url,
+            "entity": "Emp",
+            "incrementalfield": "Seq",
+            "cursortype": "string",
+        },
+    )
+    rows, end = reader.read(reader.initialOffset())
+    assert len(list(rows)) == 5
+    assert end == {"cursor": "2024-01-05T00:00:00"}
+    mock.rows.append({"Seq": "2024-01-06T00:00:00", "Employee": "e6"})
+    rows2, end2 = reader.read(end)
+    assert [r[1] for r in rows2] == ["e6"]
+    assert end2 == {"cursor": "2024-01-06T00:00:00"}
+    wire = [r for r in mock.requests if "gt+%272024-01-05" in r or "gt%20%272024-01-05" in r]
+    assert wire, f"quoted string-cursor bound missing from wire: {mock.requests[-3:]}"
