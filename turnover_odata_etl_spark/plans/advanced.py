@@ -1663,3 +1663,105 @@ def p_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# E6 cont. — TPC-H Q14 (promo revenue share) and a Q19-shaped
+# disjunctive-predicate join
+# ---------------------------------------------------------------------------
+@register(
+    "e6_q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-03-01'
+    """,
+    tags=("relational", "join", "agg", "bench"),
+)
+def e6_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for a two-month ship
+    window. The date predicate prunes ~97% of lineitem at the parquet
+    scan before the join; part contributes only (p_partkey, p_type)
+    after column pruning. The join strategy is deliberately left to
+    the optimizer: at test SF part broadcasts (under the 10 MB
+    threshold), at 100 TB part is ~1/30 of lineitem and AQE picks a
+    shuffle join keyed on partkey — neither choice is hardcoded. The
+    conditional-sum ratio is a single Aggregate (two sums over the
+    same rows), not two passes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev),
+                2,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "e6_q19_disjunctive_join",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "bench"),
+)
+def e6_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's columns): an
+    OR-of-ANDs predicate spanning both join sides. The scale question
+    Q19 tests is whether the engine evaluates the disjunction AFTER
+    shipping full tables through the join, or extracts the
+    single-table implications first. Catalyst's constraint propagation
+    factors out `p_brand IN (...) AND p_size <= 15` for the part scan
+    and `l_quantity <= 30` for the lineitem scan and pushes both into
+    the parquet readers (visible as PushedFilters in explain), so the
+    join input is pre-shrunk on both sides — the residual disjunction
+    runs post-join on the survivors only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

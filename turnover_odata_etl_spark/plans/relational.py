@@ -936,3 +936,128 @@ def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# E13 cont. — mergeable Datasketches HLL rollup, width_bucket histogram,
+# bivariate statistics (corr / covariance / linear regression)
+# ---------------------------------------------------------------------------
+@register(
+    "e13_hll_sketch_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_merged_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "approx", "sketch"),
+)
+def e13_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL rollup — the pattern that makes
+    distinct-count rollups feasible at 100 TB: build one bounded-size
+    sketch per fine-grained cell (`hll_sketch_agg`), then roll up to
+    coarser grains by merging the *sketches* (`hll_union_agg`), never
+    re-touching the raw data. Re-aggregating exact distincts requires a
+    full re-shuffle of base rows per grain; sketch merge moves only
+    KB-sized binaries. The oracle contract is the bound-check shape of
+    e13_approx_aggs: exact distinct plus a boolean asserting the merged
+    estimate lands within 3x the sketch's published rsd (lgConfigK=12
+    -> ~1.6%); DuckDB emits the same exact values and constant TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    merged = cells.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= F.lit(0.05)
+        ).alias("hll_merged_ok"),
+    )
+
+
+@register(
+    "e13_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 11
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("relational", "agg"),
+)
+def e13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via `width_bucket` — equi-width binning as
+    a pure codegen expression (no UDF, no driver round-trip for bin
+    edges), so the histogram of a 100 TB column is one map-side
+    bucket-assign + one tiny shuffle on <=n_buckets+2 keys. The oracle
+    reproduces width_bucket's floor((v-lo)/bucket_width)+1 semantics
+    arithmetically (DuckDB lacks the function); boundary behavior is
+    identical because bucket edges (multiples of 50000) and 2-decimal
+    prices are both exactly representable in doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "e13_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def e13_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics as distributive aggregates: corr, sample
+    covariance, and OLS slope/intercept (regr_*) all reduce to the five
+    moment sums (n, Sx, Sy, Sxx, Sxy), so Spark computes them with
+    map-side partial aggregation and a constant-size merge — one scan,
+    one tiny shuffle, no second pass. That is the 100 TB contract for
+    feature-correlation audits: cost identical to a sum(). Both engines
+    implement the same textbook estimators; outputs are rounded (4dp
+    for unit-scale ratios, 2dp for price-scale moments) to absorb
+    float merge-order jitter far below the rounding grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qp"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+    )
