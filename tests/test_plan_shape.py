@@ -184,3 +184,50 @@ def test_recursive_cte_uses_union_loop(spark, sf_dir):
     operator (true recursion), not some unrolled approximation."""
     plan = plan_str(SPECS["q_sql_recursive_cte"].fn(spark, sf_dir), mode="simple")
     assert "UnionLoop" in plan
+
+
+def test_q19_disjunction_implications_pushed_both_sides(spark, sf_dir):
+    """The OR-of-ANDs spans both join inputs; Catalyst must extract the
+    single-table implications and push them into BOTH parquet scans
+    (else the join sees both tables unfiltered — fatal at 100 TB)."""
+    plan = plan_str(SPECS["e6_q19_disjunctive_join"].fn(spark, sf_dir))
+    part_scan = plan.split("part.parquet", 1)[0]
+    assert "p_brand" in plan.split("PushedFilters", 1)[1] or "p_brand" in plan
+    # both scans carry a pushed Or(...) filter
+    assert plan.count("Or(") >= 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Runtime-filter capability check: with the size thresholds
+    lowered (at real scale the defaults trigger on their own), a
+    selective dimension predicate induces a bloom_filter_might_contain
+    probe on the fact-side scan — rows that can't join are dropped
+    before the shuffle, the standard big-join row-reduction at 100 TB."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join so the bloom path applies
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from turnover_odata_etl_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = plan_str(j)
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1765,3 +1765,94 @@ def e6_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "s_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "sink", "source", "xml"),
+)
+def s_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source roundtrip via Spark 4's built-in XML data
+    source (`spark-xml` was merged upstream in 4.0) — the interchange
+    format enterprise OData/SOAP estates still emit. Write is a
+    map-only per-task serialize (rowTag framing, no shuffle); read-back
+    declares an explicit schema, so there is no sampling-based
+    inference job — the scan streams and parses in one pass. XML keeps
+    no column statistics, so unlike ORC/parquet nothing prunes: the
+    docstring-level contract is "landing format, convert to columnar
+    before compute", and the query models exactly that hop: XML read →
+    typed aggregate. Timestamp columns cross the XML boundary as
+    epoch-millis longs to avoid format-string drift."""
+    path = _scratch(sf_dir, "orders_xml")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "o_date_ms"
+        ),
+    )
+    o.write.mode("overwrite").format("xml").option("rowTag", "order").save(
+        path
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, "
+                "o_totalprice DOUBLE, o_date_ms BIGINT")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "s_range_sorted_layout",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-02-01'
+    """,
+    tags=("relational", "sink", "layout"),
+)
+def s_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered data layout: `repartitionByRange(l_shipdate)` (a
+    sampling-based global range exchange) + `sortWithinPartitions`
+    before the parquet write, so every output file covers a narrow,
+    non-overlapping ship-date span and its row-group min/max stats
+    become selective. The read-back's one-month filter then skips
+    whole files/row-groups on statistics instead of scanning the
+    table — the layout investment that makes time-windowed scans at
+    100 TB proportional to the window, not the lake (the write-side
+    sort is paid once, amortized over every later scan). Hive
+    partitionBy on raw date would create one directory per distinct
+    value; range clustering keeps file count = partition count."""
+    path = _scratch(sf_dir, "lineitem_rangesorted")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
