@@ -3,19 +3,38 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "streaming": {...}, "streaming_total": <sec>,
+   "showcase": {...}, "showcase_total": <sec>, "all_total": <sec>}
+
+Sections (round 3 — see BASELINE.md "Bench methodology"):
+  * ``queries``  — the relational headline: batch plan quality only.
+  * ``streaming``— Structured Streaming pipelines, timed separately
+    with a dedicated pre-created checkpoint root and a one-shot
+    untimed warm-up of the streaming machinery.  Streaming numbers
+    measure micro-batch/state-store setup + execution, not Catalyst
+    plan quality, and were the dominant noise source in the r02
+    driver bench (st_tumbling_window 2.3→6.5 s with zero code
+    change); isolating them keeps the headline comparable across
+    rounds.
+  * ``showcase`` — the ``bench``-tagged TPC-H join-order showcases
+    (Q1 is already the headline's e1_pricing_summary).
 
 Execution notes: each query materializes via the noop sink (full
 computation, no write cost, nothing collected to the driver). A
 throwaway warm-up query first absorbs JVM/codegen startup so
-per-query numbers reflect steady state.
+per-query numbers reflect steady state.  Timings are min-of-N reps
+(SPARK_GRAFT_BENCH_REPS, default 3): single-shot numbers at this
+scale show ±2× OS/JIT noise on identical plans.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -37,12 +56,51 @@ HEADLINE = [
     "d_embedding_neardup",
     "s_knn_bruteforce",
     "s_knn_ivf",
+]
+
+STREAMING = [
     "st_tumbling_window",
+    "st_session_window",
+    "st_incremental_upsert",
+]
+
+SHOWCASE = [
+    "e6_q3_shipping_priority",
+    "e6_q5_local_supplier_volume",
+    "e6_q7_volume_shipping",
+    "e6_q10_returned_items",
+    "e6_q14_promo_revenue",
+    "e6_q18_large_volume_customer",
+    "e6_q19_disjunctive_join",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def time_queries(spark, specs, names, sf_dir, reps, clear_cache=True):
+    """min-of-reps wall time per query.
+
+    ``clear_cache`` drops DataFrames persisted inside operators (e.g.
+    the minhash signature frame) between reps: each invocation builds
+    a new lineage, so leftover cache blocks only eat storage memory
+    and skew later timings.  Streaming reps skip it — they persist
+    nothing and evicting the parquet footer/static caches mid-section
+    only adds noise.
+    """
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            if clear_cache:
+                spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return timings
 
 
 def main() -> None:
@@ -59,27 +117,30 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Repeat each query and keep the fastest run: single-shot timings
-    # at this scale are dominated by JIT/GC/OS noise (observed ±2×
-    # run-to-run on identical plans); min-of-N is the steady-state
-    # number the plan actually costs.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            materialize(specs[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            # Drop DataFrames persisted inside operators (e.g. the
-            # minhash signature frame): each invocation builds a new
-            # lineage, so leftover cache blocks from earlier reps only
-            # eat storage memory and skew later timings.
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    timings = time_queries(spark, specs, HEADLINE, sf_dir, reps)
+    showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps)
+
+    # Streaming: dedicated pre-created checkpoint root (each query
+    # still gets its own sub-directory via its unique queryName —
+    # avoids per-rep temp-dir create/delete) and an untimed warm-up
+    # run so micro-batch planner / state-store init is paid once,
+    # not inside the first timed rep.
+    ckpt_root = tempfile.mkdtemp(prefix="spark_graft_bench_ckpt_")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt_root)
+    try:
+        materialize(specs["st_tumbling_window"].fn(spark, sf_dir))  # warm-up
+        streaming = time_queries(
+            spark, specs, STREAMING, sf_dir, reps, clear_cache=False
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        shutil.rmtree(ckpt_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    streaming_total = round(sum(streaming.values()), 3)
+    showcase_total = round(sum(showcase.values()), 3)
     print(
         json.dumps(
             {
@@ -88,6 +149,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
+                "streaming_total": streaming_total,
+                "showcase": showcase,
+                "showcase_total": showcase_total,
+                "all_total": round(total + streaming_total + showcase_total, 3),
             }
         )
     )
