@@ -30,7 +30,7 @@ def _norm_cell(v):
         return ts.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_cell(x) for x in v)
     try:
         if pd.isna(v):

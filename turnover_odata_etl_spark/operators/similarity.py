@@ -720,3 +720,45 @@ def pq_topk(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def recall_contract(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    floor_pct: int,
+) -> DataFrame:
+    """Deterministic correctness contract for an approximate top-k.
+
+    Approximate ANN results are not SQL-reproducible (their candidate
+    sets depend on engine-side centroids/hyperplanes/codebooks), so
+    instead of hashing neighbor lists the query emits ONE row of
+    constants that only holds when the algorithm works: exact recall@k
+    against the in-Spark brute-force top-k, thresholded at
+    ``floor_pct``. The DuckDB oracle emits the same literals, so the
+    driver's row/schema/value-hash check fails exactly when recall
+    drops below the floor (``meets_floor`` flips to 0) or the result
+    cardinality breaks (``n_true`` changes).
+
+    Both inputs must carry (query_id, neighbor_id) rows; ``exact`` is
+    the ground truth (n_true = |Q|·k rows). All aggregation is
+    distributed; only the single contract row reaches the driver.
+    """
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    return hits.crossJoin(total).select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(floor_pct).cast("long").alias("floor_pct"),
+        F.col("n_true").cast("long").alias("n_true"),
+        (F.col("n_hits") * 100 >= F.col("n_true") * floor_pct)
+        .cast("long")
+        .alias("meets_floor"),
+    )

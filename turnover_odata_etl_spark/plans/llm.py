@@ -30,13 +30,50 @@ from ..operators.cluster import connected_components
 from ..operators.skew import salted_agg
 from ..operators.similarity import (
     cosine_neardup_pairs,
+    cosine_topk,
     cosine_topk_blocked,
     cosine_topk_tiled,
     ivf_topk,
+    recall_contract,
     srp_lsh_topk,
 )
 from ..tables import load_table
 from .registry import register
+
+# Shared oracle CTE: recompute the engine's 64-bit SimHash signatures
+# in pure SQL. Mirrors operators/dedup.simhash_signatures exactly —
+# whitespace tokens → distinct 3-word shingles (whole text if < 3
+# tokens; Spark's empty-text → [] → [''] fallback coincides with
+# DuckDB's split('') = []), md5 low 8 bytes big-endian unsigned per
+# shingle, ±1 accumulation per bit, sign threshold (> 0). `uh` is the
+# unsigned 64-bit signature as HUGEINT.
+_SIMHASH_SIG_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(len(t) - 2),
+                             i -> array_to_string(t[i+1:i+3], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(shingles)), 1, 16))::UBIGINT AS h
+      FROM sh
+    ), acc AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS a
+      FROM ex CROSS JOIN range(64) r(bit)
+      GROUP BY doc_id, bit
+    ), u AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN a > 0 THEN 1::HUGEINT << bit END),
+                      0::HUGEINT) AS uh
+      FROM acc GROUP BY doc_id
+    )
+"""
 
 # ---------------------------------------------------------------------------
 # E10 — text statistics
@@ -426,18 +463,28 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_knn_ivf",
-    oracle=None,  # approximate by construction (nprobe < n_cells);
-    # recall floor vs. brute force asserted in tests/test_llm.py
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS k, CAST(60 AS BIGINT) AS floor_pct,
+           CAST(100 AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS meets_floor
+    """,
     tags=("llm", "similarity"),
 )
 def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: deterministic seeded centroids + one
     distributed Lloyd step, nprobe=4 of 16 cells per query, exact
     re-rank of the probed cells (operators/similarity.ivf_topk). The
-    third ANN tier next to brute-force (exact) and SRP-LSH."""
+    third ANN tier next to brute-force (exact) and SRP-LSH.
+
+    Approximate neighbor lists aren't SQL-reproducible, so the query
+    emits the recall-contract row instead (similarity.recall_contract):
+    exact in-Spark brute-force recall@5 thresholded at 0.60 (measured
+    0.83–0.93 across sf0.001–sf0.1), reduced to constants the DuckDB
+    oracle replays — the hash check fails iff recall collapses."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return recall_contract(approx, exact, k=5, floor_pct=60)
 
 
 @register(
@@ -475,16 +522,32 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_simhash_neardup",
-    oracle=None,  # signature values are engine-specific (md5-derived in
-    # Python); exactness of the banded search itself is pinned by
-    # tests/test_llm.py::test_simhash_banded_pairs_equal_bruteforce
+    oracle=_SIMHASH_SIG_SQL
+    + """
+    , sigs AS (
+      SELECT doc_id,
+             (CASE WHEN uh >= 9223372036854775808
+                   THEN uh - 18446744073709551616::HUGEINT
+                   ELSE uh END)::BIGINT AS sig
+      FROM u
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     tags=("llm", "dedup"),
 )
 def d_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 3 — banded candidate
     generation (exact by pigeonhole over 4×16-bit bands) + one
     bit_count(xor) verify per candidate. Completes the SimHash tier
-    from signatures to actual pairs."""
+    from signatures to actual pairs.
+
+    The signature is pure integer arithmetic over md5 (no RNG, no
+    floats), so the oracle recomputes it in SQL and does the O(n²)
+    all-pairs hamming filter the banded plan avoids — value-for-value
+    hash-checkable, and another complexity-class demonstration."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
 
@@ -521,16 +584,38 @@ def e1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_simhash",
-    oracle=None,  # signature internals are engine-specific; unit tests
-    # assert hamming(near-dup pair) << hamming(random pair)
+    oracle=_SIMHASH_SIG_SQL
+    + """
+    SELECT doc_id,
+           lpad(lower(hex(uh::UBIGINT)), 16, '0') AS simhash,
+           (CASE WHEN uh >= 9223372036854775808
+                 THEN uh - 18446744073709551616::HUGEINT
+                 ELSE uh END)::BIGINT AS sig,
+           ((uh // 1) % 65536)::BIGINT AS band0,
+           ((uh // 65536) % 65536)::BIGINT AS band1,
+           ((uh // 4294967296) % 65536)::BIGINT AS band2,
+           ((uh // 281474976710656) % 65536)::BIGINT AS band3
+    FROM u
+    """,
     tags=("llm", "dedup"),
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures via the Arrow/mapInPandas path —
-    the vectorized-Python demonstration (E15). Rows-only driver check;
-    tests/test_llm.py asserts signature properties."""
+    the vectorized-Python demonstration (E15). The signature is
+    deterministic integer arithmetic over md5 (operators/dedup.py:
+    md5-low-64 per distinct 3-word shingle, ±1 per bit, sign
+    threshold), so the oracle recomputes the exact signatures in SQL —
+    full value-hash parity, not a rows-only check. The 4×16-bit LSH
+    bands are emitted as scalar columns (band0..band3) so every cell
+    is hashable by the driver's flat value compare."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "text", "doc_id")
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        "sig",
+        *[sigs.bands[b].alias(f"band{b}") for b in range(4)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -608,8 +693,10 @@ def s_knn_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_knn_lsh",
-    oracle=None,  # approximate by construction; recall floor asserted
-    # against brute force in tests/test_llm.py
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS k, CAST(50 AS BIGINT) AS floor_pct,
+           CAST(100 AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS meets_floor
+    """,
     tags=("llm", "similarity"),
 )
 def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,11 +704,18 @@ def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes, deterministic md5-derived hyperplanes) + exact re-rank of
     candidates. The 100 TB scale path: per-query work is bucket-sized,
     not corpus-sized. Config note: the fixture vectors are near-random
-    (hardest case for SRP); measured recall@5 ≈ 0.66 here, rising with
-    `tables` (16 → 0.89) and on any genuinely clustered corpus."""
+    (hardest case for SRP); measured recall@5 0.64–0.74 across
+    sf0.001–sf0.1, rising with `tables` (16 → 0.89) and on any
+    genuinely clustered corpus — hence the 0.50 contract floor.
+
+    Emits the recall-contract row (similarity.recall_contract): the
+    DuckDB oracle replays the constants, so the driver's hash check
+    fails iff recall drops below the floor."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return srp_lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = srp_lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return recall_contract(approx, exact, k=5, floor_pct=50)
 
 
 # ---------------------------------------------------------------------------
@@ -1124,8 +1218,10 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_knn_pq",
-    oracle=None,  # approximate by construction; recall floor asserted
-    # against brute force in tests/test_llm.py
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS k, CAST(50 AS BIGINT) AS floor_pct,
+           CAST(100 AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS meets_floor
+    """,
     tags=("llm", "similarity"),
 )
 def s_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,9 +1230,15 @@ def s_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     story at 100 TB: the ANN scan reads m=8 bytes per corpus vector
     instead of 4·dim=256 — 32× less I/O in the pass that dominates ANN
     cost; emitted cosines are exact (re-ranked), only recall is
-    approximate."""
+    approximate (measured 0.62–0.85 across sf0.001–sf0.1 on the
+    near-random fixture, the hardest case for quantization).
+
+    Emits the recall-contract row (similarity.recall_contract) so the
+    driver's hash check fails iff recall drops below the 0.50 floor."""
     from ..operators.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return pq_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = pq_topk(queries, emb, "vec_id", "embedding", k=5)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return recall_contract(approx, exact, k=5, floor_pct=50)
