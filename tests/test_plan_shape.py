@@ -231,3 +231,58 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_blocked_knn_dispatches_to_tiled_on_large_query_set(spark, sf_dir):
+    """The driver-small contract of cosine_topk_blocked is enforced by
+    code: a corpus-sized query set must dispatch to the cogrouped tiled
+    path (distributed tiles), never collect |Q| vectors to the driver.
+    The probe itself reads at most max_driver_queries+1 rows."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+    from turnover_odata_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_topk_blocked(
+        emb, emb, "vec_id", "embedding", k=3, max_driver_queries=8
+    )
+    assert "FlatMapCoGroupsInPandas" in plan_str(df)
+    # and the dispatched result is still the exact top-k
+    small = emb.filter(F.col("vec_id") < 6)
+    got = sorted(
+        cosine_topk_blocked(
+            small, emb, "vec_id", "embedding", k=3, max_driver_queries=2
+        ).collect()
+    )
+    want = sorted(cosine_topk(small, emb, "vec_id", "embedding", k=3).collect())
+    assert got == want
+
+
+def test_pq_dispatches_to_tiled_on_large_query_set(spark, sf_dir):
+    """Same contract for pq_topk: corpus-sized |Q| must not collect the
+    query set nor ship a |Q|-sized ADC LUT — it dispatches to the exact
+    tiled cogroup path (which satisfies the recall contract trivially)."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+    from turnover_odata_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = pq_topk(emb, emb, "vec_id", "embedding", k=3, max_driver_queries=8)
+    plan = plan_str(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    small = emb.filter(F.col("vec_id") < 6)
+    got = sorted(
+        pq_topk(
+            small, emb, "vec_id", "embedding", k=3, max_driver_queries=2
+        ).collect()
+    )
+    want = sorted(cosine_topk(small, emb, "vec_id", "embedding", k=3).collect())
+    assert got == want

@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 
+# Driver-small contract ceiling for operators that materialize the
+# query set on the driver (cosine_topk_blocked, pq_topk). At the
+# default 8192 the shipped state stays metadata-scale (query matrix
+# 8192×64 f64 ≈ 4 MB; PQ ADC LUT 8192×8×16 f64 ≈ 8 MB); anything
+# larger auto-dispatches to the fully distributed tiled cogroup path.
+DRIVER_SMALL_MAX_QUERIES = 8192
+
 
 def cosine_topk(
     queries: DataFrame,
@@ -91,10 +98,10 @@ def cosine_topk_blocked(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    max_driver_queries: int = DRIVER_SMALL_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, scale-shaped: the query matrix
-    (assumed driver-small — for huge query sets use the blocked-tile
-    pattern of ``cosine_neardup_pairs``) is shipped into a map-only
+    (driver-small contract, ENFORCED below) is shipped into a map-only
     ``mapInPandas`` pass; each Arrow batch scores corpus×queries as one
     numpy GEMM and emits only its batch-local top-(k+5) per query.
     Global top-k ⊆ union of batch-local top-k, so correctness is
@@ -103,10 +110,23 @@ def cosine_topk_blocked(
     ``cosine`` so emitted values match the SQL oracle bit-for-bit.
 
     Wire cost: |corpus|·(k+5)/batch candidates instead of
-    |corpus|·|queries| scored rows through the window."""
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
-    ).collect()
+    |corpus|·|queries| scored rows through the window.
+
+    The driver-small contract is enforced by code, not docstring: the
+    query collect probes ``max_driver_queries + 1`` rows, and a larger
+    query set dispatches to the fully-distributed ``cosine_topk_tiled``
+    cogroup path (identical output contract — both are exact with
+    (cos desc, neighbor_id) tie ordering), so nothing corpus-sized can
+    ever materialize on the driver."""
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        )
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_driver_queries:
+        return cosine_topk_tiled(queries, corpus, id_col, vec_col, k=k)
     qids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.vec for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -123,7 +143,10 @@ def cosine_topk_blocked(
             nids = pdf["nid"].to_numpy()
             C[qids[:, None] == nids[None, :]] = -_np.inf  # drop self-pairs
             t = min(take, C.shape[1])
-            idx = _np.argpartition(-C, t - 1, axis=1)[:, :t]
+            # deterministic (cos desc, neighbor_id asc) prefix — see
+            # the tiled tile() note on exact-tie survival
+            nid_grid = _np.broadcast_to(nids[None, :], C.shape)
+            idx = _np.lexsort((nid_grid, -C), axis=1)[:, :t]
             out_q = _np.repeat(qids, t)
             out_n = nids[idx.reshape(-1)]
             yield _pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
@@ -217,7 +240,12 @@ def cosine_topk_tiled(
         nids = cpdf["nid"].to_numpy()
         C[qids[:, None] == nids[None, :]] = -_np.inf  # drop self-pairs
         t = min(take, C.shape[1])
-        idx = _np.argpartition(-C, t - 1, axis=1)[:, :t]
+        # lexsort, not argpartition: if > t candidates tie exactly in
+        # cosine (duplicated embeddings), the surviving set must be the
+        # deterministic (cos desc, neighbor_id asc) prefix or the final
+        # top-k can diverge from the oracle's tie ordering.
+        nid_grid = _np.broadcast_to(nids[None, :], C.shape)
+        idx = _np.lexsort((nid_grid, -C), axis=1)[:, :t]
         return _pd.DataFrame(
             {
                 "query_id": _np.repeat(qids, t),
@@ -628,6 +656,7 @@ def pq_topk(
     ksub: int = 16,
     rerank: int = 64,
     train_n: int = 2048,
+    max_driver_queries: int = DRIVER_SMALL_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k cosine via product quantization + asymmetric
     distance, exact re-rank of the short list.
@@ -648,8 +677,22 @@ def pq_topk(
        fold-order cosine, window top-k — so emitted VALUES are exact
        cosines; only RECALL is approximate (rises with rerank/ksub/m).
 
-    Queries ride the driver-small contract (like cosine_topk_blocked);
-    corpus-sized query sets belong on cosine_topk_tiled."""
+    Queries ride the driver-small contract (like cosine_topk_blocked),
+    ENFORCED by the same probe: a query set larger than
+    ``max_driver_queries`` dispatches to the fully-distributed exact
+    ``cosine_topk_tiled`` (same output contract; recall contract holds
+    trivially since tiled is exact) instead of collecting |Q| vectors
+    and shipping a |Q|·m·ksub LUT in the ADC closure."""
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
+        )
+        .limit(max_driver_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_driver_queries:
+        return cosine_topk_tiled(queries, corpus, id_col, vec_col, k=k)
+
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
     train_rows = c.orderBy("nid").limit(train_n).select("vec").collect()
     sample = np.array([r.vec for r in train_rows], dtype=np.float64)
@@ -657,9 +700,6 @@ def pq_topk(
 
     enc = pq_encode(corpus, id_col, vec_col, books)
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
-    ).collect()
     qids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.vec for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1)
