@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from turnover_odata_etl_spark.streaming.incremental import (
+    read_state,
     run_incremental_append,
     run_incremental_upsert,
 )
@@ -65,7 +66,7 @@ def test_incremental_upsert_keeps_latest_per_key(spark, sf_dir, dirs):
         spark, dirs["src"], dirs["state"], dirs["ckpt"], schema,
         key_cols=["user_id"], order_col="ms",
     )
-    state1 = spark.read.parquet(dirs["state"])
+    state1 = read_state(spark, dirs["state"])
     n_users = b1.select("user_id").distinct().count()
     assert state1.count() == n_users
 
@@ -87,9 +88,58 @@ def test_incremental_upsert_keeps_latest_per_key(spark, sf_dir, dirs):
         spark, dirs["src"], dirs["state"], dirs["ckpt"], schema,
         key_cols=["user_id"], order_col="ms",
     )
-    state2 = spark.read.parquet(dirs["state"])
+    state2 = read_state(spark, dirs["state"])
     assert state2.count() == n_users
     updated = state2.filter(F.col("event_type") == "update")
     assert updated.count() == updates.count()
     # every updated user carries the new timestamp
     assert updated.filter(F.col("user_id") % 2 != 0).count() == 0
+
+
+def test_incremental_upsert_rewrites_only_touched_buckets(spark, sf_dir, dirs):
+    """The partition-pruned merge contract: a batch whose keys land in
+    a subset of the __bucket partitions must leave every other bucket
+    directory byte-identical (same files, same mtimes) — per-batch IO
+    is O(touched buckets), not O(state)."""
+    import os
+
+    b1 = _batch(spark, sf_dir)
+    b1.coalesce(1).write.mode("append").parquet(dirs["src"])
+    schema = spark.read.parquet(dirs["src"]).schema
+    run_incremental_upsert(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema,
+        key_cols=["user_id"], order_col="ms", n_buckets=8,
+    )
+    buckets = sorted(
+        e for e in os.listdir(dirs["state"]) if e.startswith("__bucket=")
+    )
+    assert len(buckets) > 1  # keys spread over several buckets
+
+    def snapshot(bucket):
+        d = os.path.join(dirs["state"], bucket)
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before = {b: snapshot(b) for b in buckets}
+
+    # single-user update batch → exactly one bucket touched
+    one_user = read_state(spark, dirs["state"]).limit(1).collect()[0]
+    upd = spark.createDataFrame(
+        [(99_000_000, one_user.user_id, "update", 1.0, one_user.ms + 1)],
+        schema=schema,
+    )
+    upd.coalesce(1).write.mode("append").parquet(dirs["src"])
+    run_incremental_upsert(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema,
+        key_cols=["user_id"], order_col="ms", n_buckets=8,
+    )
+
+    after = {b: snapshot(b) for b in buckets}
+    changed = [b for b in buckets if before[b] != after[b]]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    # and the merge itself was correct
+    row = (
+        read_state(spark, dirs["state"])
+        .filter(F.col("user_id") == one_user.user_id)
+        .collect()
+    )
+    assert len(row) == 1 and row[0].event_type == "update"

@@ -232,7 +232,9 @@ def st_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, state, ckpt, schema,
         key_cols=["user_id"], order_col="event_id",
     )
-    return spark.read.parquet(state)
+    from ..streaming.incremental import read_state
+
+    return read_state(spark, state)
 
 
 @register(
