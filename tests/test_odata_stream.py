@@ -157,3 +157,74 @@ def test_string_cursor_iso_timestamps(mock):
     assert end2 == {"cursor": "2024-01-06T00:00:00"}
     wire = [r for r in mock.requests if "gt+%272024-01-05" in r or "gt%20%272024-01-05" in r]
     assert wire, f"quoted string-cursor bound missing from wire: {mock.requests[-3:]}"
+
+
+def test_cursor_lag_withholds_recent_rows_then_emits_late_arrivals(spark, mock):
+    """cursorLag holds the offset back by the lag window so rows that
+    commit late (cursor <= what a strict high-water mark would have
+    sealed) are still picked up on a later trigger — the
+    modified-timestamp-cursor correctness fix."""
+    reader = ODataStreamReader(
+        StructType.fromDDL("Seq string, Employee string"),
+        {
+            "url": mock.base_url,
+            "entity": "Emp",
+            "incrementalfield": "Seq",
+            "cursortype": "numeric",
+            "cursorlag": "2",
+        },
+    )
+    # server has Seq 1..6; lag 2 seals only (..,4] and withholds 5,6
+    rows, end = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows] == ["1", "2", "3", "4"]
+    assert end == {"cursor": "4"}
+
+    # a LATE row with cursor 5 commits after the first trigger; a
+    # strict HWM (which would have sealed 6) would skip it forever
+    mock.rows.append({"Seq": "5", "Employee": "late_5b"})
+    mock.rows.extend(_rows(7, 8))
+    rows2, end2 = reader.read(end)
+    got = sorted((r[0], r[1]) for r in rows2)
+    assert ("5", "late_5b") in got  # late arrival recovered
+    assert [g[0] for g in got] == ["5", "5", "6"]  # 7,8 in lag window
+    assert end2 == {"cursor": "6"}
+
+    # replay of the committed slice is exact under the lag contract
+    replay = sorted((r[0], r[1]) for r in reader.readBetweenOffsets(end, end2))
+    assert replay == got
+
+
+def test_cursor_lag_empty_window_keeps_cursor(spark, mock):
+    """If everything fetched is inside the lag window the batch emits
+    nothing and the offset stays put (never regresses below start)."""
+    reader = ODataStreamReader(
+        StructType.fromDDL("Seq string, Employee string"),
+        {
+            "url": mock.base_url,
+            "entity": "Emp",
+            "incrementalfield": "Seq",
+            "cursortype": "numeric",
+            "cursorlag": "100",
+        },
+    )
+    rows, end = reader.read(reader.initialOffset())
+    assert list(rows) == []
+    assert end == {"cursor": ""}
+
+
+def test_mock_filter_splits_outside_quoted_literals(mock):
+    """An eq-pushdown value containing ' and ' must survive the mock's
+    conjunction splitter (quote-aware scan, not a naive split)."""
+    mock.rows.append({"Seq": "10", "Employee": "rock and roll"})
+    code, body = mock.handle(
+        "/Emp", {"$filter": ["Employee eq 'rock and roll' and Seq gt 6"]}
+    )
+    assert code == 200, body
+    assert [r["Seq"] for r in body["d"]["results"]] == ["10"]
+    # doubled-quote escape inside the literal still parses
+    mock.rows.append({"Seq": "11", "Employee": "o'brien and sons"})
+    code, body = mock.handle(
+        "/Emp", {"$filter": ["Employee eq 'o''brien and sons'"]}
+    )
+    assert code == 200, body
+    assert [r["Seq"] for r in body["d"]["results"]] == ["11"]

@@ -29,6 +29,31 @@ _TERM_RE = re.compile(
 )
 
 
+def _split_conjuncts(filt: str) -> list[str]:
+    """Split a ``$filter`` on ``' and '`` OUTSIDE single-quoted string
+    literals (doubled ``''`` is the in-literal escape, so a quote char
+    simply toggles in/out-of-literal state — an escaped quote toggles
+    twice and lands back inside). A naive ``split(" and ")`` would cut
+    a pushed-down value like ``'rock and roll'`` in half."""
+    parts, buf, in_quote = [], [], False
+    i, n = 0, len(filt)
+    while i < n:
+        ch = filt[i]
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+            i += 1
+        elif not in_quote and filt.startswith(" and ", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 5
+        else:
+            buf.append(ch)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _cmp(row_value, op: str, literal: str, quoted: bool) -> bool:
     s = str(row_value)
     if not quoted:
@@ -79,7 +104,7 @@ class MockOData:
         rows = self.rows
         if filt:
             terms = []
-            for part in filt.split(" and "):
+            for part in _split_conjuncts(filt):
                 m = _TERM_RE.match(part)
                 if not m:
                     return 400, f"unsupported $filter: {filt}"

@@ -216,7 +216,24 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
     (required), ``cursorType`` = ``string``|``numeric`` (how the
     cursor literal renders into ``$filter`` and how maxima compare;
     numeric for sequence columns, string for ISO timestamps),
-    ``initialCursor`` (start-from; default: everything).
+    ``initialCursor`` (start-from; default: everything),
+    ``cursorLag`` (late-arrival tolerance, see below; default 0).
+
+    Exactly-once contract. With ``cursorLag`` unset the cursor field
+    must be STRICTLY MONOTONE IN ARRIVAL ORDER (a sequence number or
+    change counter): the offset advances to the max cursor seen, so a
+    row committed late with cursor <= the committed offset is
+    permanently skipped, and a recovery replay of ``(start, end]``
+    could return late rows the original batch never emitted.
+    Modified-timestamp cursors routinely violate arrival-order
+    monotonicity (clock skew, long transactions) — for those set
+    ``cursorLag``: the offset is held back to ``max_seen - lag``
+    (numeric subtraction for numeric cursors; seconds subtracted from
+    the ISO timestamp for string cursors) and only rows at or below
+    the held-back bound are emitted; rows inside the lag window stay
+    server-side for the next trigger. Provided real out-of-orderness
+    never exceeds the lag, every row is emitted exactly once and
+    replay is exact.
 
     Scale notes: runs in the driver-side simple-stream path (one
     fetch per trigger) — right for change-feed-sized deltas, which is
@@ -238,6 +255,7 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
         self.field = options["incrementalfield"]
         self.numeric = options.get("cursortype", "string") == "numeric"
         self.initial = options.get("initialcursor", "")
+        self.lag = float(options.get("cursorlag", 0) or 0)
 
     def initialOffset(self) -> dict:
         return {"cursor": self.initial}
@@ -273,10 +291,50 @@ class ODataStreamReader(SimpleDataSourceStreamReader):
             return str(max(values, key=lambda v: float(v)))
         return max(str(v) for v in values)
 
+    def _gt(self, a: str, b: str) -> bool:
+        """Cursor comparison a > b; the empty initial cursor is -inf."""
+        if b == "":
+            return True
+        if self.numeric:
+            return float(a) > float(b)
+        return str(a) > str(b)
+
+    def _lag_bound(self, max_seen: str) -> str:
+        """``max_seen`` held back by the configured lag."""
+        if self.numeric:
+            v = float(max_seen) - self.lag
+            return str(int(v)) if v.is_integer() else str(v)
+        from datetime import datetime, timedelta
+
+        dt = datetime.fromisoformat(str(max_seen))
+        return (dt - timedelta(seconds=self.lag)).isoformat()
+
     def read(self, start: dict):
-        rows = self._fetch(start["cursor"], None)
-        end = {"cursor": self._max_cursor(rows, start["cursor"])}
-        return iter(rows), end
+        lo = start["cursor"]
+        rows = self._fetch(lo, None)
+        if not rows:
+            return iter(rows), {"cursor": lo}
+        max_seen = self._max_cursor(rows, lo)
+        if not self.lag:
+            return iter(rows), {"cursor": max_seen}
+        # Hold the offset back by the lag window: emit only rows whose
+        # cursor is <= bound; later-cursored rows stay server-side and
+        # re-fetch next trigger (they were never emitted — no dupes).
+        bound = self._lag_bound(max_seen)
+        if lo != "" and not self._gt(bound, lo):
+            return iter([]), {"cursor": lo}
+        idx = [f.name for f in self.schema_.fields].index(self.field)
+        kept = [
+            r
+            for r in rows
+            if r[idx] is not None and not self._gt(str(r[idx]), bound)
+        ]
+        if not kept:
+            # whole fetch is inside the lag window: the offset stays
+            # put (in particular it never regresses below an initial
+            # empty cursor); everything re-fetches next trigger.
+            return iter([]), {"cursor": lo}
+        return iter(kept), {"cursor": bound}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # exact replay of one committed batch for failure recovery
