@@ -1856,3 +1856,233 @@ def s_range_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
     )
+
+
+@register(
+    "e13_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def e13_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles per group — the precise twin of
+    e13_approx_aggs' approx_percentile. DISCRETE percentiles
+    (SQL-standard `percentile_disc ... WITHIN GROUP`): the result is
+    an actual member of the multiset, so cross-engine parity is exact
+    by construction — interpolating estimators (percentile_cont /
+    quantile_cont) differ in final-ulp float arithmetic and flip a
+    2-dp rounding boundary (observed at sf0.001). Exactness costs
+    state: the aggregate buffers per-group value multisets, so it is
+    the right tool when per-group cardinality is bounded (metrics
+    rollups, per-tenant SLAs); unbounded-cardinality groups at 100 TB
+    belong on approx_percentile's fixed-size sketches
+    (e13_approx_aggs) — that trade is the point of shipping both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p90"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99"),
+    )
+
+
+@register(
+    "e14_funnel_sequence",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ), v AS (
+      SELECT user_id, min(ms) AS view_ms FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ms) AS click_ms
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ms > v.view_ms
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ms) AS purchase_ms
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ms > c.click_ms
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("relational", "funnel", "sequence"),
+)
+def e14_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user,
+    the earliest timestamp reaching each successive stage, where each
+    stage must STRICTLY follow the previous one in event time. The
+    min-chaining formulation (min view; min click after that view; min
+    purchase after that click) is order-insensitive — no sort, no
+    collect_list state, no tie ambiguity — so it decomposes into three
+    partial-aggregable min-aggs chained by joins that all share the
+    user_id hash partitioning: at 100 TB the whole funnel costs one
+    logical repartition by user plus two co-partitioned (or broadcast,
+    the stage frames shrink monotonically) joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("view_ms"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("view_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("click_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("click_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("purchase_ms"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ms",
+            "click_ms",
+            "purchase_ms",
+            (
+                F.lit(1)
+                + F.col("click_ms").isNotNull().cast("int")
+                + F.col("purchase_ms").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "e14_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e
+      FROM events
+    ), deltas AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv
+    ), run AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS active
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST((SELECT count(*) FROM iv i
+                 WHERE i.event_type = run.event_type) AS BIGINT)
+             AS n_intervals,
+           CAST(max(active) AS BIGINT) AS peak
+    FROM run GROUP BY event_type
+    """,
+    tags=("relational", "window", "interval"),
+)
+def e14_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency (max simultaneously-active 5-minute
+    event windows per type) — the sweep-line classic: ±1 deltas at
+    interval ends, running sum ordered by (time, delta), max. Ordering
+    d=-1 before +1 at equal timestamps makes intervals half-open
+    [s, e); the default RANGE window frame gives every tie-peer the
+    same prefix sum, so the max is deterministic on both engines.
+
+    Scale: the sweep is a single window partitioned by event_type —
+    honest caveat: that key is low-cardinality, so at 100 TB the sweep
+    shards by (event_type, day) with interval splitting at day
+    boundaries (bounded 5-min intervals split at most once), turning
+    the global prefix-sum into embarrassingly parallel per-day sweeps
+    merged by max."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + 300000).alias("e"),
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "d")
+    run = deltas.withColumn("active", F.sum("d").over(w))
+    peaks = run.groupBy("event_type").agg(
+        F.max("active").cast("long").alias("peak")
+    )
+    counts = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    return counts.join(peaks, "event_type").select(
+        "event_type", "n_intervals", "peak"
+    )
+
+
+@register(
+    "e6_copurchase_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "join", "cooccurrence"),
+)
+def e6_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: brand pairs co-occurring in an order
+    (the co-occurrence-matrix shape behind recommenders and n-gram
+    statistics). Brand lookup is a broadcast dim join; the pair
+    generation is a SELF-join co-partitioned on l_orderkey, so its
+    cost is Σ basket_size² — bounded by the max basket (7 lineitems in
+    TPC-H), NOT |table|², which is what makes the shape safe at
+    100 TB. The distinct before pairing collapses duplicate
+    (order, brand) rows so baskets can't self-inflate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
