@@ -286,3 +286,25 @@ def test_pq_dispatches_to_tiled_on_large_query_set(spark, sf_dir):
     )
     want = sorted(cosine_topk(small, emb, "vec_id", "embedding", k=3).collect())
     assert got == want
+
+
+def test_copurchase_broadcasts_dim_and_no_cartesian(spark, sf_dir):
+    """Brand lookup must be a broadcast hash join and pair generation a
+    key-equi self-join — never a cartesian product."""
+    plan = plan_str(SPECS["e6_copurchase_pairs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_funnel_is_jvm_only_single_table(spark, sf_dir):
+    """The funnel min-chain is built-in aggregates + joins: no Python
+    eval on the data path, and every stage reads the one events scan."""
+    plan = plan_str(SPECS["e14_funnel_sequence"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_percentiles_single_scan(spark, sf_dir):
+    """All per-group percentiles compute over ONE lineitem scan, not a
+    scan per statistic."""
+    plan = plan_str(SPECS["e13_exact_percentiles"].fn(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
