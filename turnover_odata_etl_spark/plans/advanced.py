@@ -2086,3 +2086,69 @@ def e6_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "e14_retention_cohorts",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id,
+             min(epoch_ms(ts)) // 604800000 AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT s.cohort_week,
+             e.user_id,
+             (epoch_ms(e.ts) // 604800000) - s.cohort_week AS week_offset
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE (epoch_ms(e.ts) // 604800000) >= s.cohort_week
+    ), sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM signup GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.n_cohort
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.n_cohort
+    """,
+    tags=("relational", "cohort", "retention"),
+)
+def e14_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by signup week (their
+    first 'signup' event), counted as active in each subsequent week
+    they produced ANY event — the (cohort × week-offset) triangle
+    behind every retention curve. Pure integer epoch-week arithmetic,
+    so cross-engine parity is exact. Plan shape: signup is a min-agg
+    on user_id; the activity join, distinct and count all reuse the
+    user_id / cohort hash partitioning — two shuffles end to end, and
+    the cohort-size join is a tiny broadcast at any scale (one row per
+    week)."""
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    week = (ms / F.lit(604800000)).cast("long")  # floor: ms >= 0
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", week.alias("week")
+    )
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            "user_id",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select("cohort_week", "week_offset", "n_active", "n_cohort")
+    )
