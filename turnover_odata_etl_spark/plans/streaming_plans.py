@@ -223,14 +223,17 @@ def st_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
 
+    # n_buckets sized to the fixture state (~1.5k keys): a bucket
+    # should hold enough rows to fill real files — at production scale
+    # this is "a few HDFS blocks per bucket", here it's 8 dirs.
     run_incremental_upsert(
         spark, src, state, ckpt, schema,
-        key_cols=["user_id"], order_col="event_id",
+        key_cols=["user_id"], order_col="event_id", n_buckets=8,
     )
     ev.filter(F.col("event_id") > mid).write.mode("append").parquet(src)
     run_incremental_upsert(
         spark, src, state, ckpt, schema,
-        key_cols=["user_id"], order_col="event_id",
+        key_cols=["user_id"], order_col="event_id", n_buckets=8,
     )
     from ..streaming.incremental import read_state
 

@@ -100,13 +100,12 @@ def run_incremental_upsert(
         b = batch_df.withColumn(
             "__bucket", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
         )
+        touched = sorted(
+            r["__bucket"] for r in b.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            return
         if os.path.isdir(state_dir):
-            touched = sorted(
-                r["__bucket"]
-                for r in b.select("__bucket").distinct().collect()
-            )
-            if not touched:
-                return
             current = sp.read.parquet(state_dir).filter(
                 F.col("__bucket").isin(touched)
             )
@@ -121,7 +120,15 @@ def run_incremental_upsert(
         )
         staging = state_dir.rstrip("/") + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
-        latest.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+        # one shuffle partition per touched bucket → exactly one file
+        # per bucket directory (small-files hygiene: file count tracks
+        # bucket count, not shuffle parallelism × buckets)
+        (
+            latest.repartition(len(touched), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
         # per-bucket atomic-ish swap (local FS): only directories for
         # buckets present in this batch exist in staging, so untouched
         # bucket dirs are never disturbed. A real deployment uses a
