@@ -79,7 +79,7 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_queries(spark, specs, names, sf_dir, reps, clear_cache=True):
+def time_queries(spark, specs, names, sf_dir, reps, errors, clear_cache=True):
     """min-of-reps wall time per query.
 
     ``clear_cache`` drops DataFrames persisted inside operators (e.g.
@@ -88,16 +88,26 @@ def time_queries(spark, specs, names, sf_dir, reps, clear_cache=True):
     and skew later timings.  Streaming reps skip it — they persist
     nothing and evicting the parquet footer/static caches mid-section
     only adds noise.
+
+    Partial-failure-proof (VERDICT r03 #2): one broken query must never
+    null the round's number of record. A query that throws is recorded
+    in ``errors`` (truncated message) and skipped; the section total
+    sums whatever succeeded.
     """
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            materialize(specs[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            if clear_cache:
-                spark.catalog.clearCache()
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                materialize(specs[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                if clear_cache:
+                    spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     return timings
@@ -109,18 +119,24 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     specs = registry.all_specs()
+    errors: dict[str, str] = {}
     # warm-up: JVM + codegen + parquet footer caches, plus the Python
     # worker pool (first mapInPandas otherwise pays daemon spawn +
-    # Arrow init inside whichever query hits it first)
-    materialize(specs["flagship_turnover"].fn(spark, sf_dir))
-    spark.range(1000).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # Arrow init inside whichever query hits it first). Warm-up is
+    # best-effort: a broken warm-up query shifts its cost into the
+    # first timed rep but must not kill the bench.
+    try:
+        materialize(specs["flagship_turnover"].fn(spark, sf_dir))
+        spark.range(1000).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        errors["__warmup__"] = f"{type(exc).__name__}: {exc}"[:500]
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    timings = time_queries(spark, specs, HEADLINE, sf_dir, reps)
-    showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps)
+    timings = time_queries(spark, specs, HEADLINE, sf_dir, reps, errors)
+    showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -130,9 +146,12 @@ def main() -> None:
     ckpt_root = tempfile.mkdtemp(prefix="spark_graft_bench_ckpt_")
     spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt_root)
     try:
-        materialize(specs["st_tumbling_window"].fn(spark, sf_dir))  # warm-up
+        try:
+            materialize(specs["st_tumbling_window"].fn(spark, sf_dir))  # warm-up
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors["__streaming_warmup__"] = f"{type(exc).__name__}: {exc}"[:500]
         streaming = time_queries(
-            spark, specs, STREAMING, sf_dir, reps, clear_cache=False
+            spark, specs, STREAMING, sf_dir, reps, errors, clear_cache=False
         )
     finally:
         spark.conf.unset("spark.sql.streaming.checkpointLocation")
@@ -141,22 +160,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     streaming_total = round(sum(streaming.values()), 3)
     showcase_total = round(sum(showcase.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming": streaming,
-                "streaming_total": streaming_total,
-                "showcase": showcase,
-                "showcase_total": showcase_total,
-                "all_total": round(total + streaming_total + showcase_total, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming": streaming,
+        "streaming_total": streaming_total,
+        "showcase": showcase,
+        "showcase_total": showcase_total,
+        "all_total": round(total + streaming_total + showcase_total, 3),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

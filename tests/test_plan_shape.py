@@ -308,3 +308,17 @@ def test_exact_percentiles_single_scan(spark, sf_dir):
     scan per statistic."""
     plan = plan_str(SPECS["e13_exact_percentiles"].fn(spark, sf_dir))
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_peak_concurrency_sweep_is_day_sharded(spark, sf_dir):
+    """The sweep-line prefix sum must partition on (event_type, day),
+    not event_type alone: event_type is low-cardinality, so a per-type
+    global window is one straggler partition per type at 100 TB. The
+    day-sharded rewrite splits intervals at day boundaries and merges
+    per-day peaks by max (VERDICT r03 item 5)."""
+    import re
+
+    plan = plan_str(SPECS["e14_peak_concurrency"].fn(spark, sf_dir))
+    spec = plan.split("windowspecdefinition", 1)[1].split(")", 1)[0]
+    assert "event_type" in spec and "day" in spec, spec
+    assert re.search(r"hashpartitioning\(event_type#\d+, day#\d+", plan), plan[:3000]

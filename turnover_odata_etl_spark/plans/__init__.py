@@ -28,16 +28,21 @@ from . import advanced  # noqa: E402,F401
 # text stats, …) sit past the window; every oracle-bearing query —
 # gated or not — is still checked by tests/test_oracle_parity.
 #
-# ROTATION (round 3, per VERDICT r02 item 2 / ADVICE): the window is
+# ROTATION (round 4, per VERDICT r03 items 3 and 6): the window is
 # re-curated each round so families added since the last audit get a
 # driver CORRECTNESS row. Swapped in this round (first-time audits):
-# e6_q19_disjunctive_join, e6_q14_promo_revenue, p_expectations,
-# e13_hll_sketch_rollup, t_pii_redact, s_knn_tiled,
-# st_stream_static_join, p_heavy_hitters. Displaced (all keep local
-# parity coverage, each family keeps >=1 gated representative):
-# e3_join_left, e3_join_anti, e7_intersect, x_datetime_functions,
-# e1_string_agg_ordered, q_sql_correlated_subquery, t_text_stats,
-# e4_range_join.
+# the five round-3 families — e13_exact_percentiles, e14_funnel_sequence,
+# e14_peak_concurrency, e6_copurchase_pairs, e14_retention_cohorts —
+# plus the two watermark surfaces the driver has never audited:
+# st_stream_stream_join, st_stream_dedup_watermark (post-NTZ-fix).
+# Displaced (all green in CORRECTNESS_r03, all keep local parity
+# coverage, each family keeps >=1 gated representative):
+# e6_q19_disjunctive_join, e6_q14_promo_revenue (E6 keeps q5 + top-k +
+# co-purchase), e13_hll_sketch_rollup (E13 keeps approx_aggs + gains
+# exact_percentiles), p_expectations (profiling keeps profile_table +
+# heavy_hitters), t_pii_redact, t_domain_balanced_sample (text keeps
+# C4 gate + lang_quality + tfidf), s_knn_bruteforce (similarity keeps
+# the tiled distributed path).
 GATED_QUERIES = [
     "flagship_turnover",
     "p_rename_coalesce_reorder",
@@ -57,21 +62,21 @@ GATED_QUERIES = [
     "e2_rollup",
     "q_sql_lateral_join",
     "e3_join_inner",
-    "e6_q19_disjunctive_join",
-    "e6_q14_promo_revenue",
+    "e13_exact_percentiles",
+    "e14_funnel_sequence",
     "e3_star_join_revenue",
     "p_heavy_hitters",
     "e4_asof_join",
     "e5_window_ranks",
     "q_sql_recursive_cte",
     "e6_topk_per_group",
-    "p_expectations",
-    "t_domain_balanced_sample",
+    "e14_peak_concurrency",
+    "e6_copurchase_pairs",
     "e13_approx_aggs",
     "d_semantic_dedup",
-    "e13_hll_sketch_rollup",
+    "e14_retention_cohorts",
     "x_string_functions",
-    "t_pii_redact",
+    "st_stream_stream_join",
     "s_knn_tiled",
     "st_stream_static_join",
     "t_lang_quality",
@@ -80,7 +85,7 @@ GATED_QUERIES = [
     "d_minhash_lsh_neardup",
     "d_ngram_jaccard",
     "d_dedup_clusters",
-    "s_knn_bruteforce",
+    "st_stream_dedup_watermark",
     "m_binary_features",
     "e15_udtf_split_words",
     "e6_q5_local_supplier_volume",

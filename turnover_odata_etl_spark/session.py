@@ -38,9 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The events fixture stores TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read as long and convert at the
-        # loader edge (tables.load_table).
+        # Fixture-encoding armor: earlier fixture generations stored
+        # events.ts as TIMESTAMP(NANOS), which Spark's vectorized reader
+        # rejects outright; with this conf it arrives as epoch-nanos
+        # bigint and the loader edge (tables.normalize_event_ts) converts.
+        # Harmless for the current timestamp[us] NTZ encoding.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python Data Source filter pushdown (the OData connector's
         # pushFilters → $filter translation) is gated off by default.

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file stream (schema fixed up-front, as
-    any production file stream requires)."""
+    any production file stream requires). ``ts`` is normalized to
+    session-UTC ``timestamp`` whatever the fixture encoding (nanos-as-
+    long, TIMESTAMP_NTZ, or timestamp — see tables.normalize_event_ts);
+    ``withWatermark`` requires TIMESTAMP, not NTZ."""
+    from ..tables import normalize_event_ts
+
     # Runtime-settable; don't depend on which factory built the session
     # (the driver's gate uses a vanilla session without this conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,10 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        # integer div (not /): epoch-nanos exceeds double's 2^53 range
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def run_stream_to_table(

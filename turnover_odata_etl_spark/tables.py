@@ -31,22 +31,46 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, column: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to session-UTC ``timestamp``.
+
+    The driver has regenerated the fixtures with three different parquet
+    encodings so far, so every branch stays live:
+
+    * ``timestamp[ns]`` — rejected by Spark's vectorized reader; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as ``bigint``
+      epoch-nanos. Truncate to micros with integer ``div`` (NOT ``/``:
+      epoch-nanos ~1.7e18 exceeds double's 2^53 integer range, so float
+      division corrupts the low bits). Matches DuckDB's nanos→micros
+      truncation.
+    * ``timestamp[us], isAdjustedToUTC=false`` — Spark 4 reads this as
+      TIMESTAMP_NTZ, which ``withWatermark`` rejects. The session
+      timezone is UTC (session.py), so a plain cast reinterprets the
+      wall-clock as UTC — the same epoch values DuckDB produces.
+    * ``timestamp[us/ms], isAdjustedToUTC=true`` — already ``timestamp``;
+      pass through.
+    """
+    dtype = df.schema[column].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(
+            column, F.timestamp_micros(F.expr(f"{column} div 1000"))
+        )
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); a stock session throws
-        # PARQUET_TYPE_ILLEGAL at the scan. nanosAsLong is runtime-settable,
-        # so set it here rather than relying on whichever factory built the
-        # session (session.py sets it too, but callers may bring their own).
+        # nanosAsLong is runtime-settable; set it here rather than relying
+        # on whichever factory built the session (session.py sets it too,
+        # but callers may bring their own). Harmless for non-nanos files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
-        # micros (matches DuckDB's nanos→micros truncation). Integer
-        # `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's 2^53
-        # integer range, so float division corrupts the low bits.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
