@@ -64,14 +64,29 @@ STREAMING = [
     "st_incremental_upsert",
 ]
 
+# The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
+    "e6_q2_min_cost_supplier",
     "e6_q3_shipping_priority",
+    "e6_q4_order_priority",
     "e6_q5_local_supplier_volume",
+    "e6_q6_forecast_revenue",
     "e6_q7_volume_shipping",
+    "e6_q8_market_share",
+    "e6_q9_product_profit",
     "e6_q10_returned_items",
+    "e6_q11_important_stock",
+    "e6_q12_priority_by_returnflag",
+    "e6_q13_customer_distribution",
     "e6_q14_promo_revenue",
+    "e6_q15_top_supplier",
+    "e6_q16_part_supplier_counts",
+    "e6_q17_small_qty_revenue",
     "e6_q18_large_volume_customer",
     "e6_q19_disjunctive_join",
+    "e6_q20_promotion_suppliers",
+    "e6_q21_suppliers_kept_waiting",
+    "e6_q22_global_sales_opportunity",
 ]
 
 

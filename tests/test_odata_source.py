@@ -210,3 +210,99 @@ def test_source_skip_bad_partition(spark):
             _read(spark, m, partitionField="Structure").collect()
     finally:
         m.stop()
+
+
+# -- $metadata schema discovery ---------------------------------------------
+
+
+def test_parse_edmx_both_namespace_generations():
+    from turnover_odata_etl_spark.sources.odata_metadata import (
+        edm_to_spark_ddl,
+        parse_edmx,
+    )
+
+    for ns in (
+        "http://schemas.microsoft.com/ado/2008/09/edm",  # V2 CSDL
+        "http://docs.oasis-open.org/odata/ns/edm",  # V4 CSDL
+    ):
+        doc = f"""<?xml version="1.0"?>
+        <edmx:Edmx xmlns:edmx="http://schemas.microsoft.com/ado/2007/06/edmx">
+          <edmx:DataServices>
+            <Schema xmlns="{ns}" Namespace="NS">
+              <EntityType Name="EmpType">
+                <Property Name="Id" Type="Edm.Int64" Nullable="false"/>
+                <Property Name="Name" Type="Edm.String"/>
+                <Property Name="Score" Type="Edm.Double"/>
+                <Property Name="Hired" Type="Edm.DateTime"/>
+                <Property Name="Pay" Type="Edm.Decimal" Precision="10" Scale="2"/>
+              </EntityType>
+              <EntityContainer Name="C">
+                <EntitySet Name="Emp" EntityType="NS.EmpType"/>
+              </EntityContainer>
+            </Schema>
+          </edmx:DataServices>
+        </edmx:Edmx>"""
+        sets = parse_edmx(doc)
+        assert list(sets) == ["Emp"]
+        props = sets["Emp"]
+        assert [p.name for p in props] == ["Id", "Name", "Score", "Hired", "Pay"]
+        assert props[0].nullable is False and props[1].nullable is True
+        assert (
+            edm_to_spark_ddl(props)
+            == "`Id` bigint, `Name` string, `Score` double, `Hired` timestamp, "
+            "`Pay` double"
+        )
+
+
+def test_client_get_metadata_roundtrip(mock_v2):
+    from turnover_odata_etl_spark.sources.odata_metadata import parse_edmx
+
+    client = ODataClient(mock_v2.base_url)
+    sets = parse_edmx(client.get_metadata())
+    assert list(sets) == ["Emp"]
+    assert [p.name for p in sets["Emp"]] == FIELDS
+
+
+def test_source_usemetadata_typed_read(spark):
+    """useMetadata=true must derive a TYPED schema from /$metadata and
+    the read tasks must coerce wire strings (V2 numerics-as-strings,
+    /Date(ms)/ timestamps) into the declared types."""
+    rows = [
+        {"Employee": "alice", "K": "1", "Score": "2.5",
+         "Hired": "/Date(1481853600000)/"},
+        {"Employee": "bob", "K": "2", "Score": "3.5",
+         "Hired": "/Date(1481940000000)/"},
+    ]
+    m = MockOData(
+        rows,
+        ["Employee", "K", "Score", "Hired"],
+        version=2,
+        field_types={
+            "K": "Edm.Int32",
+            "Score": "Edm.Double",
+            "Hired": "Edm.DateTime",
+        },
+    )
+    m.start()
+    try:
+        spark.dataSource.register(ODataDataSource)
+        df = (
+            spark.read.format("odata")
+            .option("url", m.base_url)
+            .option("entity", "Emp")
+            .option("useMetadata", "true")
+            .load()
+        )
+        assert dict(df.dtypes) == {
+            "Employee": "string",
+            "K": "int",
+            "Score": "double",
+            "Hired": "timestamp",
+        }
+        got = {r["Employee"]: r for r in df.collect()}
+        assert got["alice"]["K"] == 1 and got["alice"]["Score"] == 2.5
+        assert got["alice"]["Hired"].year == 2016
+        # exactly one $metadata request — typed discovery costs zero data rows
+        assert sum("$metadata" in r for r in m.requests) == 1
+    finally:
+        m.stop()

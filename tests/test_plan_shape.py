@@ -322,3 +322,34 @@ def test_peak_concurrency_sweep_is_day_sharded(spark, sf_dir):
     spec = plan.split("windowspecdefinition", 1)[1].split(")", 1)[0]
     assert "event_type" in spec and "day" in spec, spec
     assert re.search(r"hashpartitioning\(event_type#\d+, day#\d+", plan), plan[:3000]
+
+
+def test_q6_all_filters_and_pruning_reach_scan(spark, sf_dir):
+    """Q6 is the pure-pushdown benchmark: every conjunct must appear in
+    PushedFilters and the scan must read only the 4 touched columns."""
+    plan = plan_str(SPECS["e6_q6_forecast_revenue"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q8_dimensions_broadcast_no_cartesian(spark, sf_dir):
+    """The widest join in the suite: every dimension (part, customer
+    set, supplier, nation x2, region) must broadcast; the only sort-
+    merge/shuffle joins allowed are fact-fact. And no cartesian ever."""
+    plan = plan_str(SPECS["e6_q8_market_share"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_q21_aggregate_chain_copartitions_on_orderkey(spark, sf_dir):
+    """per_order/blame/sole all key on l_orderkey: after the first
+    fact shuffle the chain must not introduce additional exchanges on
+    other keys until the final s_name groupBy (the co-partitioning is
+    the point of the rewrite from EXISTS/NOT-EXISTS)."""
+    plan = plan_str(SPECS["e6_q21_suppliers_kept_waiting"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the blame-set join with supplier stays broadcast (dimension)
+    assert "BroadcastHashJoin" in plan

@@ -12,6 +12,7 @@ from . import relational  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming_plans  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window to cover one representative per operator family —

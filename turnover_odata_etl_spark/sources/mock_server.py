@@ -74,6 +74,8 @@ class MockOData:
         page_size: int = 3,
         fail_values: set[str] | None = None,
         fail_field: str | None = None,
+        field_types: dict[str, str] | None = None,
+        entity_set: str = "Emp",
     ):
         self.rows = rows
         self.fields = fields
@@ -81,12 +83,44 @@ class MockOData:
         self.page_size = page_size
         self.fail_values = fail_values or set()
         self.fail_field = fail_field
+        # EDM types served by /$metadata (default: everything a string,
+        # matching the wire payloads the row dicts actually carry)
+        self.field_types = field_types or {}
+        self.entity_set = entity_set
         self.requests: list[str] = []  # observed (for pushdown asserts)
         self._httpd: ThreadingHTTPServer | None = None
 
     # -- request handling ---------------------------------------------------
 
+    def metadata_document(self) -> str:
+        """A minimal CSDL document in the generation matching
+        ``version`` (V2: microsoft ado namespace; V4: oasis)."""
+        edm_ns = (
+            "http://docs.oasis-open.org/odata/ns/edm"
+            if self.version == 4
+            else "http://schemas.microsoft.com/ado/2008/09/edm"
+        )
+        props = "".join(
+            f'<Property Name="{f}" Type="{self.field_types.get(f, "Edm.String")}" '
+            'Nullable="true"/>'
+            for f in self.fields
+        )
+        return (
+            '<?xml version="1.0" encoding="utf-8"?>'
+            '<edmx:Edmx xmlns:edmx="http://schemas.microsoft.com/ado/2007/06/edmx" '
+            'Version="1.0"><edmx:DataServices>'
+            f'<Schema xmlns="{edm_ns}" Namespace="Mock">'
+            f'<EntityType Name="{self.entity_set}Type">{props}</EntityType>'
+            "<EntityContainer Name=\"Container\">"
+            f'<EntitySet Name="{self.entity_set}" '
+            f'EntityType="Mock.{self.entity_set}Type"/>'
+            "</EntityContainer></Schema>"
+            "</edmx:DataServices></edmx:Edmx>"
+        )
+
     def handle(self, path: str, query: dict[str, list[str]]) -> tuple[int, dict | str]:
+        if path.rstrip("/").endswith("$metadata"):
+            return 200, self.metadata_document()
         qs = {k: v[0] for k, v in query.items()}
         select = qs.get("$select")
         filt = qs.get("$filter")

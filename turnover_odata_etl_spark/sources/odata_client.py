@@ -137,6 +137,27 @@ class ODataClient:
             body = e.read().decode("utf-8", errors="replace")
             raise ODataError(e.code, url, body) from e
 
+    def get_text(self, url: str) -> str:
+        """GET returning the raw body (the ``$metadata`` document is
+        XML, not JSON)."""
+        req = urllib.request.Request(url, headers={"Accept": "application/xml"})
+        try:
+            with self._opener.open(req, timeout=self.timeout) as resp:
+                return resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8", errors="replace")
+            raise ODataError(e.code, url, body) from e
+
+    def get_metadata(self) -> str:
+        """The service's ``$metadata`` EDMX document (one request,
+        no data rows) — the protocol-complete alternative to the
+        candidate-field probe [S3]; parse with
+        ``odata_metadata.parse_edmx``."""
+        base = "/".join(
+            p.strip("/") for p in (self.base_url, self.service_path) if p.strip("/")
+        )
+        return self.get_text(f"{base}/$metadata")
+
     def fetch_pages(
         self,
         entity: str,

@@ -52,8 +52,47 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from .odata_client import ODataClient, build_filter_cmp, build_filter_eq
+from .odata_metadata import edm_to_spark_ddl, parse_edmx
 
 log = logging.getLogger(__name__)
+
+
+def _coerce_value(value, spark_type: str):
+    """JSON wire value → Python value for the declared Spark type.
+
+    OData V2 serializes numerics/dates as JSON strings ("42",
+    "/Date(1481853600000)/"); V4 uses native JSON numbers and ISO
+    strings. The converters accept both. None passes through; a
+    malformed non-null value raises (per-partition skip-and-continue
+    [C2] is the sanctioned opt-in for tolerating that)."""
+    if value is None:
+        return None
+    if spark_type in ("int", "bigint", "smallint", "tinyint"):
+        return int(float(value))
+    if spark_type in ("double", "float"):
+        return float(value)
+    if spark_type == "boolean":
+        if isinstance(value, bool):
+            return value
+        return str(value).strip().lower() in ("true", "1")
+    if spark_type == "timestamp":
+        import re
+        from datetime import datetime, timezone
+
+        s = str(value)
+        m = re.match(r"/Date\((-?\d+)(?:[+-]\d{4})?\)/$", s)
+        if m:  # V2 epoch-ms wrapper, optional tz display offset [X7]
+            return datetime.fromtimestamp(int(m.group(1)) / 1000.0, tz=timezone.utc)
+        return datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if spark_type == "date":
+        from datetime import date
+
+        return date.fromisoformat(str(value)[:10])
+    if spark_type == "binary":
+        import base64
+
+        return base64.b64decode(value)
+    return value  # string and anything unmapped: raw wire value
 
 
 class ODataPartition(InputPartition):
@@ -84,12 +123,39 @@ class ODataDataSource(DataSource):
         return "odata"
 
     def schema(self) -> str | StructType:
-        """Probe ``$top=1`` and type observed fields as strings (OData
-        V2 serializes numerics as JSON strings; decode downstream with
-        the engine's codec functions). Callers with a contract should
-        pass ``.schema(...)`` explicitly — then no probe request."""
+        """Schema discovery, two protocols:
+
+        - ``useMetadata=true`` — GET the service ``$metadata`` EDMX
+          document and derive a TYPED schema (EDM → Spark types, one
+          request, zero data rows; read tasks coerce wire values to
+          the declared types). The protocol-complete path.
+        - default — probe ``$top=1`` and type observed fields as
+          strings (the reference's probe-first posture [S3]; OData V2
+          serializes numerics as JSON strings, so stringly is what the
+          wire actually carries; decode downstream with the engine's
+          codec functions).
+
+        Callers with a contract should pass ``.schema(...)``
+        explicitly — then no discovery request at all."""
         client = _client_from_options(self.options)
         entity = self.options["entity"]
+        if self.options.get("usemetadata", "false").lower() == "true":
+            sets = parse_edmx(client.get_metadata())
+            if entity not in sets:
+                raise RuntimeError(
+                    f"$metadata does not define entity set {entity!r} "
+                    f"(found: {sorted(sets)}); pass an explicit .schema(...)"
+                )
+            props = sets[entity]
+            select = self.options.get("select")
+            if select:
+                keep = [c.strip() for c in select.split(",")]
+                order = {c: i for i, c in enumerate(keep)}
+                props = sorted(
+                    (p for p in props if p.name in order),
+                    key=lambda p: order[p.name],
+                )
+            return edm_to_spark_ddl(props)
         select = self.options.get("select")
         first = next(iter(client.fetch_pages(entity, select=select, top=1)), [])
         if not first:
@@ -165,6 +231,9 @@ class ODataReader(DataSourceReader):
         client = _client_from_options(self.options)
         entity = self.options["entity"]
         names = [f.name for f in self.schema_.fields]
+        # wire→declared-type coercion (identity for all-string schemas,
+        # i.e. the probe path — zero behavior change there)
+        kinds = [f.dataType.simpleString() for f in self.schema_.fields]
         select = self.options.get("select")
         top = int(self.options["top"]) if "top" in self.options else None
 
@@ -185,7 +254,10 @@ class ODataReader(DataSourceReader):
                 entity, select=select, filter_=filter_, top=top
             ):
                 for row in page:
-                    yield tuple(row.get(n) for n in names)
+                    yield tuple(
+                        _coerce_value(row.get(n), k)
+                        for n, k in zip(names, kinds)
+                    )
         except Exception:
             if self.options.get("skipbadpartitions", "false").lower() == "true":
                 # [C2] the reference's log-and-continue (etl.py:191-194)
