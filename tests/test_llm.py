@@ -116,13 +116,16 @@ def test_srp_lsh_recall_floor(spark, sf_dir):
             assert abs(r.cos - exact_cos[key]) < 1e-6
 
 
-def test_multimodal_decode_stub_is_gated():
+def test_multimodal_compressed_formats_still_gated():
+    """Uncompressed decode (PPM/BMP) is real since round 4; compressed
+    formats remain the documented extension point and must fail loudly,
+    never silently mis-decode."""
     import pytest
 
     from turnover_odata_etl_spark.functions.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_ivf_recall_floor_and_exactness_at_full_probe(spark, sf_dir):
@@ -338,3 +341,76 @@ def test_pq_recall_floor_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, approx_rows)
     )
+
+
+# -- real image codec (E11 de-stub, round 4) --------------------------------
+
+
+def test_decode_ppm_roundtrip_and_worker_parity():
+    """decode_image must invert encode_ppm byte-for-byte, including
+    header comments, and must equal the closed-form pixel formula the
+    m_image_decode_features worker and its SQL oracle use."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    did = 1234
+    w, h = 16 + did % 9, 16 + did % 7
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    img = np.stack(
+        [
+            (did + x + y) % 256,
+            np.broadcast_to((did + 2 * x) % 256, (h, w)),
+            np.broadcast_to((did + 3 * y) % 256, (h, w)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    data = encode_ppm(img)
+    assert np.array_equal(decode_image(data), img)
+    # comment tolerance in the header
+    commented = b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + img.tobytes()
+    assert np.array_equal(decode_image(commented), img)
+    small = resize_nearest(img, 8, 8)
+    sy, sx = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+    assert np.array_equal(small, img[sy][:, sx])
+
+
+def test_decode_bmp_bottom_up_and_padding():
+    """24-bit bottom-up BMP with padded rows: the decoder must flip
+    rows, strip padding, and reorder BGR to RGB."""
+    import struct
+
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import decode_image
+
+    w, h = 3, 2  # row = 9 bytes -> padded to 12
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    row_bytes = ((24 * w + 31) // 32) * 4
+    raster = bytearray()
+    for yy in range(h - 1, -1, -1):  # bottom-up
+        for xx in range(w):
+            r, g, b = img[yy, xx]
+            raster += bytes([b, g, r])
+        raster += b"\0" * (row_bytes - w * 3)
+    pixel_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + len(raster), 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    assert np.array_equal(decode_image(header + bytes(raster)), img)
+
+
+def test_decode_image_rejects_unknown_magic():
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")

@@ -2,12 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partitioning — is real and tested; the
-actual codec step is STUBBED (this container has no image/audio
-libraries): ``decode_image`` raises NotImplementedError, and
-``extract_binary_features`` computes deterministic features of the raw
-bytes instead, so the pipeline shape is exercised end-to-end and is
-SQL-oracle-checkable.
+``mapInPandas`` signature, partitioning — is real and tested, and
+since round 4 the codec step is REAL for uncompressed formats:
+``decode_image`` parses PPM(P6) and 24/32-bit BMP byte streams with
+pure numpy (no imaging library), ``resize_nearest`` downsamples by
+integer index mapping, and ``plans/llm.m_image_decode_features`` runs
+decode→resize→features end-to-end against a closed-form SQL oracle.
+Compressed formats (JPEG/PNG/WebP) still require an external codec —
+that branch of ``decode_image`` is the documented extension point and
+fails loudly. ``extract_binary_features`` keeps the byte-level
+feature path for payloads that are not images at all.
 
 At scale: mapInPandas streams Arrow batches through one Python worker
 per core; batch size is controlled by
@@ -25,14 +29,105 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def decode_image(data: bytes) -> "object":
-    """Real image decode — requires an imaging library not present in
-    this environment. Kept as the documented extension point."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow); "
-        "wire it here — extract_binary_features demonstrates the "
-        "Spark-side plumbing with deterministic byte features instead"
+def decode_image(data: bytes):
+    """REAL image decode for the uncompressed formats a pure-numpy
+    decoder can handle — no imaging library required:
+
+    * **PPM (P6)** — ASCII header (``P6``, width, height, maxval,
+      ``#`` comments allowed) followed by packed RGB bytes.
+    * **BMP** — BITMAPINFOHEADER-family, 24- or 32-bit, uncompressed
+      (BI_RGB), top-down or bottom-up, with the 4-byte row padding the
+      format mandates; BGR(A) is reordered to RGB.
+
+    Returns an ``(H, W, 3) uint8`` numpy array. Compressed formats
+    (JPEG/PNG/WebP) still require an external codec — that remains the
+    documented extension point: add an ``elif`` on their magic bytes
+    delegating to the library of choice. ``ValueError`` on anything
+    unrecognized (never a silent wrong decode)."""
+    import numpy as np
+
+    if data[:2] == b"P6":
+        return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise ValueError(
+        f"unsupported image format (magic {data[:4]!r}); pure-numpy "
+        "decode covers PPM(P6)/BMP — wire a codec library here for "
+        "compressed formats"
     )
+
+
+def _decode_ppm(data: bytes):
+    """P6 PPM: tokenized header (whitespace-separated, ``#`` comments
+    run to end-of-line), then ``H*W*3`` raw bytes."""
+    import numpy as np
+
+    pos = 2  # past magic
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and comments
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (need 8-bit)")
+    raster = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(data: bytes):
+    """BMP BITMAPINFOHEADER: 24/32-bit BI_RGB only."""
+    import struct
+
+    import numpy as np
+
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"BMP variant unsupported (bpp={bpp}, compression={compression}); "
+            "only uncompressed 24/32-bit"
+        )
+    h = abs(h_signed)
+    row_bytes = ((bpp * w + 31) // 32) * 4
+    nch = bpp // 8
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=h * row_bytes, offset=pixel_off
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) → RGB, alpha dropped
+
+
+def encode_ppm(img) -> bytes:
+    """``(H, W, 3) uint8`` → P6 PPM bytes (the synthetic-payload
+    generator for tests and the oracle-checked decode operator)."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize via integer index mapping — source
+    pixel ``(y*H)//out_h, (x*W)//out_w`` — the exact arithmetic the
+    SQL oracle for ``m_image_decode_features`` replicates."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
 
 
 def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:

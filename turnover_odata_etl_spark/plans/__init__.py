@@ -43,7 +43,8 @@ from . import tpch  # noqa: E402,F401
 # exact_percentiles), p_expectations (profiling keeps profile_table +
 # heavy_hitters), t_pii_redact, t_domain_balanced_sample (text keeps
 # C4 gate + lang_quality + tfidf), s_knn_bruteforce (similarity keeps
-# the tiled distributed path).
+# the tiled distributed path), m_binary_features (E11's gate row is
+# now the REAL decode path m_image_decode_features, round-4 de-stub).
 GATED_QUERIES = [
     "flagship_turnover",
     "p_rename_coalesce_reorder",
@@ -87,7 +88,7 @@ GATED_QUERIES = [
     "d_ngram_jaccard",
     "d_dedup_clusters",
     "st_stream_dedup_watermark",
-    "m_binary_features",
+    "m_image_decode_features",
     "e15_udtf_split_words",
     "e6_q5_local_supplier_volume",
     "st_tumbling_window",

@@ -738,12 +738,205 @@ def s_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary payload → per-payload features through the real
     mapInPandas/Arrow plumbing (schema, batch shape, partitioning);
-    the codec itself is a deterministic byte-feature stub (decode_image
-    is the NotImplementedError-gated extension point), so a SQL oracle
-    can verify the pipeline end-to-end."""
+    the features are pure byte functions so a SQL oracle can verify
+    the pipeline end-to-end (real pixel decode: see
+    ``m_image_decode_features``)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs, "text")
     return extract_binary_features(payloads, "doc_id")
+
+
+@register(
+    "m_image_decode_features",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+    grid AS (SELECT a.i AS gx, b.i AS gy FROM g a, g b),
+    d AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h
+          FROM documents),
+    s AS (
+      SELECT d.doc_id, d.w, d.h,
+             (grid.gx * d.w) // 8 AS sx, (grid.gy * d.h) // 8 AS sy
+      FROM d CROSS JOIN grid
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((doc_id + sx + sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id + 2 * sx) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + 3 * sy) % 256) AS BIGINT) AS sum_b
+    FROM s GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def m_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode → resize → feature extraction, end-to-end and
+    oracle-checked (SURVEY E11, de-stubbed in round 4). Per document a
+    synthetic PPM(P6) image is generated whose pixels are a closed-form
+    function of doc_id — r=(id+x+y)%256, g=(id+2x)%256, b=(id+3y)%256
+    at size (16+id%9) × (16+id%7) — then the worker DECODES THE BYTES
+    with the pure-numpy PPM parser (functions/multimodal.decode_image's
+    algorithm), nearest-neighbor-resizes to 8×8 with integer index
+    mapping (y·H)//8, and emits exact integer channel sums. The DuckDB
+    oracle recomputes the same sums in closed form over a generated
+    8×8 grid — so a decode bug (offset, row order, channel swap,
+    resize index) breaks the hash match.
+
+    The worker inlines the PPM parser as a nested def: cloudpickle
+    ships closures by value, while a reference to the module function
+    would require this package to be importable on executors (it is
+    not, when driven from an arbitrary cwd — the harness's standing
+    constraint). ``tests/test_llm.py`` pins the module
+    ``decode_image`` byte-for-byte against this worker's parser.
+
+    Scale: one Arrow batch stream, no shuffle at all — decode is
+    embarrassingly parallel; real corpora repartition first so batches
+    are uniform (see functions/multimodal module notes). Compressed
+    formats (JPEG/PNG) still need an external codec wired into
+    ``decode_image``; the uncompressed path is fully real."""
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        def ppm_decode(data):
+            pos, toks = 2, []
+            while len(toks) < 3:
+                while data[pos : pos + 1].isspace():
+                    pos += 1
+                if data[pos : pos + 1] == b"#":
+                    while data[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while not data[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(int(data[start:pos]))
+            pos += 1
+            w, h, maxval = toks
+            assert maxval == 255
+            return np.frombuffer(data, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 16 + did % 9, 16 + did % 7
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                img = np.stack(
+                    [
+                        (did + x + y) % 256,
+                        np.broadcast_to((did + 2 * x) % 256, (h, w)),
+                        np.broadcast_to((did + 3 * y) % 256, (h, w)),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+                dec = ppm_decode(data)  # the real byte-level decode
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                small = dec[ys][:, xs].astype(np.int64)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(small[:, :, 0].sum()))
+                out["sum_g"].append(int(small[:, :, 1].sum()))
+                out["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long",
+    )
+
+
+@register(
+    "t_sequence_pack",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cum
+      FROM t
+    ), frags AS (
+      SELECT doc_id, shard, n_tok, cum,
+             unnest(generate_series(cum // 512,
+                                    (cum + n_tok - 1) // 512)) AS seq_no
+      FROM c
+    )
+    SELECT shard, seq_no, doc_id,
+           greatest(cum, seq_no * 512) - seq_no * 512 AS off_in_seq,
+           least(cum + n_tok, (seq_no + 1) * 512)
+             - greatest(cum, seq_no * 512) AS frag_len
+    FROM frags
+    """,
+    tags=("llm", "text", "packing"),
+)
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic order and split the token stream into fixed 512-token
+    training sequences, emitting (shard, seq_no, doc_id, offset, len)
+    fragments — exactly the concat-then-chunk packing LLM pretraining
+    uses (each sequence is dense, documents may straddle a boundary;
+    the fragment map is what the loader needs to mask cross-document
+    attention).
+
+    Distribution: packing is inherently sequential, so the sequential
+    scope is made explicit — documents shard by ``doc_id % 8`` and the
+    exclusive prefix-sum of token counts runs per shard (one shuffle;
+    shard count scales with the cluster, each shard packs
+    independently). Chunk straddling reuses the bounded-explode
+    pattern (`sequence(cum div B, (cum+n-1) div B)`) from the
+    day-sharded sweep — a document adds at most ceil(n/B) fragments.
+    All arithmetic is integer-exact, so the DuckDB oracle matches
+    bit-for-bit. Empty documents are excluded on both sides (Spark's
+    `sequence(a, b)` generates DESCENDING for a > b — the n_tok >= 1
+    guard keeps that footgun unreachable)."""
+    B = 512
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            TXT.token_count("text").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= 1)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    frags = c.withColumn(
+        "seq_no",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum div {B}"), F.expr(f"(cum + n_tok - 1) div {B}")
+            )
+        ),
+    )
+    start = F.greatest(F.col("cum"), F.col("seq_no") * B)
+    end = F.least(F.col("cum") + F.col("n_tok"), (F.col("seq_no") + 1) * B)
+    return frags.select(
+        "shard",
+        "seq_no",
+        "doc_id",
+        (start - F.col("seq_no") * B).alias("off_in_seq"),
+        (end - start).alias("frag_len"),
+    )
 
 
 @register(
