@@ -2177,3 +2177,58 @@ def e14_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "cohort_week")
         .select("cohort_week", "week_offset", "n_active", "n_cohort")
     )
+
+
+@register(
+    "e13_outliers_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(min(q.q1), 4) AS q1, round(min(q.q3), 4) AS q3
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("relational", "agg", "quality"),
+)
+def e13_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped IQR outlier detection (Tukey fences): per event_type,
+    exact quartiles via linear interpolation (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both type-7), then count values outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR]. The standard distribution-free
+    anomaly screen for a metrics column.
+
+    Scale: exact quantiles force a first aggregation pass; its output
+    is one row per group — broadcast back into the counting pass, so
+    the fact table is scanned twice but shuffled only once (the
+    groupBy). When two passes are too expensive, swap
+    ``percentile`` → ``approx_percentile`` (t-digest, one pass,
+    mergeable) — the e13_approx_aggs family demonstrates that tier;
+    this query pins the exact semantics."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.min("q1"), 4).alias("q1"),
+            F.round(F.min("q3"), 4).alias("q3"),
+        )
+    )

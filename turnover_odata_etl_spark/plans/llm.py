@@ -940,6 +940,77 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_distinct(list_transform(range(len(t) - 7),
+                             i -> array_to_string(t[i+1:i+8], ' ')))
+             ELSE [] END AS shingles
+      FROM toks
+    ), ev AS (
+      SELECT flatten(list(shingles)) AS evs FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT sh.doc_id FROM sh, ev
+    WHERE sh.doc_id % 97 <> 0 AND NOT list_has_any(sh.shingles, ev.evs)
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination — the benchmark-integrity op every
+    serious pretraining pipeline runs: drop any training document that
+    shares an 8-token shingle with the held-out evaluation set (here
+    the deterministic ~1% slice ``doc_id % 97 == 0`` plays the eval
+    set). Exact n-gram-collision semantics, the standard published
+    recipe (8-gram overlap), not fuzzy matching — fuzzy tiers are the
+    dedup ladder's job.
+
+    Scale: the eval side is small BY CONSTRUCTION (benchmarks are KBs
+    to MBs), so its distinct shingle set broadcasts; the 100-TB
+    training side explodes shingles map-side and left-semi probes the
+    broadcast — contaminated doc_ids emerge from one doc_id-keyed
+    distinct, and the final anti join is doc_id-co-partitioned. The
+    corpus is never shuffled by shingle. Documents under 8 tokens have
+    no shingles and are never contaminated (both engines agree: empty
+    list overlaps nothing)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tk", TXT.tokens(F.col("text"))
+    )
+    sh = docs.select(
+        "doc_id",
+        F.when(
+            F.size("tk") >= 8,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> concat_ws(' ', slice(tk, i, 8)))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        sh.filter(is_eval)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    contaminated = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(contaminated, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "t_hash_split",
     oracle="""
     SELECT CASE WHEN h < 'cc' THEN 'train'
