@@ -159,3 +159,158 @@ def test_events_nanos_truncation_matches_duckdb(spark, oracle_con, sf_dir):
     assert len(oracle) == len(spark_us)
     mismatches = [(i, u, spark_us[i]) for i, u in oracle if spark_us[i] != u]
     assert not mismatches, f"first diffs: {mismatches[:5]}"
+
+
+@SETTINGS
+@given(
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=23),
+        st.integers(min_value=1, max_value=19),
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_image_codec_roundtrip_any_size(dims, seed):
+    """decode_image(encode_ppm(img)) == img for arbitrary image sizes
+    and contents, and resize_nearest is idempotent at the same size."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(resize_nearest(img, w, h), img)
+    small = resize_nearest(img, min(w, 4), min(h, 4))
+    assert small.shape == (min(h, 4), min(w, 4), 3)
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=700), max_size=16),
+    budget=st.sampled_from([4, 64, 512]),
+)
+def test_sequence_pack_invariants(spark, toks, budget):
+    """Packing invariants for ANY token-count multiset: fragments of a
+    doc sum to its token count; every sequence except a shard's last is
+    filled to exactly the budget; offsets+lengths tile each sequence
+    without overlap."""
+    import itertools
+
+    from pyspark.sql import Window
+
+    if not toks:
+        return
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    B = budget
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = df.withColumn("cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    frags = c.withColumn(
+        "seq_no",
+        F.explode(
+            F.sequence(F.expr(f"cum div {B}"), F.expr(f"(cum + n_tok - 1) div {B}"))
+        ),
+    )
+    start = F.greatest(F.col("cum"), F.col("seq_no") * B)
+    end = F.least(F.col("cum") + F.col("n_tok"), (F.col("seq_no") + 1) * B)
+    out = frags.select(
+        "doc_id",
+        "seq_no",
+        (start - F.col("seq_no") * B).alias("off"),
+        (end - start).alias("ln"),
+    ).collect()
+    # per-doc fragment lengths sum to n_tok
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.ln
+    assert per_doc == {i: n for i, n in enumerate(toks)}
+    # sequences tile exactly: fragments in a seq are disjoint and
+    # contiguous from 0; all but the last seq sum to the full budget
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r.seq_no, []).append((r.off, r.ln))
+    last_seq = max(by_seq)
+    for seq_no, pieces in by_seq.items():
+        pieces.sort()
+        pos = 0
+        for off, ln in pieces:
+            assert off == pos, (seq_no, pieces)
+            pos += ln
+        if seq_no != last_seq:
+            assert pos == B, (seq_no, pos)
+        assert pos <= B
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        max_size=10,
+    )
+)
+def test_decontamination_invariants(spark, texts):
+    """For ANY corpus: eval docs never survive; a doc sharing an
+    8-gram with any eval doc is dropped; short docs (<8 tokens)
+    always survive."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    from turnover_odata_etl_spark.functions import text as TXT
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("tk", TXT.tokens(F.col("text")))
+    sh = df.select(
+        "doc_id",
+        F.when(
+            F.size("tk") >= 8,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> concat_ws(' ', slice(tk, i, 8)))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+    is_eval = F.col("doc_id") % 3 == 0  # denser eval slice for tiny corpora
+    eval_sh = sh.filter(is_eval).select(F.explode("shingles").alias("s")).distinct()
+    train = sh.filter(~is_eval)
+    contaminated = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = {
+        r.doc_id
+        for r in train.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    eval_set = {sid for sid, t in rows if sid % 3 == 0}
+    ev_grams = set()
+    for sid, t in rows:
+        if sid in eval_set:
+            ws = t.split()
+            ev_grams |= {" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)}
+    for sid, t in rows:
+        if sid in eval_set:
+            assert sid not in clean
+            continue
+        ws = t.split()
+        grams = {" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)}
+        expect_clean = not (grams & ev_grams)
+        assert (sid in clean) == expect_clean, (sid, t)
