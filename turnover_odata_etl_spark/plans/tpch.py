@@ -721,38 +721,38 @@ def e6_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
     'sole blame' = exactly one supplier at the max. Substitution:
     lateness is ship-last (no l_receiptdate/l_commitdate).
 
-    Plan: the orders status filter pushes to its scan and the join cuts
-    lineitem first; everything then aggregates and re-joins ON
-    l_orderkey — the per_order/blame/sole frames all share the orderkey
-    partitioning, so after the first fact shuffle the chain is
-    co-partitioned (no data movement until the final tiny groupBy on
-    s_name). Timestamp equality (not float) keeps the max-attainment
-    test exact on both engines."""
+    Plan (single-pass form): collapse lineitem to one row per
+    (orderkey, supplier) with that supplier's latest ship date — the
+    only fact-sized aggregate — then ALL the order-level questions
+    (order max, supplier count, how many suppliers attain the max)
+    are window functions over the SAME l_orderkey partitioning: one
+    Window node, one exchange, zero join-backs. A naive
+    aggregate-then-rejoin formulation scanned lineitem+orders three
+    times with 13 exchanges and no exchange reuse (measured); this
+    form is one lineitem scan, three exchanges, and the blame filter
+    + broadcast supplier lookup. Timestamp equality (not float) keeps
+    the max-attainment test exact on both engines."""
     li, o, s = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     l = (
         li.join(o.filter(F.col("o_orderstatus") == "F"),
                 li.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.count_distinct("l_suppkey").alias("n_supp"),
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
     )
-    blame = (
-        l.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    sole = (
-        blame.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_blamed"))
-        .filter(F.col("n_blamed") == 1)
-        .select("l_orderkey")
+    wk = Window.partitionBy("l_orderkey")
+    at_max = F.col("s_max") == F.col("order_max")
+    blamed = (
+        per_supp.withColumn("order_max", F.max("s_max").over(wk))
+        .withColumn("n_supp", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "n_at_max", F.sum(F.when(at_max, 1).otherwise(0)).over(wk)
+        )
+        .filter((F.col("n_supp") > 1) & at_max & (F.col("n_at_max") == 1))
     )
     return (
-        blame.join(sole, "l_orderkey")
-        .join(F.broadcast(s), blame.l_suppkey == s.s_suppkey)
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
