@@ -2232,3 +2232,53 @@ def e13_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("q3"), 4).alias("q3"),
         )
     )
+
+
+@register(
+    "x_url_functions",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def x_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing sweep (web-corpus curation needs host/path/query
+    splits for domain filtering, dedup keys, and per-site sampling):
+    Spark's codegen'd ``parse_url`` — HOST/PATH/QUERY/QUERY(key)/
+    PROTOCOL — checked against a from-scratch regex oracle over the
+    same deterministically synthesized URLs (the fixtures carry no URL
+    column, so the inputs are built from source/doc_id/lang — both
+    engines see identical strings and the outputs must agree exactly).
+
+    Scale: pure scan+project, whole-stage codegen, no shuffle; this is
+    the idiom that replaces per-row Python urlparse UDFs (the classic
+    100×-slower web-pipeline anti-pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )

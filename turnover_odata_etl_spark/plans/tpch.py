@@ -499,10 +499,14 @@ def e6_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the spec requires — NOT a LIMIT 1).
 
     Plan: quarter filter pushes to the scan; revenue aggregates on
-    l_suppkey (one shuffle, partial-agg'd); the MAX is a one-row frame
-    broadcast back against the same aggregate — the aggregate is
-    computed once per branch at fixture scale, and the supplier lookup
-    broadcasts. No window, no sort of the full aggregate."""
+    l_suppkey (one shuffle, partial-agg'd); the MAX-and-filter runs as
+    a global window over the PER-SUPPLIER aggregate — measured
+    alternative: deriving the max as a separate `rev.agg(max)` branch
+    got no runtime exchange reuse and scanned lineitem twice; the
+    window form computes the aggregate once and pays one extra
+    exchange over supplier-cardinality rows (post-agg, dimension-
+    sized at any SF — the single-partition window never sees fact
+    rows). Supplier lookup broadcasts."""
     li, s = _t(spark, sf_dir, "lineitem", "supplier")
     rev = (
         li.filter(
@@ -515,11 +519,12 @@ def e6_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_rev")
         )
     )
-    best = rev.agg(F.max("total_rev").alias("best_rev"))
+    best = rev.withColumn(
+        "best_rev", F.max("total_rev").over(Window.partitionBy())
+    )
     return (
-        rev.join(F.broadcast(best))
-        .filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        best.filter(F.col("total_rev") == F.col("best_rev"))
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
     )
 
