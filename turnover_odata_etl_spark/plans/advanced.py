@@ -2282,3 +2282,192 @@ def x_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "g_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS r FROM deg),
+    r1 AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p.r / deg.d) AS r
+           FROM edges e JOIN r0 p ON e.src = p.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p.r / deg.d) AS r
+           FROM edges e JOIN r1 p ON e.src = p.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p.r / deg.d) AS r
+           FROM edges e JOIN r2 p ON e.src = p.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+    r4 AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p.r / deg.d) AS r
+           FROM edges e JOIN r3 p ON e.src = p.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst),
+    r5 AS (SELECT e.dst AS node,
+                  0.15 / (SELECT n FROM n) + 0.85 * sum(p.r / deg.d) AS r
+           FROM edges e JOIN r4 p ON e.src = p.node
+           JOIN deg ON e.src = deg.src GROUP BY e.dst)
+    SELECT node, round(r, 8) AS rank FROM r5
+    """,
+    tags=("graph", "iterative"),
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts sharing an order),
+    5 synchronous iterations, damping 0.85 — the iterative-algorithm
+    representative beyond connected components (E20): per round, each
+    node splits its rank over its out-edges and every node resums
+    0.15/N + 0.85·(incoming). The co-purchase graph is symmetric, so
+    every node has in- and out-edges and no dangling-mass or
+    missing-node branch is needed (the general form adds a left join
+    + dangling redistribution).
+
+    Scale: the loop is driver-side PLAN construction only — data never
+    leaves the cluster. Each iteration is one edges⋈ranks join plus a
+    dst-keyed aggregate, both hash-partitioned on the node id (the BSP
+    round every distributed graph engine runs); edges and degrees are
+    computed once and persisted. At a fixed 5 iterations the lineage
+    is shallow enough to skip checkpointing; convergence-driven runs
+    use the localCheckpoint-per-round pattern from
+    operators/cluster.py. The oracle unrolls the same 5 rounds as SQL
+    CTE layers, so the driver hash-checks real iterative numerics
+    (rounded to 8dp; rank mass is far off any decimal grid)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    ed = edges.join(deg, "src").persist()
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.select("src").join(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(5):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
+        )
+        ranks = contribs.join(F.broadcast(n)).select(
+            "node",
+            (F.lit(0.15) / F.col("n") + 0.85 * F.col("mass")).alias("r"),
+        )
+    return ranks.select("node", F.round("r", 8).alias("rank"))
+
+
+@register(
+    "s_compaction_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "sink", "layout", "maintenance"),
+)
+def s_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every
+    streaming/incremental sink eventually needs: a fragmented dataset
+    (here deliberately written as 64 splinter files, the shape a
+    per-trigger micro-batch sink produces) is rewritten into
+    target-sized files via a single `repartition(4)` pass, and the
+    aggregate over the compacted copy must be byte-identical to the
+    oracle over the original. At 100 TB compaction runs per partition
+    with `maxRecordsPerFile` bounding file size; the rewrite is one
+    round-robin exchange — no keyed shuffle — and commits atomically
+    by directory swap (here: overwrite).
+
+    The file-count contract (64 → 4) is asserted here rather than in a
+    plan test: it IS the operator's output."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/compaction"
+    shutil.rmtree(base, ignore_errors=True)
+    frag, compact = f"{base}/frag", f"{base}/compact"
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_compact = sum(f.endswith(".parquet") for f in os.listdir(compact))
+    assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
+
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "s_schema_evolution_merge",
+    oracle="""
+    SELECT doc_id, lang, NULL AS quality_score FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 100.0 AS quality_score
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("relational", "sink", "schema"),
+)
+def s_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing dataset: generation 1 writes
+    (doc_id, lang); generation 2 appends the same table WITH a new
+    quality_score column (the standard additive-column evolution every
+    long-lived corpus undergoes). Reading with ``mergeSchema=true``
+    reconciles the parquet footers into the union schema and
+    null-fills the old files' missing column — exactly what the oracle
+    states as a UNION ALL with NULLs.
+
+    Scale: mergeSchema pays a footer read per file at planning time —
+    on big tables pin the evolved schema explicitly (.schema(...)) or
+    keep it in a catalog/metastore; either way OLD FILES ARE NEVER
+    REWRITTEN, which is the point (at 100 TB a rewrite is days, a
+    footer merge is seconds)."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/schema_evo"
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(base)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars").cast("double") / 100.0).alias("quality_score"),
+    ).write.mode("append").parquet(base)
+
+    return spark.read.option("mergeSchema", "true").parquet(base).select(
+        "doc_id", "lang", "quality_score"
+    )
