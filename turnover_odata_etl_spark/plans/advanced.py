@@ -2471,3 +2471,37 @@ def s_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(base).select(
         "doc_id", "lang", "quality_score"
     )
+
+
+@register(
+    "e13_bitmap_presence",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS BIGINT)
+             AS presence_bitmap,
+           CAST(bit_count(bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)))
+             AS BIGINT) AS n_buckets_hit
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "agg", "sketch"),
+)
+def e13_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence summary — the fixed-width cousin of the HLL
+    rollup (E35): per group, OR together one-hot bucket bits of the
+    key (user_id mod 62 here; a real deployment buckets by hash) into
+    a single 64-bit word, plus its popcount. The word is tiny,
+    mergeable by OR at any re-grain, and supports instant set algebra
+    (AND = co-presence, OR = union coverage) — the primitive behind
+    roaring-bitmap audience/segment systems, demonstrated at word
+    width. All-integer arithmetic: the oracle matches exactly.
+
+    Scale: a map-side partial bit_or collapses each partition to one
+    word per group before the shuffle — bytes move, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # F.shiftleft takes a Python int for numBits; the per-row shift
+    # needs the SQL form
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(user_id % 62 as int))")
+    return ev.groupBy("event_type").agg(
+        F.bit_or(bit).alias("presence_bitmap"),
+        F.bit_count(F.bit_or(bit)).cast("long").alias("n_buckets_hit"),
+    )
