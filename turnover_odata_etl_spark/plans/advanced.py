@@ -2505,3 +2505,77 @@ def e13_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(bit).alias("presence_bitmap"),
         F.bit_count(F.bit_or(bit)).cast("long").alias("n_buckets_hit"),
     )
+
+
+def _morton_spread(col_expr: str) -> str:
+    """SQL for spreading a 16-bit int's bits to even positions of a
+    32-bit word (the standard interleave ladder, all codegen'd
+    bigint ops)."""
+    x = f"cast({col_expr} as bigint)"
+    x = f"((({x}) | ({x}) << 8) & 16711935)"          # 0x00FF00FF
+    x = f"((({x}) | ({x}) << 4) & 252645135)"         # 0x0F0F0F0F
+    x = f"((({x}) | ({x}) << 2) & 858993459)"         # 0x33333333
+    x = f"((({x}) | ({x}) << 1) & 1431655765)"        # 0x55555555
+    return x
+
+
+@register(
+    "s_zorder_layout",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    WHERE user_id % 1024 < 64
+      AND (epoch_ms(ts) // 3600000) % 1024 < 64
+    """,
+    tags=("relational", "sink", "layout"),
+)
+def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout — multi-dimensional data
+    skipping, the step past single-column range sorting (E41): the
+    16-bit bucket ids of TWO filter dimensions (user bucket, hour
+    bucket) bit-interleave into one Morton key via the shift-and-mask
+    spread ladder (pure codegen bigint ops, no UDF);
+    ``repartitionByRange(morton)`` + ``sortWithinPartitions`` then
+    cluster the write so every file covers a small Z-curve rectangle —
+    and a conjunctive filter on EITHER or BOTH dimensions prunes
+    row-groups on parquet min/max stats. A lexicographic (a, b) sort
+    only skips on the leading column; the Z-curve bounds both.
+
+    The oracle is the filtered aggregate over the original table —
+    layout must never change results; the skipping benefit shows in
+    the scan's rowgroup counters at scale (at fixture scale the
+    contract is correctness + the clustered write path executing)."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/zorder"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        # integer div on both engines (DuckDB CAST rounds, Spark cast
+        # truncates — `div` sidesteps the disagreement)
+        F.expr("unix_millis(cast(ts as timestamp)) div 3600000").alias(
+            "hour_bucket"
+        ),
+    )
+    a = _morton_spread("user_id % 1024")
+    b = _morton_spread("hour_bucket % 1024")
+    zed = ev.withColumn("__z", F.expr(f"({a}) | (({b}) << 1)"))
+    (
+        zed.repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base).filter(
+        (F.col("user_id") % 1024 < 64) & (F.col("hour_bucket") % 1024 < 64)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
