@@ -143,3 +143,55 @@ def test_incremental_upsert_rewrites_only_touched_buckets(spark, sf_dir, dirs):
         .collect()
     )
     assert len(row) == 1 and row[0].event_type == "update"
+
+
+def test_incremental_agg_additive_and_idempotent(spark, sf_dir, dirs):
+    """The aggregate state after two incremental runs equals the
+    one-shot batch aggregate; a third run with no new files is a
+    no-op (checkpoint short-circuits — state bytes untouched)."""
+    import os
+
+    from turnover_odata_etl_spark.streaming.incremental import (
+        run_incremental_agg,
+    )
+
+    ev = _batch(spark, sf_dir).select("event_id", "user_id", "value")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    ev.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(
+        dirs["src"]
+    )
+    schema = spark.read.parquet(dirs["src"]).schema
+    kw = dict(key_cols=["user_id"], agg_col="value", n_buckets=8)
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(dirs["src"])
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+
+    got = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(dirs["state"]).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(dirs["state"]):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = mtimes()
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    assert mtimes() == before  # empty batch: no bucket rewritten

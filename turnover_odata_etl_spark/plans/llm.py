@@ -1506,3 +1506,98 @@ def s_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(queries, emb, "vec_id", "embedding", k=5)
     exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
     return recall_contract(approx, exact, k=5, floor_pct=50)
+
+
+@register(
+    "t_corpus_mixture",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INT) % 3 + 1 AS w,
+             CAST(count(*) AS BIGINT) AS n_avail
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw FROM src
+    ), alloc AS (
+      SELECT source, n_avail,
+             CAST((30 * w) // tw AS BIGINT) AS base,
+             CAST((30 * w) % tw AS BIGINT) AS rem
+      FROM src, tot
+    ), topped AS (
+      SELECT source, n_avail, base, rem,
+             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rr,
+             (SELECT CAST(30 - sum(base) AS BIGINT) FROM alloc) AS leftover
+      FROM alloc
+    ), final AS (
+      SELECT source,
+             least(n_avail,
+                   base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS k
+      FROM topped
+    )
+    SELECT d.doc_id, d.source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    ) d JOIN final USING (source)
+    WHERE d.rn <= final.k
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def t_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing — assemble a training mixture hitting
+    TARGET PROPORTIONS per domain (the data-mixing step of every
+    published pretraining recipe), exactly and deterministically:
+    integer largest-remainder apportionment (floor allocations, then
+    +1 to the largest remainders until the 30-doc budget is spent —
+    the same scheme parliaments use; no float weights drifting the
+    total), capped by per-source availability, with members chosen in
+    md5 hash order (reproducible, engine-independent, no RNG).
+    Source weights derive deterministically from the source id
+    (1 + N mod 3) in lieu of a config table.
+
+    Scale: the allocation table is one row per DOMAIN — dimension-
+    sized however big the corpus — so apportionment computes in one
+    tiny aggregate + global window and broadcasts back; the corpus
+    pays one source-partitioned window for hash-rank selection (same
+    posture as t_domain_balanced_sample; salt monster domains via
+    operators/skew.py if needed)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    T = 30
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    src = src.withColumn(
+        "w", F.expr("cast(substring(source, 4) as int) % 3 + 1")
+    )
+    tot = src.agg(F.sum("w").cast("long").alias("tw"))
+    alloc = src.join(F.broadcast(tot)).select(
+        "source",
+        "n_avail",
+        F.expr(f"cast(({T} * w) div tw as bigint)").alias("base"),
+        F.expr(f"cast(({T} * w) % tw as bigint)").alias("rem"),
+    )
+    leftover = alloc.agg((F.lit(T) - F.sum("base")).cast("long").alias("leftover"))
+    topped = alloc.withColumn(
+        "rr",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("rem"), F.asc("source")))
+        .cast("long"),
+    ).join(F.broadcast(leftover))
+    final = topped.select(
+        "source",
+        F.least(
+            F.col("n_avail"),
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0),
+        ).alias("k"),
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(wnd))
+    return (
+        ranked.join(F.broadcast(final), "source")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source")
+    )
