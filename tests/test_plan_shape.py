@@ -353,3 +353,18 @@ def test_q21_aggregate_chain_copartitions_on_orderkey(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the blame-set join with supplier stays broadcast (dimension)
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
+    """The radius join must execute as a hash equi-join on cell keys —
+    the only nested-loop allowed is the 9-row neighbor-offset
+    expansion on the dimension side; the fact side must never
+    cartesian against stations."""
+    plan = plan_str(
+        SPECS["e4_spatial_grid_join"].fn(spark, sf_dir), mode="simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("CartesianProduct") == 0
+    # the only nested-loops build the 9-row offset grid (3×3 ranges ×
+    # station side) — both dimension-sized, never touching events
+    assert plan.count("BroadcastNestedLoopJoin") <= 2

@@ -2579,3 +2579,87 @@ def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@register(
+    "e4_spatial_grid_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id,
+             (event_id * 7919) % 1000 AS x,
+             (event_id * 104729) % 1000 AS y
+      FROM events
+    ), s AS (
+      SELECT (c_custkey * 7919) % 1000 AS sx,
+             (c_custkey * 104729) % 1000 AS sy
+      FROM customer
+    )
+    SELECT p.event_id,
+           CAST(count(*) AS BIGINT) AS n_within,
+           CAST(min((x - sx) * (x - sx) + (y - sy) * (y - sy)) AS BIGINT)
+             AS min_d2
+    FROM p, s
+    WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 2500
+    GROUP BY p.event_id
+    """,
+    tags=("relational", "join", "spatial"),
+)
+def e4_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid bucketing — the 2-D sibling of the
+    as-of/range-join family: for every point (synthesized planar
+    coordinates from event ids — integer arithmetic, so the oracle is
+    EXACT, no trig-libm ulps), count the stations within radius R=50
+    and the squared distance to the nearest. Cell size = R, so every
+    within-R station of a point in cell (cx, cy) lies in the 3×3
+    neighbor cells: the small station side explodes ×9 into its
+    neighbor cells (dimension-sized), the join is a plain equi-join on
+    the cell key, and the exact distance filter prunes the candidate
+    ring. The oracle is the O(n·m) cross join — the same
+    complexity-class contrast as the dedup ladder: candidates per
+    point ≈ stations in 9 cells, not all stations.
+
+    Scale: fact side never replicates (the ×9 explode is on the
+    station/dimension side); the equi-join broadcasts while stations
+    are dimension-sized and degrades to a hash join on cell keys —
+    which is also the skew story: cell id is high-cardinality and
+    uniform under any hash-ish coordinate spread."""
+    R, R2 = 50, 2500
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * 7919) % 1000).alias("x"),
+        ((F.col("event_id") * 104729) % 1000).alias("y"),
+    )
+    st = load_table(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") * 7919) % 1000).alias("sx"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("sy"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("ox")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("oy"))
+    )
+    st_cells = st.crossJoin(F.broadcast(offsets)).select(
+        "sx",
+        "sy",
+        (F.expr(f"sx div {R}") + F.col("ox")).alias("scx"),
+        (F.expr(f"sy div {R}") + F.col("oy")).alias("scy"),
+    )
+    pts = ev.select(
+        "event_id",
+        "x",
+        "y",
+        F.expr(f"x div {R}").alias("cx"),
+        F.expr(f"y div {R}").alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2
+    return (
+        pts.join(
+            F.broadcast(st_cells),
+            (F.col("cx") == F.col("scx")) & (F.col("cy") == F.col("scy")),
+        )
+        .withColumn("d2", d2.cast("long"))
+        .filter(F.col("d2") <= R2)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min("d2").alias("min_d2"),
+        )
+    )
