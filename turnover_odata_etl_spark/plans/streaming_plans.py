@@ -337,3 +337,86 @@ def st_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "st_stream_stream_left_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id AS l_event_id, epoch_ms(ts) AS l_ts_ms
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id AS r_event_id, epoch_ms(ts) AS r_ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.l_event_id, r.r_event_id, l.l_ts_ms, r.r_ts_ms
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.r_ts_ms >= l.l_ts_ms
+     AND r.r_ts_ms <= l.l_ts_ms + 30 * 60 * 1000
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def st_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the hardest join semantics in
+    Structured Streaming: matched click→purchase pairs emit
+    immediately, but a click with no purchase can emit null-extended
+    ONLY once the watermark proves no future purchase could match
+    (wm past click + 30min window). Two empirical facts drive the
+    harness shape, both measured here: (1) null emission lags the
+    watermark crossing by a micro-batch, and (2) how many no-data
+    batches an availableNow run appends is not guaranteed — so the
+    run uses the SENTINEL FLUSH pattern every production pipeline
+    uses to close out event time: stream from a private copy of the
+    events, run once, append a far-future sentinel batch (one click +
+    one purchase under reserved user ids, +2 h), run again. The
+    sentinel drives the watermark past every real click's window, so
+    the second run must emit every remaining unmatched click and the
+    FULL batch left join is the oracle — no settled-region cutoff.
+    Sentinel rows themselves are excluded from the comparison (the
+    sentinel click is the one row that can never settle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import stream_stream_left_join
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/ss_left_join"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_stream_left_join(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    sentinel = spark.createDataFrame(
+        [
+            (-1, max_ts, -1, "click"),
+            (-2, max_ts, -2, "purchase"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)

@@ -246,3 +246,50 @@ def stream_dedup_within_watermark(
         # only the key columns are deterministic output
         .select("user_id", "event_type")
     )
+
+
+def stream_stream_left_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantically hardest join
+    in Structured Streaming: matched pairs emit immediately, but an
+    UNMATCHED left row can only emit (null-extended) once the
+    watermark proves no future right row could still match it, i.e.
+    after l_ts + within ages past the watermark. Both watermarks plus
+    the two-sided time bound are mandatory here (Spark rejects outer
+    stream-stream joins without them — unbounded state could never
+    declare a left row unmatched)."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "10 minutes")
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "10 minutes")
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.unix_millis("l_ts").alias("l_ts_ms"),
+        F.unix_millis("r_ts").alias("r_ts_ms"),
+    )
