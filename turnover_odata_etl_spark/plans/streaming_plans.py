@@ -420,3 +420,59 @@ def st_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
 
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "st_incremental_cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "incremental", "cdc"),
+)
+def st_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY with tombstones: the events changelog upserts per
+    user, but an 'error' event is a DELETE MARKER — a key whose newest
+    change is a delete must vanish from the state table (and a later
+    upsert resurrects it). Two incremental availableNow runs fold the
+    changelog halves into the bucket-partitioned state; deletes
+    physically drop on the touched-bucket rewrite, no separate delete
+    log. The oracle is keep-latest-then-drop-deleted over the whole
+    changelog — identical by construction ONLY if delete ordering vs
+    upserts is honored across run boundaries, which is what this
+    gates."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import read_state, run_incremental_upsert
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/incr_cdc"
+    shutil.rmtree(base, ignore_errors=True)
+    src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    ev.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    kw = dict(
+        key_cols=["user_id"], order_col="event_id", n_buckets=8,
+        tombstone_filter="event_type = 'error'",
+    )
+    run_incremental_upsert(spark, src, state, ckpt, schema, **kw)
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(src)
+    run_incremental_upsert(spark, src, state, ckpt, schema, **kw)
+    return read_state(spark, state).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    ).drop("event_id")

@@ -71,6 +71,7 @@ def run_incremental_upsert(
     key_cols: list[str],
     order_col: str,
     n_buckets: int = 32,
+    tombstone_filter: str | None = None,
 ) -> None:
     """One scheduled run: merge new files into a keyed keep-latest
     state table via foreachBatch.
@@ -93,7 +94,16 @@ def run_incremental_upsert(
     ``n_buckets`` so one bucket ≈ a few HDFS blocks at the target
     scale; at 100 TB swap the directory surgery for Delta/Iceberg
     ``MERGE INTO`` (which prunes the same way) — the orchestration
-    shape is identical."""
+    shape is identical.
+
+    ``tombstone_filter`` (SQL boolean over the row's columns) turns
+    the merge into a full CDC APPLY: after the keep-latest window, any
+    key whose LATEST row matches the filter is physically dropped from
+    its bucket — a delete marker beats all earlier upserts, and a
+    later upsert resurrects the key (standard changelog semantics).
+    The tombstone must ride on the row itself (an op column), so
+    deletes age out of state for free on the bucket rewrite — no
+    separate delete log."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -118,6 +128,10 @@ def run_incremental_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        if tombstone_filter is not None:
+            # CDC apply: a key whose newest row is a delete marker is
+            # dropped from the rewritten bucket (physical delete)
+            latest = latest.filter(f"NOT ({tombstone_filter})")
         staging = state_dir.rstrip("/") + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         # one shuffle partition per touched bucket → exactly one file
