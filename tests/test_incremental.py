@@ -195,3 +195,39 @@ def test_incremental_agg_additive_and_idempotent(spark, sf_dir, dirs):
         spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
     )
     assert mtimes() == before  # empty batch: no bucket rewritten
+
+
+def test_incremental_agg_survives_batch_redelivery(spark, sf_dir, dirs):
+    """foreachBatch is at-least-once: a wiped checkpoint re-delivers
+    batch 0 with the same data, and an additive merge would silently
+    double-count. The _applied marker must make the re-delivery a
+    no-op."""
+    import shutil
+
+    from turnover_odata_etl_spark.streaming.incremental import (
+        run_incremental_agg,
+    )
+
+    ev = _batch(spark, sf_dir).select("event_id", "user_id", "value").limit(
+        1000
+    )
+    ev.write.mode("overwrite").parquet(dirs["src"])
+    schema = spark.read.parquet(dirs["src"]).schema
+    kw = dict(key_cols=["user_id"], agg_col="value", n_buckets=8)
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(dirs["state"]).collect()
+    }
+    # wipe the checkpoint: the rerun re-delivers the SAME batch id 0
+    shutil.rmtree(dirs["ckpt"])
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    got = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(dirs["state"]).collect()
+    }
+    assert got == want  # no double counting

@@ -192,9 +192,23 @@ def run_incremental_agg(
     grains; AVG derives as sum/count downstream, and non-additive
     aggregates (MIN over deletions, DISTINCT) need the full-state or
     sketch-based variants instead — that boundary is the design
-    point this operator demonstrates."""
+    point this operator demonstrates.
+
+    Idempotence: foreachBatch is AT-LEAST-ONCE — after a crash between
+    sink write and checkpoint commit (or a wiped checkpoint), the same
+    batch id is re-delivered, and an ADDITIVE merge would double-count
+    (keep-latest merges are naturally re-delivery-safe; additive ones
+    are not). Each applied batch therefore leaves a marker under
+    ``state_dir/_applied/`` and a re-delivered id is skipped. The
+    marker lands after the bucket swap, so the residual hazard is a
+    crash BETWEEN swap and marker — the window a transactional table
+    format (Delta/Iceberg txn-version check) closes atomically; the
+    orchestration shape here is the same."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_dir, "_applied", f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: already folded in
         sp = batch_df.sparkSession
         delta = (
             batch_df.groupBy(*key_cols)
@@ -211,7 +225,13 @@ def run_incremental_agg(
         )
         if not touched:
             return
-        if os.path.isdir(state_dir):
+        # state exists iff bucket dirs exist (the _applied marker dir
+        # is underscore-prefixed, which parquet listing ignores — but
+        # an empty read would still throw, so check for buckets)
+        has_state = os.path.isdir(state_dir) and any(
+            e.startswith("__bucket=") for e in os.listdir(state_dir)
+        )
+        if has_state:
             current = sp.read.parquet(state_dir).filter(
                 F.col("__bucket").isin(touched)
             )
@@ -239,6 +259,8 @@ def run_incremental_agg(
                 shutil.rmtree(dst)
             os.rename(os.path.join(staging, entry), dst)
         shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     q = (
