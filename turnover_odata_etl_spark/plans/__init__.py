@@ -31,34 +31,38 @@ from . import tpch  # noqa: E402,F401
 #
 # ROTATION (round 4, per VERDICT r03 items 3 and 6): the window is
 # re-curated each round so families added since the last audit get a
-# driver CORRECTNESS row. Swapped in this round (first-time audits):
-# the five round-3 families — e13_exact_percentiles, e14_funnel_sequence,
-# e14_peak_concurrency, e6_copurchase_pairs, e14_retention_cohorts —
-# plus the two watermark surfaces the driver has never audited:
-# st_stream_stream_join, st_stream_dedup_watermark (post-NTZ-fix).
-# Displaced (all green in CORRECTNESS_r03, all keep local parity
-# coverage, each family keeps >=1 gated representative):
-# e6_q19_disjunctive_join, e6_q14_promo_revenue (E6 keeps q5 + top-k +
-# co-purchase), e13_hll_sketch_rollup (E13 keeps approx_aggs + gains
-# exact_percentiles), p_expectations (profiling keeps profile_table +
-# heavy_hitters), t_pii_redact, t_domain_balanced_sample (text keeps
-# C4 gate + lang_quality + tfidf), s_knn_bruteforce (similarity keeps
-# the tiled distributed path), m_binary_features (E11's gate row is
-# now the REAL decode path m_image_decode_features, round-4 de-stub).
+# driver CORRECTNESS row. First rotation this round brought in the
+# five round-3 families (e13_exact_percentiles, e14_funnel_sequence,
+# e14_peak_concurrency, e6_copurchase_pairs, e14_retention_cohorts),
+# both never-audited watermark surfaces (st_stream_stream_join,
+# st_stream_dedup_watermark), and m_image_decode_features (the E11
+# de-stub). A SECOND intra-round rotation then gated eleven of the
+# round-4 additions so they don't repeat r03's added-after-rotation
+# gap: e6_q6 (pure pushdown), e6_q13 (zero-preserving distribution),
+# e6_q21 (EXISTS/NOT-EXISTS blame chain), e6_q22 (anti + scalar AVG),
+# g_pagerank (iterative), t_decontaminate, t_sequence_pack,
+# e13_outliers_iqr, e4_spatial_grid_join, st_incremental_cdc,
+# t_corpus_mixture. Displaced across both rotations (every one green
+# in CORRECTNESS_r03 and/or multiple prior rounds, every family keeps
+# >=1 gated representative, all keep local parity coverage):
+# e6_q19, e6_q14, e13_hll_sketch_rollup, p_expectations, t_pii_redact,
+# t_domain_balanced_sample, s_knn_bruteforce, m_binary_features,
+# p_stringify_nested, f_notnull_nonempty, a_distinct_sorted,
+# x_odata_date_roundtrip, c3_empty_relation, t_lang_quality,
+# d_fingerprint_dedup, d_dedup_clusters, e6_q5_local_supplier_volume,
+# p_heavy_hitters, st_stream_static_join. The remaining round-4
+# additions (Q2/4/8/9/11/12/15/16/17/20, zorder/compaction/schema-evo,
+# bitmap, url, unigram, st_stream_stream_left_join, st_incremental_agg)
+# are next round's rotation pool.
 GATED_QUERIES = [
     "flagship_turnover",
     "p_rename_coalesce_reorder",
-    "p_stringify_nested",
     "f_eq_predicate",
-    "f_notnull_nonempty",
-    "a_distinct_sorted",
     "t_quality_filter_c4",
     "o_sort_limit",
     "u_union_by_name",
-    "x_odata_date_roundtrip",
     "e12_json_extract",
     "p_profile_table",
-    "c3_empty_relation",
     "semi_join_orchestration",
     "e1_pricing_summary",
     "e2_rollup",
@@ -67,7 +71,6 @@ GATED_QUERIES = [
     "e13_exact_percentiles",
     "e14_funnel_sequence",
     "e3_star_join_revenue",
-    "p_heavy_hitters",
     "e4_asof_join",
     "e5_window_ranks",
     "q_sql_recursive_cte",
@@ -80,17 +83,23 @@ GATED_QUERIES = [
     "x_string_functions",
     "st_stream_stream_join",
     "s_knn_tiled",
-    "st_stream_static_join",
-    "t_lang_quality",
+    "e6_q6_forecast_revenue",
+    "e6_q13_customer_distribution",
+    "e6_q21_suppliers_kept_waiting",
+    "e6_q22_global_sales_opportunity",
+    "g_pagerank",
+    "t_decontaminate",
+    "t_sequence_pack",
+    "e13_outliers_iqr",
+    "e4_spatial_grid_join",
+    "st_incremental_cdc",
+    "t_corpus_mixture",
     "t_tfidf_topterms",
-    "d_fingerprint_dedup",
     "d_minhash_lsh_neardup",
     "d_ngram_jaccard",
-    "d_dedup_clusters",
     "st_stream_dedup_watermark",
     "m_image_decode_features",
     "e15_udtf_split_words",
-    "e6_q5_local_supplier_volume",
     "st_tumbling_window",
     "st_session_window",
     "st_incremental_upsert",

@@ -1601,3 +1601,62 @@ def t_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "t_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM tf
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(-ln(tf.c / tot.n)), 4) AS avg_neg_logprob
+    FROM toks t
+    JOIN tf ON t.tok = tf.tok
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-shape: score every
+    document by its average negative log-probability under a unigram
+    model fit on the corpus itself (the cheap stand-in for the
+    KenLM-perplexity filter in published web-corpus pipelines —
+    documents whose token distribution diverges from the corpus score
+    high and get filtered). Two genuinely separate passes: model fit
+    (global term frequencies) and scoring (per-token lookup + per-doc
+    average).
+
+    Scale: the term-frequency model is VOCABULARY-sized (sublinear in
+    corpus size, Heaps' law) — broadcast into the scoring join, so the
+    corpus explodes map-side and aggregates per doc_id without ever
+    shuffling on the token. The total-count scalar rides the same
+    broadcast. Cross-engine floats: ln/avg differ by ulps at most;
+    scores are continuous (never on a decimal grid), so the 4dp
+    rounding is boundary-safe."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tk", TXT.tokens(F.col("text"))
+    )
+    toks = docs.filter(F.size("tk") >= 1).select(
+        "doc_id", F.explode("tk").alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
