@@ -2663,3 +2663,50 @@ def e4_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d2").alias("min_d2"),
         )
     )
+
+
+@register(
+    "e14_inactivity_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, prev AS gap_start_ms, ms AS gap_end_ms,
+           ms - prev AS gap_ms
+    FROM o
+    WHERE prev IS NOT NULL AND ms - prev > 6 * 3600 * 1000
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def e14_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap detection — the complement of sessionization
+    (E14's gaps-and-islands finds activity islands; this reports the
+    GAPS): per user, every silence longer than 6 hours with its
+    bounds. The uptime/downtime report shape for device fleets and
+    the feed-freshness monitor for pipelines.
+
+    One lag() over (user_id, ts) — co-partitioned with every other
+    per-user window in the suite, one shuffle, no join. Ties on ts
+    break by event_id so both engines see the same neighbor."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("ms").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("ms") - F.col("prev") > 6 * 3600 * 1000)
+        )
+        .select(
+            "user_id",
+            F.col("prev").alias("gap_start_ms"),
+            F.col("ms").alias("gap_end_ms"),
+            (F.col("ms") - F.col("prev")).alias("gap_ms"),
+        )
+    )

@@ -1660,3 +1660,54 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t_weighted_sample_es",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             1.0 + doc_id % 5 AS w,
+             ((doc_id * 2654435761) % 1000003 + 1) / 1000004.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source,
+             ln(u) / w AS k,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ln(u) / w DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, source FROM keyed WHERE rn <= 5
+    """,
+    tags=("llm", "sampling", "weighted"),
+)
+def t_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-Res: each item draws key u^(1/w) (equivalently ln(u)/w) and the
+    top-k keys per stratum are the sample — the distributed-friendly
+    algorithm for 'sample 5 docs per source, heavier docs more
+    likely', one pass, no rejection loop, exactly k per stratum.
+    Determinism: u is a Knuth multiplicative-hash pseudo-uniform of
+    the doc id (pure integer arithmetic — bit-identical on both
+    engines; a production run seeds it per-epoch), so the oracle
+    reproduces the draw exactly.
+
+    Scale: scoring is map-side arithmetic; selection is one top-k
+    window per stratum (same posture as t_domain_balanced_sample —
+    salt monster strata via operators/skew.py). ln() ulps cannot flip
+    the order: keys are continuous and ties break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (1.0 + F.col("doc_id") % 5).alias("w"),
+        (((F.col("doc_id") * 2654435761) % 1000003 + 1) / 1000004.0).alias(
+            "u"
+        ),
+    )
+    k = F.log(F.col("u")) / F.col("w")
+    wnd = Window.partitionBy("source").orderBy(k.desc(), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
