@@ -368,3 +368,16 @@ def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
     # the only nested-loops build the 9-row offset grid (3×3 ranges ×
     # station side) — both dimension-sized, never touching events
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_pretrain_pipeline_filter_pushes_under_composition(spark, sf_dir):
+    """Composing quality -> decontaminate -> dedup -> pack into one
+    plan must not defeat pushdown: the n_chars >= 100 gate reaches the
+    parquet scan under the anti join and both window passes, and no
+    per-row Python appears anywhere."""
+    plan = plan_str(SPECS["t_pretrain_pipeline"].fn(spark, sf_dir))
+    assert any(
+        "n_chars" in seg.splitlines()[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ), "quality gate not pushed to scan"
+    assert "BatchEvalPython" not in plan

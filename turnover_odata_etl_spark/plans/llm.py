@@ -1711,3 +1711,134 @@ def t_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "t_pretrain_pipeline",
+    oracle=r"""
+    WITH quality AS (
+      SELECT doc_id, text FROM documents WHERE n_chars >= 100
+    ), toks AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+      FROM quality WHERE trim(text) <> ''
+    ), sh AS (
+      SELECT doc_id, text,
+             CASE WHEN len(t) >= 8 THEN
+               list_distinct(list_transform(range(len(t) - 7),
+                             i -> array_to_string(t[i+1:i+8], ' ')))
+             ELSE [] END AS shingles,
+             CAST(len(t) AS BIGINT) AS n_tok
+      FROM toks
+    ), ev AS (
+      SELECT flatten(list(shingles)) AS evs FROM sh WHERE doc_id % 97 = 0
+    ), decontaminated AS (
+      SELECT sh.doc_id, sh.text, sh.n_tok FROM sh, ev
+      WHERE sh.doc_id % 97 <> 0 AND NOT list_has_any(sh.shingles, ev.evs)
+    ), deduped AS (
+      SELECT doc_id, n_tok FROM (
+        SELECT doc_id, n_tok,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM decontaminated
+      ) WHERE rn = 1
+    ), packed AS (
+      SELECT doc_id, doc_id % 8 AS shard, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                      PARTITION BY doc_id % 8 ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cum
+      FROM deduped
+    ), frags AS (
+      SELECT doc_id, shard, n_tok, cum,
+             unnest(generate_series(cum // 512,
+                                    (cum + n_tok - 1) // 512)) AS seq_no
+      FROM packed
+    )
+    SELECT shard, seq_no, doc_id,
+           greatest(cum, seq_no * 512) - seq_no * 512 AS off_in_seq,
+           least(cum + n_tok, (seq_no + 1) * 512)
+             - greatest(cum, seq_no * 512) AS frag_len
+    FROM frags
+    """,
+    tags=("llm", "pipeline", "dedup", "packing"),
+)
+def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-data pipeline END-TO-END as ONE declarative
+    plan: quality gate (n_chars >= 100, pushed to the scan) →
+    8-gram test-set decontamination (drop the eval slice and anything
+    colliding with it) → exact dedup (md5 fingerprint, keep lowest
+    doc_id) → GPT-style sequence packing into 512-token fragments.
+    Four pipeline stages, one Catalyst plan — the point of building
+    the ops as DataFrame transformations is that composition is free:
+    the optimizer sees through all four stages (the quality filter
+    reaches the parquet scan UNDER the downstream joins/windows), and
+    no intermediate corpus is ever materialized.
+
+    Scale posture inherited from the component ops: broadcast eval
+    shingles, doc_id-co-partitioned anti join, fingerprint groupBy,
+    per-shard packing prefix sum. The oracle chains the same stages
+    as CTEs — every stage integer/hash-exact, so the composition is
+    hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 100).withColumn(
+        "tk", TXT.tokens(F.col("text"))
+    ).filter(F.size("tk") >= 1)
+    sh = quality.select(
+        "doc_id",
+        "text",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.when(
+            F.size("tk") >= 8,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 7),"
+                    " i -> concat_ws(' ', slice(tk, i, 8)))"
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shingles"),
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_sh = (
+        sh.filter(is_eval).select(F.explode("shingles").alias("s")).distinct()
+    )
+    train = sh.filter(~is_eval)
+    contaminated = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        clean.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    B = 512
+    t = deduped.withColumn("shard", F.col("doc_id") % 8)
+    wp = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum", F.coalesce(F.sum("n_tok").over(wp), F.lit(0)))
+    frags = c.withColumn(
+        "seq_no",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum div {B}"), F.expr(f"(cum + n_tok - 1) div {B}")
+            )
+        ),
+    )
+    start = F.greatest(F.col("cum"), F.col("seq_no") * B)
+    end = F.least(F.col("cum") + F.col("n_tok"), (F.col("seq_no") + 1) * B)
+    return frags.select(
+        "shard",
+        "seq_no",
+        "doc_id",
+        (start - F.col("seq_no") * B).alias("off_in_seq"),
+        (end - start).alias("frag_len"),
+    )
