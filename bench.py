@@ -64,6 +64,13 @@ STREAMING = [
     "st_incremental_upsert",
 ]
 
+# Round-4 capstone: the composed pretraining pipeline (quality →
+# decontaminate → dedup → pack) as one plan — its own section so the
+# headline/streaming/showcase series stay comparable across rounds.
+PIPELINE = [
+    "t_pretrain_pipeline",
+]
+
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
     "e6_q2_min_cost_supplier",
@@ -152,6 +159,7 @@ def main() -> None:
 
     timings = time_queries(spark, specs, HEADLINE, sf_dir, reps, errors)
     showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps, errors)
+    pipeline = time_queries(spark, specs, PIPELINE, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -175,6 +183,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     streaming_total = round(sum(streaming.values()), 3)
     showcase_total = round(sum(showcase.values()), 3)
+    pipeline_total = round(sum(pipeline.values()), 3)
     payload = {
         "metric": "headline_total",
         "value": total,
@@ -185,7 +194,11 @@ def main() -> None:
         "streaming_total": streaming_total,
         "showcase": showcase,
         "showcase_total": showcase_total,
-        "all_total": round(total + streaming_total + showcase_total, 3),
+        "pipeline": pipeline,
+        "pipeline_total": pipeline_total,
+        "all_total": round(
+            total + streaming_total + showcase_total + pipeline_total, 3
+        ),
     }
     if errors:
         payload["errors"] = errors
