@@ -476,3 +476,90 @@ def st_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(spark, state).select(
         "user_id", "event_type", F.round("value", 2).alias("value")
     ).drop("event_id")
+
+
+@register(
+    "st_stream_scd2_enrich",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+    ), flagged AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ms, event_id) AS prev
+      FROM e
+    ), changes AS (
+      SELECT user_id, event_type, ms, event_id
+      FROM flagged WHERE prev IS NULL OR prev <> event_type
+    ), intervals AS (
+      SELECT user_id, event_type AS state, ms AS valid_from_ms,
+             coalesce(lead(ms) OVER (PARTITION BY user_id
+                                     ORDER BY ms, event_id) - 1,
+                      253402300799999) AS valid_to_ms
+      FROM changes
+    )
+    SELECT ev.event_id, ev.user_id, epoch_ms(ev.ts) AS ts_ms,
+           i.state AS state_at_event
+    FROM events ev
+    JOIN intervals i
+      ON ev.user_id = i.user_id
+     AND epoch_ms(ev.ts) BETWEEN i.valid_from_ms AND i.valid_to_ms
+    """,
+    tags=("streaming", "join", "scd2"),
+)
+def st_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) enrichment in a STREAM: every incoming event
+    joins the SCD2 validity interval in force at its event time —
+    'what state was this user in when they did X', the standard
+    point-in-time dimension lookup done per micro-batch. The static
+    side is the SCD2 interval table (built with the same
+    change-compaction + lead() recipe as e4_scd2_intervals, here from
+    the event history itself); the stream-static join carries the
+    non-equi BETWEEN condition, which Spark supports on stream-static
+    joins because the static side broadcasts per batch — no state
+    store, and a dimension refresh lands automatically on the next
+    trigger.
+
+    At 100 TB the interval table is dimension-sized (one row per
+    state CHANGE, not per event) and broadcast; a fact-sized interval
+    table would switch to the batch range-join posture
+    (e4_range_join) inside foreachBatch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import read_events_stream, run_stream_to_table
+    from ..tables import load_table
+
+    hist = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    changes = hist.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    nxt = F.lead("ms").over(w)
+    intervals = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ms").alias("valid_from_ms"),
+        F.coalesce(nxt - 1, F.lit(253402300799999)).alias("valid_to_ms"),
+    )
+
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    enriched = events.join(
+        F.broadcast(intervals),
+        (events.user_id == intervals.user_id)
+        & (F.col("ts_ms") >= F.col("valid_from_ms"))
+        & (F.col("ts_ms") <= F.col("valid_to_ms")),
+        "inner",
+    ).select(
+        "event_id",
+        events.user_id,
+        "ts_ms",
+        F.col("state").alias("state_at_event"),
+    )
+    return run_stream_to_table(enriched, spark, mode="append")
