@@ -2710,3 +2710,60 @@ def e14_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ms") - F.col("prev")).alias("gap_ms"),
         )
     )
+
+
+@register(
+    "e14_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+             epoch_ms(ts) * 1000000 + event_id % 1000000 AS ord,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_ms,
+           round(arg_min(value, ord), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, ord), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("relational", "agg", "timeseries"),
+)
+def e14_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the financial-resample classic: per
+    (series, hour) the opening (earliest), highest, lowest, and
+    closing (latest) value plus the tick count, all in ONE aggregate
+    pass via min_by/max_by (no window, no self-join, no sort).
+    First/last are tie-broken by a composite (ts, event_id) integer
+    key so simultaneous ticks resolve identically on both engines —
+    the detail that separates a reproducible OHLC from a flaky one.
+
+    Scale: a plain partial-agg'd groupBy on (series, bucket) — the
+    min_by/max_by pairs carry (value, key) partials, so the map side
+    collapses each partition to one candidate per bar before the
+    shuffle. This is the single-pass shape; the window formulation
+    (first_value/last_value over ordered frames) costs a sort per
+    partition and is only needed when you also want running columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_millis(cast(ts as timestamp)) div 3600000) * 3600000")
+        .alias("bucket_ms"),
+        # composite tie-break key: epoch-ms shifted + event_id (DuckDB's
+        # arg_min takes scalars only, so the struct form is off the
+        # table; ms*1e6 stays inside int64 through year 9999)
+        F.expr(
+            "unix_millis(cast(ts as timestamp)) * 1000000"
+            " + event_id % 1000000"
+        ).alias("ord"),
+        "value",
+    )
+    return ev.groupBy("event_type", "bucket_ms").agg(
+        F.round(F.expr("min_by(value, ord)"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.expr("max_by(value, ord)"), 2).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
