@@ -381,3 +381,18 @@ def test_pretrain_pipeline_filter_pushes_under_composition(spark, sf_dir):
         for seg in plan.split("PushedFilters")[1:]
     ), "quality gate not pushed to scan"
     assert "BatchEvalPython" not in plan
+
+
+def test_gate_window_is_first_50_registrations():
+    """The driver audits the FIRST 50 registered queries; promote()
+    must put exactly GATED_QUERIES there, every one must exist, carry
+    an oracle, and be unique — a rotation typo would otherwise
+    silently shrink the audited surface."""
+    from turnover_odata_etl_spark.plans import GATED_QUERIES
+
+    assert len(GATED_QUERIES) == 50
+    assert len(set(GATED_QUERIES)) == 50
+    first50 = list(SPECS)[:50]
+    assert first50 == GATED_QUERIES
+    for name in GATED_QUERIES:
+        assert SPECS[name].oracle is not None, name
