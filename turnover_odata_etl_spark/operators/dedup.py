@@ -447,3 +447,87 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard ≥ threshold via PREFIX
+    FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07 — the All-Pairs/PPJoin family): under one global
+    token order, any two sets with J ≥ t must share a token within
+    each other's first ``|d| − ⌈t·|d|⌉ + 1`` tokens, so only PREFIX
+    tokens are indexed and self-joined — candidate cost is
+    Σ_prefix-token freq², a large constant-factor cut versus indexing
+    every token (the ``ngram_jaccard_pairs`` posture), because the
+    global order puts the RAREST tokens first and prefixes are short.
+    Candidates then verify exactly with an array intersection.
+
+    Ordering ties break (frequency, token) so the order — and hence
+    the candidate set — is fully deterministic. The global rank is a
+    window over the VOCABULARY (sublinear in corpus size); at 100 TB
+    vocabulary ranking shards by hash then merges, or reuses a
+    persisted dictionary — the corpus itself only ever explodes its
+    prefixes."""
+    spark = df.sparkSession  # noqa: F841 — parity with sibling helpers
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .filter(F.trim("__t") != "")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.trim("__t"), r"\s+"))).alias(
+                "tok"
+            ),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    rank = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy("freq", "tok")),
+    ).select("tok", "rnk")
+    ranked = toks.join(F.broadcast(rank), "tok").join(sizes, "doc_id")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefixes = (
+        ranked.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("rnk")
+            ),
+        )
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("s")
+    )
+    verified = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb")),
+            "b_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified.select("a_id", "b_id", F.round("jac", 4).alias("jac"))

@@ -1842,3 +1842,36 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start - F.col("seq_no") * B).alias("off_in_seq"),
         (end - start).alias("frag_len"),
     )
+
+
+@register(
+    "d_prefix_filter_jaccard",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS s
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    """,
+    tags=("llm", "dedup", "prefix-filter"),
+)
+def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filtering tier of the dedup ladder (All-Pairs /
+    PPJoin family): exact word-set Jaccard ≥ 0.8 where only each
+    document's rarest-first PREFIX tokens are indexed — sound (no
+    false negatives, guaranteed by the prefix length) and far cheaper
+    than the full inverted index, because common tokens never
+    generate candidates. The oracle is the O(n²) brute force: the
+    same complexity-class contrast the MinHash and n-gram tiers
+    carry, here with zero approximation."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
