@@ -2767,3 +2767,91 @@ def e14_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("max_by(value, ord)"), 2).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_CMS_W = 2048
+_CMS_ROWS = [(31, 7), (131, 101), (1031, 1009), (13, 3)]  # (a, b) per hash
+_CMS_P = 1_000_003
+
+
+@register(
+    "e13_cms_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+      SELECT i, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS cell,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN (VALUES
+        (0, 31, 7), (1, 131, 101), (2, 1031, 1009), (3, 13, 3)
+      ) AS h(i, a, b)
+      GROUP BY 1, 2
+    ), top10 AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 10
+    ), probes AS (
+      SELECT t.user_id, t.true_cnt, h.i,
+             ((h.a * t.user_id + h.b) % {_CMS_P}) % {_CMS_W} AS cell
+      FROM top10 t CROSS JOIN (VALUES
+        (0, 31, 7), (1, 131, 101), (2, 1031, 1009), (3, 13, 3)
+      ) AS h(i, a, b)
+    )
+    SELECT p.user_id, p.true_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS est,
+           CAST(min(c.cnt) >= p.true_cnt AS BIGINT) AS overcount_ok
+    FROM probes p JOIN cells c ON p.i = c.i AND p.cell = c.cell
+    GROUP BY p.user_id, p.true_cnt
+    """,
+    tags=("relational", "agg", "sketch"),
+)
+def e13_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the mergeable approximate
+    tier beside the exact top-N (E28) and the HLL rollup (E35): d=4
+    pairwise-independent-style hash rows × w=2048 counters, built as
+    a plain groupBy over (row, cell) — the sketch IS a tiny DataFrame
+    (≤ d·w rows), mergeable by addition at any re-grain, and the
+    point estimate for a key is the min over its d cells, carrying
+    the classic one-sided guarantee est ≥ true (never undercounts;
+    overcount bounded by εN, ε = e/w). The hash family is affine
+    modular arithmetic — integer-exact, so the DuckDB oracle builds
+    the identical sketch and the driver hash-checks real sketch
+    numerics, not just bounds. Output: the exact top-10 keys with
+    true count, CMS estimate, and the verified one-sided contract.
+
+    Scale: the fact table collapses map-side to ≤ d·w partial cells
+    per partition before the shuffle (bytes move, not rows); the
+    probe side is 10 keys × d cells joined against the dimension-
+    sized sketch. Tie-break at the top-10 boundary is (count desc,
+    key asc) on both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hash_rows = ", ".join(
+        f"{i}L, ((({a} * user_id + {b}) % {_CMS_P}) % {_CMS_W})"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    cells = (
+        ev.select(
+            F.expr(f"stack({len(_CMS_ROWS)}, {hash_rows}) as (i, cell)")
+        )
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top10 = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top10.select(
+        "user_id",
+        "true_cnt",
+        F.expr(f"stack({len(_CMS_ROWS)}, {hash_rows}) as (i, cell)"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("user_id", "true_cnt")
+        .agg(
+            F.min("cnt").alias("est"),
+            (F.min("cnt") >= F.col("true_cnt")).cast("long").alias(
+                "overcount_ok"
+            ),
+        )
+    )
