@@ -231,3 +231,49 @@ def test_incremental_agg_survives_batch_redelivery(spark, sf_dir, dirs):
         for r in spark.read.parquet(dirs["state"]).collect()
     }
     assert got == want  # no double counting
+
+
+def test_incremental_agg_checkpoint_wipe_plus_append_loses_nothing(
+    spark, sf_dir, dirs
+):
+    """ADVICE r04: with a batch-id-keyed marker, wiping the checkpoint
+    after appending files replans EVERYTHING as batch 0 — which matches
+    the old marker and is skipped, permanently losing the appended
+    files. The per-file marker set must instead fold in exactly the
+    new files (and not double-count the old ones)."""
+    import shutil
+
+    from turnover_odata_etl_spark.streaming.incremental import (
+        run_incremental_agg,
+    )
+
+    ev = _batch(spark, sf_dir).select("event_id", "user_id", "value")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    first, second = (
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    )
+    first.write.mode("overwrite").parquet(dirs["src"])
+    schema = spark.read.parquet(dirs["src"]).schema
+    kw = dict(key_cols=["user_id"], agg_col="value", n_buckets=8)
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    # append new files, then wipe ONLY the checkpoint: the rerun
+    # replans old+new files together as a fresh batch 0
+    second.write.mode("append").parquet(dirs["src"])
+    shutil.rmtree(dirs["ckpt"])
+    run_incremental_agg(
+        spark, dirs["src"], dirs["state"], dirs["ckpt"], schema, **kw
+    )
+    got = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(dirs["state"]).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want  # appended files folded once, old files not twice

@@ -306,3 +306,18 @@ def test_source_usemetadata_typed_read(spark):
         assert sum("$metadata" in r for r in m.requests) == 1
     finally:
         m.stop()
+
+
+def test_coerce_value_int64_above_double_precision():
+    """Edm.Int64 wire strings above 2^53 must round-trip exactly —
+    OData V2 serializes Int64 as JSON strings precisely because they
+    exceed double precision, so routing them through float() would
+    silently corrupt snowflake-style IDs (ADVICE r04, medium)."""
+    from turnover_odata_etl_spark.sources.odata_source import _coerce_value
+
+    big = 9007199254740993  # 2^53 + 1: int(float(x)) would yield ...992
+    assert _coerce_value(str(big), "bigint") == big
+    assert _coerce_value(big, "bigint") == big
+    # decimal-formatted payloads still coerce via the float fallback
+    assert _coerce_value("42.0", "int") == 42
+    assert _coerce_value(None, "bigint") is None

@@ -490,7 +490,15 @@ def prefix_filter_jaccard_pairs(
         F.row_number().over(Window.orderBy("freq", "tok")),
     ).select("tok", "rnk")
     ranked = toks.join(F.broadcast(rank), "tok").join(sizes, "doc_id")
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # ceil in double arithmetic: when t*n is exactly integral the
+    # product can land one ulp ABOVE the integer, making ceil one too
+    # large and the prefix one token short — a false negative in an
+    # operator documented EXACT. The 1e-9 guard absorbs the ulp without
+    # ever admitting a genuinely fractional t*n (token counts are small
+    # integers, so true fractional parts are >= 1/n >> 1e-9).
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    )
     prefixes = (
         ranked.withColumn(
             "pos",

@@ -65,10 +65,11 @@ def promote(names: list[str]) -> None:
     The driver's correctness gate audits the first 50 registrations in
     iteration order, so registration order decides which operator
     families get oracle-checked. This lets ``plans/__init__`` curate a
-    representative gate window (one query per family) independent of
-    module import order; queries not named keep their relative order
-    after the promoted block. All 92 oracle-bearing queries are still
-    checked locally by tests/test_oracle_parity.py regardless.
+    representative gate window (rotated each round so never-audited
+    queries get driver rows) independent of module import order;
+    queries not named keep their relative order after the promoted
+    block. Every registered query — 169 at round 5 — is still checked
+    locally by tests/test_oracle_parity.py regardless.
     """
     global _REGISTRY
     missing = [n for n in names if n not in _REGISTRY]

@@ -68,7 +68,15 @@ def _coerce_value(value, spark_type: str):
     if value is None:
         return None
     if spark_type in ("int", "bigint", "smallint", "tinyint"):
-        return int(float(value))
+        # OData V2 serializes Edm.Int64 as a JSON *string* precisely
+        # because values above 2^53 do not survive double precision —
+        # so int(value) first (exact for ints and digit strings, incl.
+        # snowflake-style IDs), float only for decimal-formatted
+        # payloads like "42.0".
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return int(float(value))
     if spark_type in ("double", "float"):
         return float(value)
     if spark_type == "boolean":

@@ -27,6 +27,7 @@ Two sink shapes:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -195,20 +196,64 @@ def run_incremental_agg(
     point this operator demonstrates.
 
     Idempotence: foreachBatch is AT-LEAST-ONCE — after a crash between
-    sink write and checkpoint commit (or a wiped checkpoint), the same
-    batch id is re-delivered, and an ADDITIVE merge would double-count
-    (keep-latest merges are naturally re-delivery-safe; additive ones
-    are not). Each applied batch therefore leaves a marker under
-    ``state_dir/_applied/`` and a re-delivered id is skipped. The
-    marker lands after the bucket swap, so the residual hazard is a
-    crash BETWEEN swap and marker — the window a transactional table
-    format (Delta/Iceberg txn-version check) closes atomically; the
-    orchestration shape here is the same."""
+    sink write and checkpoint commit, the same batch is re-delivered,
+    and an ADDITIVE merge would double-count (keep-latest merges are
+    naturally re-delivery-safe; additive ones are not). The guard is
+    therefore exactly-once per input FILE, not per batch id: each
+    applied source file leaves a marker under ``state_dir/_applied/``
+    (keyed on the part-file basename, which embeds a write UUID), and
+    every delivered batch folds only its not-yet-marked files — rows
+    from already-applied files are filtered out via
+    ``input_file_name()``. A re-delivered batch (intact checkpoint,
+    crash before commit) has every file marked and is a no-op; a WIPED
+    checkpoint replans all current files as batch 0, and the marker set
+    folds in exactly the files appended since the last applied run —
+    batch-id keying would have silently dropped them (they'd land in
+    the "already applied" batch 0), content-keying would have
+    double-counted the old files. Markers land after the bucket swap,
+    so the residual hazard is a crash BETWEEN swap and marker — the
+    window a transactional table format (Delta/Iceberg txn-version
+    check) closes atomically; the orchestration shape here is the
+    same. The marker set lives inside ``state_dir`` so state and its
+    applied-set travel (and get wiped) together."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(state_dir, "_applied", f"batch_{batch_id}")
-        if os.path.exists(marker):
-            return  # re-delivered batch: already folded in
+        applied_dir = os.path.join(state_dir, "_applied")
+
+        def file_marker(name: str) -> str:
+            return "file_" + hashlib.sha256(name.encode()).hexdigest()[:20]
+
+        # batch_df.inputFiles() is empty inside foreachBatch (the
+        # microbatch plan carries no FileIndex), so derive the file
+        # list from the rows: one distinct over part-file basenames —
+        # O(#files in batch), same cost class as the touched-buckets
+        # collect below. Basenames embed the write-job UUID, so they
+        # identify files across replans.
+        batch_df = batch_df.withColumn(
+            "__src", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        names = sorted(
+            r["__src"]
+            for r in batch_df.select("__src").distinct().collect()
+            if r["__src"]
+        )
+        if names:
+            new_names = [
+                n
+                for n in names
+                if not os.path.exists(os.path.join(applied_dir, file_marker(n)))
+            ]
+            if not new_names:
+                return  # re-delivered batch: every file already folded in
+            if len(new_names) < len(names):
+                # checkpoint-wipe replan: fold ONLY the unapplied files
+                batch_df = batch_df.filter(F.col("__src").isin(new_names))
+            markers = [file_marker(n) for n in new_names]
+        else:  # empty/rowless batch: batch id is the only identity
+            markers = [f"batch_{batch_id}"]
+            if os.path.exists(os.path.join(applied_dir, markers[0])):
+                return
+        batch_df = batch_df.drop("__src")
         sp = batch_df.sparkSession
         delta = (
             batch_df.groupBy(*key_cols)
@@ -223,7 +268,14 @@ def run_incremental_agg(
         touched = sorted(
             r["__bucket"] for r in delta.select("__bucket").distinct().collect()
         )
+
+        def mark_applied() -> None:
+            os.makedirs(applied_dir, exist_ok=True)
+            for mk in markers:
+                open(os.path.join(applied_dir, mk), "w").close()
+
         if not touched:
+            mark_applied()  # files delivered but contributed no rows
             return
         # state exists iff bucket dirs exist (the _applied marker dir
         # is underscore-prefixed, which parquet listing ignores — but
@@ -259,8 +311,7 @@ def run_incremental_agg(
                 shutil.rmtree(dst)
             os.rename(os.path.join(staging, entry), dst)
         shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
+        mark_applied()
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     q = (

@@ -40,6 +40,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-settable; don't depend on which factory built the session
     # (the driver's gate uses a vanilla session without this conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ branch reinterprets wall-clock as session-local time — pin
+    # UTC so a non-UTC caller session can't shift epochs (ADVICE r04).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # File-stream sources need a directory; pathGlobFilter narrows the
     # listing to the events table within the shared fixture dir.

@@ -68,6 +68,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # on whichever factory built the session (session.py sets it too,
         # but callers may bring their own). Harmless for non-nanos files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The TIMESTAMP_NTZ branch of normalize_event_ts reinterprets
+        # the wall-clock as session-local time; a non-UTC caller session
+        # would silently shift every epoch (ADVICE r04). Pin UTC at the
+        # loader edge, same defensive posture as nanosAsLong.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
