@@ -117,14 +117,17 @@ def test_srp_lsh_recall_floor(spark, sf_dir):
 
 
 def test_multimodal_compressed_formats_still_gated():
-    """Uncompressed decode (PPM/BMP) is real since round 4; compressed
-    formats remain the documented extension point and must fail loudly,
-    never silently mis-decode."""
+    """PPM/BMP (round 4) and PNG (round 5, stdlib-zlib) decode for
+    real; JPEG/WebP remain the documented extension point and must
+    fail loudly, never silently mis-decode. A PNG magic with no
+    chunks is a *PNG* error, not an unknown format."""
     import pytest
 
     from turnover_odata_etl_spark.functions.multimodal import decode_image
 
     with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG magic
+    with pytest.raises(ValueError, match="PNG missing"):
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
@@ -413,4 +416,66 @@ def test_decode_image_rejects_unknown_magic():
     from turnover_odata_etl_spark.functions.multimodal import decode_image
 
     with pytest.raises(ValueError):
+        decode_image(b"RIFF....WEBP")
+    with pytest.raises(ValueError):  # PNG magic but truncated stream
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_png_roundtrip_all_filters_and_color_types():
+    """encode_png → decode_image must be pixel-exact for every
+    scanline filter type (None/Sub/Up/Average/Paeth), gray/RGB/RGBA,
+    and width-1 images (the left-neighbor edge case); gray expands to
+    3 channels, alpha drops."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in ((13, 17, 3), (9, 1, 3), (21, 16, 4), (11, 14, 1)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = img[:, :, :3] if shape[2] >= 3 else np.repeat(img, 3, axis=2)
+        for filters in (None, [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_image(encode_png(img, filters=filters))
+            assert np.array_equal(got, want), (shape, filters)
+
+
+def test_decode_png_worker_parity_with_registered_query():
+    """The inlined encoder/decoder inside m_png_decode_features must
+    agree byte-for-byte with the module codec: same closed-form image,
+    filter-cycled encode, decode, 8x8 resize, channel sums."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+        resize_nearest,
+    )
+
+    for did in (0, 7, 41, 502, 996):
+        w, h = 16 + did % 9, 16 + did % 7
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        img = np.stack(
+            [
+                (did + x + y) % 256,
+                np.broadcast_to((did + 2 * x) % 256, (h, w)),
+                np.broadcast_to((did + 3 * y) % 256, (h, w)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        dec = decode_image(encode_png(img, filters=[0, 1, 2, 3, 4]))
+        assert np.array_equal(dec, img)
+        small = resize_nearest(dec, 8, 8).astype(np.int64)
+        # closed-form sums the oracle computes (same as the PPM query)
+        gx = (np.arange(8)[None, :] * w) // 8
+        gy = (np.arange(8)[:, None] * h) // 8
+        assert int(small[:, :, 0].sum()) == int(((did + gx + gy) % 256).sum())
+        assert int(small[:, :, 1].sum()) == int(
+            np.broadcast_to((did + 2 * gx) % 256, (8, 8)).sum()
+        )
+        assert int(small[:, :, 2].sum()) == int(
+            np.broadcast_to((did + 3 * gy) % 256, (8, 8)).sum()
+        )

@@ -336,23 +336,29 @@ def test_q6_all_filters_and_pruning_reach_scan(spark, sf_dir):
 
 
 def test_q8_dimensions_broadcast_no_cartesian(spark, sf_dir):
-    """The widest join in the suite: every dimension (part, customer
-    set, supplier, nation x2, region) must broadcast; the only sort-
-    merge/shuffle joins allowed are fact-fact. And no cartesian ever."""
+    """The widest join in the suite. Fixed-cardinality dims (nation x2,
+    region) carry explicit hints and must broadcast; the SF-growing
+    sides (part slice, customer set, supplier) are deliberately
+    UN-hinted (VERDICT r04 item 4) — at fixture scale the optimizer's
+    size estimate still picks broadcast, but the test tolerates either
+    strategy for them. No cartesian ever."""
     plan = plan_str(SPECS["e6_q8_market_share"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    # >= 3: the two hinted nation roles + region (more when the
+    # optimizer also broadcasts the un-hinted slices at fixture scale)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
 
 
 def test_q21_aggregate_chain_copartitions_on_orderkey(spark, sf_dir):
     """per_order/blame/sole all key on l_orderkey: after the first
     fact shuffle the chain must not introduce additional exchanges on
     other keys until the final s_name groupBy (the co-partitioning is
-    the point of the rewrite from EXISTS/NOT-EXISTS)."""
+    the point of the rewrite from EXISTS/NOT-EXISTS). The supplier
+    lookup is AQE-decided (supplier grows with SF — no forced
+    broadcast), so the test accepts broadcast OR shuffle for it."""
     plan = plan_str(SPECS["e6_q21_suppliers_kept_waiting"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the blame-set join with supplier stays broadcast (dimension)
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
@@ -396,3 +402,33 @@ def test_gate_window_is_first_50_registrations():
     assert first50 == GATED_QUERIES
     for name in GATED_QUERIES:
         assert SPECS[name].oracle is not None, name
+
+
+def test_pack_fragments_shard_count_scales_with_parallelism(spark, sf_dir):
+    """VERDICT r04 item 2: the packing prefix-sum must not be pinned to
+    8 ordered-window partitions — the default shard modulus follows
+    cluster parallelism, and the registered queries' n_shards=8 is an
+    oracle-parity pin, not an engine constant."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.functions import text as TXT
+    from turnover_odata_etl_spark.plans.llm import pack_fragments
+    from turnover_odata_etl_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TXT.token_count("text").alias("n_tok"))
+        .filter(F.col("n_tok") >= 1)
+    )
+    par = spark.sparkContext.defaultParallelism
+    got = pack_fragments(docs)  # default: scales with the session
+    n_shards = got.select("shard").distinct().count()
+    n_docs = docs.count()
+    assert n_shards == min(par, n_docs)
+    # the pinned-8 variant stays bit-identical to the registered query
+    pinned = pack_fragments(docs, n_shards=8)
+    assert pinned.select("shard").distinct().count() <= 8
+    # every token lands in exactly one fragment under either sharding
+    total = docs.agg(F.sum("n_tok")).first()[0]
+    for frame in (got, pinned):
+        assert frame.agg(F.sum("frag_len")).first()[0] == total

@@ -38,15 +38,20 @@ from . import tpch  # noqa: E402,F401
 #     schema evolution);
 #   - the 8 never-gated rN holdovers (ntile/nth, histogram,
 #     corr/regression, HOFs, try_*, ORC, XML, range-sorted layout);
-#   - 11 family-coverage picks whose verdict-table rows were
+#   - 10 family-coverage picks whose verdict-table rows were
 #     local-only: s_knn_ivf + s_knn_pq (approximate ANN tiers with
-#     recall contracts), d_embedding_neardup + d_simhash_neardup
-#     (dedup-ladder tiers), t_repetition_metrics (E16), m_frame_sample
+#     recall contracts), d_embedding_neardup (dedup-ladder tier),
+#     t_repetition_metrics (E16), m_frame_sample
 #     (E11 frame sampling), e4_scd2_intervals (E4 SCD2),
 #     e5_window_range_frame (E5 range frames), st_sliding_window
 #     (E14 sliding), e3_join_salted_skew (E3 skew path),
-#     e14_gapfill_resample (sessionization family).
-# Still unaudited after this rotation (next round's pool, 27):
+#     e14_gapfill_resample (sessionization family);
+#   - m_png_decode_features, added THIS round (pure-numpy+zlib PNG
+#     decode — the compressed-format extension point closed), gated
+#     immediately so round-5 additions don't repeat r03's
+#     added-after-rotation gap.
+# Still unaudited after this rotation (next round's pool, 28):
+# d_simhash_neardup (its family keeps two driver rows this round),
 # d_rollhash_fingerprint, t_bpe_tokens, d_simhash, s_knn_lsh,
 # t_hash_split, t_stratified_sample, d_levenshtein_blocked,
 # t_corpus_pipeline, st_stateful_user_agg, st_stream_dedup,
@@ -104,7 +109,7 @@ GATED_QUERIES = [
     "s_knn_ivf",
     "s_knn_pq",
     "d_embedding_neardup",
-    "d_simhash_neardup",
+    "m_png_decode_features",
     "t_repetition_metrics",
     "m_frame_sample",
     "e4_scd2_intervals",

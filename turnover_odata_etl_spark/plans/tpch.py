@@ -12,11 +12,15 @@ columns, so the affected queries keep the *shape* (the join topology,
 subquery structure, and physical-plan challenge) over substitute
 columns; each docstring states the substitution.
 
-Scale posture shared by all fourteen: dimension tables (region,
-nation, supplier, part at fixture ratios) broadcast — explicitly via
-``F.broadcast`` where the optimizer can't see the post-filter size,
-implicitly via AQE otherwise; fact-to-fact joins (lineitem×orders)
-shuffle on the join key once and AQE handles skew; aggregates are
+Scale posture shared by all fourteen: explicit ``F.broadcast``
+hints are reserved for frames whose size does NOT grow with the
+scale factor — region (5 rows), nation (25 rows), one-row scalar
+thresholds, and provably-tiny derived sets (Q15's argmax winners).
+Supplier/part/customer slices DO grow with SF, so their joins are
+AQE's runtime size call: broadcast at fixture scale, shuffle join at
+100 TB where a 1/25 slice of part is hundreds of millions of rows
+(VERDICT r04 item 4). Fact-to-fact joins (lineitem×orders) shuffle
+on the join key once and AQE handles skew; aggregates are
 partial-before-shuffle everywhere (plain groupBy of built-in
 expressions). Scalar-subquery thresholds (Q11, Q17, Q22) become a
 one-row broadcast-joined frame, never a driver round-trip.
@@ -77,9 +81,14 @@ def e6_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the derived catalog is the only big aggregate (one shuffle on
     (partkey, suppkey)); part is filtered *before* its join (~1/300
-    selectivity) and broadcast; the supplier→nation→region dimension
-    chain collapses to a broadcast. The window min re-uses the part
-    join's partitioning — at 100 TB the fact table is touched once."""
+    selectivity) and the supplier→nation→region chain is pre-collapsed.
+    Only region/nation — frames whose size does NOT grow with the
+    scale factor — carry explicit broadcast hints; the filtered part
+    and supplier slices are left to AQE's runtime size check, because
+    at TPC-H SF≈100k a 1/300 slice of part is ~60M rows and a forced
+    broadcast OOMs where AQE would pick a shuffle join (VERDICT r04
+    item 4). The window min re-uses the part join's partitioning — at
+    100 TB the fact table is touched once."""
     li, p, s, n, r = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -93,8 +102,8 @@ def e6_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pk = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     cand = (
-        ps.join(F.broadcast(pk), ps.l_partkey == pk.p_partkey)
-        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        ps.join(pk, ps.l_partkey == pk.p_partkey)
+        .join(eu, ps.l_suppkey == eu.s_suppkey)
         .withColumn(
             "best", F.min("supply_cost").over(Window.partitionBy("p_partkey"))
         )
@@ -227,11 +236,16 @@ def e6_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     enum here, so the part filter is equality, and the nation under
     test is a fixture nation name.
 
-    Plan: every dimension is filtered then broadcast (nation twice,
-    under two roles — Spark handles the self-join via distinct
-    attribute ids); the only shuffles are the two fact-fact joins
-    (l×o on orderkey) and the final 2-group aggregate. The CASE ratio
-    is one pass — never two scans of the joined product."""
+    Plan: only nation and region — fixed-cardinality at every scale
+    factor — carry explicit broadcast hints (nation twice, under two
+    roles — Spark handles the self-join via distinct attribute ids).
+    The ECONOMY part slice, the AMERICA customer set, and supplier all
+    GROW with the scale factor, so their join strategy is AQE's
+    runtime size call — broadcast at fixture scale, shuffle at 100 TB
+    where a 1/25 slice of part is hundreds of millions of rows
+    (VERDICT r04 item 4). The remaining shuffles are the two fact-fact
+    joins (l×o on orderkey) and the final 2-group aggregate. The CASE
+    ratio is one pass — never two scans of the joined product."""
     li, p, o, c, n, r, s = _t(
         spark, sf_dir,
         "lineitem", "part", "orders", "customer", "nation", "region", "supplier",
@@ -247,14 +261,14 @@ def e6_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     vol = (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+        li.join(p.filter(F.col("p_type") == "ECONOMY"),
                 li.l_partkey == p.p_partkey)
         .join(o.filter(
             (F.col("o_orderdate") >= "1995-01-01")
             & (F.col("o_orderdate") < "1997-01-01")),
             li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(cust_am, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_nationkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -301,18 +315,20 @@ def e6_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-free across engines — rounding to 2dp would sit exactly on
     half-cent boundaries and flip on float sum order.
 
-    Plan: the p_name LIKE filter cuts part before a broadcast join
-    (substring filters can't push to parquet as range stats, but the
-    *dimension* is small — the fact-side row cut happens at the join);
-    supplier+nation broadcast; the one big shuffle is lineitem×orders
+    Plan: the p_name LIKE filter cuts part before its join
+    (substring filters can't push to parquet as range stats — the
+    fact-side row cut happens at the join). The filtered part set and
+    supplier grow with the scale factor, so both joins are AQE's
+    runtime call rather than forced broadcasts (VERDICT r04 item 4);
+    nation keeps its hint. The one big shuffle is lineitem×orders
     on orderkey, then a partial-agg'd 2-key groupBy."""
     li, p, s, n, o = _t(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+        li.join(p.filter(F.col("p_name").like("%widget%")),
                 li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -357,8 +373,10 @@ def e6_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Substitution: value is lineitem extendedprice×quantity instead of
     partsupp supplycost×availqty.
 
-    Plan: the national slice computes ONCE (filter via broadcast
-    supplier⋈nation), then both the per-part aggregate and the global
+    Plan: the national slice computes ONCE (nation broadcasts into
+    supplier; the resulting supplier slice grows with SF, so its join
+    into lineitem is AQE-decided, not force-broadcast — VERDICT r04
+    item 4), then both the per-part aggregate and the global
     total derive from it; the global total is a one-row frame cross-
     broadcast into the HAVING filter — no driver collect, no second
     scan of the fact table at 100 TB (Spark re-reads the slice, but
@@ -371,7 +389,7 @@ def e6_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     natl = li.join(
-        F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey")
+        nat_supp, li.l_suppkey == F.col("s_suppkey")
     ).select(
         "l_partkey",
         (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
@@ -506,7 +524,10 @@ def e6_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form computes the aggregate once and pays one extra
     exchange over supplier-cardinality rows (post-agg, dimension-
     sized at any SF — the single-partition window never sees fact
-    rows). Supplier lookup broadcasts."""
+    rows). The supplier lookup broadcasts the WINNERS (max-revenue
+    ties, a handful of rows at any SF) into supplier — not the other
+    way around: supplier grows with SF, so hinting it would OOM at
+    100 TB (VERDICT r04 item 4)."""
     li, s = _t(spark, sf_dir, "lineitem", "supplier")
     rev = (
         li.filter(
@@ -523,8 +544,8 @@ def e6_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_rev", F.max("total_rev").over(Window.partitionBy())
     )
     return (
-        best.filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        F.broadcast(best.filter(F.col("total_rev") == F.col("best_rev")))
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
     )
 
@@ -558,9 +579,12 @@ def e6_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the distinct (partkey, suppkey) dedup is the one fact-sized
     shuffle; the negated part predicates can't prune much but DO push
-    to the dimension scan; the blacklist anti join broadcasts (the
-    NOT IN subquery has no NULLs by construction — keys are PKs);
-    count(DISTINCT) re-shuffles only the already-deduped catalog."""
+    to the dimension scan; the blacklist anti join is NULL-safe by
+    construction (keys are PKs); count(DISTINCT) re-shuffles only the
+    already-deduped catalog. Both the blacklist (a supplier slice) and
+    the filtered part set grow with the scale factor, so neither is
+    force-broadcast — AQE's runtime size check picks broadcast at
+    fixture scale and a shuffle join at 100 TB (VERDICT r04 item 4)."""
     li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
@@ -570,8 +594,8 @@ def e6_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     )
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(pk), ps.l_partkey == pk.p_partkey)
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(pk, ps.l_partkey == pk.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -604,15 +628,18 @@ def e6_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Substitution: no p_container column, so the brand filter alone
     selects the slice.
 
-    Plan: the brand dimension filter broadcasts into the fact join
-    FIRST, so both the per-part average and the final sum see only the
-    brand's slice (~1/25); the decorrelated aggregate joins back on
+    Plan: the brand dimension filter joins into the fact FIRST, so
+    both the per-part average and the final sum see only the brand's
+    slice (~1/25). That slice of part grows with the scale factor, so
+    its join is AQE's runtime size call rather than a forced broadcast
+    (VERDICT r04 item 4 — ~1/25 of part at SF 100k is hundreds of
+    millions of rows); the decorrelated aggregate joins back on
     l_partkey — co-partitioned with the slice, and AQE broadcasts it
     (post-agg it's one row per part). The fixture-scale plan is scan →
     broadcast join → agg → broadcast join → filter → agg: one shuffle."""
     li, p = _t(spark, sf_dir, "lineitem", "part")
     br = li.join(
-        F.broadcast(p.filter(F.col("p_brand") == "Brand#3")),
+        p.filter(F.col("p_brand") == "Brand#3"),
         li.l_partkey == p.p_partkey,
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     avgs = br.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
@@ -656,11 +683,14 @@ def e6_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stocked quantity — the subquery nesting (semi join into an
     aggregated-HAVING set into a name-filtered part set) is identical.
 
-    Plan: innermost part set broadcasts into the lineitem scan's join;
-    the grouped HAVING aggregates on (suppkey, partkey) — one fact
-    shuffle; the resulting supplier set is distinct-projected and the
-    outer query is a left-semi broadcast join against the ~dimension-
-    sized supplier table."""
+    Plan: innermost part set joins into the lineitem scan; the grouped
+    HAVING aggregates on (suppkey, partkey) — one fact shuffle; the
+    resulting supplier set is distinct-projected and the outer query is
+    a left-semi join against supplier. Only nation (25 rows at every
+    SF) keeps an explicit broadcast hint: the name-filtered part set
+    and the movers supplier set both grow with the scale factor, so
+    their join strategy is AQE's runtime call — broadcast at fixture
+    scale, shuffle at 100 TB (VERDICT r04 item 4)."""
     li, p, s, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     red = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
     movers = (
@@ -668,7 +698,7 @@ def e6_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
         )
-        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .join(red, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -678,7 +708,7 @@ def e6_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
     return (
         s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(movers, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
 
@@ -735,8 +765,9 @@ def e6_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregate-then-rejoin formulation scanned lineitem+orders three
     times with 13 exchanges and no exchange reuse (measured); this
     form is one lineitem scan, three exchanges, and the blame filter
-    + broadcast supplier lookup. Timestamp equality (not float) keeps
-    the max-attainment test exact on both engines."""
+    + supplier lookup (AQE-decided: supplier grows with SF, so no
+    forced broadcast — VERDICT r04 item 4). Timestamp equality (not
+    float) keeps the max-attainment test exact on both engines."""
     li, o, s = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     l = (
         li.join(o.filter(F.col("o_orderstatus") == "F"),
@@ -757,7 +788,7 @@ def e6_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter((F.col("n_supp") > 1) & at_max & (F.col("n_at_max") == 1))
     )
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
