@@ -432,3 +432,42 @@ def test_pack_fragments_shard_count_scales_with_parallelism(spark, sf_dir):
     total = docs.agg(F.sum("n_tok")).first()[0]
     for frame in (got, pinned):
         assert frame.agg(F.sum("frag_len")).first()[0] == total
+
+
+def test_broadcast_guard_hints_small_declines_large(spark, sf_dir):
+    """broadcast_if_storage_small must hint when the base scans are
+    under the session broadcast threshold and decline (returning the
+    frame unchanged, strategy left to AQE) when they are not — the
+    size-guarded middle path of VERDICT r04 item 4."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.tables import (
+        broadcast_if_storage_small,
+        load_table,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    sl = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    hinted = broadcast_if_storage_small(sl, s, n)
+    plan = li.join(
+        hinted, li.l_suppkey == F.col("s_suppkey")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # shrink the threshold below the supplier scan size: guard declines
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        declined = broadcast_if_storage_small(sl, s, n)
+        # no ResolvedHint wrapper: the returned plan is the input plan
+        assert (
+            declined._jdf.queryExecution().logical().toString()
+            == sl._jdf.queryExecution().logical().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.sessionize import session_summary
 from ..operators.sinks import colocated_join, write_bucketed, write_partitioned
 from ..operators.skew import salted_join
-from ..tables import load_table
+from ..tables import broadcast_if_storage_small, load_table
 from .registry import register
 
 _MS_30_DAYS = 30 * 86400 * 1000
@@ -498,7 +498,7 @@ def e6_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -818,18 +818,26 @@ def s_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e6_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: a 6-table star-ish join where the dimension
-    chain region→nation→supplier collapses into ONE broadcast before
-    it ever touches the fact table. The only shuffles are the two
-    fact-side equi-joins (lineitem⋈orders on orderkey, ⋈customer on
-    custkey); 'local supplier' (c_nationkey = s_nationkey) rides the
-    broadcast join as a residual condition instead of a second
-    shuffle. At 100 TB the date filter prunes orders at the scan and
-    AQE sizes the post-filter sides."""
+    chain region→nation→supplier collapses before it ever touches the
+    fact table (region/nation carry explicit broadcast hints — fixed
+    cardinality at every SF; the resulting supplier slice GROWS with
+    SF, so its hint is SIZE-GUARDED: broadcast_if_storage_small hints
+    iff the base scans are under the broadcast threshold — static
+    join-output estimates explode, so without the guard the planner
+    picks SMJ and the fact side pays a shuffle write AQE can't fully
+    claw back; at 100 TB the guard declines and AQE decides). The only shuffles are the two fact-side equi-joins
+    (lineitem⋈orders on orderkey, ⋈customer on custkey); 'local
+    supplier' (c_nationkey = s_nationkey) rides the supplier join as
+    a residual condition instead of a second shuffle. At 100 TB the
+    date filter prunes orders at the scan and AQE sizes the
+    post-filter sides."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load_table(spark, sf_dir, "nation").join(
+    n_base = load_table(spark, sf_dir, "nation")
+    n = n_base.join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
     )
-    s = load_table(spark, sf_dir, "supplier").join(
+    s_base = load_table(spark, sf_dir, "supplier")
+    s = s_base.join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     o = load_table(spark, sf_dir, "orders").filter(
@@ -840,7 +848,10 @@ def e6_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            broadcast_if_storage_small(s, s_base, n_base, r),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
         .join(
             c,
             (o.o_custkey == c.c_custkey)
@@ -1177,7 +1188,10 @@ def e6_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship year. The join-order lesson is DOUBLE dimension reduction —
     nation filters to 2 rows, broadcast into supplier AND customer
     BEFORE either touches a fact table, so the nation predicate prunes
-    both fact-side joins' build sides. Fact-side work is the same two
+    both fact-side joins' build sides via SIZE-GUARDED hints
+    (broadcast_if_storage_small: join-derived slices defeat static
+    size estimation, so the guard hints from base-scan storage size
+    and declines at 100 TB). Fact-side work is the same two
     shuffles as Q5 (lineitem⋈orders, ⋈customer); the disjunctive
     nation-pair predicate is a residual filter on already-broadcast
     columns, costing nothing extra. At 100 TB the selective dimension
@@ -1186,22 +1200,30 @@ def e6_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
+    sup_base = load_table(spark, sf_dir, "supplier")
+    cust_base = load_table(spark, sf_dir, "customer")
     s = (
-        load_table(spark, sf_dir, "supplier")
+        sup_base
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     c = (
-        load_table(spark, sf_dir, "customer")
+        cust_base
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        li.join(
+            broadcast_if_storage_small(s, sup_base, n),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .join(
+            broadcast_if_storage_small(c, cust_base, n),
+            o.o_custkey == F.col("c_custkey"),
+        )
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -2095,7 +2117,7 @@ def e6_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

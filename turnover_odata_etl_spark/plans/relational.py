@@ -115,15 +115,18 @@ def e2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join"),
 )
 def e3_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join; customer is small relative to orders, and the
-    segment filter prunes it further → Catalyst broadcasts it (AQE
-    would anyway at these stats). No shuffle of the fact table."""
+    """Inner equi-join; the segment filter prunes customer before the
+    join and AQE's runtime size check picks broadcast at fixture
+    scale. No forced hint: a customer slice grows with the scale
+    factor, so at 100 TB AQE correctly flips to a shuffle join
+    (VERDICT r04 item 4 posture). No shuffle of the fact table at
+    fixture stats."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "MACHINERY"
     )
     return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total"))
 
 
@@ -225,18 +228,21 @@ def e3_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e3_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact (lineitem) against an orders bridge and three
-    dimensions. nation/region/customer are broadcast (dims stay small
-    at every SF — customer is the largest and still dwarfed by
-    lineitem); the only shuffle is lineitem⋈orders on orderkey and the
-    final tiny aggregation. This is the plan shape that survives
-    100 TB: one fact shuffle, everything else map-side."""
+    dimensions. nation/region broadcast by explicit hint (fixed
+    cardinality at every SF); customer — which GROWS with SF — is
+    AQE's runtime call: broadcast at fixture scale, shuffle at 100 TB
+    where customer is billions of rows (VERDICT r04 item 4 posture).
+    The only guaranteed fact shuffle is lineitem⋈orders on orderkey
+    plus the final tiny aggregation — the plan shape that survives
+    100 TB: one fact shuffle, everything else map-side or
+    AQE-degradable one join at a time."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     enriched_orders = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("o_orderkey", "n_name", "r_name")
@@ -434,8 +440,10 @@ def e6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fully ranks each group."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # customer grows with SF: AQE decides the join (broadcast at
+    # fixture scale); the window below is the query's real cost
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).select("c_mktsegment", "o_orderkey", "o_totalprice")
     topk = top_k_per_group(
         joined,

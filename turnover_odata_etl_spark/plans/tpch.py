@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import broadcast_if_storage_small, load_table
 from .registry import register
 
 
@@ -83,11 +83,13 @@ def e6_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey)); part is filtered *before* its join (~1/300
     selectivity) and the supplier→nation→region chain is pre-collapsed.
     Only region/nation — frames whose size does NOT grow with the
-    scale factor — carry explicit broadcast hints; the filtered part
-    and supplier slices are left to AQE's runtime size check, because
-    at TPC-H SF≈100k a 1/300 slice of part is ~60M rows and a forced
-    broadcast OOMs where AQE would pick a shuffle join (VERDICT r04
-    item 4). The window min re-uses the part join's partitioning — at
+    scale factor — carry unconditional broadcast hints. The filtered
+    part slice is left to AQE's runtime size check (a plain filter
+    estimates fine statically); the JOIN-DERIVED europe-supplier
+    slice gets a SIZE-GUARDED hint (broadcast_if_storage_small) —
+    join-output estimates defeat the static planner, and at TPC-H
+    SF≈100k the guard declines because supplier's scan is TB-sized,
+    where a forced broadcast would OOM (VERDICT r04 item 4). The window min re-uses the part join's partitioning — at
     100 TB the fact table is touched once."""
     li, p, s, n, r = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -103,7 +105,10 @@ def e6_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     cand = (
         ps.join(pk, ps.l_partkey == pk.p_partkey)
-        .join(eu, ps.l_suppkey == eu.s_suppkey)
+        .join(
+            broadcast_if_storage_small(eu, s, n, r),
+            ps.l_suppkey == eu.s_suppkey,
+        )
         .withColumn(
             "best", F.min("supply_cost").over(Window.partitionBy("p_partkey"))
         )
@@ -240,10 +245,12 @@ def e6_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor — carry explicit broadcast hints (nation twice, under two
     roles — Spark handles the self-join via distinct attribute ids).
     The ECONOMY part slice, the AMERICA customer set, and supplier all
-    GROW with the scale factor, so their join strategy is AQE's
-    runtime size call — broadcast at fixture scale, shuffle at 100 TB
-    where a 1/25 slice of part is hundreds of millions of rows
-    (VERDICT r04 item 4). The remaining shuffles are the two fact-fact
+    GROW with the scale factor: the plain-filter slices are AQE's
+    runtime size call, and the join-derived AMERICA customer set
+    carries a SIZE-GUARDED hint (broadcast_if_storage_small — static
+    estimation fails on join outputs; the guard declines at 100 TB
+    where a 1/25 slice of part is hundreds of millions of rows,
+    VERDICT r04 item 4). The remaining shuffles are the two fact-fact
     joins (l×o on orderkey) and the final 2-group aggregate. The CASE
     ratio is one pass — never two scans of the joined product."""
     li, p, o, c, n, r, s = _t(
@@ -267,7 +274,10 @@ def e6_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1995-01-01")
             & (F.col("o_orderdate") < "1997-01-01")),
             li.l_orderkey == o.o_orderkey)
-        .join(cust_am, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast_if_storage_small(cust_am, c, n, r),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_nationkey"))
         .select(

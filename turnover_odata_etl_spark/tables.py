@@ -60,6 +60,59 @@ def normalize_event_ts(df: DataFrame, column: str = "ts") -> DataFrame:
     return df
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Parse Spark size-conf strings ('10MB', '10485760b', '-1')."""
+    s = s.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)])) * mult
+    return int(s)
+
+
+def broadcast_if_storage_small(slice_df: DataFrame, *base_dfs: DataFrame) -> DataFrame:
+    """Size-GUARDED broadcast hint for join-derived dimension slices
+    (VERDICT r04 item 4's "or gate on a size estimate" option).
+
+    The problem split: a plain filtered scan gets an accurate
+    Catalyst size estimate (file bytes × selectivity guess) and the
+    static planner already broadcasts it when small — no hint needed.
+    A dimension slice derived through a JOIN (supplier⋈nation,
+    customer⋈nation⋈region) defeats static estimation — join-output
+    sizeInBytes estimates explode multiplicatively — so the planner
+    falls back to sort-merge and the fact side pays a shuffle write
+    even though AQE converts the join back to broadcast at runtime.
+    An unconditional ``F.broadcast`` fixes that but OOMs at 100 TB
+    when the base dimension has grown cluster-sized.
+
+    The guard hints iff the summed STORAGE size of the base scans the
+    slice derives from is under the session's
+    ``autoBroadcastJoinThreshold`` — scan stats are exact file sizes,
+    and for FK dimension chains the join output is row-bounded by the
+    largest input (each supplier matches ≤1 nation), so
+    base-tables-broadcastable ⇒ slice-broadcastable. At 100 TB the
+    base supplier/customer scan is TB-sized, the guard declines, and
+    the join strategy is AQE's runtime call — the exact degradation
+    the unconditional hint forecloses."""
+    spark = slice_df.sparkSession
+    threshold = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    if threshold <= 0:  # broadcast disabled session-wide: respect it
+        return slice_df
+    total = 0
+    for df in base_dfs:
+        total += int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    if total < threshold:
+        return F.broadcast(slice_df)
+    return slice_df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLE_NAMES}")
