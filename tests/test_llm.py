@@ -479,3 +479,46 @@ def test_decode_png_worker_parity_with_registered_query():
         assert int(small[:, :, 2].sum()) == int(
             np.broadcast_to((did + 3 * gy) % 256, (8, 8)).sum()
         )
+
+
+def test_decode_wav_roundtrip_and_worker_parity():
+    """encode_wav → decode_wav must be sample-exact (mono and stereo,
+    odd payload padding), and the per-frame aggregates of the
+    registered query's closed-form signal must match its oracle
+    formula through the module codec."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    for n, ch in ((801, 1), (256, 2), (1, 1)):  # 801 mono: odd payload
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        got, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and np.array_equal(got, s)
+    # registered-query parity for a few doc_ids
+    for did in (0, 13, 255, 997):
+        n = 800 + did % 256
+        i = np.arange(n, dtype=np.int64)
+        samples = ((did * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+        dec, _ = decode_wav(encode_wav(samples))
+        dec = dec[:, 0].astype(np.int64)
+        for f0 in range(0, n, 256):
+            frame = dec[f0 : f0 + 256]
+            want = ((did * 31 + (i[f0 : f0 + 256]) * 7) % 65536) - 32768
+            assert int(frame.sum()) == int(want.sum())
+            assert int(frame.min()) == int(want.min())
+            assert int(frame.max()) == int(want.max())
+
+
+def test_decode_wav_rejects_compressed_and_malformed():
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"ID3\x04....")  # MP3 with ID3 tag
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")

@@ -257,6 +257,75 @@ def encode_png(img, filters=None) -> bytes:
     )
 
 
+def decode_wav(data: bytes):
+    """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag 1),
+    mono or multi-channel: chunk walk (``fmt `` for the header,
+    ``data`` for the payload; unknown chunks skipped per spec, odd
+    sizes padded), little-endian int16 samples de-interleaved to an
+    ``(n_frames, n_channels) int16`` array. Returns
+    ``(samples, sample_rate)``. Compressed audio (MP3/AAC/Opus)
+    requires an external codec — same loud-failure contract as
+    JPEG/WebP on the image side."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE stream (magic {data[:4]!r})")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks pad to even size
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"WAV variant unsupported (format={audio_format}, bits={bits}); "
+            "only 16-bit PCM — wire a codec library for compressed audio"
+        )
+    samples = np.frombuffer(
+        payload, dtype="<i2", count=len(payload) // 2
+    ).reshape(-1, n_channels)
+    return samples.copy(), sample_rate
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """``(n_frames, n_channels) int16`` → RIFF/WAVE bytes (16-bit
+    PCM) — the synthetic-payload generator for tests and the
+    oracle-checked audio decode operator."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+    payload = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,
+        n_channels * 2,
+        16,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def encode_ppm(img) -> bytes:
     """``(H, W, 3) uint8`` → P6 PPM bytes (the synthetic-payload
     generator for tests and the oracle-checked decode operator)."""

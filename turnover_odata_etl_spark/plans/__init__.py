@@ -36,8 +36,10 @@ from . import tpch  # noqa: E402,F401
 #     sampling, left-outer stream-stream join, incremental agg, SCD2
 #     stream enrich, z-order, bitmap presence, URL sweep, compaction,
 #     schema evolution);
-#   - the 8 never-gated rN holdovers (ntile/nth, histogram,
-#     corr/regression, HOFs, try_*, ORC, XML, range-sorted layout);
+#   - 7 never-gated rN holdovers (histogram, corr/regression, HOFs,
+#     try_*, ORC, XML, range-sorted layout — ntile/nth was displaced
+#     by the WAV addition below; its e5 family already has two driver
+#     rows);
 #   - 10 family-coverage picks whose verdict-table rows were
 #     local-only: s_knn_ivf + s_knn_pq (approximate ANN tiers with
 #     recall contracts), d_embedding_neardup (dedup-ladder tier),
@@ -46,12 +48,14 @@ from . import tpch  # noqa: E402,F401
 #     e5_window_range_frame (E5 range frames), st_sliding_window
 #     (E14 sliding), e3_join_salted_skew (E3 skew path),
 #     e14_gapfill_resample (sessionization family);
-#   - m_png_decode_features, added THIS round (pure-numpy+zlib PNG
-#     decode — the compressed-format extension point closed), gated
+#   - m_png_decode_features + m_wav_decode_features, added THIS round
+#     (pure-numpy+zlib PNG decode and RIFF/PCM WAV decode — the E11
+#     codec ladder's compressed-image and audio gaps closed), gated
 #     immediately so round-5 additions don't repeat r03's
 #     added-after-rotation gap.
-# Still unaudited after this rotation (next round's pool, 28):
+# Still unaudited after this rotation (next round's pool, 29):
 # d_simhash_neardup (its family keeps two driver rows this round),
+# e5_window_ntile_nth (family has two driver rows),
 # d_rollhash_fingerprint, t_bpe_tokens, d_simhash, s_knn_lsh,
 # t_hash_split, t_stratified_sample, d_levenshtein_blocked,
 # t_corpus_pipeline, st_stateful_user_agg, st_stream_dedup,
@@ -97,7 +101,6 @@ GATED_QUERIES = [
     "s_compaction_roundtrip",
     "s_schema_evolution_merge",
     # never-gated holdovers
-    "e5_window_ntile_nth",
     "e13_histogram",
     "e13_corr_regression",
     "x_hof_functions",
@@ -110,6 +113,7 @@ GATED_QUERIES = [
     "s_knn_pq",
     "d_embedding_neardup",
     "m_png_decode_features",
+    "m_wav_decode_features",
     "t_repetition_metrics",
     "m_frame_sample",
     "e4_scd2_intervals",

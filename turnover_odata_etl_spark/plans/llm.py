@@ -1053,6 +1053,113 @@ def m_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m_wav_decode_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, 800 + doc_id % 256 AS n FROM documents),
+    s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+          FROM d),
+    v AS (SELECT doc_id, i // 256 AS frame_idx,
+                 ((doc_id * 31 + i * 7) % 65536) - 32768 AS smp
+          FROM s)
+    SELECT doc_id, frame_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(smp) AS BIGINT) AS sum_s,
+           CAST(min(smp) AS BIGINT) AS min_s,
+           CAST(max(smp) AS BIGINT) AS max_s
+    FROM v GROUP BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def m_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode → framed features, oracle-checked — the AUDIO
+    counterpart of the image codec queries (round 5; SURVEY E11 lists
+    image/audio/video as multimodal columns, and until now only image
+    decode was real). Per document a deterministic 16-bit PCM signal —
+    sample[i] = ((doc_id·31 + i·7) mod 65536) − 32768, length
+    800 + doc_id % 256 — is WAV-ENCODED (RIFF header, fmt chunk, data
+    chunk), then the worker WALKS THE RIFF CHUNKS, parses the PCM
+    stream, splits it into 256-sample frames, and emits exact integer
+    per-frame aggregates (count/sum/min/max — the integer skeleton of
+    RMS-energy framing). The DuckDB oracle recomputes the same frames
+    in closed form, so a parse bug (chunk offset, endianness, int16
+    sign) breaks the hash match. 1→N frame expansion happens inside
+    the Arrow batch — no explode shuffle, same posture as
+    ``sample_frames``.
+
+    The worker inlines the codec as nested defs (cloudpickle ships
+    closures by value — the package is not importable on executors);
+    ``tests/test_llm.py`` pins the module codec
+    (functions/multimodal.encode_wav/decode_wav) against this worker.
+    Compressed audio (MP3/AAC/Opus) stays a loudly-failing extension
+    point, matching JPEG/WebP on the image side."""
+
+    def decode_features(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav_encode(samples, rate):
+            payload = samples.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b"")
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+
+        def wav_decode(data):
+            assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+            pos, fmt, payload = 12, None, None
+            while pos + 8 <= len(data):
+                ctype = data[pos : pos + 4]
+                (length,) = struct.unpack_from("<I", data, pos + 4)
+                body = data[pos + 8 : pos + 8 + length]
+                pos += 8 + length + (length & 1)
+                if ctype == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif ctype == b"data":
+                    payload = body
+            assert fmt[0] == 1 and fmt[5] == 16  # PCM, 16-bit
+            return np.frombuffer(payload, dtype="<i2", count=len(payload) // 2)
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "n_samples", "sum_s", "min_s",
+                    "max_s",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 800 + did % 256
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+                data = wav_encode(samples, 16000)
+                dec = wav_decode(data).astype(np.int64)  # real RIFF parse
+                for f0 in range(0, n, 256):
+                    frame = dec[f0 : f0 + 256]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f0 // 256)
+                    out["n_samples"].append(len(frame))
+                    out["sum_s"].append(int(frame.sum()))
+                    out["min_s"].append(int(frame.min()))
+                    out["max_s"].append(int(frame.max()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, frame_idx long, n_samples long, sum_s long, "
+        "min_s long, max_s long",
+    )
+
+
 def pack_fragments(
     df: DataFrame,
     n_shards: int | None = None,
