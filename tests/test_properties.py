@@ -314,3 +314,64 @@ def test_decontamination_invariants(spark, texts):
         grams = {" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)}
         expect_clean = not (grams & ev_grams)
         assert (sid in clean) == expect_clean, (sid, t)
+
+
+# ---------------------------------------------------------------------------
+# Codec fuzzing — pure numpy, no Spark. The fixed-case tests in
+# test_llm.py cover each filter/color-type once; these drive random
+# shapes through the same paths, including the degenerate geometries
+# (w == 1 exercises the x < nch branch of Sub/Average/Paeth, h == 1
+# exercises Up against the zero row) that fixed fixtures miss.
+# ---------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_png_roundtrip_random(data):
+    """decode(encode(img)) == img for ANY 8-bit image and filter mix."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    h = data.draw(st.integers(1, 9), label="h")
+    w = data.draw(st.integers(1, 9), label="w")
+    nch = data.draw(st.sampled_from([1, 3, 4]), label="nch")
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=6), label="filters"
+    )
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, nch), dtype=np.uint8
+    )
+    decoded = _decode_png(encode_png(img, filters=filters))
+    assert decoded.shape == (h, w, 3)
+    if nch == 1:
+        assert np.array_equal(decoded, np.repeat(img, 3, axis=2))
+    else:  # RGB / RGBA-with-alpha-dropped
+        assert np.array_equal(decoded, img[:, :, :3])
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_wav_roundtrip_random(data):
+    """decode(encode(pcm)) == pcm for ANY int16 PCM block, any channel
+    count, including odd-length payloads (RIFF pad byte path)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    frames = data.draw(st.integers(1, 50), label="frames")
+    nch = data.draw(st.integers(1, 4), label="nch")
+    rate = data.draw(st.sampled_from([8000, 16000, 44100]), label="rate")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    pcm = np.random.default_rng(seed).integers(
+        -(2**15), 2**15, size=(frames, nch), dtype=np.int64
+    ).astype(np.int16)
+    out, out_rate = decode_wav(encode_wav(pcm, sample_rate=rate))
+    assert out_rate == rate
+    assert out.shape == (frames, nch)
+    assert np.array_equal(out, pcm)
