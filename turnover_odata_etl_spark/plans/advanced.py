@@ -464,6 +464,46 @@ def s_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_gzip_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("relational", "sink", "source", "json", "llm"),
+)
+def s_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ingest: documents written as GZIP JSON-lines
+    (the de-facto interchange for web-crawl corpora — WET/CC dumps ship
+    as .jsonl.gz/.warc.gz), read back through Spark's transparent
+    codec path, and aggregated against the parquet originals so a
+    corrupted compress/decompress roundtrip breaks the value hash.
+
+    Scale notes, because gzip is the one mainstream codec that is NOT
+    splittable: one .gz file = one input split = one task, no matter
+    its size, so a 100 TB corpus must arrive as many shard files
+    (the write side here produces one .gz per task for exactly that
+    reason) and read parallelism equals the shard count. Re-compress
+    to parquet/zstd on first touch — this query IS that first-touch
+    pattern: text lands compressed row-major, compute happens on the
+    columnar copy. Schema is passed explicitly on read; inference
+    over compressed JSONL is a full extra decompress pass."""
+    path = _scratch(sf_dir, "documents_jsonl_gz")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+@register(
     "e6_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
