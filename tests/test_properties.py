@@ -375,3 +375,58 @@ def test_wav_roundtrip_random(data):
     assert out_rate == rate
     assert out.shape == (frames, nch)
     assert np.array_equal(out, pcm)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_prefix_filter_jaccard_exact_vs_bruteforce(spark, data):
+    """prefix_filter_jaccard_pairs claims EXACT (no false negatives,
+    no false positives) — check against an O(n²) Python brute force on
+    random corpora, including thresholds where t·n is exactly integral
+    (the ceil-ulp regression, ADVICE r04)."""
+    from turnover_odata_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    n_docs = data.draw(st.integers(2, 8), label="n_docs")
+    docs = [
+        (
+            i,
+            " ".join(
+                data.draw(
+                    st.lists(
+                        st.sampled_from(vocab),
+                        min_size=1,
+                        max_size=6,
+                        unique=True,
+                    ),
+                    label=f"doc{i}",
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    threshold = data.draw(
+        st.sampled_from([0.5, 0.6, 0.75, 0.8, 1.0]), label="t"
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=threshold
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {
+        (i, j)
+        for i in sets
+        for j in sets
+        if i < j
+        and len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= threshold
+    }
+    assert got == want, (docs, threshold, got, want)
