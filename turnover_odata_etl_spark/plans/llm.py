@@ -274,10 +274,13 @@ def d_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def d_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(16 bands × 2) near-dup pairs at Jaccard ≥ 0.6,
+    """MinHash(64)+LSH(32 bands × 2) near-dup pairs at Jaccard ≥ 0.6,
     exact-verified (operators/dedup.near_dup_pairs). The oracle is the
     O(n²) brute force — the LSH result equals it w.h.p. because
-    candidate-miss probability at s ≥ 0.6 is < 1e-3 and the verify
+    candidate-miss probability at s ≥ 0.6 is (1−0.6²)^32 ≈ 6e-7 per
+    true pair (the band count is sized so that even ~10³ true pairs
+    per fixture keep the any-miss probability under 1e-3, which is
+    what the driver's exact hash check demands) and the verify
     step removes every false positive. At 100 TB the brute force is
     impossible and THIS plan (sub-quadratic, skew-free band keys) is
     the point."""
