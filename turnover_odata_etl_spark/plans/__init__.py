@@ -16,9 +16,10 @@ from . import tpch  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. Cumulative driver history (rounds 1-4)
-# confirmed 92 of the 169 registered queries; every query NOT in this
-# round's window keeps its local safety net via
-# tests/test_oracle_parity (all 169 specs, every session).
+# confirmed 92 of the first 169 registered queries (the registry has
+# since grown to 172); every query NOT in this round's window keeps
+# its local safety net via tests/test_oracle_parity (all 172 specs,
+# every session).
 #
 # ROTATION (round 5, per VERDICT r04 item 1): the round-4 gate went
 # 50/50 green and every family in it has at least one driver-confirmed
