@@ -321,3 +321,53 @@ def test_coerce_value_int64_above_double_precision():
     # decimal-formatted payloads still coerce via the float fallback
     assert _coerce_value("42.0", "int") == 42
     assert _coerce_value(None, "bigint") is None
+
+
+def test_coerce_value_date_ms_exact_at_max_date_sentinel():
+    """/Date(ms)/ decode must be integer-exact: at SAP's 9999-12-31
+    sentinel (253402300799999 ms) float division's ulp is ~61 µs,
+    which used to shift the decoded timestamp. Also: the ±HHMM wrapper
+    offset is display-only — the millis are UTC regardless."""
+    from datetime import datetime, timezone
+
+    from turnover_odata_etl_spark.sources.odata_source import _coerce_value
+
+    sentinel = 253402300799999  # 9999-12-31T23:59:59.999Z
+    got = _coerce_value(f"/Date({sentinel})/", "timestamp")
+    assert got == datetime(9999, 12, 31, 23, 59, 59, 999000, tzinfo=timezone.utc)
+    # display offset ignored; epoch interpretation unchanged
+    with_off = _coerce_value("/Date(1481853600000+0100)/", "timestamp")
+    assert with_off == datetime(2016, 12, 16, 2, 0, tzinfo=timezone.utc)
+    # pre-epoch stays exact under divmod floor semantics
+    neg = _coerce_value("/Date(-86400001)/", "timestamp")
+    assert neg == datetime(1969, 12, 30, 23, 59, 59, 999000, tzinfo=timezone.utc)
+
+
+def test_odata_date_decode_offset_and_malformed(spark):
+    """Spark-side decode: the ±HHMM display offset parses (millis are
+    UTC; offset ignored), malformed strings yield NULL, never raise —
+    matching the Python wire coercion's accepted shapes."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.functions.odata import odata_date_decode
+
+    df = spark.createDataFrame(
+        [
+            ("/Date(1481853600000)/",),
+            ("/Date(1481853600000+0100)/",),
+            ("/Date(-86400001)/",),
+            ("/Date(not-a-number)/",),
+            ("2016-12-16T02:00:00Z",),
+        ],
+        "s string",
+    )
+    got = df.select(
+        F.unix_millis(odata_date_decode("s")).alias("ms")
+    ).collect()
+    assert [r.ms for r in got] == [
+        1481853600000,
+        1481853600000,  # offset is display-only
+        -86400001,
+        None,
+        None,
+    ]

@@ -12,8 +12,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# OData V2 JSON date wrapper: /Date(<millis>)/ with optional sign.
-_ODATA_DATE_RE = r"/Date\((-?\d+)\)/"
+# OData V2 JSON date wrapper: /Date(<millis>)/ with optional sign and
+# optional ±HHMM display offset (SAP services emit e.g.
+# /Date(1481853600000+0100)/; the epoch millis are UTC regardless —
+# the offset only says how the SERVER would render it, so decode
+# ignores it. The source connector's Python coercion accepts the same
+# shape: sources/odata_source.py).
+_ODATA_DATE_RE = r"/Date\((-?\d+)(?:[+-]\d{4})?\)/"
 
 
 def odata_date_decode(col: Column | str) -> Column:

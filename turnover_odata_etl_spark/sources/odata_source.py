@@ -85,12 +85,20 @@ def _coerce_value(value, spark_type: str):
         return str(value).strip().lower() in ("true", "1")
     if spark_type == "timestamp":
         import re
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta, timezone
 
         s = str(value)
         m = re.match(r"/Date\((-?\d+)(?:[+-]\d{4})?\)/$", s)
         if m:  # V2 epoch-ms wrapper, optional tz display offset [X7]
-            return datetime.fromtimestamp(int(m.group(1)) / 1000.0, tz=timezone.utc)
+            # Integer divmod, not /1000.0: at SAP's max-date sentinel
+            # (253402300799999 ms) a double's ulp is ~61 µs, so float
+            # division shifts the decoded timestamp — same 2^53 class
+            # as the Int64 coercion above. divmod floors negatives,
+            # so pre-epoch values stay exact too.
+            sec, ms = divmod(int(m.group(1)), 1000)
+            return datetime.fromtimestamp(sec, tz=timezone.utc) + timedelta(
+                milliseconds=ms
+            )
         return datetime.fromisoformat(s.replace("Z", "+00:00"))
     if spark_type == "date":
         from datetime import date
