@@ -371,3 +371,28 @@ def test_odata_date_decode_offset_and_malformed(spark):
         None,
         None,
     ]
+
+
+def test_client_follows_relative_next_links():
+    """SAP V2 gateways emit __next RELATIVE to the service root
+    ("Emp?$skiptoken=3"); the client must absolutize before the next
+    GET instead of handing urllib a scheme-less URL."""
+    m = MockOData(ROWS, FIELDS, version=2, page_size=3, relative_next=True)
+    m.start()
+    try:
+        client = ODataClient(m.base_url)
+        rows = [r for page in client.fetch_pages("Emp") for r in page]
+        assert [r["Employee"] for r in rows] == [
+            "alice", "bob", "carol", "dave", "erin", "frank", "grace",
+        ]
+        # V4 request-relative nextLink takes the same path
+        m4 = MockOData(ROWS, FIELDS, version=4, page_size=2, relative_next=True)
+        m4.start()
+        try:
+            rows4 = [r for page in ODataClient(m4.base_url).fetch_pages("Emp")
+                     for r in page]
+            assert len(rows4) == len(ROWS)
+        finally:
+            m4.stop()
+    finally:
+        m.stop()

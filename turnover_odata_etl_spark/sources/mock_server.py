@@ -76,6 +76,7 @@ class MockOData:
         fail_field: str | None = None,
         field_types: dict[str, str] | None = None,
         entity_set: str = "Emp",
+        relative_next: bool = False,
     ):
         self.rows = rows
         self.fields = fields
@@ -87,6 +88,9 @@ class MockOData:
         # matching the wire payloads the row dicts actually carry)
         self.field_types = field_types or {}
         self.entity_set = entity_set
+        # SAP V2 gateways emit __next RELATIVE to the service root;
+        # opt in to exercise the client's link absolutization.
+        self.relative_next = relative_next
         self.requests: list[str] = []  # observed (for pushdown asserts)
         self._httpd: ThreadingHTTPServer | None = None
 
@@ -171,7 +175,10 @@ class MockOData:
         if has_more:
             nq = dict(qs)
             nq["$skiptoken"] = str(skip + self.page_size)
-            next_link = f"{self.base_url}{path}?{urllib.parse.urlencode(nq)}"
+            if self.relative_next:
+                next_link = f"{path.lstrip('/')}?{urllib.parse.urlencode(nq)}"
+            else:
+                next_link = f"{self.base_url}{path}?{urllib.parse.urlencode(nq)}"
 
         if self.version == 2:
             d: dict = {"results": page}

@@ -186,7 +186,19 @@ class ODataClient:
                 return
             if self.pause:
                 time.sleep(self.pause)
-            payload = self.get_json(nxt)
+            payload = self.get_json(self._resolve_next(nxt))
+
+    def _resolve_next(self, nxt: str) -> str:
+        """Absolutize a next-page link. SAP V2 gateways routinely emit
+        ``__next`` RELATIVE to the service root ("Emp?$skiptoken=3");
+        V4 permits request-relative ``@odata.nextLink`` too. Absolute
+        links pass through untouched."""
+        if "://" in nxt:
+            return nxt
+        base = "/".join(
+            p.strip("/") for p in (self.base_url, self.service_path) if p.strip("/")
+        )
+        return urllib.parse.urljoin(base + "/", nxt)
 
     def probe_field(self, entity: str, candidates: list[str]) -> str:
         """First candidate field the entity actually has, discovered by
