@@ -430,3 +430,64 @@ def test_prefix_filter_jaccard_exact_vs_bruteforce(spark, data):
         and len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= threshold
     }
     assert got == want, (docs, threshold, got, want)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join == per-row Python brute force (latest right with
+    rts <= ts per key, tolerance honored) on random event sets with
+    deliberately colliding timestamps. Right-side ts values are kept
+    UNIQUE per key — two right rows at the same (key, ts) tie
+    arbitrarily in both implementations, which is the documented
+    nondeterminism, not a bug to test."""
+    import datetime as dt
+
+    from turnover_odata_etl_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    n_left = data.draw(st.integers(1, 8), label="n_left")
+    lefts = [
+        (
+            i,
+            data.draw(st.sampled_from(["a", "b"]), label=f"lk{i}"),
+            base + dt.timedelta(hours=data.draw(st.integers(0, 20), label=f"lt{i}")),
+        )
+        for i in range(n_left)
+    ]
+    r_hours = data.draw(
+        st.lists(st.integers(0, 20), min_size=0, max_size=6, unique=True),
+        label="r_hours",
+    )
+    rights = [
+        (
+            data.draw(st.sampled_from(["a", "b"]), label=f"rk{h}"),
+            base + dt.timedelta(hours=h),
+            float(h),
+        )
+        for h in r_hours
+    ]
+    tol = data.draw(st.sampled_from([None, 5 * 3600 * 1000]), label="tol")
+
+    left = spark.createDataFrame(lefts, "id long, k string, ts timestamp")
+    right = spark.createDataFrame(rights, "k string, rts timestamp, val double")
+    out = {
+        r.id: r.val
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            tolerance_ms=tol,
+        ).collect()
+    }
+
+    for i, k, ts in lefts:
+        cands = [(rts, v) for rk, rts, v in rights if rk == k and rts <= ts]
+        want = None
+        if cands:
+            rts, v = max(cands)
+            if tol is None or (ts - rts).total_seconds() * 1000 <= tol:
+                want = v
+        assert out[i] == want, (i, k, ts, rights, tol, out)
