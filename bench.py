@@ -184,6 +184,19 @@ def main() -> None:
     streaming_total = round(sum(streaming.values()), 3)
     showcase_total = round(sum(showcase.values()), 3)
     pipeline_total = round(sum(pipeline.values()), 3)
+    # Fixture fingerprint: the driver regenerates /root/testdata
+    # between rounds (it did at round-5 start), which silently resets
+    # per-query comparability for data-dependent timings (the dedup /
+    # similarity families especially). Stamping size+mtime of the two
+    # text-bearing tables into the artifact makes a regeneration
+    # visible in the BENCH_r{N}.json series itself.
+    fixtures = {}
+    for t in ("documents", "lineitem"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            fixtures[t] = {"bytes": st.st_size, "mtime": int(st.st_mtime)}
+        except OSError:
+            pass
     payload = {
         "metric": "headline_total",
         "value": total,
@@ -199,6 +212,7 @@ def main() -> None:
         "all_total": round(
             total + streaming_total + showcase_total + pipeline_total, 3
         ),
+        "fixtures": fixtures,
     }
     if errors:
         payload["errors"] = errors
