@@ -54,7 +54,9 @@ from . import tpch  # noqa: E402,F401
 #     codec ladder's compressed-image and audio gaps closed), gated
 #     immediately so round-5 additions don't repeat r03's
 #     added-after-rotation gap.
-# Still unaudited after this rotation (next round's pool, 29):
+# Still unaudited after this rotation (next round's pool, 30 — incl.
+# s_gzip_jsonl_roundtrip, registered after this rotation; its format
+# family already holds six window slots this round, so it waits):
 # d_simhash_neardup (its family keeps two driver rows this round),
 # e5_window_ntile_nth (family has two driver rows),
 # d_rollhash_fingerprint, t_bpe_tokens, d_simhash, s_knn_lsh,
