@@ -1,0 +1,136 @@
+"""WARC writer/reader: framing exactness, malformed-stream rejection,
+distributed shard roundtrip, and a hypothesis sweep over hostile
+payloads (record separators inside text, unicode, empty docs)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from turnover_odata_etl_spark.sources.warc import (
+    format_warc_record,
+    parse_warc_stream,
+    read_warc,
+    write_warc_shards,
+)
+
+
+def test_record_roundtrip_hostile_payload():
+    # Payload containing the record separator itself — naive blank-line
+    # splitting would truncate here; Content-Length framing must not.
+    text = "before\r\n\r\nafter\r\n\r\nWARC/1.0\r\n tail"
+    rec = format_warc_record("http://a.example.com/doc/1", 1767225601, "en", text.encode())
+    out = parse_warc_stream(rec)
+    assert len(out) == 1
+    assert out[0]["text"] == text
+    assert out[0]["uri"] == "http://a.example.com/doc/1"
+    assert out[0]["lang"] == "en"
+    assert out[0]["date_s"] == 1767225601
+
+
+def test_stream_concatenation_and_empty_payload():
+    a = format_warc_record("http://x/1", 1767225600, "en", b"")
+    b = format_warc_record("http://x/2", 1767312000, "zh", "中文 · émoji 🙂".encode())
+    out = parse_warc_stream(a + b)
+    assert [r["uri"] for r in out] == ["http://x/1", "http://x/2"]
+    assert out[0]["text"] == ""
+    assert out[1]["text"] == "中文 · émoji 🙂"
+
+
+@pytest.mark.parametrize(
+    "mangle",
+    [
+        lambda raw: raw[1:],  # missing version marker
+        lambda raw: raw[:-2],  # clipped trailer
+        lambda raw: raw.replace(b"Content-Length", b"X-Length", 1),
+    ],
+)
+def test_malformed_stream_raises(mangle):
+    rec = format_warc_record("http://x/1", 1767225600, "en", b"hello")
+    with pytest.raises((ValueError, KeyError)):
+        parse_warc_stream(mangle(rec))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_parse_roundtrip_random_texts(texts):
+    stream = b"".join(
+        format_warc_record(f"http://h/doc/{i}", 1767225600 + i, "xx", t.encode("utf-8"))
+        for i, t in enumerate(texts)
+    )
+    out = parse_warc_stream(stream)
+    assert [r["text"] for r in out] == texts
+    assert [r["date_s"] for r in out] == [1767225600 + i for i in range(len(texts))]
+
+
+def test_distributed_shard_roundtrip(spark, sf_dir, tmp_path):
+    from turnover_odata_etl_spark.tables import load_table
+
+    path = str(tmp_path / "warc")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"), F.col("doc_id")).alias("uri"),
+        (F.lit(1767225600) + F.col("doc_id")).alias("date_s"),
+        "lang",
+        "text",
+    )
+    n_docs = docs.count()
+    manifest = write_warc_shards(docs, path, n_shards=4)
+    assert sum(n for _, n in manifest) == n_docs
+    assert 1 <= len(manifest) <= 4
+
+    back = read_warc(spark, path)
+    assert back.count() == n_docs
+    # Value-level roundtrip: text char sum and id checksum both survive.
+    got = back.select(
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")).alias("ids"),
+    ).first()
+    want = docs.select(
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long")).alias("ids"),
+    ).first()
+    assert got == want
+
+
+def test_shards_are_multimember_gzip(spark, sf_dir, tmp_path):
+    """Each record is its own gzip member (Common Crawl layout): the
+    shard decompresses as a whole AND its first member alone yields a
+    complete record."""
+    import glob
+
+    from turnover_odata_etl_spark.tables import load_table
+
+    path = str(tmp_path / "warc_members")
+    docs = load_table(spark, sf_dir, "documents").limit(20).select(
+        F.concat(F.lit("http://s/doc/"), F.col("doc_id")).alias("uri"),
+        F.lit(1767225600).alias("date_s"),
+        "lang",
+        "text",
+    )
+    write_warc_shards(docs, path, n_shards=1)
+    shard = glob.glob(f"{path}/*.warc.gz")[0]
+    raw = open(shard, "rb").read()
+    # First member only: a GzipFile read stops at the first member
+    # boundary when given a one-member slice; simpler — find the 2nd
+    # magic and decompress the prefix.
+    second = raw.find(b"\x1f\x8b", 2)
+    assert second > 0, "expected >1 gzip member in a 20-record shard"
+    first_member = gzip.decompress(raw[:second])
+    recs = parse_warc_stream(first_member)
+    assert len(recs) == 1

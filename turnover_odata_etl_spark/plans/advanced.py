@@ -504,6 +504,70 @@ def s_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_warc_ingest",
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+           CAST(max(1767225600 + doc_id) AS BIGINT) AS max_date_s
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("relational", "sink", "source", "warc", "llm"),
+)
+def s_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl archive roundtrip: documents serialized as WET-style
+    ``.warc.gz`` shards (ISO 28500 records, one gzip member each —
+    Common Crawl's layout, built from the public grammar in
+    ``sources/warc.py``), read back through the binaryFile +
+    mapInPandas parser, and aggregated against the parquet originals
+    so any framing/encoding corruption breaks the value hash — the
+    id checksum, per-language char totals, AND the WARC-Date decode
+    (docs carry date 2026-01-01 + doc_id seconds) all roundtrip.
+
+    Scale: gzip is not splittable, so shard count chosen at write
+    time == read parallelism forever after; a 100 TB crawl drop is
+    many ~1 GB shards and the first touch re-lands them columnar —
+    this query IS that first-touch pattern. Write side is a
+    distributed mapInPandas sink (one shard per task, driver sees
+    only the N-row manifest); read side parses whole shards per task
+    by Content-Length framing, never splitting a member."""
+    from ..sources.warc import read_warc, write_warc_shards
+
+    path = _scratch(sf_dir, "documents_warc")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        ).alias("uri"),
+        (F.lit(1767225600) + F.col("doc_id")).alias("date_s"),
+        "lang",
+        "text",
+    )
+    write_warc_shards(docs, path, n_shards=8)
+    back = read_warc(spark, path)
+    return (
+        back.select(
+            F.regexp_extract("uri", r"http://([^.]+)\.", 1).alias("source"),
+            F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            "lang",
+            "date_s",
+            F.length("text").alias("text_len"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("text_len").alias("total_text_len"),
+            F.max("date_s").alias("max_date_s"),
+        )
+    )
+
+
+@register(
     "e6_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
