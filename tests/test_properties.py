@@ -491,3 +491,72 @@ def test_asof_join_matches_bruteforce(spark, data):
             if tol is None or (ts - rts).total_seconds() * 1000 <= tol:
                 want = v
         assert out[i] == want, (i, k, ts, rights, tol, out)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bpe_train_matches_reference(spark, data):
+    """bpe_train_merges == the textbook BPE trainer (explicit
+    left-to-right merge application, count-desc/pair-asc tie-break)
+    on random word dictionaries over a tiny alphabet — small alphabets
+    force repeated-pair words ('aaaa') and count ties, the two spots
+    where the wrapped-token replace() encoding could diverge from the
+    sequential reference."""
+    from collections import Counter
+
+    from turnover_odata_etl_spark.functions.text import bpe_train_merges
+
+    n_words = data.draw(st.integers(2, 8), label="n_words")
+    words = data.draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=2, max_size=6),
+            min_size=n_words,
+            max_size=n_words,
+            unique=True,
+        ),
+        label="words",
+    )
+    counts = [
+        data.draw(st.integers(1, 9), label=f"cnt{i}")
+        for i in range(len(words))
+    ]
+    k = data.draw(st.integers(1, 4), label="k")
+
+    # Reference: sequential merge application per word.
+    seqs = [(list(w), c) for w, c in zip(words, counts)]
+    want = []
+    for rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for toks, c in seqs:
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        want.append((rank, best[0], best[1], pc[best]))
+        new = []
+        for toks, c in seqs:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new.append((out, c))
+        seqs = new
+
+    df = spark.createDataFrame(
+        list(zip(words, counts)), "word string, cnt long"
+    )
+    got = bpe_train_merges(df, k)
+    assert got == want, (words, counts, k, got, want)

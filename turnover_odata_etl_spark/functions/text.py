@@ -161,3 +161,60 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
     whole = F.array(F.array_join(toks, " "))
     return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
+
+
+def bpe_train_merges(words, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Learn BPE merge rules from a word-frequency dictionary.
+
+    ``words`` is a DataFrame ``(word string of [a-z]+, cnt long)`` —
+    the aggregated output of the corpus word count, which is how the
+    original BPE algorithm (Sennrich et al. 2016, public) trains:
+    iterations run on the VOCABULARY-sized dictionary, never on the
+    corpus. That is the whole 100 TB posture — the one corpus-sized
+    job is the word count (hash-aggregate, map-side combined); the K
+    merge rounds each run a distributed pair-count + argmax over the
+    dict, and only the single best pair (metadata) ever reaches the
+    driver, PageRank-style.
+
+    Token sequences are represented wrapped — ``hello`` →
+    ``(h)(e)(l)(l)(o)`` — so applying merge (a,b) is a LITERAL
+    ``replace(seq, '(a)(b)', '(ab)')``: left-to-right non-overlapping,
+    the exact BPE convention, and identical in Spark and DuckDB —
+    which is what makes the trainer hash-checkable cross-engine (the
+    oracle unrolls the same K rounds as CTEs).
+
+    Ties break (count DESC, pair lexicographic) for determinism.
+    Returns ``[(rank, left, right, count-at-selection), ...]``.
+    """
+    seq = words.select(
+        F.regexp_replace("word", "(.)", r"($1)").alias("seq"), "cnt"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        toks = F.split(F.expr("substring(seq, 2, length(seq)-2)"), r"\)\(")
+        t = seq.select(toks.alias("toks"), "cnt").filter(F.size("toks") >= 2)
+        pairs = t.select(
+            F.slice("toks", 1, F.size("toks") - 1).alias("heads"),
+            F.slice("toks", 2, F.size("toks") - 1).alias("tails"),
+            "cnt",
+        ).select(
+            F.explode(F.arrays_zip("heads", "tails")).alias("z"), "cnt"
+        ).select(
+            F.col("z.heads").alias("p1"), F.col("z.tails").alias("p2"), "cnt"
+        )
+        best = (
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        p1, p2, c = best[0]["p1"], best[0]["p2"], int(best[0]["c"])
+        merges.append((k, p1, p2, c))
+        seq = seq.withColumn(
+            "seq",
+            F.replace("seq", F.lit(f"({p1})({p2})"), F.lit(f"({p1}{p2})")),
+        )
+    return merges

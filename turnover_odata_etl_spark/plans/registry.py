@@ -68,7 +68,7 @@ def promote(names: list[str]) -> None:
     representative gate window (rotated each round so never-audited
     queries get driver rows) independent of module import order;
     queries not named keep their relative order after the promoted
-    block. Every registered query — 173 at round 5 — is still checked
+    block. Every registered query — 174 at round 5 — is still checked
     locally by tests/test_oracle_parity.py regardless.
     """
     global _REGISTRY
