@@ -471,3 +471,61 @@ def test_broadcast_guard_hints_small_declines_large(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_warc_parse_path_has_no_pre_parse_shuffle(spark, sf_dir, tmp_path):
+    """WARC read = binaryFile scan → mapInPandas parse, with NO
+    Exchange before the parse: parallelism is the shard count by
+    design (gzip isn't splittable) and an eager repartition would
+    move whole compressed blobs across the cluster for nothing."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.sources.warc import (
+        read_warc,
+        write_warc_shards,
+    )
+    from turnover_odata_etl_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).select(
+        F.concat(F.lit("http://s/doc/"), F.col("doc_id")).alias("uri"),
+        F.lit(1767225600).alias("date_s"),
+        "lang",
+        "text",
+    )
+    path = str(tmp_path / "warc_plan")
+    write_warc_shards(docs, path, n_shards=2)
+    plan = plan_str(read_warc(spark, path))
+    head, _, _ = plan.partition("MapInPandas")
+    assert "Exchange" not in head, plan
+
+
+def test_bpe_pair_count_has_partial_aggregate(spark):
+    """The per-round pair count must map-side combine (partial
+    HashAggregate before the exchange) — at full-vocabulary scale the
+    pair space is huge and the shuffle must carry combined counts,
+    not one row per (word, position)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("abab", 3), ("bb", 5)], "word string, cnt long"
+    )
+    seq = df.select(
+        F.regexp_replace("word", "(.)", r"($1)").alias("seq"), "cnt"
+    )
+    toks = F.split(F.expr("substring(seq, 2, length(seq)-2)"), r"\)\(")
+    pairs = (
+        seq.select(toks.alias("toks"), "cnt")
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.slice("toks", 1, F.size("toks") - 1).alias("heads"),
+            F.slice("toks", 2, F.size("toks") - 1).alias("tails"),
+            "cnt",
+        )
+        .select(F.explode(F.arrays_zip("heads", "tails")).alias("z"), "cnt")
+        .select(F.col("z.heads").alias("p1"), F.col("z.tails").alias("p2"), "cnt")
+        .groupBy("p1", "p2")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    plan = plan_str(pairs)
+    head, _, _ = plan.partition("Exchange")
+    assert "HashAggregate" in head, plan
