@@ -71,6 +71,13 @@ PIPELINE = [
     "t_pretrain_pipeline",
 ]
 
+# Round-5 capability additions, their own section so the established
+# headline/streaming/showcase/pipeline series stay comparable.
+ADDITIONS = [
+    "t_bpe_train",
+    "s_warc_ingest",
+]
+
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
     "e6_q2_min_cost_supplier",
@@ -160,6 +167,7 @@ def main() -> None:
     timings = time_queries(spark, specs, HEADLINE, sf_dir, reps, errors)
     showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps, errors)
     pipeline = time_queries(spark, specs, PIPELINE, sf_dir, reps, errors)
+    additions = time_queries(spark, specs, ADDITIONS, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -184,6 +192,7 @@ def main() -> None:
     streaming_total = round(sum(streaming.values()), 3)
     showcase_total = round(sum(showcase.values()), 3)
     pipeline_total = round(sum(pipeline.values()), 3)
+    additions_total = round(sum(additions.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -209,8 +218,15 @@ def main() -> None:
         "showcase_total": showcase_total,
         "pipeline": pipeline,
         "pipeline_total": pipeline_total,
+        "additions": additions,
+        "additions_total": additions_total,
         "all_total": round(
-            total + streaming_total + showcase_total + pipeline_total, 3
+            total
+            + streaming_total
+            + showcase_total
+            + pipeline_total
+            + additions_total,
+            3,
         ),
         "fixtures": fixtures,
     }
