@@ -167,6 +167,14 @@ def write_warc_shards(
     ``path`` must be a filesystem every task can reach (shared fs /
     object store on a real cluster; local fs under local[*]).
     Overwrite semantics: the directory is cleared driver-side first.
+
+    Task-commit posture: shard names are DETERMINISTIC per partition
+    (``part-<pid>.warc.gz``) and each attempt writes to a private
+    ``.tmp.<uuid>`` then renames on success — so a retried or
+    speculative attempt overwrites idempotently (per-partition content
+    is deterministic) instead of leaving a partial or duplicate shard
+    for the ``*.warc.gz`` read glob to pick up. A random-name scheme
+    here would double-count records on the first task retry.
     """
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -178,10 +186,13 @@ def write_warc_shards(
         import uuid as _uuid
 
         import pandas as _pd
+        from pyspark import TaskContext
 
-        shard = _os.path.join(path, f"part-{_uuid.uuid4().hex}.warc.gz")
+        pid = TaskContext.get().partitionId()
+        final = _os.path.join(path, f"part-{pid:05d}.warc.gz")
+        tmp = f"{final}.tmp.{_uuid.uuid4().hex}"
         n = 0
-        with open(shard, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     rec = fmt(
@@ -193,10 +204,11 @@ def write_warc_shards(
                     fh.write(_gzip.compress(rec))
                     n += 1
         if n == 0:  # empty partition: no empty shard files on disk
-            _os.remove(shard)
+            _os.remove(tmp)
             return
+        _os.replace(tmp, final)  # atomic commit; last attempt wins
         yield _pd.DataFrame(
-            {"shard": [_os.path.basename(shard)], "n_records": [n]}
+            {"shard": [_os.path.basename(final)], "n_records": [n]}
         )
 
     manifest = (
