@@ -117,16 +117,18 @@ def test_srp_lsh_recall_floor(spark, sf_dir):
 
 
 def test_multimodal_compressed_formats_still_gated():
-    """PPM/BMP (round 4) and PNG (round 5, stdlib-zlib) decode for
-    real; JPEG/WebP remain the documented extension point and must
-    fail loudly, never silently mis-decode. A PNG magic with no
-    chunks is a *PNG* error, not an unknown format."""
+    """PPM/BMP (round 4), PNG and baseline JPEG (round 5) decode for
+    real; WebP remains the documented extension point and must fail
+    loudly, never silently mis-decode. Truncated known-magic payloads
+    are *format* errors, not unknown-format errors."""
     import pytest
 
     from turnover_odata_etl_spark.functions.multimodal import decode_image
 
     with pytest.raises(ValueError, match="unsupported image format"):
-        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG magic
+        decode_image(b"RIFF....WEBPVP8 ")  # WebP magic
+    with pytest.raises((ValueError, IndexError)):
+        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # truncated JPEG
     with pytest.raises(ValueError, match="PNG missing"):
         decode_image(b"\x89PNG\r\n\x1a\n")
 

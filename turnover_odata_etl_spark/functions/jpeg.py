@@ -1,0 +1,517 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure numpy + stdlib.
+
+Closes the last feasible gap in the E11 codec ladder: JPEG was a
+"loudly-failing extension point" because DCT entropy coding needs a
+real codec — but baseline sequential JPEG is a public spec whose
+every stage (marker segments, canonical Huffman, zigzag, dequantize,
+8x8 IDCT, chroma upsampling, YCbCr) is ordinary numpy work. No
+imaging library is involved anywhere.
+
+Decoder (`decode_jpeg`): baseline DCT sequential, 8-bit, 1- or
+3-component, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart
+markers, multi-segment DQT/DHT, APPn/COM skipping. Progressive
+(SOF2), arithmetic coding, and 12-bit precision raise ``ValueError``
+loudly — same contract as the PNG/WAV decoders' unsupported corners.
+
+Encoder (`encode_jpeg_baseline`): the test-vector generator — 4:4:4
+or 4:2:0, uniform or custom quant tables, canonical Huffman tables
+built from fixed code-length histograms (the DHT segment carries
+whatever tables we define, so the spec's example Annex-K tables are
+not needed). Quantization is the only lossy step; uniform 8x8-aligned
+tiles whose level-shifted value is divisible by the quant step
+roundtrip EXACTLY, which is what makes a closed-form SQL oracle
+possible for a lossy format.
+
+The DCT pair uses the orthonormal 8x8 DCT-II matrix ``M`` (forward
+``M @ b @ M.T``, inverse ``M.T @ S @ M``): for a constant block of
+level-shifted value w the DC coefficient is exactly ``8w``, matching
+T.81's scaling.
+
+Scale note: these functions run inside ``mapInPandas`` workers, one
+image per call, batched by Arrow — the per-image Python bit loop is
+the slow-but-correct reference tier; swapping in a vectorized or
+native codec is a drop-in at the ``decode_image`` dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- shared tables -------------------------------------------------
+
+_ZIGZAG = []  # (i, j) in zigzag scan order, derived not hardcoded
+for _s in range(15):
+    _ij = [(i, _s - i) for i in range(max(0, _s - 7), min(_s, 7) + 1)]
+    _ZIGZAG.extend(_ij if _s % 2 == 1 else list(reversed(_ij)))
+_ZZ_ROWS = np.array([i for i, _ in _ZIGZAG])
+_ZZ_COLS = np.array([j for _, j in _ZIGZAG])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * n + 1) * k * np.pi / 16)
+    m[0, :] *= np.sqrt(1 / 8)
+    m[1:, :] *= np.sqrt(2 / 8)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _build_canonical_codes(bits: list[int], values: list[int]):
+    """BITS (count of codes per length 1..16) + HUFFVAL → code table,
+    per T.81 Annex C."""
+    codes = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[idx]] = (length, code)
+            idx += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude_category(v: int) -> int:
+    return int(v != 0 and int(abs(v)).bit_length())
+
+
+# --- encoder -------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _pad_to_multiple(plane: np.ndarray, mult_h: int, mult_w: int):
+    h, w = plane.shape
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray):
+    """Plane (multiple-of-8 dims) → quantized zigzag blocks,
+    row-major block order."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coefs = _DCT_M @ blk @ _DCT_M.T
+            q = np.round(coefs / qtab).astype(np.int32)
+            out.append(q[_ZZ_ROWS, _ZZ_COLS])
+    return out, w // 8
+
+
+# Encoder Huffman tables: canonical, fixed-length — DC categories
+# 0..11 as 4-bit codes (12 of 16, the all-ones code stays unused as
+# the spec prefers), every AC run/size symbol as an 8-bit code
+# (162 symbols ≤ 254, all-ones unused). Valid canonical tables the
+# decoder rebuilds generically from the DHT segment.
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quant_luma: int | np.ndarray = 16,
+    quant_chroma: int | np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(H, W, 3) uint8`` RGB (or ``(H, W)`` grayscale) as
+    baseline JFIF-style JPEG. ``subsample=True`` → 4:2:0 (chroma
+    averaged 2x2), else 4:4:4. Scalar quant values mean a uniform
+    table. ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (exercises the decoder's resync path)."""
+    gray = img.ndim == 2
+    qy = (
+        np.full((8, 8), quant_luma, dtype=np.int32)
+        if np.isscalar(quant_luma)
+        else np.asarray(quant_luma, dtype=np.int32)
+    )
+    if quant_chroma is None:
+        qc = qy
+    else:
+        qc = (
+            np.full((8, 8), quant_chroma, dtype=np.int32)
+            if np.isscalar(quant_chroma)
+            else np.asarray(quant_chroma, dtype=np.int32)
+        )
+    h, w = img.shape[:2]
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            yp = _pad_to_multiple(y, 16, 16)
+            cbp = _pad_to_multiple(cb, 16, 16)
+            crp = _pad_to_multiple(cr, 16, 16)
+            cb_s = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr_s = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            planes = [yp, cb_s, cr_s]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    blocks = []
+    bw = []
+    for p, (sh, sv) in zip(planes, samp):
+        padded = _pad_to_multiple(p, 8 * sv, 8 * sh)
+        qt = qy if len(blocks) == 0 else qc
+        blks, blocks_w = _encode_plane_blocks(np.asarray(padded), qt)
+        blocks.append(blks)
+        bw.append(blocks_w)
+
+    dc_codes = _build_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+
+    def emit_block(ci: int, zz: np.ndarray) -> None:
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size = _magnitude_category(diff)
+        ln, code = dc_codes[size]
+        writer.write(code, ln)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            writer.write(amp, size)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k] != 0:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            size = _magnitude_category(v)
+            ln, code = ac_codes[(run << 4) | size]
+            writer.write(code, ln)
+            amp = v if v > 0 else v + (1 << size) - 1
+            writer.write(amp, size)
+            run = 0
+        if last_nz != 63:
+            ln, code = ac_codes[0x00]
+            writer.write(code, ln)
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred[:] = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        r = my * sv + by
+                        c = mx * sh + bx
+                        emit_block(ci, blocks[ci][r * bw[ci] + c])
+            mcu_count += 1
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = lambda q: bytes(int(q[i, j]) for i, j in _ZIGZAG)  # noqa: E731
+    out += seg(0xDB, b"\x00" + zz_q(qy))
+    if not gray:
+        out += seg(0xDB, b"\x01" + zz_q(qc))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
+    (restart handling is the caller's job via ``at_marker``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("JPEG: hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (for RSTn); returns marker byte."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+        marker = self.data[self.pos + 1]
+        self.pos += 2
+        return marker
+
+
+def _decode_huffman(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG → ``(H, W, 3) uint8`` RGB (grayscale
+    replicates to 3 channels). See module docstring for coverage;
+    anything outside it raises ``ValueError`` loudly."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> (len,code)->sym
+    restart_interval = 0
+    frame = None
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG: EOI before SOS")
+        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                "JPEG: only baseline sequential (SOF0) is supported — "
+                f"got SOF marker 0x{marker:02x} (progressive/extended need "
+                "a full codec library)"
+            )
+        length = int.from_bytes(data[pos : pos + 2], "big")
+        payload = data[pos + 2 : pos + length]
+        if marker == 0xDB:  # DQT, possibly several tables per segment
+            p = 0
+            while p < len(payload):
+                prec = payload[p] >> 4
+                tid = payload[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                q = np.zeros((8, 8), dtype=np.int32)
+                vals = payload[p + 1 : p + 65]
+                for (i, j), v in zip(_ZIGZAG, vals):
+                    q[i, j] = v
+                qtabs[tid] = q
+                p += 65
+        elif marker == 0xC4:  # DHT, possibly several tables
+            p = 0
+            while p < len(payload):
+                tc = payload[p] >> 4
+                th = payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                codes = _build_canonical_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (ln, code): sym for sym, (ln, code) in codes.items()
+                }
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            if payload[0] != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            fh = int.from_bytes(payload[1:3], "big")
+            fw = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, sf >> 4, sf & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            scan_comps = []
+            ns = payload[0]
+            for i in range(ns):
+                cs, tables = payload[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            pos += length
+            break
+        # APPn / COM / unknown: skip
+        pos += length
+
+    if frame is None:
+        raise ValueError("JPEG: no SOF0 before SOS")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    planes = []
+    for cid, sh, sv, tq in comps:
+        planes.append(
+            np.zeros((mcus_y * sv * 8, mcus_x * sh * 8), dtype=np.float64)
+        )
+
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                marker = reader.align_to_marker()
+                if not 0xD0 <= marker <= 0xD7:
+                    raise ValueError(
+                        f"JPEG: expected RSTn, got 0x{marker:02x}"
+                    )
+                pred = [0] * len(comps)
+            for ci, (cid, sh, sv, tq) in enumerate(comps):
+                sc = next(s for s in scan_comps if s[0] == cid)
+                dc_tab = huff[(0, sc[1])]
+                ac_tab = huff[(1, sc[2])]
+                qt = qtabs[tq]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = _decode_huffman(reader, dc_tab)
+                        diff = _extend(reader.read_bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(reader, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coefs = np.zeros((8, 8), dtype=np.float64)
+                        coefs[_ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS]
+                        blk = _DCT_M.T @ coefs @ _DCT_M + 128.0
+                        r0 = (my * sv + by) * 8
+                        c0 = (mx * sh + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+            mcu_count += 1
+
+    full = []
+    for (cid, sh, sv, tq), plane in zip(comps, planes):
+        if sh != hmax or sv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

@@ -43,11 +43,16 @@ def decode_image(data: bytes):
       Up / Average / Paeth) in numpy. Gray expands to 3 channels,
       alpha drops — the first COMPRESSED format in the ladder
       (round 5; it needs no external codec because DEFLATE is stdlib).
+    * **JPEG** — baseline sequential (SOF0), 8-bit, 1/3 components,
+      4:4:4 / 4:2:2 / 4:2:0, restart markers: canonical Huffman +
+      zigzag dequant + orthonormal 8x8 IDCT + chroma upsampling, all
+      numpy (``functions/jpeg.py``). Progressive (SOF2) / arithmetic
+      / 12-bit raise loudly.
 
-    Returns an ``(H, W, 3) uint8`` numpy array. JPEG/WebP still
-    require an external DCT/VP8 codec — that remains the documented
-    extension point: add an ``elif`` on their magic bytes delegating
-    to the library of choice. ``ValueError`` on anything unrecognized
+    Returns an ``(H, W, 3) uint8`` numpy array. WebP still requires
+    an external VP8 codec — that remains the documented extension
+    point: add an ``elif`` on its magic bytes delegating to the
+    library of choice. ``ValueError`` on anything unrecognized
     (never a silent wrong decode)."""
     import numpy as np
 
@@ -57,10 +62,14 @@ def decode_image(data: bytes):
         return _decode_bmp(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(
         f"unsupported image format (magic {data[:4]!r}); pure-numpy "
-        "decode covers PPM(P6)/BMP/PNG — wire a codec library here "
-        "for JPEG/WebP"
+        "decode covers PPM(P6)/BMP/PNG/baseline-JPEG — wire a codec "
+        "library here for WebP"
     )
 
 

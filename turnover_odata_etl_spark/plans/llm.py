@@ -793,9 +793,9 @@ def m_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one Arrow batch stream, no shuffle at all — decode is
     embarrassingly parallel; real corpora repartition first so batches
-    are uniform (see functions/multimodal module notes). Compressed
-    formats (JPEG/PNG) still need an external codec wired into
-    ``decode_image``; the uncompressed path is fully real."""
+    are uniform (see functions/multimodal module notes). PNG and
+    baseline JPEG decode are real (stdlib zlib / pure-numpy DCT);
+    WebP still needs an external codec wired into ``decode_image``."""
 
     def decode_features(batches):
         import numpy as np
@@ -1095,7 +1095,7 @@ def m_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_llm.py`` pins the module codec
     (functions/multimodal.encode_wav/decode_wav) against this worker.
     Compressed audio (MP3/AAC/Opus) stays a loudly-failing extension
-    point, matching JPEG/WebP on the image side."""
+    point, matching WebP on the image side."""
 
     def decode_features(batches):
         import struct
