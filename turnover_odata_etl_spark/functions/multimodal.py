@@ -8,10 +8,15 @@ since round 4 the codec step is REAL for uncompressed formats:
 pure numpy (no imaging library), ``resize_nearest`` downsamples by
 integer index mapping, and ``plans/llm.m_image_decode_features`` runs
 decode→resize→features end-to-end against a closed-form SQL oracle.
-Compressed formats (JPEG/PNG/WebP) still require an external codec —
-that branch of ``decode_image`` is the documented extension point and
-fails loudly. ``extract_binary_features`` keeps the byte-level
-feature path for payloads that are not images at all.
+Round 5 extended the codec ladder to compressed formats whose
+primitives are stdlib/numpy: PNG (zlib DEFLATE + all five scanline
+unfilters, ``_decode_png``) and baseline-sequential JPEG (pure-numpy
+Huffman + dequant + IDCT, ``functions/jpeg.py``). WebP — and the
+JPEG variants outside baseline (progressive SOF2, arithmetic) —
+still require an external codec; those branches of ``decode_image``
+are the documented extension points and fail loudly.
+``extract_binary_features`` keeps the byte-level feature path for
+payloads that are not images at all.
 
 At scale: mapInPandas streams Arrow batches through one Python worker
 per core; batch size is controlled by
