@@ -55,6 +55,19 @@ def main() -> int:
     specs = list(registry.all_specs().items())[:n]
     results: dict[str, dict] = {}
     failed = []
+
+    # Driver t1 smoke: entry(spark) must run on the vanilla session and
+    # return rows with a stable schema (the driver collects it).
+    try:
+        import __spark_entry__ as entry_mod
+
+        edf = entry_mod.entry(spark)
+        erows = edf.count()
+        print(f"[ok] __entry_smoke__ ({erows} rows)", flush=True)
+    except Exception as e:
+        failed.append("__entry_smoke__")
+        results["__entry_smoke__"] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
+        traceback.print_exc(limit=3)
     for name, spec in specs:
         t0 = time.time()
         try:

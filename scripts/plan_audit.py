@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Whole-inventory physical-plan audit.
+
+Walks every registered batch query, executes it once at a small scale
+factor so AQE reaches its FINAL plan, and extracts the plan facts that
+decide 100 TB viability:
+
+- shuffle exchanges (the quantity to minimize — each is a full
+  network/disk barrier at scale);
+- scans (a query reading the same table twice usually has a
+  single-pass rewrite — see the Q21/Q15 rewrites in plans/tpch.py);
+- join strategies chosen (broadcast-hash vs sort-merge vs nested-loop
+  vs cartesian — the last two are flagged unless the query opts in);
+- Python eval nodes (ArrowEval/MapInPandas are the sanctioned
+  vectorized path; BatchEvalPython — row-at-a-time — is ALWAYS
+  flagged);
+- WholeStageCodegen span count (wider spans = more of the plan fused
+  into JVM-generated loops);
+- whether any parquet scan carries PushedFilters (predicate reached
+  the reader).
+
+Output: one JSON line per query on stdout plus a repo-root
+``PLANS.md`` summary table when ``--write-md`` is passed. Streaming
+queries are skipped — their ``fn`` runs a real availableNow stream and
+returns a memory-sink scan whose batch plan says nothing about the
+streaming topology (those have dedicated tests in
+tests/test_streaming_semantics.py).
+
+This is an ENGINEERING ARTIFACT, not a test: the hard per-query
+assertions live in tests/test_plan_shape.py (e.g. zero row-wise UDFs
+is asserted over the full inventory there). The audit exists so a
+plan regression — an extra exchange sneaking into a headline query, a
+broadcast silently flipping to nested-loop — shows up as a diff in
+PLANS.md at review time.
+
+Usage:
+    cd /tmp && python /root/repo/scripts/plan_audit.py [sf_dir] [--write-md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose BroadcastNestedLoopJoin sides are PROVABLY bounded —
+# each was adjudicated by reading the plan: the build side is a 1-row
+# aggregate frame, a constant-size generated frame, or a
+# contract-capped query set, so the "nested loop" is O(n · constant),
+# not O(n²). Reasons inline; anything NOT listed that grows a BNLJ is
+# a real finding.
+NESTED_LOOP_OK = {
+    "e3_join_cross",  # deliberate tiny×tiny cross join demo
+    "e6_q11_important_stock",  # scalar threshold joined to every group (1-row side)
+    "e6_q15_top_supplier",  # 1-row global-max frame joined back
+    "e6_q17_small_qty_revenue",  # scalar avg threshold
+    "e6_q22_global_sales_opportunity",  # 1-row global avg side
+    "q_sql_exists_subquery",  # decorrelated scalar
+    "t_domain_balanced_sample",  # per-domain cap frame (domain-count sized)
+    "t_corpus_mixture",  # 1-row totals frame
+    "g_pagerank",  # 1-row node-count frame joined per iteration
+    "t_weighted_sample_es",  # per-stratum k frame
+    "e13_outliers_iqr",  # per-group quartile frame (group-count sized)
+    "t_unigram_logprob",  # 1-row token-total frame into the scoring join
+    "e14_gapfill_resample",  # distinct keys × 1-row min/max bounds frame
+    "p_heavy_hitters",  # 1-row total-count frame for support ratios
+    "e4_spatial_grid_join",  # constant 9-row (3×3) cell-offset frame
+    # ANN tiers: 1-row param frames + the contract-capped (≤ max_probe
+    # /dispatch threshold, enforced in operators/similarity.py) query
+    # set broadcast into candidate generation / recall verification.
+    "s_knn_ivf",
+    "s_knn_lsh",
+    "s_knn_pq",
+}
+
+# Queries where > 6 shuffle exchanges is the algorithm, not an
+# accident. Two classes, both adjudicated by reading the plans:
+# (a) K-round iterative plans / multi-stage algorithms whose
+#     intermediate frames are metadata- or vocabulary-sized;
+# (b) queries whose formatted plan carries several scalar-subquery
+#     sections (each subquery prints its own exchanges — group-count
+#     sized frames, not fact-table shuffles).
+# The flag stays informative for everything else: a NEW name showing
+# up here after a change is a regression to adjudicate.
+MANY_SHUFFLES_OK = {
+    "g_pagerank",  # (a) 5 Jacobi iterations × (contrib shuffle + agg)
+    "t_pretrain_pipeline",  # (a) 4-stage capstone composed as ONE plan:
+    #     quality→decontaminate→dedup→pack; each stage's shuffle is
+    #     load-bearing (anti-join, dedup window, packing prefix-sum)
+    "t_corpus_mixture",  # (a) count → quota → largest-remainder rank → join
+    "d_prefix_filter_jaccard",  # (a) global token rank → prefix index → verify
+    "t_unigram_logprob",  # (a) vocab build + scoring passes (vocab-sized)
+    "t_tfidf_topterms",  # (a) df → idf → per-doc score → top-k chain
+    "e13_hll_sketch_rollup",  # (a) sketch build → merge-rollup levels
+    "s_knn_ivf",  # (a) Lloyd refinement rounds + probe + verify
+    "s_knn_lsh",  # (a) band index + candidate join + verify
+    "s_knn_pq",  # (a) codebook train rounds + ADC scan + verify
+    "e14_funnel_sequence",  # (b) per-stage threshold subqueries
+    "e14_retention_cohorts",  # (b) cohort-base subqueries per period
+    "e6_copurchase_pairs",  # (b) pair support + order-count subqueries
+}
+
+
+def audit_one(spark, name, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    df.collect()  # drive AQE to isFinalPlan=true
+    qe = df._jdf.queryExecution()
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+
+    def count(pat):
+        return len(re.findall(pat, plan))
+
+    scans = count(r"\(\d+\) Scan ")
+    # "(n) Exchange" and "(n) BroadcastExchange" are disjoint node
+    # labels in formatted mode — no subtraction needed anywhere.
+    shuffles = count(r"\(\d+\) Exchange")
+    broadcasts = count(r"\(\d+\) BroadcastExchange")
+    codegen_ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    facts = {
+        "name": name,
+        "scans": scans,
+        "shuffle_exchanges": shuffles,
+        "broadcast_exchanges": broadcasts,
+        "bhj": count(r"BroadcastHashJoin"),
+        "smj": count(r"SortMergeJoin"),
+        "shj": count(r"ShuffledHashJoin"),
+        "bnlj": count(r"BroadcastNestedLoopJoin"),
+        "cartesian": count(r"CartesianProduct"),
+        "arrow_python": count(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow|BatchEvalPythonUDTF"),
+        "rowwise_python": count(r"\(\d+\) BatchEvalPython\b"),
+        "codegen_spans": len(codegen_ids),
+        "pushed_filters": bool(
+            re.search(r"PushedFilters: \[[^\]]+\]", plan)
+        ),
+        "aqe_final": "isFinalPlan=true" in plan,
+    }
+    flags = []
+    if facts["rowwise_python"]:
+        flags.append("ROW-WISE-PYTHON-UDF")
+    if facts["cartesian"] or (
+        facts["bnlj"] and name not in NESTED_LOOP_OK
+    ):
+        flags.append("NESTED-LOOP-JOIN")
+    if facts["shuffle_exchanges"] > 6 and name not in MANY_SHUFFLES_OK:
+        flags.append("MANY-SHUFFLES")
+    facts["flags"] = flags
+    return facts
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    write_md = "--write-md" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+
+    from turnover_odata_etl_spark.plans import registry
+    from turnover_odata_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results, skipped, errors = [], [], {}
+    for name, spec in registry.all_specs().items():
+        if "streaming" in spec.tags:
+            skipped.append(name)
+            continue
+        try:
+            facts = audit_one(spark, name, spec.fn, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — audit boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        results.append(facts)
+        print(json.dumps(facts), flush=True)
+
+    flagged = [r for r in results if r["flags"]]
+    summary = {
+        "audited": len(results),
+        "skipped_streaming": len(skipped),
+        "errors": errors,
+        "flagged": {r["name"]: r["flags"] for r in flagged},
+        "totals": {
+            "rowwise_python": sum(r["rowwise_python"] for r in results),
+            "cartesian": sum(r["cartesian"] for r in results),
+        },
+    }
+    print(json.dumps({"summary": summary}), flush=True)
+
+    if write_md:
+        lines = [
+            "# Physical-plan audit (generated by scripts/plan_audit.py)",
+            "",
+            f"Scale factor dir: `{sf_dir}` — plans are AQE-final "
+            "(each query executed once before explain).",
+            f"Audited {len(results)} batch queries; "
+            f"{len(skipped)} streaming queries skipped "
+            "(their topology is asserted in tests/test_streaming_semantics.py).",
+            "",
+            "| query | scans | shuffles | bcasts | BHJ | SMJ | NLJ | pyArrow | codegen | flags |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for r in sorted(
+            results,
+            key=lambda r: (-len(r["flags"]), -r["shuffle_exchanges"]),
+        ):
+            nlj = r["bnlj"] + r["cartesian"]
+            lines.append(
+                f"| {r['name']} | {r['scans']} | "
+                f"{r['shuffle_exchanges']} | "
+                f"{r['broadcast_exchanges']} | {r['bhj']} | {r['smj']} | "
+                f"{nlj} | {r['arrow_python']} | {r['codegen_spans']} | "
+                f"{' '.join(r['flags']) or ''} |"
+            )
+        lines.append("")
+        lines.append(
+            f"Flagged: {len(flagged)} — "
+            + (
+                "; ".join(f"{r['name']}: {','.join(r['flags'])}" for r in flagged)
+                or "none"
+            )
+        )
+        lines.append("")
+        md_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLANS.md",
+        )
+        with open(md_path, "w") as fh:
+            fh.write("\n".join(lines))
+        print(f"wrote {md_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -396,3 +396,65 @@ def test_client_follows_relative_next_links():
             m4.stop()
     finally:
         m.stop()
+
+
+def test_client_retries_transient_503_then_succeeds():
+    """Throttling blips (429/503) are retried per-REQUEST inside the
+    read task — the cheap alternative to Spark's task-level retry,
+    which would re-fetch every page of the partition."""
+    m = MockOData(ROWS, FIELDS, version=2, page_size=10, fail_first=2)
+    m.start()
+    try:
+        client = ODataClient(m.base_url, retries=3, backoff=0.01)
+        rows = [r for page in client.fetch_pages("Emp") for r in page]
+        assert len(rows) == len(ROWS)
+        # 2 failed attempts + 1 success, same URL each time
+        assert len(m.requests) == 3
+        assert len({r for r in m.requests}) == 1
+    finally:
+        m.stop()
+
+
+def test_client_honors_numeric_retry_after():
+    m = MockOData(
+        ROWS, FIELDS, version=2, page_size=10,
+        fail_first=1, fail_status=429, retry_after=0.01,
+    )
+    m.start()
+    try:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        # backoff=5 would sleep 5s if Retry-After were ignored
+        client = ODataClient(m.base_url, retries=2, backoff=5.0)
+        rows = [r for page in client.fetch_pages("Emp") for r in page]
+        assert len(rows) == len(ROWS)
+        assert _time.perf_counter() - t0 < 2.0
+    finally:
+        m.stop()
+
+
+def test_client_gives_up_after_bounded_retries():
+    m = MockOData(ROWS, FIELDS, version=2, fail_first=10**6)
+    m.start()
+    try:
+        client = ODataClient(m.base_url, retries=2, backoff=0.01)
+        with pytest.raises(ODataError) as exc:
+            list(client.fetch_pages("Emp"))
+        assert exc.value.status == 503
+        assert len(m.requests) == 3  # initial + 2 retries, then give up
+    finally:
+        m.stop()
+
+
+def test_client_does_not_retry_deterministic_404(mock_v2):
+    """The schema probe's 404 is a deterministic answer, not a blip —
+    retrying it would triple probe latency and hide nothing."""
+    client = ODataClient(mock_v2.base_url, retries=3, backoff=0.01)
+    before = len(mock_v2.requests)
+    with pytest.raises(ODataError):
+        client.get_json(
+            client.url_for("Emp"),
+            {"$select": "NoSuchField", "$top": "1", "$format": "json"},
+        )
+    assert len(mock_v2.requests) == before + 1

@@ -77,6 +77,9 @@ class MockOData:
         field_types: dict[str, str] | None = None,
         entity_set: str = "Emp",
         relative_next: bool = False,
+        fail_first: int = 0,
+        fail_status: int = 503,
+        retry_after: float | None = None,
     ):
         self.rows = rows
         self.fields = fields
@@ -91,6 +94,13 @@ class MockOData:
         # SAP V2 gateways emit __next RELATIVE to the service root;
         # opt in to exercise the client's link absolutization.
         self.relative_next = relative_next
+        # Transient-failure injection: the first ``fail_first``
+        # requests answer ``fail_status`` (with an optional numeric
+        # Retry-After header) before the server recovers — drives the
+        # client's bounded-retry path.
+        self.fail_first = fail_first
+        self.fail_status = fail_status
+        self.retry_after = retry_after
         self.requests: list[str] = []  # observed (for pushdown asserts)
         self._httpd: ThreadingHTTPServer | None = None
 
@@ -199,6 +209,17 @@ class MockOData:
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
                 mock.requests.append(self.path)
+                if mock.fail_first > 0:
+                    mock.fail_first -= 1
+                    payload = b"simulated transient failure"
+                    self.send_response(mock.fail_status)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(payload)))
+                    if mock.retry_after is not None:
+                        self.send_header("Retry-After", str(mock.retry_after))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 status, body = mock.handle(
                     parsed.path, urllib.parse.parse_qs(parsed.query)
                 )

@@ -96,8 +96,32 @@ class ODataError(RuntimeError):
         self.body = body
 
 
+# Transient statuses worth a client-side retry: throttling (429) and
+# gateway/availability blips (502/503/504). Plain 500 is deliberately
+# NOT here — in SAP gateways it is almost always a deterministic
+# application error (and the reference's behavior on it is
+# fail-and-log, etl.py:81-87); retrying it would just triple the
+# latency of a real failure. Opt in via the ``retryable`` parameter if
+# a particular backend is known to emit transient 500s.
+RETRYABLE_STATUSES = frozenset({429, 502, 503, 504})
+
+
 class ODataClient:
-    """Minimal authenticated JSON-over-HTTP client [S4, S5]."""
+    """Minimal authenticated JSON-over-HTTP client [S4, S5].
+
+    Transient-failure posture (beyond the reference, which
+    fails the whole run on any HTTP error): requests that fail with a
+    retryable status or a connection-level ``URLError`` are retried up
+    to ``retries`` times with exponential backoff (``backoff``,
+    2·backoff, 4·backoff, …), honoring a numeric ``Retry-After``
+    response header when the server sends one (capped at 30 s). This
+    matters at fan-out scale: a 1000-partition Spark read WILL see
+    429/503 blips, and a per-request retry is orders of magnitude
+    cheaper than Spark's task-level retry, which would re-fetch every
+    page of the partition. Non-retryable statuses (404 from the schema
+    probe, 400, auth failures) raise immediately — retrying a
+    deterministic error only hides it.
+    """
 
     def __init__(
         self,
@@ -107,11 +131,17 @@ class ODataClient:
         password: str | None = None,
         timeout: float = 90.0,
         pause: float = 0.0,
+        retries: int = 3,
+        backoff: float = 0.5,
+        retryable: frozenset[int] = RETRYABLE_STATUSES,
     ):
         self.base_url = base_url
         self.service_path = service_path
         self.timeout = timeout
         self.pause = pause
+        self.retries = retries
+        self.backoff = backoff
+        self.retryable = retryable
         self._opener = urllib.request.build_opener()
         self._headers = {"Accept": "application/json"}
         if user is not None:
@@ -123,6 +153,47 @@ class ODataClient:
     def url_for(self, entity: str) -> str:
         return entity_url(self.base_url, self.service_path, entity)
 
+    def _open_with_retry(self, req: urllib.request.Request, url: str) -> bytes:
+        """GET with bounded retry on transient failures [S5].
+
+        Backoff schedule: ``backoff · 2^attempt`` seconds, overridden
+        by a numeric ``Retry-After`` header (seconds form; capped at
+        30 s) when present — the throttling contract SAP gateways and
+        most OData services use with 429/503.
+        """
+        attempt = 0
+        while True:
+            try:
+                with self._opener.open(req, timeout=self.timeout) as resp:
+                    return resp.read()
+            except urllib.error.HTTPError as e:
+                body = e.read().decode("utf-8", errors="replace")
+                if e.code not in self.retryable or attempt >= self.retries:
+                    raise ODataError(e.code, url, body) from e
+                delay = self.backoff * (2**attempt)
+                retry_after = e.headers.get("Retry-After")
+                if retry_after:
+                    try:
+                        delay = min(float(retry_after), 30.0)
+                    except ValueError:
+                        pass  # HTTP-date form: keep the computed backoff
+                log.warning(
+                    "transient HTTP %d for %s (attempt %d/%d), retrying in %.2fs",
+                    e.code, url, attempt + 1, self.retries, delay,
+                )
+            except urllib.error.URLError as e:
+                # Connection-level failure (reset, refused, DNS blip) —
+                # no response to classify, so the bounded retry applies.
+                if attempt >= self.retries:
+                    raise ODataError(0, url, f"connection error: {e.reason}") from e
+                delay = self.backoff * (2**attempt)
+                log.warning(
+                    "connection error for %s (attempt %d/%d): %s, retrying in %.2fs",
+                    url, attempt + 1, self.retries, e.reason, delay,
+                )
+            time.sleep(delay)
+            attempt += 1
+
     def get_json(self, url: str, params: dict[str, str] | None = None) -> dict:
         """GET with query params; non-2xx raises ODataError with the
         status/url/body context the reference logs [S5]."""
@@ -130,23 +201,13 @@ class ODataClient:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
         req = urllib.request.Request(url, headers=self._headers)
-        try:
-            with self._opener.open(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read().decode("utf-8"))
-        except urllib.error.HTTPError as e:
-            body = e.read().decode("utf-8", errors="replace")
-            raise ODataError(e.code, url, body) from e
+        return json.loads(self._open_with_retry(req, url).decode("utf-8"))
 
     def get_text(self, url: str) -> str:
         """GET returning the raw body (the ``$metadata`` document is
         XML, not JSON)."""
         req = urllib.request.Request(url, headers={"Accept": "application/xml"})
-        try:
-            with self._opener.open(req, timeout=self.timeout) as resp:
-                return resp.read().decode("utf-8")
-        except urllib.error.HTTPError as e:
-            body = e.read().decode("utf-8", errors="replace")
-            raise ODataError(e.code, url, body) from e
+        return self._open_with_retry(req, url).decode("utf-8")
 
     def get_metadata(self) -> str:
         """The service's ``$metadata`` EDMX document (one request,

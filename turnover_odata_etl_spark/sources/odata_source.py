@@ -34,6 +34,14 @@ fan-out unit); each read task streams pages without buffering the
 entity; the politeness pause applies per task so aggregate request
 rate scales with parallelism — set ``pause`` accordingly or cap
 parallelism via ``spark.cores.max`` when the server is the bottleneck.
+
+Deployment note: unlike this package's mapInPandas closures (which
+cloudpickle ships BY VALUE so executors never import the package), a
+registered ``DataSource`` class pickles BY REFERENCE — executors must
+be able to import ``turnover_odata_etl_spark``. On a cluster, ship the
+package with ``spark-submit --py-files`` / ``spark.submit.pyFiles``
+(the standard posture for any connector library); under ``local[*]``
+it just means launching from a cwd where the package resolves.
 """
 
 from __future__ import annotations
@@ -128,6 +136,12 @@ def _client_from_options(options) -> ODataClient:
         password=options.get("password"),
         timeout=float(options.get("timeout", "90")),
         pause=float(options.get("pause", "0")),
+        # Transient-failure policy (throttling 429, gateway 502/503/504
+        # and connection blips): per-request bounded retry inside the
+        # read task — far cheaper than Spark's task-level retry, which
+        # re-fetches every page of the partition.
+        retries=int(options.get("retries", "3")),
+        backoff=float(options.get("backoff", "0.5")),
     )
 
 
