@@ -73,9 +73,14 @@ PIPELINE = [
 
 # Round-5 capability additions, their own section so the established
 # headline/streaming/showcase/pipeline series stay comparable.
+# The two codec queries time the full decode ladder at sf0.1 (PNG:
+# zlib inflate + unfilter; WAV: RIFF parse + framed features), giving
+# the round series decode-throughput evidence, not just correctness.
 ADDITIONS = [
     "t_bpe_train",
     "s_warc_ingest",
+    "m_png_decode_features",
+    "m_wav_decode_features",
 ]
 
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).

@@ -458,3 +458,16 @@ def test_client_does_not_retry_deterministic_404(mock_v2):
             {"$select": "NoSuchField", "$top": "1", "$format": "json"},
         )
     assert len(mock_v2.requests) == before + 1
+
+
+def test_client_wraps_non_json_200_with_url_context(monkeypatch):
+    """Proxy/SSO error pages arrive as 200 text/html; the client must
+    raise ODataError naming the URL, not a bare JSONDecodeError."""
+    client = ODataClient("http://example.invalid")
+    monkeypatch.setattr(
+        ODataClient, "_open_with_retry", lambda self, req, url: b"<html>SSO login</html>"
+    )
+    with pytest.raises(ODataError) as exc:
+        client.get_json("http://example.invalid/Emp")
+    assert "non-JSON" in exc.value.body
+    assert exc.value.url == "http://example.invalid/Emp"

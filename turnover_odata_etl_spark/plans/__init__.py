@@ -57,7 +57,10 @@ from . import tpch  # noqa: E402,F401
 # Still unaudited after this rotation (next round's pool, 32 — incl.
 # s_gzip_jsonl_roundtrip, s_warc_ingest and t_bpe_train, registered after this
 # rotation; their format family already holds six window slots this
-# round, so they wait):
+# round, so they wait). Round 6 should also REGISTER a
+# m_jpeg_decode_features query (functions/jpeg.py landed round 5 with
+# local tests only — registration was deferred to respect the r04
+# inventory freeze at 174) and put it straight into that window:
 # d_simhash_neardup (its family keeps two driver rows this round),
 # e5_window_ntile_nth (family has two driver rows),
 # d_rollhash_fingerprint, t_bpe_tokens, d_simhash, s_knn_lsh,

@@ -196,12 +196,20 @@ class ODataClient:
 
     def get_json(self, url: str, params: dict[str, str] | None = None) -> dict:
         """GET with query params; non-2xx raises ODataError with the
-        status/url/body context the reference logs [S5]."""
+        status/url/body context the reference logs [S5]. A 2xx body
+        that is not JSON (proxy error pages are the classic case) also
+        raises ODataError with the URL and a body snippet — a bare
+        JSONDecodeError from one of a thousand read tasks is
+        unattributable."""
         if params:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
         req = urllib.request.Request(url, headers=self._headers)
-        return json.loads(self._open_with_retry(req, url).decode("utf-8"))
+        body = self._open_with_retry(req, url).decode("utf-8", errors="replace")
+        try:
+            return json.loads(body)
+        except ValueError as e:
+            raise ODataError(200, url, f"non-JSON response body: {body[:500]}") from e
 
     def get_text(self, url: str) -> str:
         """GET returning the raw body (the ``$metadata`` document is
