@@ -130,3 +130,34 @@ def test_any_geometry_roundtrip(w, h, seed, sub):
     luma_in = img.astype(float) @ w601
     luma_out = dec.astype(float) @ w601
     assert np.mean(np.abs(luma_in - luma_out)) < 4.0
+
+
+def test_four_component_cmyk_rejected_loudly():
+    """4-component (Adobe CMYK) frames must raise, not silently drop
+    the K plane and feed C/M/Y through the YCbCr transform."""
+    img = np.full((8, 8, 3), 130, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_baseline(img))
+    idx = blob.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) — bump nc to 4
+    assert blob[idx + 9] == 3
+    blob[idx + 9] = 4
+    with pytest.raises(ValueError, match="component"):
+        decode_jpeg(bytes(blob))
+
+
+def test_sampling_factor_above_two_rejected_loudly():
+    """T.81 allows factors up to 4 but the integer upsampler only
+    handles exact 1x/2x — a 3x factor must raise, not mis-upsample."""
+    img = np.full((16, 16, 3), 130, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_baseline(img, subsample=True))
+    idx = blob.find(b"\xff\xc0")
+    # First component spec starts at payload offset 6: cid, HiVi, Tq
+    hv_pos = idx + 2 + 6 + 1 + 1  # marker(2) + len..nc(6+1... ) -> compute below
+    # SOF0 layout after marker+len: prec(1) h(2) w(2) nc(1) then per-comp cid(1) HV(1) Tq(1)
+    base = idx + 4  # start of payload (skip marker 2 + length 2)
+    assert blob[base + 5] == 3  # nc
+    hv = base + 6 + 1  # first comp's HV byte
+    assert blob[hv] == 0x22  # 2x2 luma under subsample=True
+    blob[hv] = 0x32  # 3x2 — legal per spec, unsupported here
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(blob))

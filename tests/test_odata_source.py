@@ -471,3 +471,32 @@ def test_client_wraps_non_json_200_with_url_context(monkeypatch):
         client.get_json("http://example.invalid/Emp")
     assert "non-JSON" in exc.value.body
     assert exc.value.url == "http://example.invalid/Emp"
+
+
+def test_client_clamps_negative_retry_after():
+    """A buggy throttler can send 'Retry-After: -1'; the client must
+    clamp to zero and retry, not crash time.sleep with a ValueError."""
+    m = MockOData(
+        ROWS, FIELDS, version=2, page_size=10,
+        fail_first=1, fail_status=503, retry_after=-1.0,
+    )
+    m.start()
+    try:
+        client = ODataClient(m.base_url, retries=2, backoff=0.01)
+        rows = [r for page in client.fetch_pages("Emp") for r in page]
+        assert len(rows) == len(ROWS)
+        assert len(m.requests) == 2
+    finally:
+        m.stop()
+
+
+def test_client_raises_strictly_on_invalid_utf8(monkeypatch):
+    """A mis-encoded row value must raise loudly, never silently
+    become U+FFFD inside persisted data."""
+    client = ODataClient("http://example.invalid")
+    monkeypatch.setattr(
+        ODataClient, "_open_with_retry",
+        lambda self, req, url: b'{"d": {"results": [{"n": "M\xfcller"}]}}',
+    )
+    with pytest.raises(UnicodeDecodeError):
+        client.get_json("http://example.invalid/Emp")

@@ -134,3 +134,21 @@ def test_shards_are_multimember_gzip(spark, sf_dir, tmp_path):
     first_member = gzip.decompress(raw[:second])
     recs = parse_warc_stream(first_member)
     assert len(recs) == 1
+
+
+def test_warcinfo_and_non_conversion_records_skipped():
+    """Real Common Crawl WET shards lead with a warcinfo record; it
+    must not become a phantom document row."""
+    info_body = b"software: test-crawler/1.0\r\nformat: WARC file version 1.0"
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2026-01-01T00:00:01Z\r\n"
+        + f"Content-Length: {len(info_body)}\r\n\r\n".encode()
+        + info_body
+        + b"\r\n\r\n"
+    )
+    doc = format_warc_record("http://a.example.com/d", 1767225601, "en", b"payload")
+    out = parse_warc_stream(info + doc)
+    assert len(out) == 1
+    assert out[0]["uri"] == "http://a.example.com/d"

@@ -426,10 +426,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             fh = int.from_bytes(payload[1:3], "big")
             fw = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would otherwise decode
+                # silently wrong (the K plane dropped, C/M/Y fed to the
+                # YCbCr transform) — the contract is loud failure.
+                raise ValueError(
+                    f"JPEG: only 1- or 3-component frames supported, got {nc}"
+                )
             comps = []
             for i in range(nc):
                 cid, sf, tq = payload[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, sf >> 4, sf & 0x0F, tq))
+                sh, sv = sf >> 4, sf & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
+                    # Factors 3/4 are legal per T.81 but the integer
+                    # repeat upsampler below only handles exact 1x/2x;
+                    # 3:2 ratios would mis-upsample silently.
+                    raise ValueError(
+                        "JPEG: only sampling factors 1 and 2 supported, "
+                        f"component {cid} has {sh}x{sv}"
+                    )
+                comps.append((cid, sh, sv, tq))
             frame = (fh, fw, comps)
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")

@@ -132,212 +132,231 @@ def _decode_bmp(data: bytes):
     return px[:, :, [2, 1, 0]].copy()  # BGR(A) → RGB, alpha dropped
 
 
-def _decode_png(data: bytes):
-    """PNG: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
-    interlace 0. Chunk walk → concatenated-IDAT zlib inflate → per-
-    scanline unfilter. Sub is a per-channel-lane prefix sum (one
-    vectorized cumsum); Up is one vectorized add; Average/Paeth are
-    inherently sequential in x (each pixel depends on the DECODED
-    left neighbor) so they fall back to a per-byte loop — fine for
-    thumbnail-scale payloads, and a real 100 TB pipeline decodes each
-    image exactly once inside its Arrow batch anyway."""
-    import struct
-    import zlib
+def _make_binary_codecs():
+    """Factory for the PNG/WAV codec functions.
 
-    import numpy as np
+    Defining them inside a factory gives them ``<locals>``
+    qualnames, so cloudpickle ships them BY VALUE into
+    mapInPandas closures (``plans/llm.m_png_decode_features`` /
+    ``m_wav_decode_features`` close over them directly) — the
+    same executor-import-free pattern as ``sources/warc.py``.
+    Each function keeps its imports inside its own body and
+    references no module globals, which is what makes the
+    by-value ship self-contained.
+    """
 
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + payload + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif ctype == b"IDAT":
-            idat.append(chunk)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
-        raise ValueError(
-            f"PNG variant unsupported (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
-            "non-interlaced"
-        )
-    nch = {0: 1, 2: 3, 6: 4}[color_type]
-    stride = w * nch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 1:  # Sub: prefix sum per channel lane
-            cur = (
-                np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64)
-                .reshape(stride) % 256
-            ).astype(np.int32)
-        elif f == 2:  # Up
-            cur = (line + prev) % 256
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prev[x - nch]) if x >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, nch)
-    if nch == 1:
-        px = np.repeat(px, 3, axis=2)
-    return px[:, :, :3].copy()  # RGBA → RGB, alpha dropped
+    def _decode_png(data: bytes):
+        """PNG: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+        interlace 0. Chunk walk → concatenated-IDAT zlib inflate → per-
+        scanline unfilter. Sub is a per-channel-lane prefix sum (one
+        vectorized cumsum); Up is one vectorized add; Average/Paeth are
+        inherently sequential in x (each pixel depends on the DECODED
+        left neighbor) so they fall back to a per-byte loop — fine for
+        thumbnail-scale payloads, and a real 100 TB pipeline decodes each
+        image exactly once inside its Arrow batch anyway."""
+        import struct
+        import zlib
 
+        import numpy as np
 
-def encode_png(img, filters=None) -> bytes:
-    """``(H, W, C) uint8`` (C ∈ {1, 3, 4}) → PNG bytes. ``filters``
-    cycles per-row filter types (default all-0) — the test/oracle
-    generator uses ``[0, 1, 2, 3, 4]`` so every unfilter path in
-    :func:`_decode_png` is exercised by a single image."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape[0], img.shape[1]
-    nch = 1 if img.ndim == 2 else img.shape[2]
-    color_type = {1: 0, 3: 2, 4: 6}[nch]
-    flat = img.reshape(h, w * nch).astype(np.int32)
-    stride = w * nch
-    zeros = np.zeros(nch, dtype=np.int32)
-    rows = []
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = filters[y % len(filters)] if filters else 0
-        line = flat[y]
-        left = np.concatenate([zeros, line[:-nch]])
-        if f == 0:
-            res = line
-        elif f == 1:
-            res = (line - left) % 256
-        elif f == 2:
-            res = (line - prev) % 256
-        elif f == 3:
-            res = (line - ((left + prev) >> 1)) % 256
-        elif f == 4:
-            upleft = np.concatenate([zeros, prev[:-nch]])
-            p = left + prev - upleft
-            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            ctype = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # len + type + payload + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", chunk)
+            elif ctype == b"IDAT":
+                idat.append(chunk)
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        w, h, depth, color_type, _comp, _filt, interlace = ihdr
+        if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+            raise ValueError(
+                f"PNG variant unsupported (depth={depth}, color={color_type}, "
+                f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
+                "non-interlaced"
             )
-            res = (line - pred) % 256
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        rows.append(bytes([f]) + res.astype(np.uint8).tobytes())
-        prev = line
+        nch = {0: 1, 2: 3, 6: 4}[color_type]
+        stride = w * nch
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        raw = raw.reshape(h, stride + 1)
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            f = int(raw[y, 0])
+            line = raw[y, 1:].astype(np.int32)
+            if f == 0:
+                cur = line
+            elif f == 1:  # Sub: prefix sum per channel lane
+                cur = (
+                    np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64)
+                    .reshape(stride) % 256
+                ).astype(np.int32)
+            elif f == 2:  # Up
+                cur = (line + prev) % 256
+            elif f in (3, 4):  # Average / Paeth: sequential in x
+                cur = line
+                for x in range(stride):
+                    a = int(cur[x - nch]) if x >= nch else 0
+                    b = int(prev[x])
+                    if f == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = int(prev[x - nch]) if x >= nch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) % 256
+            else:
+                raise ValueError(f"PNG filter type {f} invalid")
+            out[y] = cur
+            prev = cur
+        px = out.reshape(h, w, nch)
+        if nch == 1:
+            px = np.repeat(px, 3, axis=2)
+        return px[:, :, :3].copy()  # RGBA → RGB, alpha dropped
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
+
+    def encode_png(img, filters=None) -> bytes:
+        """``(H, W, C) uint8`` (C ∈ {1, 3, 4}) → PNG bytes. ``filters``
+        cycles per-row filter types (default all-0) — the test/oracle
+        generator uses ``[0, 1, 2, 3, 4]`` so every unfilter path in
+        :func:`_decode_png` is exercised by a single image."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        img = np.asarray(img, dtype=np.uint8)
+        h, w = img.shape[0], img.shape[1]
+        nch = 1 if img.ndim == 2 else img.shape[2]
+        color_type = {1: 0, 3: 2, 4: 6}[nch]
+        flat = img.reshape(h, w * nch).astype(np.int32)
+        stride = w * nch
+        zeros = np.zeros(nch, dtype=np.int32)
+        rows = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)] if filters else 0
+            line = flat[y]
+            left = np.concatenate([zeros, line[:-nch]])
+            if f == 0:
+                res = line
+            elif f == 1:
+                res = (line - left) % 256
+            elif f == 2:
+                res = (line - prev) % 256
+            elif f == 3:
+                res = (line - ((left + prev) >> 1)) % 256
+            elif f == 4:
+                upleft = np.concatenate([zeros, prev[:-nch]])
+                p = left + prev - upleft
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                res = (line - pred) % 256
+            else:
+                raise ValueError(f"PNG filter type {f} invalid")
+            rows.append(bytes([f]) + res.astype(np.uint8).tobytes())
+            prev = line
+
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
         return (
-            struct.pack(">I", len(payload))
-            + ctype
-            + payload
-            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
-        + chunk(b"IEND", b"")
-    )
+
+    def decode_wav(data: bytes):
+        """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag 1),
+        mono or multi-channel: chunk walk (``fmt `` for the header,
+        ``data`` for the payload; unknown chunks skipped per spec, odd
+        sizes padded), little-endian int16 samples de-interleaved to an
+        ``(n_frames, n_channels) int16`` array. Returns
+        ``(samples, sample_rate)``. Compressed audio (MP3/AAC/Opus)
+        requires an external codec — same loud-failure contract as
+        JPEG/WebP on the image side."""
+        import struct
+
+        import numpy as np
+
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE stream (magic {data[:4]!r})")
+        pos, fmt, payload = 12, None, None
+        while pos + 8 <= len(data):
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)  # chunks pad to even size
+            if ctype == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif ctype == b"data":
+                payload = body
+        if fmt is None or payload is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format, n_channels, sample_rate, _byte_rate, _block, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(
+                f"WAV variant unsupported (format={audio_format}, bits={bits}); "
+                "only 16-bit PCM — wire a codec library for compressed audio"
+            )
+        samples = np.frombuffer(
+            payload, dtype="<i2", count=len(payload) // 2
+        ).reshape(-1, n_channels)
+        return samples.copy(), sample_rate
 
 
-def decode_wav(data: bytes):
-    """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag 1),
-    mono or multi-channel: chunk walk (``fmt `` for the header,
-    ``data`` for the payload; unknown chunks skipped per spec, odd
-    sizes padded), little-endian int16 samples de-interleaved to an
-    ``(n_frames, n_channels) int16`` array. Returns
-    ``(samples, sample_rate)``. Compressed audio (MP3/AAC/Opus)
-    requires an external codec — same loud-failure contract as
-    JPEG/WebP on the image side."""
-    import struct
+    def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+        """``(n_frames, n_channels) int16`` → RIFF/WAVE bytes (16-bit
+        PCM) — the synthetic-payload generator for tests and the
+        oracle-checked audio decode operator."""
+        import struct
 
-    import numpy as np
+        import numpy as np
 
-    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError(f"not a RIFF/WAVE stream (magic {data[:4]!r})")
-    pos, fmt, payload = 12, None, None
-    while pos + 8 <= len(data):
-        ctype = data[pos : pos + 4]
-        (length,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 8 + length + (length & 1)  # chunks pad to even size
-        if ctype == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif ctype == b"data":
-            payload = body
-    if fmt is None or payload is None:
-        raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(
-            f"WAV variant unsupported (format={audio_format}, bits={bits}); "
-            "only 16-bit PCM — wire a codec library for compressed audio"
+        samples = np.asarray(samples, dtype="<i2")
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        n_channels = samples.shape[1]
+        payload = samples.tobytes()
+        fmt = struct.pack(
+            "<HHIIHH",
+            1,
+            n_channels,
+            sample_rate,
+            sample_rate * n_channels * 2,
+            n_channels * 2,
+            16,
         )
-    samples = np.frombuffer(
-        payload, dtype="<i2", count=len(payload) // 2
-    ).reshape(-1, n_channels)
-    return samples.copy(), sample_rate
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    return _decode_png, encode_png, decode_wav, encode_wav
 
 
-def encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """``(n_frames, n_channels) int16`` → RIFF/WAVE bytes (16-bit
-    PCM) — the synthetic-payload generator for tests and the
-    oracle-checked audio decode operator."""
-    import struct
-
-    import numpy as np
-
-    samples = np.asarray(samples, dtype="<i2")
-    if samples.ndim == 1:
-        samples = samples[:, None]
-    n_channels = samples.shape[1]
-    payload = samples.tobytes()
-    fmt = struct.pack(
-        "<HHIIHH",
-        1,
-        n_channels,
-        sample_rate,
-        sample_rate * n_channels * 2,
-        n_channels * 2,
-        16,
-    )
-    chunks = (
-        b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(payload)) + payload
-        + (b"\x00" if len(payload) & 1 else b"")
-    )
-    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+# Module-level API, created once; <locals> qualnames → by-value pickling.
+_decode_png, encode_png, decode_wav, encode_wav = _make_binary_codecs()
 
 
 def encode_ppm(img) -> bytes:

@@ -895,127 +895,23 @@ def m_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip, so any decode bug (filter arithmetic, chunk offsets,
     channel order) breaks the hash match.
 
-    The worker inlines encoder+decoder as nested defs (cloudpickle
-    ships closures by value — the package is not importable on
-    executors when driven from an arbitrary cwd);
-    ``tests/test_llm.py`` pins the module codec
-    (functions/multimodal.encode_png/_decode_png) against this worker
-    byte-for-byte. Scale: identical to the PPM path — one Arrow batch
-    stream, no shuffle, embarrassingly parallel decode."""
+    The worker closes over the MODULE codec
+    (``functions/multimodal.encode_png``/``_decode_png``): both are
+    created inside ``_make_binary_codecs`` so their ``<locals>``
+    qualnames make cloudpickle ship them BY VALUE — one codec
+    implementation engine-wide, no executor package import needed
+    (same pattern as ``sources/warc.py``); ``tests/test_llm.py``
+    exercises the same codec against the closed-form sums. Scale:
+    identical to the PPM path — one Arrow batch stream, no shuffle,
+    embarrassingly parallel decode."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png as png_decode,
+        encode_png as png_encode,
+    )
 
     def decode_features(batches):
-        import struct
-        import zlib
-
         import numpy as np
         import pandas as pd
-
-        def png_encode(img, filters):
-            h, w, nch = img.shape
-            flat = img.reshape(h, w * nch).astype(np.int32)
-            stride = w * nch
-            zeros = np.zeros(nch, dtype=np.int32)
-            rows, prev = [], np.zeros(stride, dtype=np.int32)
-            for y in range(h):
-                f = filters[y % len(filters)]
-                line = flat[y]
-                left = np.concatenate([zeros, line[:-nch]])
-                if f == 0:
-                    res = line
-                elif f == 1:
-                    res = (line - left) % 256
-                elif f == 2:
-                    res = (line - prev) % 256
-                elif f == 3:
-                    res = (line - ((left + prev) >> 1)) % 256
-                else:
-                    upleft = np.concatenate([zeros, prev[:-nch]])
-                    p = left + prev - upleft
-                    pa, pb, pc = (
-                        abs(p - left), abs(p - prev), abs(p - upleft)
-                    )
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, prev, upleft),
-                    )
-                    res = (line - pred) % 256
-                rows.append(bytes([f]) + res.astype(np.uint8).tobytes())
-                prev = line
-
-            def chunk(ctype, payload):
-                return (
-                    struct.pack(">I", len(payload))
-                    + ctype
-                    + payload
-                    + struct.pack(
-                        ">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF
-                    )
-                )
-
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
-                + chunk(b"IEND", b"")
-            )
-
-        def png_decode(data):
-            assert data[:8] == b"\x89PNG\r\n\x1a\n"
-            pos, ihdr, idat = 8, None, []
-            while pos + 8 <= len(data):
-                (length,) = struct.unpack_from(">I", data, pos)
-                ctype = data[pos + 4 : pos + 8]
-                payload = data[pos + 8 : pos + 8 + length]
-                pos += 12 + length
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", payload)
-                elif ctype == b"IDAT":
-                    idat.append(payload)
-                elif ctype == b"IEND":
-                    break
-            w, h, depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
-            assert depth == 8 and color_type == 2
-            nch, stride = 3, w * 3
-            raw = np.frombuffer(
-                zlib.decompress(b"".join(idat)), dtype=np.uint8
-            ).reshape(h, stride + 1)
-            out = np.empty((h, stride), dtype=np.uint8)
-            prev = np.zeros(stride, dtype=np.int32)
-            for y in range(h):
-                f = int(raw[y, 0])
-                line = raw[y, 1:].astype(np.int32)
-                if f == 0:
-                    cur = line
-                elif f == 1:
-                    cur = (
-                        np.cumsum(
-                            line.reshape(w, nch), axis=0, dtype=np.int64
-                        ).reshape(stride) % 256
-                    ).astype(np.int32)
-                elif f == 2:
-                    cur = (line + prev) % 256
-                else:
-                    cur = line
-                    for x in range(stride):
-                        a = int(cur[x - nch]) if x >= nch else 0
-                        b = int(prev[x])
-                        if f == 3:
-                            pred = (a + b) >> 1
-                        else:
-                            c = int(prev[x - nch]) if x >= nch else 0
-                            p = a + b - c
-                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                            pred = (
-                                a
-                                if pa <= pb and pa <= pc
-                                else (b if pb <= pc else c)
-                            )
-                        cur[x] = (cur[x] + pred) % 256
-                out[y] = cur
-                prev = cur
-            return out.reshape(h, w, nch)
 
         for pdf in batches:
             out = {
@@ -1090,45 +986,21 @@ def m_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow batch — no explode shuffle, same posture as
     ``sample_frames``.
 
-    The worker inlines the codec as nested defs (cloudpickle ships
-    closures by value — the package is not importable on executors);
-    ``tests/test_llm.py`` pins the module codec
-    (functions/multimodal.encode_wav/decode_wav) against this worker.
-    Compressed audio (MP3/AAC/Opus) stays a loudly-failing extension
-    point, matching WebP on the image side."""
+    The worker closes over the MODULE codec
+    (``functions/multimodal.encode_wav``/``decode_wav``), shipped BY
+    VALUE via their ``_make_binary_codecs`` ``<locals>`` qualnames —
+    one codec implementation engine-wide (same pattern as
+    ``sources/warc.py``). Compressed audio (MP3/AAC/Opus) stays a
+    loudly-failing extension point, matching WebP on the image
+    side."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav as wav_decode,
+        encode_wav as wav_encode,
+    )
 
     def decode_features(batches):
-        import struct
-
         import numpy as np
         import pandas as pd
-
-        def wav_encode(samples, rate):
-            payload = samples.astype("<i2").tobytes()
-            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-            chunks = (
-                b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                + b"data" + struct.pack("<I", len(payload)) + payload
-                + (b"\x00" if len(payload) & 1 else b"")
-            )
-            return (
-                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
-            )
-
-        def wav_decode(data):
-            assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
-            pos, fmt, payload = 12, None, None
-            while pos + 8 <= len(data):
-                ctype = data[pos : pos + 4]
-                (length,) = struct.unpack_from("<I", data, pos + 4)
-                body = data[pos + 8 : pos + 8 + length]
-                pos += 8 + length + (length & 1)
-                if ctype == b"fmt ":
-                    fmt = struct.unpack_from("<HHIIHH", body, 0)
-                elif ctype == b"data":
-                    payload = body
-            assert fmt[0] == 1 and fmt[5] == 16  # PCM, 16-bit
-            return np.frombuffer(payload, dtype="<i2", count=len(payload) // 2)
 
         for pdf in batches:
             out = {
@@ -1144,7 +1016,8 @@ def m_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = np.arange(n, dtype=np.int64)
                 samples = ((did * 31 + i * 7) % 65536 - 32768).astype(np.int16)
                 data = wav_encode(samples, 16000)
-                dec = wav_decode(data).astype(np.int64)  # real RIFF parse
+                frames, _rate = wav_decode(data)  # real RIFF parse
+                dec = frames[:, 0].astype(np.int64)
                 for f0 in range(0, n, 256):
                     frame = dec[f0 : f0 + 256]
                     out["doc_id"].append(did)

@@ -174,7 +174,9 @@ class ODataClient:
                 retry_after = e.headers.get("Retry-After")
                 if retry_after:
                     try:
-                        delay = min(float(retry_after), 30.0)
+                        # Clamp to [0, 30]: a negative value (buggy
+                        # throttler clock skew) would crash time.sleep.
+                        delay = min(max(float(retry_after), 0.0), 30.0)
                     except ValueError:
                         pass  # HTTP-date form: keep the computed backoff
                 log.warning(
@@ -205,10 +207,13 @@ class ODataClient:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
         req = urllib.request.Request(url, headers=self._headers)
-        body = self._open_with_retry(req, url).decode("utf-8", errors="replace")
+        # Strict decode: a mis-encoded row value must raise loudly, not
+        # silently become U+FFFD inside persisted data. Only the
+        # JSON-parse failure gets wrapped (proxy/SSO error pages).
+        body = self._open_with_retry(req, url).decode("utf-8")
         try:
             return json.loads(body)
-        except ValueError as e:
+        except json.JSONDecodeError as e:
             raise ODataError(200, url, f"non-JSON response body: {body[:500]}") from e
 
     def get_text(self, url: str) -> str:

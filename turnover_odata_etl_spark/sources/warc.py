@@ -124,23 +124,29 @@ def _make_parser():
             trailer = raw[body_start + length : body_start + length + 4]
             if trailer != b"\r\n\r\n":
                 raise ValueError("WARC parse: missing record trailer")
-            date_s = int(
-                datetime.strptime(
-                    headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+            # Real Common Crawl shards lead with a warcinfo record and
+            # may carry request/response/metadata records; only
+            # conversion records are documents. Framing still walks
+            # every record (Content-Length), but non-conversion types
+            # must not become phantom rows in the corpus.
+            if headers.get("WARC-Type") == "conversion":
+                date_s = int(
+                    datetime.strptime(
+                        headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+                    )
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
                 )
-                .replace(tzinfo=timezone.utc)
-                .timestamp()
-            )
-            records.append(
-                {
-                    "uri": headers.get("WARC-Target-URI", ""),
-                    "date_s": date_s,
-                    "lang": headers.get(
-                        "WARC-Identified-Content-Language", ""
-                    ),
-                    "text": payload.decode("utf-8"),
-                }
-            )
+                records.append(
+                    {
+                        "uri": headers.get("WARC-Target-URI", ""),
+                        "date_s": date_s,
+                        "lang": headers.get(
+                            "WARC-Identified-Content-Language", ""
+                        ),
+                        "text": payload.decode("utf-8"),
+                    }
+                )
             pos = body_start + length + 4
         return records
 
