@@ -850,7 +850,16 @@ def m_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sum_b"].append(int(small[:, :, 2].sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Decode is CPU-bound Python; the fixture is one small parquet
+    # file = ONE input partition, which would run the whole decode on
+    # a single core. Round-robin repartition of the doc_id-only frame
+    # (bytes moved: 8/row) fans it across the cluster — the posture
+    # the multimodal module docs mandate for decode-heavy stages.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         decode_features,
         "doc_id long, width long, height long, sum_r long, sum_g long, "
@@ -944,7 +953,16 @@ def m_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sum_b"].append(int(small[:, :, 2].sum()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Decode is CPU-bound Python; the fixture is one small parquet
+    # file = ONE input partition, which would run the whole decode on
+    # a single core. Round-robin repartition of the doc_id-only frame
+    # (bytes moved: 8/row) fans it across the cluster — the posture
+    # the multimodal module docs mandate for decode-heavy stages.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         decode_features,
         "doc_id long, width long, height long, sum_r long, sum_g long, "
@@ -1028,7 +1046,16 @@ def m_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["max_s"].append(int(frame.max()))
             yield pd.DataFrame(out)
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Decode is CPU-bound Python; the fixture is one small parquet
+    # file = ONE input partition, which would run the whole decode on
+    # a single core. Round-robin repartition of the doc_id-only frame
+    # (bytes moved: 8/row) fans it across the cluster — the posture
+    # the multimodal module docs mandate for decode-heavy stages.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(
         decode_features,
         "doc_id long, frame_idx long, n_samples long, sum_s long, "
