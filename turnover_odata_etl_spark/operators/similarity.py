@@ -151,8 +151,13 @@ def cosine_topk_blocked(
             out_n = nids[idx.reshape(-1)]
             yield _pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
-    cands = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    # The GEMM is CPU-bound per corpus partition; a single-file fixture
+    # scan arrives as one partition and would serialize it on one core.
+    # ensure_parallelism fans it out and is a no-op at real scale.
+    from ..tables import ensure_parallelism
+
+    cands = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
     ).mapInPandas(score, "query_id long, neighbor_id long")
 
     qv = queries.select(
@@ -322,8 +327,12 @@ def srp_bucket_vectors(
                 }
             )
 
+    from ..tables import ensure_parallelism
+
     return (
-        df.select(F.col(id_col).alias("out_id"), F.col(vec_col).alias("vec"))
+        ensure_parallelism(
+            df.select(F.col(id_col).alias("out_id"), F.col(vec_col).alias("vec"))
+        )
         .mapInPandas(compute, "out_id long, vec array<float>, buckets array<bigint>")
         .withColumnRenamed("out_id", out_id)
     )
@@ -430,7 +439,13 @@ def ivf_topk(
     the driver — n_cells·dim floats, metadata-sized at any corpus
     scale. Per-query candidate work is ~nprobe/n_cells of the corpus;
     recall rises with nprobe (nprobe = n_cells ⇒ exact)."""
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    from ..tables import ensure_parallelism
+
+    # Centroid assignment is a per-partition GEMM; fan a narrow scan out
+    # (no-op when the corpus scan is already wide).
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    )
 
     seed_rows = (
         c.orderBy("nid").limit(n_cells).select("vec").collect()
@@ -693,7 +708,11 @@ def pq_topk(
     if len(q_rows) > max_driver_queries:
         return cosine_topk_tiled(queries, corpus, id_col, vec_col, k=k)
 
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    from ..tables import ensure_parallelism
+
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
+    )
     train_rows = c.orderBy("nid").limit(train_n).select("vec").collect()
     sample = np.array([r.vec for r in train_rows], dtype=np.float64)
     books = _pq_train_codebooks(sample, m, ksub)
