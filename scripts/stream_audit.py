@@ -77,13 +77,23 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — audit boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        # Listener events arrive asynchronously; drain briefly.
+        # Listener events arrive asynchronously on the Py4J callback
+        # thread. Waiting for the FIRST event plus a fixed grace races
+        # slow deliveries: a late batch event would undercount this
+        # query AND (after the next iteration's clear) leak into the
+        # next query's row as a phantom stream. Instead wait until the
+        # event count is STABLE — no growth across three consecutive
+        # 0.5 s checks — before reading.
         import time
 
-        deadline = time.time() + 10
-        while not progresses and time.time() < deadline:
-            time.sleep(0.2)
-        time.sleep(0.5)  # let the final batch's event land
+        deadline = time.time() + 20
+        stable = 0
+        seen = -1
+        while stable < 3 and time.time() < deadline:
+            time.sleep(0.5)
+            n = len(progresses)
+            stable = stable + 1 if n == seen and n > 0 else (1 if n > 0 else 0)
+            seen = n
 
         # One registered query may run several streams (warm-up-free
         # here: each fn starts fresh); aggregate by stream id, keep the
@@ -93,7 +103,10 @@ def main() -> None:
             last_by_id[p["id"]] = p
         ops: dict[str, int] = {}
         watermarked = False
-        n_batches = len(progresses)
+        # Progress events across ALL streams this query ran (availableNow
+        # emits ~one per micro-batch per stream) — a total, not a
+        # per-stream drain depth.
+        n_events = len(progresses)
         sinks, sources = set(), set()
         for p in last_by_id.values():
             for op in p.get("stateOperators", []):
@@ -108,7 +121,7 @@ def main() -> None:
         facts = {
             "name": name,
             "streams": len(last_by_id),
-            "micro_batches": n_batches,
+            "progress_events": n_events,
             "state_operators": ops,
             "watermarked": watermarked,
             "sources": sorted(sources),
@@ -143,7 +156,7 @@ def main() -> None:
             "their late-data semantics are asserted separately in",
             "tests/test_streaming_semantics.py).",
             "",
-            "| query | streams | batches | state operators (rows) | watermark | sink |",
+            "| query | streams | progress events | state operators (rows) | watermark | sink |",
             "|---|---|---|---|---|---|",
         ]
         for r in results:
@@ -152,7 +165,7 @@ def main() -> None:
                 or "—"
             )
             lines.append(
-                f"| {r['name']} | {r['streams']} | {r['micro_batches']} | "
+                f"| {r['name']} | {r['streams']} | {r['progress_events']} | "
                 f"{ops} | {'yes' if r['watermarked'] else '—'} | "
                 f"{', '.join(r['sinks'])} |"
             )

@@ -151,8 +151,6 @@ def test_sampling_factor_above_two_rejected_loudly():
     img = np.full((16, 16, 3), 130, dtype=np.uint8)
     blob = bytearray(encode_jpeg_baseline(img, subsample=True))
     idx = blob.find(b"\xff\xc0")
-    # First component spec starts at payload offset 6: cid, HiVi, Tq
-    hv_pos = idx + 2 + 6 + 1 + 1  # marker(2) + len..nc(6+1... ) -> compute below
     # SOF0 layout after marker+len: prec(1) h(2) w(2) nc(1) then per-comp cid(1) HV(1) Tq(1)
     base = idx + 4  # start of payload (skip marker 2 + length 2)
     assert blob[base + 5] == 3  # nc

@@ -465,7 +465,9 @@ def test_client_wraps_non_json_200_with_url_context(monkeypatch):
     raise ODataError naming the URL, not a bare JSONDecodeError."""
     client = ODataClient("http://example.invalid")
     monkeypatch.setattr(
-        ODataClient, "_open_with_retry", lambda self, req, url: b"<html>SSO login</html>"
+        ODataClient,
+        "_open_with_retry",
+        lambda self, req, url: (200, b"<html>SSO login</html>"),
     )
     with pytest.raises(ODataError) as exc:
         client.get_json("http://example.invalid/Emp")
@@ -491,12 +493,16 @@ def test_client_clamps_negative_retry_after():
 
 
 def test_client_raises_strictly_on_invalid_utf8(monkeypatch):
-    """A mis-encoded row value must raise loudly, never silently
-    become U+FFFD inside persisted data."""
+    """A mis-encoded row value must raise loudly (never silently
+    become U+FFFD inside persisted data) AND attributed: the error
+    names the URL instead of being a bare UnicodeDecodeError from one
+    of a thousand read tasks."""
     client = ODataClient("http://example.invalid")
     monkeypatch.setattr(
         ODataClient, "_open_with_retry",
-        lambda self, req, url: b'{"d": {"results": [{"n": "M\xfcller"}]}}',
+        lambda self, req, url: (200, b'{"d": {"results": [{"n": "M\xfcller"}]}}'),
     )
-    with pytest.raises(UnicodeDecodeError):
+    with pytest.raises(ODataError) as exc:
         client.get_json("http://example.invalid/Emp")
+    assert "non-UTF8" in exc.value.body
+    assert exc.value.url == "http://example.invalid/Emp"

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from ..tables import ensure_parallelism
 
 # Driver-small contract ceiling for operators that materialize the
 # query set on the driver (cosine_topk_blocked, pq_topk). At the
@@ -154,8 +155,6 @@ def cosine_topk_blocked(
     # The GEMM is CPU-bound per corpus partition; a single-file fixture
     # scan arrives as one partition and would serialize it on one core.
     # ensure_parallelism fans it out and is a no-op at real scale.
-    from ..tables import ensure_parallelism
-
     cands = ensure_parallelism(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
     ).mapInPandas(score, "query_id long, neighbor_id long")
@@ -327,8 +326,6 @@ def srp_bucket_vectors(
                 }
             )
 
-    from ..tables import ensure_parallelism
-
     return (
         ensure_parallelism(
             df.select(F.col(id_col).alias("out_id"), F.col(vec_col).alias("vec"))
@@ -439,8 +436,6 @@ def ivf_topk(
     the driver — n_cells·dim floats, metadata-sized at any corpus
     scale. Per-query candidate work is ~nprobe/n_cells of the corpus;
     recall rises with nprobe (nprobe = n_cells ⇒ exact)."""
-    from ..tables import ensure_parallelism
-
     # Centroid assignment is a per-partition GEMM; fan a narrow scan out
     # (no-op when the corpus scan is already wide).
     c = ensure_parallelism(
@@ -707,8 +702,6 @@ def pq_topk(
     )
     if len(q_rows) > max_driver_queries:
         return cosine_topk_tiled(queries, corpus, id_col, vec_col, k=k)
-
-    from ..tables import ensure_parallelism
 
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))

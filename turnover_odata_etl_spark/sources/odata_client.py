@@ -153,8 +153,12 @@ class ODataClient:
     def url_for(self, entity: str) -> str:
         return entity_url(self.base_url, self.service_path, entity)
 
-    def _open_with_retry(self, req: urllib.request.Request, url: str) -> bytes:
-        """GET with bounded retry on transient failures [S5].
+    def _open_with_retry(
+        self, req: urllib.request.Request, url: str
+    ) -> tuple[int, bytes]:
+        """GET with bounded retry on transient failures [S5]; returns
+        ``(status, body_bytes)`` so callers can report the REAL 2xx
+        code (204/206 exist in the wild) instead of assuming 200.
 
         Backoff schedule: ``backoff · 2^attempt`` seconds, overridden
         by a numeric ``Retry-After`` header (seconds form; capped at
@@ -165,7 +169,7 @@ class ODataClient:
         while True:
             try:
                 with self._opener.open(req, timeout=self.timeout) as resp:
-                    return resp.read()
+                    return resp.status, resp.read()
             except urllib.error.HTTPError as e:
                 body = e.read().decode("utf-8", errors="replace")
                 if e.code not in self.retryable or attempt >= self.retries:
@@ -207,20 +211,31 @@ class ODataClient:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
         req = urllib.request.Request(url, headers=self._headers)
-        # Strict decode: a mis-encoded row value must raise loudly, not
-        # silently become U+FFFD inside persisted data. Only the
-        # JSON-parse failure gets wrapped (proxy/SSO error pages).
-        body = self._open_with_retry(req, url).decode("utf-8")
+        status, raw = self._open_with_retry(req, url)
+        # Strict decode — a mis-encoded body must raise loudly, never
+        # silently become U+FFFD inside persisted row data — but
+        # ATTRIBUTED: both decode and JSON-parse failures wrap into
+        # ODataError with the real status, URL, and a body snippet (a
+        # bare UnicodeDecodeError/JSONDecodeError from one of a
+        # thousand read tasks is undebuggable).
+        try:
+            body = raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ODataError(
+                status, url, f"non-UTF8 response body: {raw[:500]!r}"
+            ) from e
         try:
             return json.loads(body)
         except json.JSONDecodeError as e:
-            raise ODataError(200, url, f"non-JSON response body: {body[:500]}") from e
+            raise ODataError(
+                status, url, f"non-JSON response body: {body[:500]}"
+            ) from e
 
     def get_text(self, url: str) -> str:
         """GET returning the raw body (the ``$metadata`` document is
         XML, not JSON)."""
         req = urllib.request.Request(url, headers={"Accept": "application/xml"})
-        return self._open_with_retry(req, url).decode("utf-8")
+        return self._open_with_retry(req, url)[1].decode("utf-8")
 
     def get_metadata(self) -> str:
         """The service's ``$metadata`` EDMX document (one request,

@@ -124,7 +124,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     single-partition vs 0.98 s fanned out at sf0.1). The guard keeps
     this a no-op at real scale: a 100 TB scan already has thousands of
     partitions, and an unconditional ``repartition`` there would be a
-    pointless full-corpus shuffle."""
+    pointless full-corpus shuffle.
+
+    Contract: call this on SCAN-PROJECTIONS (a read + select), which is
+    what every current site passes. The partition probe builds a
+    non-adaptive physical plan (driver-side planning only — nothing
+    executes), which is exact for scans; on a frame containing joins or
+    aggregates the probe would reflect the static shuffle-partition
+    setting rather than AQE's runtime choice, so the answer would be
+    meaningless there anyway."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
