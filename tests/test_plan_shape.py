@@ -529,3 +529,22 @@ def test_bpe_pair_count_has_partial_aggregate(spark):
     plan = plan_str(pairs)
     head, _, _ = plan.partition("Exchange")
     assert "HashAggregate" in head, plan
+
+
+def test_ensure_parallelism_fans_out_narrow_scan_and_noops_when_wide(spark, sf_dir):
+    """A single-file scan must fan out to cluster width before a
+    CPU-bound Python stage; an already-wide frame must pass through
+    UNTOUCHED (the guard is what keeps this a no-op — not a pointless
+    full-corpus shuffle — at real scale)."""
+    from turnover_odata_etl_spark.tables import ensure_parallelism, load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target  # fixture = tiny file
+
+    fanned = ensure_parallelism(docs)
+    assert fanned.rdd.getNumPartitions() >= target
+
+    # Idempotent: wide input returns the SAME frame, no new exchange.
+    again = ensure_parallelism(fanned)
+    assert again is fanned

@@ -233,9 +233,16 @@ class ODataClient:
 
     def get_text(self, url: str) -> str:
         """GET returning the raw body (the ``$metadata`` document is
-        XML, not JSON)."""
+        XML, not JSON). Same attribution contract as ``get_json``: a
+        mis-encoded body raises ODataError naming the URL."""
         req = urllib.request.Request(url, headers={"Accept": "application/xml"})
-        return self._open_with_retry(req, url)[1].decode("utf-8")
+        status, raw = self._open_with_retry(req, url)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ODataError(
+                status, url, f"non-UTF8 response body: {raw[:500]!r}"
+            ) from e
 
     def get_metadata(self) -> str:
         """The service's ``$metadata`` EDMX document (one request,
