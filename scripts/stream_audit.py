@@ -21,8 +21,8 @@ ENGINE said it executed —
 Queries built on ``foreachBatch`` (the incremental upsert/agg/CDC
 family) legitimately report no state operators — their state lives in
 the keyed parquet table the batch function merges into, not in the
-state store; the audit prints their batch counts so that posture is
-visible rather than invisible.
+state store; the audit prints their progress-event counts so that
+posture is visible rather than invisible.
 
 Usage:
     cd /tmp && python /root/repo/scripts/stream_audit.py [sf_dir] [--write-md]

@@ -57,10 +57,12 @@ from . import tpch  # noqa: E402,F401
 # Still unaudited after this rotation (next round's pool, 32 — incl.
 # s_gzip_jsonl_roundtrip, s_warc_ingest and t_bpe_train, registered after this
 # rotation; their format family already holds six window slots this
-# round, so they wait). Round 6 should also REGISTER a
-# m_jpeg_decode_features query (functions/jpeg.py landed round 5 with
-# local tests only — registration was deferred to respect the r04
-# inventory freeze at 174) and put it straight into that window:
+# round, so they wait). Round 6 should also REGISTER
+# m_jpeg_decode_features — fully STAGED in plans/roundsix.py (query +
+# closed-form oracle, green vs DuckDB at sf0.001 and sf0.01;
+# activation checklist in that module's docstring; deferred only to
+# respect the r04 inventory freeze at 174) — and put it straight into
+# that window:
 # d_simhash_neardup (its family keeps two driver rows this round),
 # e5_window_ntile_nth (family has two driver rows),
 # d_rollhash_fingerprint, t_bpe_tokens, d_simhash, s_knn_lsh,
