@@ -560,3 +560,77 @@ def test_bpe_train_matches_reference(spark, data):
     )
     got = bpe_train_merges(df, k)
     assert got == want, (words, counts, k, got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_png_palette_and_16bit_roundtrip_random(data):
+    """The round-5 variant extensions: paletted (PLTE lookup) decodes
+    to palette[idx] exactly; 16-bit decodes to the high byte exactly —
+    for ANY geometry, palette size, and filter mix."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    h = data.draw(st.integers(1, 9), label="h")
+    w = data.draw(st.integers(1, 9), label="w")
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=6), label="filters"
+    )
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.default_rng(seed)
+
+    variant = data.draw(
+        st.sampled_from(["palette", "rgb16", "gray16"]), label="variant"
+    )
+    if variant == "palette":
+        n = data.draw(st.integers(1, 256), label="n_colors")
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        decoded = _decode_png(encode_png(idx, filters=filters, palette=pal))
+        assert np.array_equal(decoded, pal[idx])
+    elif variant == "rgb16":
+        img = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+        decoded = _decode_png(encode_png(img, filters=filters, depth=16))
+        assert np.array_equal(decoded, (img >> 8).astype(np.uint8))
+    else:
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        decoded = _decode_png(encode_png(img, filters=filters, depth=16))
+        expect = np.repeat(((img >> 8).astype(np.uint8))[:, :, None], 3, axis=2)
+        assert np.array_equal(decoded, expect)
+
+
+def test_png_variant_errors_are_loud():
+    """Missing PLTE, out-of-range palette index, and unsupported bit
+    depths raise ValueError — never a silent wrong decode."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    pal = np.arange(30, dtype=np.uint8).reshape(10, 3)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+
+    blob = bytearray(encode_png(idx, palette=pal))
+    i = blob.find(b"PLTE") - 4
+    (ln,) = struct.unpack_from(">I", blob, i)
+    del blob[i : i + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(bytes(blob))
+
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png(np.full((2, 2), 99, dtype=np.uint8), palette=pal)
+
+    blob = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint16), depth=16))
+    i = blob.find(b"IHDR")
+    blob[i + 12] = 4  # depth byte → 4 (sub-byte packing, unsupported)
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_png(bytes(blob))

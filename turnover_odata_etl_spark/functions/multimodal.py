@@ -10,11 +10,12 @@ integer index mapping, and ``plans/llm.m_image_decode_features`` runs
 decode→resize→features end-to-end against a closed-form SQL oracle.
 Round 5 extended the codec ladder to compressed formats whose
 primitives are stdlib/numpy: PNG (zlib DEFLATE + all five scanline
-unfilters, ``_decode_png``) and baseline-sequential JPEG (pure-numpy
-Huffman + dequant + IDCT, ``functions/jpeg.py``). WebP — and the
-JPEG variants outside baseline (progressive SOF2, arithmetic) —
-still require an external codec; those branches of ``decode_image``
-are the documented extension points and fail loudly.
+unfilters; 8-bit gray/RGB/RGBA, paletted PLTE, and 16-bit gray/RGB —
+``_decode_png``) and baseline-sequential JPEG (pure-numpy Huffman +
+dequant + IDCT, ``functions/jpeg.py``). WebP — plus interlaced
+(Adam7) / sub-byte-depth PNG and the JPEG variants outside baseline
+(progressive SOF2, arithmetic) — still require an external codec;
+those branches are the documented extension points and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
@@ -146,20 +147,30 @@ def _make_binary_codecs():
     """
 
     def _decode_png(data: bytes):
-        """PNG: 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
-        interlace 0. Chunk walk → concatenated-IDAT zlib inflate → per-
-        scanline unfilter. Sub is a per-channel-lane prefix sum (one
-        vectorized cumsum); Up is one vectorized add; Average/Paeth are
-        inherently sequential in x (each pixel depends on the DECODED
-        left neighbor) so they fall back to a per-byte loop — fine for
-        thumbnail-scale payloads, and a real 100 TB pipeline decodes each
-        image exactly once inside its Arrow batch anyway."""
+        """PNG decode → ``(H, W, 3) uint8`` RGB. Supported variants
+        (the four that cover nearly every real-world non-interlaced
+        PNG): 8-bit gray/RGB/RGBA (color types 0/2/6), 8-bit PALETTED
+        (color type 3, PLTE lookup), and 16-bit gray/RGB (down-scaled
+        by high byte — the standard 16→8 approximation). Interlaced
+        (Adam7) and bit depths 1/2/4 still fail loudly.
+
+        Chunk walk → concatenated-IDAT zlib inflate → per-scanline
+        unfilter. PNG filters operate on BYTES with the left-neighbor
+        offset equal to the bytes-per-pixel of the encoded layout
+        (1 for palette indices, 2·channels for 16-bit) — hence ``bpp``
+        below, not channel count. Sub is a per-byte-lane prefix sum
+        (one vectorized cumsum); Up is one vectorized add;
+        Average/Paeth are inherently sequential in x (each pixel
+        depends on the DECODED left neighbor) so they fall back to a
+        per-byte loop — fine for thumbnail-scale payloads, and a real
+        100 TB pipeline decodes each image exactly once inside its
+        Arrow batch anyway."""
         import struct
         import zlib
 
         import numpy as np
 
-        pos, ihdr, idat = 8, None, []
+        pos, ihdr, idat, plte = 8, None, [], None
         while pos + 8 <= len(data):
             (length,) = struct.unpack_from(">I", data, pos)
             ctype = data[pos + 4 : pos + 8]
@@ -167,6 +178,8 @@ def _make_binary_codecs():
             pos += 12 + length  # len + type + payload + crc
             if ctype == b"IHDR":
                 ihdr = struct.unpack(">IIBBBBB", chunk)
+            elif ctype == b"PLTE":
+                plte = chunk
             elif ctype == b"IDAT":
                 idat.append(chunk)
             elif ctype == b"IEND":
@@ -174,14 +187,20 @@ def _make_binary_codecs():
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR/IDAT")
         w, h, depth, color_type, _comp, _filt, interlace = ihdr
-        if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        supported = (depth == 8 and color_type in (0, 2, 3, 6)) or (
+            depth == 16 and color_type in (0, 2)
+        )
+        if interlace != 0 or not supported:
             raise ValueError(
                 f"PNG variant unsupported (depth={depth}, color={color_type}, "
-                f"interlace={interlace}); only 8-bit gray/RGB/RGBA, "
-                "non-interlaced"
+                f"interlace={interlace}); supported: 8-bit "
+                "gray/RGB/paletted/RGBA and 16-bit gray/RGB, non-interlaced"
             )
-        nch = {0: 1, 2: 3, 6: 4}[color_type]
-        stride = w * nch
+        if color_type == 3 and plte is None:
+            raise ValueError("PNG paletted image missing PLTE chunk")
+        nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        bpp = nch * (depth // 8)  # filter unit: bytes per pixel
+        stride = w * bpp
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
         if raw.size != h * (stride + 1):
             raise ValueError("PNG raster size mismatch")
@@ -193,9 +212,9 @@ def _make_binary_codecs():
             line = raw[y, 1:].astype(np.int32)
             if f == 0:
                 cur = line
-            elif f == 1:  # Sub: prefix sum per channel lane
+            elif f == 1:  # Sub: prefix sum per byte lane
                 cur = (
-                    np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64)
+                    np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
                     .reshape(stride) % 256
                 ).astype(np.int32)
             elif f == 2:  # Up
@@ -203,12 +222,12 @@ def _make_binary_codecs():
             elif f in (3, 4):  # Average / Paeth: sequential in x
                 cur = line
                 for x in range(stride):
-                    a = int(cur[x - nch]) if x >= nch else 0
+                    a = int(cur[x - bpp]) if x >= bpp else 0
                     b = int(prev[x])
                     if f == 3:
                         pred = (a + b) >> 1
                     else:
-                        c = int(prev[x - nch]) if x >= nch else 0
+                        c = int(prev[x - bpp]) if x >= bpp else 0
                         p = a + b - c
                         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                         pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -217,35 +236,80 @@ def _make_binary_codecs():
                 raise ValueError(f"PNG filter type {f} invalid")
             out[y] = cur
             prev = cur
-        px = out.reshape(h, w, nch)
+        if color_type == 3:  # palette lookup
+            palette = np.frombuffer(plte, dtype=np.uint8)
+            if len(palette) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = palette.reshape(-1, 3)
+            if out.max(initial=0) >= len(palette):
+                raise ValueError("PNG palette index out of range")
+            return palette[out].reshape(h, w, 3).copy()
+        if depth == 16:  # big-endian u16 → high byte
+            px = out.reshape(h, w, nch, 2)[:, :, :, 0]
+        else:
+            px = out.reshape(h, w, nch)
         if nch == 1:
             px = np.repeat(px, 3, axis=2)
         return px[:, :, :3].copy()  # RGBA → RGB, alpha dropped
 
 
-    def encode_png(img, filters=None) -> bytes:
-        """``(H, W, C) uint8`` (C ∈ {1, 3, 4}) → PNG bytes. ``filters``
-        cycles per-row filter types (default all-0) — the test/oracle
-        generator uses ``[0, 1, 2, 3, 4]`` so every unfilter path in
-        :func:`_decode_png` is exercised by a single image."""
+    def encode_png(img, filters=None, palette=None, depth=8) -> bytes:
+        """Image → PNG bytes (the test/oracle payload generator).
+
+        Layouts: default ``(H, W, C) uint8`` (C ∈ {1, 3, 4} → color
+        types 0/2/6); ``palette=(N, 3) uint8`` makes ``img`` an
+        ``(H, W)`` index array (color type 3, PLTE written);
+        ``depth=16`` takes ``(H, W[, C]) uint16`` (C ∈ {1, 3},
+        big-endian samples on the wire). ``filters`` cycles per-row
+        filter types (default all-0) — ``[0, 1, 2, 3, 4]`` exercises
+        every unfilter path with a single image. Filtering always
+        operates on the BYTE layout with the encoded bytes-per-pixel
+        as the left offset, mirroring the decoder."""
         import struct
         import zlib
 
         import numpy as np
 
-        img = np.asarray(img, dtype=np.uint8)
-        h, w = img.shape[0], img.shape[1]
-        nch = 1 if img.ndim == 2 else img.shape[2]
-        color_type = {1: 0, 3: 2, 4: 6}[nch]
-        flat = img.reshape(h, w * nch).astype(np.int32)
-        stride = w * nch
-        zeros = np.zeros(nch, dtype=np.int32)
+        if palette is not None:
+            palette = np.asarray(palette, dtype=np.uint8)
+            if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+                raise ValueError("palette must be (N<=256, 3) uint8")
+            img = np.asarray(img, dtype=np.uint8)
+            if img.ndim != 2:
+                raise ValueError("paletted image must be (H, W) indices")
+            if img.max(initial=0) >= len(palette):
+                raise ValueError("palette index out of range")
+            h, w = img.shape
+            color_type, bpp = 3, 1
+            flat = img.reshape(h, w).astype(np.int32)
+        elif depth == 16:
+            img = np.asarray(img, dtype=np.uint16)
+            h, w = img.shape[0], img.shape[1]
+            nch = 1 if img.ndim == 2 else img.shape[2]
+            color_type = {1: 0, 3: 2}[nch]
+            bpp = nch * 2
+            flat = (
+                img.reshape(h, w * nch)
+                .astype(">u2")
+                .view(np.uint8)
+                .reshape(h, w * bpp)
+                .astype(np.int32)
+            )
+        else:
+            img = np.asarray(img, dtype=np.uint8)
+            h, w = img.shape[0], img.shape[1]
+            nch = 1 if img.ndim == 2 else img.shape[2]
+            color_type = {1: 0, 3: 2, 4: 6}[nch]
+            bpp = nch
+            flat = img.reshape(h, w * nch).astype(np.int32)
+        stride = w * bpp
+        zeros = np.zeros(bpp, dtype=np.int32)
         rows = []
         prev = np.zeros(stride, dtype=np.int32)
         for y in range(h):
             f = filters[y % len(filters)] if filters else 0
             line = flat[y]
-            left = np.concatenate([zeros, line[:-nch]])
+            left = np.concatenate([zeros, line[:-bpp]])
             if f == 0:
                 res = line
             elif f == 1:
@@ -255,7 +319,7 @@ def _make_binary_codecs():
             elif f == 3:
                 res = (line - ((left + prev) >> 1)) % 256
             elif f == 4:
-                upleft = np.concatenate([zeros, prev[:-nch]])
+                upleft = np.concatenate([zeros, prev[:-bpp]])
                 p = left + prev - upleft
                 pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
                 pred = np.where(
@@ -275,10 +339,12 @@ def _make_binary_codecs():
                 + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            body += chunk(b"PLTE", palette.tobytes())
         return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
+            body
             + chunk(b"IDAT", zlib.compress(b"".join(rows)))
             + chunk(b"IEND", b"")
         )
