@@ -92,7 +92,10 @@ def main() -> None:
         while stable < 3 and time.time() < deadline:
             time.sleep(0.5)
             n = len(progresses)
-            stable = stable + 1 if n == seen and n > 0 else (1 if n > 0 else 0)
+            # Growth resets the streak to ZERO (not 1): three
+            # consecutive EQUAL samples are required after the last
+            # arrival, or a late event needs only two quiet checks.
+            stable = stable + 1 if n == seen and n > 0 else 0
             seen = n
 
         # One registered query may run several streams (warm-up-free

@@ -506,3 +506,97 @@ def test_client_raises_strictly_on_invalid_utf8(monkeypatch):
         client.get_json("http://example.invalid/Emp")
     assert "non-UTF8" in exc.value.body
     assert exc.value.url == "http://example.invalid/Emp"
+
+
+def test_client_retries_read_phase_blip(monkeypatch):
+    """resp.read() failures (socket timeout, connection reset, short
+    body) are NOT URLError subclasses, yet they are exactly the
+    mid-body blips the retry contract promises to absorb — a
+    1000-task fan-out WILL see a few. First read raises
+    IncompleteRead, second succeeds; no bare exception escapes."""
+    import http.client
+
+    calls = {"n": 0}
+
+    class _Resp:
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise http.client.IncompleteRead(b"{")
+            return b'{"d": {"results": []}}'
+
+    class _Opener:
+        def open(self, req, timeout=None):
+            return _Resp()
+
+    client = ODataClient("http://example.invalid", retries=2, backoff=0.01)
+    client._opener = _Opener()
+    assert client.get_json("http://example.invalid/Emp") == {"d": {"results": []}}
+    assert calls["n"] == 2
+
+
+def test_client_wraps_persistent_read_failure_in_odata_error():
+    """After bounded retries a read-phase failure must surface as an
+    attributed ODataError (status 0, URL named) — never a bare
+    ConnectionResetError from one of a thousand tasks."""
+
+    class _Resp:
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            raise ConnectionResetError("peer reset")
+
+    class _Opener:
+        def open(self, req, timeout=None):
+            return _Resp()
+
+    client = ODataClient("http://example.invalid", retries=1, backoff=0.01)
+    client._opener = _Opener()
+    with pytest.raises(ODataError) as exc:
+        client.get_json("http://example.invalid/Emp")
+    assert exc.value.status == 0
+    assert "read error" in exc.value.body
+
+
+def test_get_text_sends_auth_headers():
+    """$metadata lives behind the same auth wall as the data: get_text
+    must carry the client's standing headers (Basic auth) and override
+    only Accept — an authenticated gateway 401s it otherwise."""
+    captured = {}
+
+    class _Resp:
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b"<edmx/>"
+
+    class _Opener:
+        def open(self, req, timeout=None):
+            captured["headers"] = dict(req.headers)
+            return _Resp()
+
+    client = ODataClient("http://example.invalid", user="u", password="p")
+    client._opener = _Opener()
+    assert client.get_text("http://example.invalid/$metadata") == "<edmx/>"
+    assert captured["headers"].get("Authorization", "").startswith("Basic ")
+    assert captured["headers"].get("Accept") == "application/xml"

@@ -20,6 +20,7 @@ per partition), so it must stay dependency-light: stdlib urllib only.
 
 from __future__ import annotations
 
+import http.client
 import json
 import logging
 import re
@@ -197,6 +198,22 @@ class ODataClient:
                     "connection error for %s (attempt %d/%d): %s, retrying in %.2fs",
                     url, attempt + 1, self.retries, e.reason, delay,
                 )
+            except (http.client.IncompleteRead, TimeoutError, OSError) as e:
+                # READ-phase failure: ``resp.read()`` inside the try can
+                # raise socket timeouts, connection resets, or a short
+                # body (IncompleteRead) — none are URLError subclasses,
+                # yet they are exactly the mid-body blips the retry
+                # contract promises to absorb. Same bounded policy;
+                # final failure wraps in ODataError for attribution.
+                # (URLError IS an OSError, but its dedicated branch
+                # above runs first, so ordering keeps them distinct.)
+                if attempt >= self.retries:
+                    raise ODataError(0, url, f"read error: {e!r}") from e
+                delay = self.backoff * (2**attempt)
+                log.warning(
+                    "read error for %s (attempt %d/%d): %r, retrying in %.2fs",
+                    url, attempt + 1, self.retries, e, delay,
+                )
             time.sleep(delay)
             attempt += 1
 
@@ -234,8 +251,13 @@ class ODataClient:
     def get_text(self, url: str) -> str:
         """GET returning the raw body (the ``$metadata`` document is
         XML, not JSON). Same attribution contract as ``get_json``: a
-        mis-encoded body raises ODataError naming the URL."""
-        req = urllib.request.Request(url, headers={"Accept": "application/xml"})
+        mis-encoded body raises ODataError naming the URL. Carries the
+        client's standing headers (Basic auth included — an
+        authenticated service 401s the ``$metadata`` request without
+        them), overriding only Accept for the XML document."""
+        req = urllib.request.Request(
+            url, headers={**self._headers, "Accept": "application/xml"}
+        )
         status, raw = self._open_with_retry(req, url)
         try:
             return raw.decode("utf-8")
