@@ -1,6 +1,6 @@
-"""Round-6 staging queries (plans/roundsix.py) — tested every session
-even though they are not yet registered (inventory freeze, r04
-verdict). Activation checklist lives in the module docstring."""
+"""Round-5-staged queries (plans/roundsix.py), ACTIVATED in round 6:
+registered in the driver contract and additionally oracle-checked
+here directly (a second net alongside tests/test_oracle_parity)."""
 
 from __future__ import annotations
 
@@ -34,9 +34,9 @@ def test_jpeg_decode_features_matches_oracle(spark, sf_dir):
     )
 
 
-def test_roundsix_is_not_registered_yet():
-    """The staging module must not leak into the driver contract while
-    the round-5 inventory freeze holds (registry == 174)."""
+def test_roundsix_is_registered():
+    """Round 6 lifted the freeze: the staged JPEG query must be in the
+    driver contract, with its oracle attached."""
     specs = all_specs()
-    assert "m_jpeg_decode_features" not in specs
-    assert len(specs) == 174
+    assert "m_jpeg_decode_features" in specs
+    assert specs["m_jpeg_decode_features"].oracle == JPEG_ORACLE

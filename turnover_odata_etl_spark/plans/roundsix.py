@@ -1,19 +1,13 @@
-"""Round-6 staging area — queries built and tested this round but NOT
-yet registered, honoring the r04 verdict's inventory freeze (registry
-capped at 174 in round 5).
+"""Round-5 staging area, ACTIVATED in round 6.
 
-This module is deliberately NOT imported by ``plans/__init__`` — it
-adds zero registry entries. To activate in round 6:
-
-1. add ``from . import roundsix`` to ``plans/__init__`` and wrap
-   :func:`m_jpeg_decode_features` with
-   ``@register("m_jpeg_decode_features", oracle=JPEG_ORACLE,
-   tags=("llm", "multimodal"))``;
-2. give it a slot in the rotated gate window (the rotation comment in
-   ``plans/__init__`` already names it).
-
-Until then ``tests/test_roundsix.py`` runs the query against its
-DuckDB oracle directly, so the staged code stays green every session.
+The baseline-JPEG decode query was built and oracle-tested in round 5
+but held out of the registry to honor the r04 verdict's inventory
+freeze (capped at 174 through round 5). Round 6 activates it per the
+checklist this docstring used to carry: the module is imported by
+``plans/__init__`` and :func:`m_jpeg_decode_features` is registered
+(registry 174 → 175) with a slot in the rotated gate window.
+``tests/test_roundsix.py`` keeps its direct DuckDB check as a second
+net alongside ``tests/test_oracle_parity``.
 """
 
 from __future__ import annotations
@@ -21,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import ensure_parallelism, load_table
+from .registry import register
 
 # Closed-form oracle for a LOSSY codec: the payload generator only
 # emits images inside decode_jpeg's exactness domain — uniform
@@ -56,6 +51,11 @@ JPEG_ORACLE = """
 """
 
 
+@register(
+    "m_jpeg_decode_features",
+    oracle=JPEG_ORACLE,
+    tags=("llm", "multimodal", "jpeg"),
+)
 def m_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG decode → features through the REAL codec
     (functions/jpeg.py: marker walk, canonical Huffman, DC prediction,
