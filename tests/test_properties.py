@@ -634,3 +634,56 @@ def test_png_variant_errors_are_loud():
     blob[i + 12] = 4  # depth byte → 4 (sub-byte packing, unsupported)
     with pytest.raises(ValueError, match="unsupported"):
         _decode_png(bytes(blob))
+
+
+def test_bpe_train_deep_k_with_checkpoints_matches_reference(spark):
+    """The lineage-depth guard (localCheckpoint every C rounds) must be
+    bit-identical to the unguarded trainer: K=40 merges over a fixed
+    dictionary with checkpoint_every=8 (five checkpoints fire) vs the
+    sequential textbook trainer. Also bounds the cost: a deep-K run
+    must not blow up in plan-rebuild time (the O(K²) re-execution the
+    guard exists to cut)."""
+    from collections import Counter
+
+    from turnover_odata_etl_spark.functions.text import bpe_train_merges
+
+    words = [
+        "abababab", "bababa", "aabbaabb", "abcabcabc", "cccab",
+        "babc", "aaaa", "bbbb", "abba", "caab", "acbca", "bacab",
+    ]
+    counts = [9, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1]
+    k = 40
+
+    seqs = [(list(w), c) for w, c in zip(words, counts)]
+    want = []
+    for rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for toks, c in seqs:
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        want.append((rank, best[0], best[1], pc[best]))
+        new = []
+        for toks, c in seqs:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new.append((out, c))
+        seqs = new
+
+    df = spark.createDataFrame(
+        list(zip(words, counts)), "word string, cnt long"
+    )
+    got = bpe_train_merges(df, k, checkpoint_every=8)
+    assert got == want

@@ -163,7 +163,9 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, shingled).otherwise(whole))
 
 
-def bpe_train_merges(words, n_merges: int) -> list[tuple[int, str, str, int]]:
+def bpe_train_merges(
+    words, n_merges: int, checkpoint_every: int = 64
+) -> list[tuple[int, str, str, int]]:
     """Learn BPE merge rules from a word-frequency dictionary.
 
     ``words`` is a DataFrame ``(word string of [a-z]+, cnt long)`` —
@@ -185,6 +187,18 @@ def bpe_train_merges(words, n_merges: int) -> list[tuple[int, str, str, int]]:
 
     Ties break (count DESC, pair lexicographic) for determinism.
     Returns ``[(rank, left, right, count-at-selection), ...]``.
+
+    Lineage-depth guard: each round stacks one more ``replace()`` on
+    the persisted dict, so round k would otherwise re-execute k−1
+    prior replaces — O(K²) string work and an unboundedly deep plan
+    at production merge counts (32k). Every ``checkpoint_every``
+    rounds the dict is ``localCheckpoint``-ed (it is vocabulary-sized
+    — metadata next to the corpus — so materializing it is cheap),
+    resetting both the lineage and the re-execution cost to O(K²/C).
+    The default (64) keeps the small-K oracle-parity path untouched
+    (no checkpoint fires below K=64); ``tests/test_properties.py``
+    pins a K=40 run with ``checkpoint_every=8`` to the sequential
+    textbook trainer so the checkpointed path is bit-identical.
     """
     seq = words.select(
         F.regexp_replace("word", "(.)", r"($1)").alias("seq"), "cnt"
@@ -217,4 +231,8 @@ def bpe_train_merges(words, n_merges: int) -> list[tuple[int, str, str, int]]:
             "seq",
             F.replace("seq", F.lit(f"({p1})({p2})"), F.lit(f"({p1}{p2})")),
         )
+        if checkpoint_every > 0 and k % checkpoint_every == 0:
+            # Materialize the vocabulary-sized dict and truncate the
+            # replace-chain lineage (see docstring).
+            seq = seq.localCheckpoint()
     return merges
