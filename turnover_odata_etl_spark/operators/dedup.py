@@ -417,12 +417,30 @@ def simhash_neardup_pairs(
     Candidate generation is the banded self-join (uniform band keys,
     same skew-free shape as MinHash LSH); verification is one
     ``bit_count(xor)`` per candidate, JVM-side."""
-    from pyspark import StorageLevel
-
     spark = df.sparkSession
     sigs = simhash_signatures(
         df.repartition(spark.sparkContext.defaultParallelism), text_col, id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return hamming_neardup_pairs(sigs, max_hamming)
+
+
+def hamming_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All pairs of 64-bit signatures within ``max_hamming`` bits —
+    the banding engine shared by the SimHash (text) and perceptual-
+    hash (image) near-dup tiers. ``sigs`` carries
+    ``(doc_id, sig:int64, bands:4×int16-slices)`` from any signature
+    producer.
+
+    EXACT for max_hamming ≤ 3: a pair differing in ≤ 3 of 64 bits
+    cannot differ in all 4 bands (pigeonhole), so the banded
+    self-join generates every qualifying pair; the ``bit_count(xor)``
+    verification then removes false candidates. Scale: band keys are
+    near-uniform 16-bit values, so the self-join is skew-free; the
+    signature frame is persisted because it feeds both the candidate
+    and the verification sides."""
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select("doc_id", F.posexplode("bands").alias("band", "bval"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (

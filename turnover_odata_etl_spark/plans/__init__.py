@@ -74,7 +74,10 @@ GATED_QUERIES = [
     "x_bitwise_functions",
     "e5_window_ntile_nth",
     "m_jpeg_decode_features",
-    # round-6 registrations are appended here as they land
+    # round-6 registrations, gated immediately
+    "t_bpe_apply",
+    "s_warc_to_pretrain",
+    "d_phash_neardup",
     # stalest greens: 14 of the 15 round-1-only rows refreshed
     "a_dedup_rows",
     "e13_exact_distinct",

@@ -1945,11 +1945,18 @@ def t_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t_pretrain_pipeline",
-    oracle=r"""
+def _pretrain_oracle(quality_where: str) -> str:
+    """The pretraining-pipeline oracle CTE chain, parameterized by the
+    quality predicate so the parquet capstone (``n_chars >= 100``) and
+    the WARC-ingest capstone (``length(text) >= 100`` — the archive
+    carries no precomputed stats column) share every downstream stage:
+    8-gram decontamination, md5 exact dedup, 512-token packing."""
+    return (
+        r"""
     WITH quality AS (
-      SELECT doc_id, text FROM documents WHERE n_chars >= 100
+      SELECT doc_id, text FROM documents WHERE """
+        + quality_where
+        + r"""
     ), toks AS (
       SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
       FROM quality WHERE trim(text) <> ''
@@ -1991,7 +1998,13 @@ def t_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(cum + n_tok, (seq_no + 1) * 512)
              - greatest(cum, seq_no * 512) AS frag_len
     FROM frags
-    """,
+    """
+    )
+
+
+@register(
+    "t_pretrain_pipeline",
+    oracle=_pretrain_oracle("n_chars >= 100"),
     tags=("llm", "pipeline", "dedup", "packing"),
 )
 def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,6 +2030,13 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.filter(F.col("n_chars") >= 100).withColumn(
         "tk", TXT.tokens(F.col("text"))
     ).filter(F.size("tk") >= 1)
+    return _pretrain_stages(quality)
+
+
+def _pretrain_stages(quality: DataFrame) -> DataFrame:
+    """Decontaminate → exact-dedup → pack, shared by the parquet and
+    WARC capstones. ``quality`` carries (doc_id, text, tk) — the
+    already-quality-gated corpus with its token array."""
     sh = quality.select(
         "doc_id",
         "text",
@@ -2055,6 +2075,69 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_warc_to_pretrain",
+    oracle=_pretrain_oracle("length(text) >= 100"),
+    tags=("llm", "pipeline", "warc", "dedup", "packing"),
+)
+def s_warc_to_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INGEST capstone: raw web-crawl archive → training-ready
+    packed sequences as one job — the end-to-end story a 100 TB
+    pretraining user actually runs, composing the two halves this
+    engine built separately: WARC ingest (``sources/warc.py``, E89 —
+    gzip-member-per-record WET shards, Content-Length framing,
+    idempotent distributed writes) and the curation pipeline
+    (``t_pretrain_pipeline``, E81 — quality gate → 8-gram test-set
+    decontamination → md5 exact dedup → 512-token GPT-style packing).
+
+    The corpus is serialized to ``.warc.gz`` shards, read back
+    through the binaryFile + mapInPandas parser (doc identity
+    recovered from the record URI), then flows through the SHARED
+    ``_pretrain_stages``. The quality gate is ``length(text) >= 100``
+    because an archive carries no precomputed stats column — exactly
+    what a real crawl drop looks like. The DuckDB oracle runs the
+    same chain over the parquet originals, so a single flipped byte
+    anywhere in the archive framing changes some document's text,
+    which changes its md5 dedup class or token count, which breaks
+    the end-to-end hash — the roundtrip and the curation are checked
+    as ONE composition.
+
+    Scale: shard count == read parallelism (gzip is unsplittable;
+    chosen at write time), the parse is one Arrow pass per shard,
+    and everything downstream is the capstone's plan — broadcast
+    eval shingles, hash-aggregate dedup, per-shard packing prefix
+    sums. No collects anywhere; the write-side manifest is the only
+    driver-sized state."""
+    import os
+
+    from ..sources.warc import read_warc, write_warc_shards
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/spark_graft_layout/{tag}/documents_warc_pretrain"
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        ).alias("uri"),
+        (F.lit(1767225600) + F.col("doc_id")).alias("date_s"),
+        "lang",
+        "text",
+    )
+    write_warc_shards(docs, path, n_shards=8)
+    back = read_warc(spark, path).select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    quality = (
+        back.filter(F.length("text") >= 100)
+        .withColumn("tk", TXT.tokens(F.col("text")))
+        .filter(F.size("tk") >= 1)
+    )
+    return _pretrain_stages(quality)
+
+
+@register(
     "d_prefix_filter_jaccard",
     oracle=r"""
     WITH t AS (
@@ -2087,15 +2170,19 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
 
 
-def _bpe_train_oracle(n_merges: int, top_words: int) -> str:
-    """Unroll the K BPE training rounds as DuckDB CTEs.
+def _bpe_oracle_ctes(n_merges: int, top_words: int) -> str:
+    """The shared DuckDB CTE chain that TRAINS the BPE merges: word
+    dict → wrapped seq0 → K rounds of (pairs{i}, best{i}, seq{i}).
 
     Same algorithm, same wrapped-token representation, same literal
     ``replace`` merge application and (count DESC, pair) tie-break as
     :func:`..functions.text.bpe_train_merges` — an iterative trainer
     made fully hash-checkable by making each round's state transition
     a pure string expression. Pair extraction is list-slice + lockstep
-    unnest (RE2 has no lookahead)."""
+    unnest (RE2 has no lookahead). Both the train oracle (final select
+    over best{1..K}) and the apply oracle (corpus re-encode through
+    best{1..K}) build on this prefix, so the two queries are checked
+    against literally the same trained merges."""
     parts = [
         f"""WITH words AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -2124,12 +2211,60 @@ def _bpe_train_oracle(n_merges: int, top_words: int) -> str:
                  '(' || b.p1 || b.p2 || ')') AS seq, cnt
   FROM seq{i - 1} CROSS JOIN best{i} b)"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int, top_words: int) -> str:
+    """Train oracle: the shared CTE chain + the merge-table select."""
     finals = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, p1 AS left_tok, "
         f"p2 AS right_tok, c FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append(f" SELECT * FROM ({finals}) ORDER BY rank")
+    return (
+        _bpe_oracle_ctes(n_merges, top_words)
+        + f" SELECT * FROM ({finals}) ORDER BY rank"
+    )
+
+
+def _bpe_apply_oracle(n_merges: int, top_words: int) -> str:
+    """Apply oracle: re-train via the shared CTE chain, then encode
+    EVERY document with the trained merges — the same wrapped-word
+    representation and K literal replaces, applied to the whole
+    space-joined doc string (merge patterns never span the space
+    separator, so per-word and whole-doc application agree)."""
+    parts = [
+        _bpe_oracle_ctes(n_merges, top_words),
+        r""", docw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' +'),
+           w -> w <> '') AS ws
+  FROM documents
+), enc0 AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
+         array_to_string(list_transform(ws,
+             w -> regexp_replace(w, '(.)', '(\1)', 'g')), ' ') AS s
+  FROM docw
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", enc{i} AS (
+  SELECT doc_id, n_words, n_chars,
+         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                 '(' || b.p1 || b.p2 || ')') AS s
+  FROM enc{i - 1} CROSS JOIN best{i} b)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, n_words, n_chars,
+       CAST(length(s) - length(replace(s, '(', '')) AS BIGINT)
+         AS n_bpe_tokens
+FROM enc{n_merges}"""
+    )
     return "".join(parts)
 
 
@@ -2160,9 +2295,20 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the SAME K rounds as DuckDB CTEs — an
     iterative trainer with a full cross-engine hash check, not a
     rows-only concession."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _train_bpe_merges(docs)
+    return spark.createDataFrame(
+        merges, schema="rank long, left_tok string, right_tok string, c long"
+    )
+
+
+def _train_bpe_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
+    """The shared train step for ``t_bpe_train`` / ``t_bpe_apply``:
+    ONE corpus-sized word count (hash-aggregate, map-side combine)
+    into the top-``_BPE_TOP_WORDS`` dict, then
+    :func:`..functions.text.bpe_train_merges` over it."""
     from ..functions.text import bpe_train_merges
 
-    docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
             F.explode(
@@ -2182,9 +2328,210 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation runs once, not once per merge round.
     words = words.persist()
     try:
-        merges = bpe_train_merges(words, _BPE_MERGES)
+        return bpe_train_merges(words, _BPE_MERGES)
     finally:
         words.unpersist()
-    return spark.createDataFrame(
-        merges, schema="rank long, left_tok string, right_tok string, c long"
+
+
+@register(
+    "t_bpe_apply",
+    oracle=_bpe_apply_oracle(_BPE_MERGES, _BPE_TOP_WORDS),
+    tags=("llm", "text", "tokenizer"),
+)
+def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale — the train→apply
+    pair ``t_bpe_train`` started, and the single most-used operator
+    in a real pretraining pipeline (every document gets encoded;
+    training happens once).
+
+    Shape: train the K merges (``_train_bpe_merges`` — corpus word
+    count + dict-sized rounds), then ONE map-only pass over the
+    corpus: the merge table travels to executors inside the
+    mapInPandas closure (it is vocabulary-sized — the broadcast-a-
+    dimension-table pattern; at 32k merges it is still < 1 MB), and
+    each Arrow batch encodes its documents locally. No shuffle on the
+    corpus-sized path, no driver round-trips after training.
+
+    Encoding uses the SAME wrapped-token representation as training —
+    words ``(h)(e)(l)(l)(o)`` space-joined per doc, K literal
+    left-to-right replaces in rank order (merge patterns never span
+    the space separator, so whole-doc replace == per-word replace) —
+    which is what makes the corpus encode hash-checkable: the DuckDB
+    oracle re-trains via the shared CTE chain and replays the
+    identical replaces over every document. Output per doc: word
+    count, base (char) token count, and post-merge BPE token count —
+    integer-exact compression accounting.
+
+    Scale: at a production 32k-merge vocab the K sequential
+    str.replace passes are O(K·len) per batch — linear, but a real
+    tokenizer service would switch to a pair-priority heap per word;
+    the literal-replace form is kept here because it is the exact
+    convention the trainer optimizes and the cross-engine check
+    needs. CPU-bound Python ⇒ ``ensure_parallelism`` fans small scans
+    out (no-op at real scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merge_pairs = [(p1, p2) for _, p1, p2, _ in _train_bpe_merges(docs)]
+
+    def encode(batches):
+        import re
+
+        import pandas as pd
+
+        strip = re.compile(r"[^A-Za-z]+")
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_words": [],
+                "n_chars": [],
+                "n_bpe_tokens": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [
+                    w
+                    for w in strip.sub(" ", text or "").lower().split(" ")
+                    if w
+                ]
+                s = " ".join("(" + ")(".join(w) + ")" for w in ws)
+                for p1, p2 in merge_pairs:
+                    s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+                out["doc_id"].append(int(doc_id))
+                out["n_words"].append(len(ws))
+                out["n_chars"].append(sum(len(w) for w in ws))
+                out["n_bpe_tokens"].append(s.count("("))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(docs.select("doc_id", "text")).mapInPandas(
+        encode, "doc_id long, n_words long, n_chars long, n_bpe_tokens long"
     )
+
+
+@register(
+    "d_phash_neardup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, g, r, unnest(generate_series(0, 63)) AS b FROM d
+    ),
+    pert AS (
+      -- value of block b = BASE value at its swap partner: for
+      -- r > 0 blocks 2r-2 and 2r-1 trade values (mean-preserving
+      -- perturbation), every other block keeps its own. The base
+      -- mask is md5-keyed per (group, block) — identical in Python
+      -- hashlib — so distinct groups collide with probability
+      -- ~Binomial(64, 1/2) ≤ 3, i.e. never.
+      SELECT doc_id, b,
+             CASE WHEN substr(md5(CAST(g AS VARCHAR) || '_' ||
+                        CAST((CASE WHEN r > 0 AND b = 2*r - 2 THEN 2*r - 1
+                                   WHEN r > 0 AND b = 2*r - 1 THEN 2*r - 2
+                                   ELSE b END) AS VARCHAR)), 1, 1) < '8'
+                  THEN 40 ELSE 216 END AS v
+      FROM blk
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN 64 * v > sum(v) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM pert
+    )
+    SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+           CAST(sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM bits a JOIN bits bb ON a.b = bb.b AND a.doc_id < bb.doc_id
+    GROUP BY a.doc_id, bb.doc_id
+    HAVING sum(CASE WHEN a.bit <> bb.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    tags=("llm", "dedup", "multimodal", "phash"),
+)
+def d_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup — ties the codec ladder (E62/E86/E91)
+    to the dedup ladder (E8): decoded image → blockwise aHash (64-bit
+    average hash: bit b set iff block b's mean exceeds the image
+    mean) → Hamming-ball pairs via the SAME 4×16-bit banding engine
+    the SimHash text tier uses (``operators/dedup.py:
+    hamming_neardup_pairs`` — exact for radius ≤ 3 by pigeonhole).
+
+    Payloads are synthetic but the DECODE IS REAL: per doc a 64×64
+    grayscale image of 8×8 constant blocks (base block values = an
+    md5-keyed pattern of dark 40 / light 216 per group of four docs —
+    cross-group hashes collide with probability ~P[Binom(64,½) ≤ 3],
+    never; docs 1-3 of each group swap one adjacent block pair — a
+    mean-preserving perturbation, so near-dups differ by exactly the
+    swapped bits) is PNG-encoded with cycling filter types and
+    decoded back through the full DEFLATE + unfilter codec before
+    hashing — a codec bug changes some block sum, which flips aHash
+    bits, which breaks the pair set. The DuckDB oracle recomputes the
+    hashes closed-form and brute-forces ALL pairs (O(n²)·64), so it
+    also proves the banding generated every qualifying pair — the
+    same complexity-class contrast the MinHash tier carries.
+
+    Scale: hashing is one Arrow pass (ensure_parallelism fans the
+    CPU-bound decode out; no-op at real width); the banded self-join
+    is skew-free (near-uniform 16-bit keys); candidates are bounded
+    by band collisions, never corpus². The aHash-over-decoded-pixels
+    shape is exactly how production image dedup runs (aHash/pHash →
+    Hamming LSH), with the DCT of pHash swappable into the same
+    pipeline."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png as png_decode,
+        encode_png as png_encode,
+    )
+
+    from ..operators.dedup import hamming_neardup_pairs
+
+    def ahash_sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "sig": [], "bands": []}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                g, r = did // 4, did % 4
+                order = list(range(64))
+                if r > 0:
+                    order[2 * r - 2], order[2 * r - 1] = (
+                        2 * r - 1,
+                        2 * r - 2,
+                    )
+                vals = np.array(
+                    [
+                        40
+                        if hashlib.md5(f"{g}_{p}".encode()).hexdigest()[0]
+                        < "8"
+                        else 216
+                        for p in order
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(
+                    np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1
+                )
+                rgb = np.stack([img, img, img], axis=-1)
+                dec = png_decode(png_encode(rgb, [0, 1, 2, 3, 4]))
+                gray = dec[:, :, 0].astype(np.int64)
+                bsums = gray.reshape(8, 8, 8, 8).sum(axis=(1, 3)).ravel()
+                total = int(bsums.sum())
+                sig = 0
+                for b in range(64):
+                    if 64 * int(bsums[b]) > total:
+                        sig |= 1 << b
+                out["doc_id"].append(did)
+                out["sig"].append(
+                    sig - (1 << 64) if sig >= (1 << 63) else sig
+                )
+                out["bands"].append(
+                    [(sig >> (16 * k)) & 0xFFFF for k in range(4)]
+                )
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sigs = docs.mapInPandas(
+        ahash_sigs, "doc_id long, sig long, bands array<long>"
+    )
+    return hamming_neardup_pairs(sigs, max_hamming=3)
