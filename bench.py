@@ -83,6 +83,18 @@ ADDITIONS = [
     "m_wav_decode_features",
 ]
 
+# Round-6 capability additions — again their own section (the r05
+# ``additions`` series stays frozen for cross-round comparison).
+# JPEG times the heaviest codec rung; bpe_apply the corpus encode;
+# warc_to_pretrain the full ingest->packed-sequences composition;
+# phash the decode->hash->band-join image dedup pipeline.
+ADDITIONS_R6 = [
+    "m_jpeg_decode_features",
+    "t_bpe_apply",
+    "s_warc_to_pretrain",
+    "d_phash_neardup",
+]
+
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
     "e6_q2_min_cost_supplier",
@@ -173,6 +185,7 @@ def main() -> None:
     showcase = time_queries(spark, specs, SHOWCASE, sf_dir, reps, errors)
     pipeline = time_queries(spark, specs, PIPELINE, sf_dir, reps, errors)
     additions = time_queries(spark, specs, ADDITIONS, sf_dir, reps, errors)
+    additions_r6 = time_queries(spark, specs, ADDITIONS_R6, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -198,6 +211,7 @@ def main() -> None:
     showcase_total = round(sum(showcase.values()), 3)
     pipeline_total = round(sum(pipeline.values()), 3)
     additions_total = round(sum(additions.values()), 3)
+    additions_r6_total = round(sum(additions_r6.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -225,12 +239,15 @@ def main() -> None:
         "pipeline_total": pipeline_total,
         "additions": additions,
         "additions_total": additions_total,
+        "additions_r6": additions_r6,
+        "additions_r6_total": additions_r6_total,
         "all_total": round(
             total
             + streaming_total
             + showcase_total
             + pipeline_total
-            + additions_total,
+            + additions_total
+            + additions_r6_total,
             3,
         ),
         "fixtures": fixtures,

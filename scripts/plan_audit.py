@@ -90,6 +90,10 @@ MANY_SHUFFLES_OK = {
     "t_pretrain_pipeline",  # (a) 4-stage capstone composed as ONE plan:
     #     quality→decontaminate→dedup→pack; each stage's shuffle is
     #     load-bearing (anti-join, dedup window, packing prefix-sum)
+    "s_warc_to_pretrain",  # (a) the same 4-stage capstone fed from the
+    #     WARC archive roundtrip — identical downstream plan (8
+    #     shuffles, same adjudication as t_pretrain_pipeline); the
+    #     ingest adds scans + Arrow parse stages, no extra shuffle
     "t_corpus_mixture",  # (a) count → quota → largest-remainder rank → join
     "d_prefix_filter_jaccard",  # (a) global token rank → prefix index → verify
     "t_unigram_logprob",  # (a) vocab build + scoring passes (vocab-sized)

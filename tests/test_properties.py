@@ -687,3 +687,58 @@ def test_bpe_train_deep_k_with_checkpoints_matches_reference(spark):
     )
     got = bpe_train_merges(df, k, checkpoint_every=8)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_hamming_neardup_pairs_exact_vs_bruteforce(spark, data):
+    """The banding engine shared by the SimHash and perceptual-hash
+    tiers must be EXACT at radius ≤ 3: random 64-bit signatures plus
+    planted ≤3-bit-flip near-dups, banding result == O(n²) brute
+    force. Randomness probes band boundaries (a planted flip landing
+    on a 16-bit band edge is the spot a wrong band slice would
+    miss)."""
+    from turnover_odata_etl_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    n = data.draw(st.integers(5, 12), label="n_base")
+    sigs = [
+        data.draw(st.integers(0, 2**64 - 1), label=f"sig{i}")
+        for i in range(n)
+    ]
+    # Plant near-dups: flip ≤ 3 random bits of random base signatures.
+    n_planted = data.draw(st.integers(1, 4), label="n_planted")
+    for _ in range(n_planted):
+        base = sigs[data.draw(st.integers(0, n - 1), label="base_idx")]
+        k = data.draw(st.integers(0, 3), label="n_flips")
+        for _ in range(k):
+            base ^= 1 << data.draw(st.integers(0, 63), label="bit")
+        sigs.append(base)
+
+    rows = [
+        (
+            i,
+            s - (1 << 64) if s >= (1 << 63) else s,
+            [(s >> (16 * b)) & 0xFFFF for b in range(4)],
+        )
+        for i, s in enumerate(sigs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sig long, bands array<long>"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in hamming_neardup_pairs(df, max_hamming=3).collect()
+    }
+    want = {
+        (i, j, bin(sigs[i] ^ sigs[j]).count("1"))
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == want

@@ -2452,8 +2452,12 @@ def d_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SimHash text tier uses (``operators/dedup.py:
     hamming_neardup_pairs`` — exact for radius ≤ 3 by pigeonhole).
 
-    Payloads are synthetic but the DECODE IS REAL: per doc a 64×64
-    grayscale image of 8×8 constant blocks (base block values = an
+    Payloads are synthetic but the DECODE IS REAL: per doc a 32×32
+    grayscale image of 64 constant 4×4 blocks (aHash only ever looks
+    at the 8×8 block-mean grid, so block pixel count is free to be
+    small — the bit rule ``64·blocksum > imagesum`` is block-size
+    invariant, which is also why the oracle needs no pixel counts;
+    base block values = an
     md5-keyed pattern of dark 40 / light 216 per group of four docs —
     cross-group hashes collide with probability ~P[Binom(64,½) ≤ 3],
     never; docs 1-3 of each group swap one adjacent block pair — a
@@ -2508,12 +2512,12 @@ def d_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype=np.uint8,
                 )
                 img = np.repeat(
-                    np.repeat(vals.reshape(8, 8), 8, axis=0), 8, axis=1
+                    np.repeat(vals.reshape(8, 8), 4, axis=0), 4, axis=1
                 )
                 rgb = np.stack([img, img, img], axis=-1)
                 dec = png_decode(png_encode(rgb, [0, 1, 2, 3, 4]))
                 gray = dec[:, :, 0].astype(np.int64)
-                bsums = gray.reshape(8, 8, 8, 8).sum(axis=(1, 3)).ravel()
+                bsums = gray.reshape(8, 4, 8, 4).sum(axis=(1, 3)).ravel()
                 total = int(bsums.sum())
                 sig = 0
                 for b in range(64):
