@@ -742,3 +742,56 @@ def test_hamming_neardup_pairs_exact_vs_bruteforce(spark, data):
         if bin(sigs[i] ^ sigs[j]).count("1") <= 3
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_png_adam7_roundtrip_random(data):
+    """Adam7 interlace (round 6 — the last real-world PNG layout
+    corner): encode interlaced, decode, pixels bit-identical to the
+    sequential encoding of the same image — for ANY geometry
+    (including w or h < 8, where some of the seven passes are EMPTY
+    and must contribute zero bytes), any variant (gray/RGB/RGBA,
+    paletted, 16-bit), and a random per-row filter cycle (the filter
+    state must reset per PASS, not run through)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    w = data.draw(st.integers(1, 21), label="w")
+    h = data.draw(st.integers(1, 21), label="h")
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        label="filters",
+    )
+    variant = data.draw(
+        st.sampled_from(["gray", "rgb", "rgba", "palette", "u16"]),
+        label="variant",
+    )
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+
+    if variant == "palette":
+        n_pal = data.draw(st.integers(1, 17), label="n_pal")
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=(h, w)).astype(np.uint8)
+        seq = encode_png(idx, filters, palette=pal)
+        inter = encode_png(idx, filters, palette=pal, interlace=True)
+    elif variant == "u16":
+        nch = data.draw(st.sampled_from([1, 3]), label="nch16")
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        seq = encode_png(img, filters, depth=16)
+        inter = encode_png(img, filters, depth=16, interlace=True)
+    else:
+        nch = {"gray": 1, "rgb": 3, "rgba": 4}[variant]
+        img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        seq = encode_png(img, filters)
+        inter = encode_png(img, filters, interlace=True)
+
+    a = _decode_png(seq)
+    b = _decode_png(inter)
+    assert a.shape == b.shape == (h, w, 3)
+    assert (a == b).all()

@@ -12,10 +12,12 @@ Round 5 extended the codec ladder to compressed formats whose
 primitives are stdlib/numpy: PNG (zlib DEFLATE + all five scanline
 unfilters; 8-bit gray/RGB/RGBA, paletted PLTE, and 16-bit gray/RGB —
 ``_decode_png``) and baseline-sequential JPEG (pure-numpy Huffman +
-dequant + IDCT, ``functions/jpeg.py``). WebP — plus interlaced
-(Adam7) / sub-byte-depth PNG and the JPEG variants outside baseline
-(progressive SOF2, arithmetic) — still require an external codec;
-those branches are the documented extension points and fail loudly.
+dequant + IDCT, ``functions/jpeg.py``); round 6 added Adam7
+interlace for every supported PNG variant (seven independently-
+filtered pass sub-images). WebP — plus sub-byte-depth PNG and the
+JPEG variants outside baseline (progressive SOF2, arithmetic) —
+still require an external codec; those branches are the documented
+extension points and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
@@ -44,11 +46,12 @@ def decode_image(data: bytes):
     * **BMP** — BITMAPINFOHEADER-family, 24- or 32-bit, uncompressed
       (BI_RGB), top-down or bottom-up, with the 4-byte row padding the
       format mandates; BGR(A) is reordered to RGB.
-    * **PNG** — 8-bit gray/RGB/RGBA, non-interlaced: zlib-inflated
-      IDAT (stdlib ``zlib``) + full scanline unfiltering (None / Sub /
-      Up / Average / Paeth) in numpy. Gray expands to 3 channels,
-      alpha drops — the first COMPRESSED format in the ladder
-      (round 5; it needs no external codec because DEFLATE is stdlib).
+    * **PNG** — 8-bit gray/RGB/RGBA, sequential or Adam7-interlaced:
+      zlib-inflated IDAT (stdlib ``zlib``) + full scanline
+      unfiltering (None / Sub / Up / Average / Paeth) in numpy. Gray
+      expands to 3 channels, alpha drops — the first COMPRESSED
+      format in the ladder (round 5; it needs no external codec
+      because DEFLATE is stdlib).
     * **JPEG** — baseline sequential (SOF0), 8-bit, 1/3 components,
       4:4:4 / 4:2:2 / 4:2:0, restart markers: canonical Huffman +
       zigzag dequant + orthonormal 8x8 IDCT + chroma upsampling, all
@@ -147,12 +150,13 @@ def _make_binary_codecs():
     """
 
     def _decode_png(data: bytes):
-        """PNG decode → ``(H, W, 3) uint8`` RGB. Supported variants
-        (the four that cover nearly every real-world non-interlaced
-        PNG): 8-bit gray/RGB/RGBA (color types 0/2/6), 8-bit PALETTED
+        """PNG decode → ``(H, W, 3) uint8`` RGB. Supported variants:
+        8-bit gray/RGB/RGBA (color types 0/2/6), 8-bit PALETTED
         (color type 3, PLTE lookup), and 16-bit gray/RGB (down-scaled
-        by high byte — the standard 16→8 approximation). Interlaced
-        (Adam7) and bit depths 1/2/4 still fail loudly.
+        by high byte — the standard 16→8 approximation), each in both
+        sequential AND Adam7-interlaced layouts (round 6 — interlace
+        was the last documented loud-failure corner for real-world
+        8/16-bit PNGs). Bit depths 1/2/4 still fail loudly.
 
         Chunk walk → concatenated-IDAT zlib inflate → per-scanline
         unfilter. PNG filters operate on BYTES with the left-neighbor
@@ -164,7 +168,13 @@ def _make_binary_codecs():
         depends on the DECODED left neighbor) so they fall back to a
         per-byte loop — fine for thumbnail-scale payloads, and a real
         100 TB pipeline decodes each image exactly once inside its
-        Arrow batch anyway."""
+        Arrow batch anyway.
+
+        Adam7: the raster is SEVEN independently-filtered sub-images
+        (pass k holds the pixels at ``(x0+i·dx, y0+j·dy)``); each
+        pass restarts the filter state (prev row = zeros), empty
+        passes (sub-width or sub-height 0) contribute NO bytes — the
+        two classic interlace decoder bugs, both fuzz-covered."""
         import struct
         import zlib
 
@@ -190,11 +200,12 @@ def _make_binary_codecs():
         supported = (depth == 8 and color_type in (0, 2, 3, 6)) or (
             depth == 16 and color_type in (0, 2)
         )
-        if interlace != 0 or not supported:
+        if interlace not in (0, 1) or not supported:
             raise ValueError(
                 f"PNG variant unsupported (depth={depth}, color={color_type}, "
                 f"interlace={interlace}); supported: 8-bit "
-                "gray/RGB/paletted/RGBA and 16-bit gray/RGB, non-interlaced"
+                "gray/RGB/paletted/RGBA and 16-bit gray/RGB, "
+                "sequential or Adam7"
             )
         if color_type == 3 and plte is None:
             raise ValueError("PNG paletted image missing PLTE chunk")
@@ -202,40 +213,78 @@ def _make_binary_codecs():
         bpp = nch * (depth // 8)  # filter unit: bytes per pixel
         stride = w * bpp
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-        if raw.size != h * (stride + 1):
-            raise ValueError("PNG raster size mismatch")
-        raw = raw.reshape(h, stride + 1)
-        out = np.empty((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.int32)
-        for y in range(h):
-            f = int(raw[y, 0])
-            line = raw[y, 1:].astype(np.int32)
-            if f == 0:
-                cur = line
-            elif f == 1:  # Sub: prefix sum per byte lane
-                cur = (
-                    np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64)
-                    .reshape(stride) % 256
-                ).astype(np.int32)
-            elif f == 2:  # Up
-                cur = (line + prev) % 256
-            elif f in (3, 4):  # Average / Paeth: sequential in x
-                cur = line
-                for x in range(stride):
-                    a = int(cur[x - bpp]) if x >= bpp else 0
-                    b = int(prev[x])
-                    if f == 3:
-                        pred = (a + b) >> 1
-                    else:
-                        c = int(prev[x - bpp]) if x >= bpp else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    cur[x] = (cur[x] + pred) % 256
-            else:
-                raise ValueError(f"PNG filter type {f} invalid")
-            out[y] = cur
-            prev = cur
+
+        def unfilter(seg, ph, rowbytes):
+            """One filtered sub-raster (``ph`` scanlines of
+            ``rowbytes`` bytes, each prefixed by its filter type) →
+            decoded bytes. Filter state starts fresh (prev = zeros):
+            true for the whole image in sequential layout and for
+            EACH PASS in Adam7."""
+            seg = seg.reshape(ph, rowbytes + 1)
+            dec = np.empty((ph, rowbytes), dtype=np.uint8)
+            prev = np.zeros(rowbytes, dtype=np.int32)
+            npx = rowbytes // bpp
+            for y in range(ph):
+                f = int(seg[y, 0])
+                line = seg[y, 1:].astype(np.int32)
+                if f == 0:
+                    cur = line
+                elif f == 1:  # Sub: prefix sum per byte lane
+                    cur = (
+                        np.cumsum(line.reshape(npx, bpp), axis=0, dtype=np.int64)
+                        .reshape(rowbytes) % 256
+                    ).astype(np.int32)
+                elif f == 2:  # Up
+                    cur = (line + prev) % 256
+                elif f in (3, 4):  # Average / Paeth: sequential in x
+                    cur = line
+                    for x in range(rowbytes):
+                        a = int(cur[x - bpp]) if x >= bpp else 0
+                        b = int(prev[x])
+                        if f == 3:
+                            pred = (a + b) >> 1
+                        else:
+                            c = int(prev[x - bpp]) if x >= bpp else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = (
+                                a
+                                if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        cur[x] = (cur[x] + pred) % 256
+                else:
+                    raise ValueError(f"PNG filter type {f} invalid")
+                dec[y] = cur
+                prev = cur
+            return dec
+
+        if interlace == 0:
+            if raw.size != h * (stride + 1):
+                raise ValueError("PNG raster size mismatch")
+            out = unfilter(raw, h, stride)
+        else:  # Adam7: seven independently-filtered sub-images
+            passes = (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+            out = np.empty((h, w, bpp), dtype=np.uint8)
+            pos2 = 0
+            for x0, y0, dx, dy in passes:
+                pw = max(0, (w - x0 + dx - 1) // dx)
+                ph = max(0, (h - y0 + dy - 1) // dy)
+                if pw == 0 or ph == 0:
+                    continue  # empty pass: zero bytes, not ph filter bytes
+                need = ph * (pw * bpp + 1)
+                seg = raw[pos2 : pos2 + need]
+                if seg.size != need:
+                    raise ValueError("PNG raster size mismatch")
+                pos2 += need
+                dec = unfilter(seg, ph, pw * bpp).reshape(ph, pw, bpp)
+                out[y0::dy, x0::dx, :] = dec
+            if pos2 != raw.size:
+                raise ValueError("PNG raster size mismatch")
+            out = out.reshape(h, stride)
         if color_type == 3:  # palette lookup
             palette = np.frombuffer(plte, dtype=np.uint8)
             if len(palette) % 3:
@@ -253,7 +302,8 @@ def _make_binary_codecs():
         return px[:, :, :3].copy()  # RGBA → RGB, alpha dropped
 
 
-    def encode_png(img, filters=None, palette=None, depth=8) -> bytes:
+    def encode_png(img, filters=None, palette=None, depth=8,
+                   interlace=False) -> bytes:
         """Image → PNG bytes (the test/oracle payload generator).
 
         Layouts: default ``(H, W, C) uint8`` (C ∈ {1, 3, 4} → color
@@ -264,7 +314,10 @@ def _make_binary_codecs():
         filter types (default all-0) — ``[0, 1, 2, 3, 4]`` exercises
         every unfilter path with a single image. Filtering always
         operates on the BYTE layout with the encoded bytes-per-pixel
-        as the left offset, mirroring the decoder."""
+        as the left offset, mirroring the decoder. ``interlace=True``
+        writes the Adam7 layout: seven pass sub-images, each filtered
+        independently (filter cycle restarts per pass, matching the
+        decoder's per-pass state reset); empty passes emit nothing."""
         import struct
         import zlib
 
@@ -304,32 +357,59 @@ def _make_binary_codecs():
             flat = img.reshape(h, w * nch).astype(np.int32)
         stride = w * bpp
         zeros = np.zeros(bpp, dtype=np.int32)
-        rows = []
-        prev = np.zeros(stride, dtype=np.int32)
-        for y in range(h):
-            f = filters[y % len(filters)] if filters else 0
-            line = flat[y]
-            left = np.concatenate([zeros, line[:-bpp]])
-            if f == 0:
-                res = line
-            elif f == 1:
-                res = (line - left) % 256
-            elif f == 2:
-                res = (line - prev) % 256
-            elif f == 3:
-                res = (line - ((left + prev) >> 1)) % 256
-            elif f == 4:
-                upleft = np.concatenate([zeros, prev[:-bpp]])
-                p = left + prev - upleft
-                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+
+        def filter_rows(sub):
+            """Filter one (ph, rowbytes) byte sub-raster — the whole
+            image in sequential layout, one pass in Adam7. Filter
+            state (prev row, cycle position) starts fresh here,
+            mirroring the decoder's per-pass reset."""
+            ph, rowbytes = sub.shape
+            rows = []
+            prev = np.zeros(rowbytes, dtype=np.int32)
+            for y in range(ph):
+                f = filters[y % len(filters)] if filters else 0
+                line = sub[y]
+                left = np.concatenate([zeros, line[:-bpp]])
+                if f == 0:
+                    res = line
+                elif f == 1:
+                    res = (line - left) % 256
+                elif f == 2:
+                    res = (line - prev) % 256
+                elif f == 3:
+                    res = (line - ((left + prev) >> 1)) % 256
+                elif f == 4:
+                    upleft = np.concatenate([zeros, prev[:-bpp]])
+                    p = left + prev - upleft
+                    pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prev, upleft),
+                    )
+                    res = (line - pred) % 256
+                else:
+                    raise ValueError(f"PNG filter type {f} invalid")
+                rows.append(bytes([f]) + res.astype(np.uint8).tobytes())
+                prev = line
+            return rows
+
+        if not interlace:
+            rows = filter_rows(flat)
+        else:
+            passes = (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            )
+            px = flat.reshape(h, w, bpp)
+            rows = []
+            for x0, y0, dx, dy in passes:
+                sub = px[y0::dy, x0::dx, :]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                rows.extend(
+                    filter_rows(sub.reshape(sub.shape[0], -1))
                 )
-                res = (line - pred) % 256
-            else:
-                raise ValueError(f"PNG filter type {f} invalid")
-            rows.append(bytes([f]) + res.astype(np.uint8).tobytes())
-            prev = line
 
         def chunk(ctype: bytes, payload: bytes) -> bytes:
             return (
@@ -339,7 +419,9 @@ def _make_binary_codecs():
                 + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+        )
         body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         if palette is not None:
             body += chunk(b"PLTE", palette.tobytes())
