@@ -1209,9 +1209,10 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never shuffled by shingle. Documents under 8 tokens have
     no shingles and are never contaminated (both engines agree: empty
     list overlaps nothing)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "tk", TXT.tokens(F.col("text"))
-    )
+    # tk via _with_tk (a Generate-boundary attribute): the aliased
+    # split would otherwise be re-expanded inside the shingle
+    # explode's interpreted transform lambda — see _with_tk.
+    docs = _with_tk(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.when(
@@ -1945,6 +1946,25 @@ def t_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_tk(df: DataFrame) -> DataFrame:
+    """Attach the token array as a GENERATOR-OUTPUT attribute —
+    ``explode`` of a one-element array — instead of a projection
+    alias.
+
+    Why: CollapseProject inlines an aliased ``split(text)`` into any
+    downstream Generate, and inside a Generate the higher-order-
+    function path runs INTERPRETED (no whole-stage-codegen CSE), so
+    the shingle lambda ``slice(tk, i, 8)`` re-evaluates the full
+    split once per transform iteration — measured 5.4 s vs 0.7 s at
+    sf0.1 for the identical 230 k-row shingle explode. A Generate
+    boundary turns ``tk`` into real column data that later operators
+    can only REFERENCE, never re-expand. One row in, one row out, no
+    shuffle, one extra no-op Generate node."""
+    return df.select(
+        "*", F.explode(F.array(TXT.tokens(F.col("text")))).alias("tk")
+    )
+
+
 def _pretrain_oracle(quality_where: str) -> str:
     """The pretraining-pipeline oracle CTE chain, parameterized by the
     quality predicate so the parquet capstone (``n_chars >= 100``) and
@@ -2026,9 +2046,18 @@ def t_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact oracle parity). The oracle chains the same stages
     as CTEs — every stage integer/hash-exact, so the composition is
     hash-checked end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
-    quality = docs.filter(F.col("n_chars") >= 100).withColumn(
-        "tk", TXT.tokens(F.col("text"))
+    # Filter FIRST (pushed to the parquet scan), then fan out: the
+    # tokenize/shingle stage is the pipeline's heavy string work and a
+    # small fixture arrives as ONE partition — the same single-core
+    # serialization the codec queries hit (the WARC variant of this
+    # capstone reads 8 shards and ran 2× faster before this line).
+    # No-op at real scale where the scan is already wide.
+    quality = _with_tk(
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "n_chars")
+            .filter(F.col("n_chars") >= 100)
+        )
     ).filter(F.size("tk") >= 1)
     return _pretrain_stages(quality)
 
@@ -2065,9 +2094,16 @@ def _pretrain_stages(quality: DataFrame) -> DataFrame:
         .distinct()
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
-    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Hash BEFORE the dedup exchange: the window only needs the
+    # fingerprint, and projecting to (doc_id, n_tok, fp) first means
+    # the shuffle moves 48-byte rows instead of documents — at corpus
+    # scale that is the difference between shuffling fingerprints and
+    # shuffling the corpus (Catalyst prunes unused columns but cannot
+    # shrink `text` itself, which md5 consumes post-exchange).
+    wd = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
-        clean.withColumn("rn", F.row_number().over(wd))
+        clean.select("doc_id", "n_tok", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tok")
     )
@@ -2129,10 +2165,8 @@ def s_warc_to_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         "text",
     )
-    quality = (
-        back.filter(F.length("text") >= 100)
-        .withColumn("tk", TXT.tokens(F.col("text")))
-        .filter(F.size("tk") >= 1)
+    quality = _with_tk(back.filter(F.length("text") >= 100)).filter(
+        F.size("tk") >= 1
     )
     return _pretrain_stages(quality)
 
