@@ -152,8 +152,24 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
     Text shorter than k tokens yields a single shingle of the whole
     text so every non-empty doc has ≥1 shingle.
+
+    PERF: this embeds ``tokens(col)`` (a split) multiple times in one
+    expression — and higher-order functions evaluate INTERPRETED
+    (codegen fallback), so the transform lambda re-splits the text
+    once per shingle index. Cheap callers (tests, tiny frames) can
+    use this form; hot paths should materialize the token array as a
+    generator-output attribute first (``explode(array(tokens(..)))``,
+    see ``plans/llm._with_tk``) and call :func:`word_shingles_from`
+    on the attribute — `simhash_signatures` does exactly that.
     """
-    toks = tokens(col)
+    return word_shingles_from(tokens(col), k)
+
+
+def word_shingles_from(toks: Column, k: int = 3) -> Column:
+    """`word_shingles` over an ALREADY-COMPUTED token-array column.
+    When ``toks`` is a real attribute (not an aliased expression the
+    optimizer can inline), each lambda iteration just slices column
+    data — the do-the-tokenization-once form."""
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(0), n - k),

@@ -362,10 +362,16 @@ def simhash_signatures(
     pair at hamming ≤ 3 agrees on ≥ 1 of the 4 bands — the search is
     EXACT for that radius, not probabilistic).
     """
+    # Tokenize ONCE: materialize the token array as a generator-output
+    # attribute, then shingle from the attribute — the aliased-split
+    # form re-splits the text per transform iteration inside the
+    # interpreted HOF path (see functions/text.word_shingles PERF note).
+    from ..functions.text import tokens, word_shingles_from
+
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, shingle_k).alias("shingles"),
-    )
+        F.explode(F.array(tokens(text_col))).alias("toks"),
+    ).select("doc_id", word_shingles_from(F.col("toks"), shingle_k).alias("shingles"))
 
     # The closure must be fully self-contained (stdlib/pandas imports
     # only, no references to this module's globals): cloudpickle ships
