@@ -1,0 +1,58 @@
+"""Round-7 staging queries (plans/roundseven.py) — oracle-tested every
+session even though they are not registered (the round-6 registry
+holds at 178 so the ledger-closing gate window stays intact).
+Activation checklist lives in the module docstring."""
+
+from __future__ import annotations
+
+import duckdb
+
+from .oracle_utils import compare_spark_vs_oracle
+from turnover_odata_etl_spark.plans.registry import all_specs
+from turnover_odata_etl_spark.plans.roundseven import (
+    PNG_ADAM7_ORACLE,
+    _tokenize_oracle,
+    m_png_adam7_decode_features,
+    t_bpe_tokenize_ids,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_png_adam7_decode_features_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        m_png_adam7_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        PNG_ADAM7_ORACLE,
+        "m_png_adam7_decode_features",
+    )
+
+
+def test_bpe_tokenize_ids_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        t_bpe_tokenize_ids(spark, sf_dir),
+        _con(sf_dir),
+        _tokenize_oracle(),
+        "t_bpe_tokenize_ids",
+    )
+
+
+def test_roundseven_is_not_registered_yet():
+    """The staging module must not leak into the driver contract while
+    the round-6 ledger-closing window holds (registry == 178)."""
+    specs = all_specs()
+    assert "m_png_adam7_decode_features" not in specs
+    assert "t_bpe_tokenize_ids" not in specs
+    assert len(specs) == 178

@@ -1,0 +1,223 @@
+"""Round-7 staging area — queries built and oracle-tested in round 6
+but NOT registered, keeping the registry at 178 so the round-6 gate
+window (which closes the driver-verification ledger) stays intact.
+
+Same pattern as round 5's ``roundsix.py`` (which round 6 activated):
+this module is deliberately NOT imported by ``plans/__init__`` and
+adds zero registry entries; ``tests/test_roundseven.py`` runs both
+queries against their DuckDB oracles every session. To activate in
+round 7:
+
+1. add ``from . import roundseven`` to ``plans/__init__`` and wrap
+   each query with ``@register(name, oracle=..., tags=...)``
+   (the oracle constants below are ready to pass);
+2. give both a slot in the round-7 gate window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import ensure_parallelism, load_table
+
+# Identical closed-form oracle to m_png_decode_features: the Adam7
+# variant must decode to the SAME pixels, so the same sums hold —
+# but reaching them exercises the interlaced path end-to-end
+# (seven-pass deinterleave, per-pass filter-state reset, empty-pass
+# byte accounting). A single wrong pass offset breaks the hash.
+PNG_ADAM7_ORACLE = """
+    WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+    grid AS (SELECT a.i AS gx, b.i AS gy FROM g a, g b),
+    d AS (SELECT doc_id, 16 + doc_id % 9 AS w, 16 + doc_id % 7 AS h
+          FROM documents),
+    s AS (
+      SELECT d.doc_id, d.w, d.h,
+             (grid.gx * d.w) // 8 AS sx, (grid.gy * d.h) // 8 AS sy
+      FROM d CROSS JOIN grid
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((doc_id + sx + sy) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id + 2 * sx) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + 3 * sy) % 256) AS BIGINT) AS sum_b
+    FROM s GROUP BY doc_id
+"""
+
+
+def m_png_adam7_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode → resize → features (round 6 built
+    interlace into the codec; this query oracle-checks the layout at
+    query level). Same closed-form pixel pattern and oracle as
+    ``m_png_decode_features`` — identical sums, but the worker must
+    reassemble seven independently-filtered pass sub-images (with the
+    per-pass filter cycle restart and empty-pass handling) to reach
+    them. Geometries 16–24 px guarantee every image has non-trivial
+    passes AND (via w%8, h%8 spread) exercises partial passes.
+
+    Scale posture: identical to the sequential PNG query — one Arrow
+    batch stream, ensure_parallelism fan-out, no shuffle."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png as png_decode,
+        encode_png as png_encode,
+    )
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 16 + did % 9, 16 + did % 7
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                img = np.stack(
+                    [
+                        (did + x + y) % 256,
+                        np.broadcast_to((did + 2 * x) % 256, (h, w)),
+                        np.broadcast_to((did + 3 * y) % 256, (h, w)),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = png_encode(img, [0, 1, 2, 3, 4], interlace=True)
+                dec = png_decode(data)  # seven-pass deinterleave
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                small = dec[ys][:, xs].astype(np.int64)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(small[:, :, 0].sum()))
+                out["sum_g"].append(int(small[:, :, 1].sum()))
+                out["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long",
+    )
+
+
+def _bpe_tokenize_oracle(n_merges: int, top_words: int, sample_mod: int) -> str:
+    """Oracle for the exploded tokenizer output: re-train via the
+    shared CTE chain (``plans/llm._bpe_oracle_ctes``), re-encode the
+    sampled documents with the same K replaces, then zip-unnest each
+    parenthesized token with its 1-based position (DuckDB's multiple
+    unnests in one SELECT iterate in lockstep; WITH ORDINALITY is not
+    implemented there)."""
+    from .llm import _bpe_oracle_ctes
+
+    parts = [
+        _bpe_oracle_ctes(n_merges, top_words),
+        rf""", docw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' +'),
+           w -> w <> '') AS ws
+  FROM documents WHERE doc_id % {sample_mod} = 0
+), enc0 AS (
+  SELECT doc_id,
+         array_to_string(list_transform(ws,
+             w -> regexp_replace(w, '(.)', '(\1)', 'g')), ' ') AS s
+  FROM docw
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""", enc{i} AS (
+  SELECT doc_id,
+         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                 '(' || b.p1 || b.p2 || ')') AS s
+  FROM enc{i - 1} CROSS JOIN best{i} b)"""
+        )
+    parts.append(
+        f"""
+, tk AS (
+  SELECT doc_id, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS toks
+  FROM enc{n_merges}
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM tk WHERE len(toks) > 0"""
+    )
+    return "".join(parts)
+
+
+# Pinned knobs mirror t_bpe_train/t_bpe_apply; the doc sample keeps
+# the exploded oracle comparison bounded (every ~16th document).
+_TOKENIZE_SAMPLE_MOD = 16
+BPE_TOKENIZE_ORACLE = None  # built lazily: needs plans.llm constants
+
+
+def _tokenize_oracle() -> str:
+    from .llm import _BPE_MERGES, _BPE_TOP_WORDS
+
+    return _bpe_tokenize_oracle(
+        _BPE_MERGES, _BPE_TOP_WORDS, _TOKENIZE_SAMPLE_MOD
+    )
+
+
+def t_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's REAL output: the ordered token sequence per
+    document — ``(doc_id, pos, token)`` — not just counts. Completes
+    the BPE family: train (t_bpe_train) → corpus stats (t_bpe_apply)
+    → sequences (this query), which is the actual input a training
+    run consumes (ids are a dictionary lookup away from tokens).
+
+    Shape: same train-once + one Arrow encode pass as ``t_bpe_apply``
+    (merge table in the closure, no corpus shuffle); the explode is
+    map-side. Every ``_TOKENIZE_SAMPLE_MOD``-th document is emitted so
+    the O(corpus tokens) oracle comparison stays bounded — the Spark
+    side is identical for the full corpus (drop the filter).
+
+    Oracle: re-train via the shared CTE chain, replay the replaces,
+    unnest parenthesized tokens WITH ORDINALITY."""
+    from pyspark.sql import functions as F
+
+    from .llm import _train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merge_pairs = [(p1, p2) for _, p1, p2, _ in _train_bpe_merges(docs)]
+
+    def encode(batches):
+        import re
+
+        import pandas as pd
+
+        strip = re.compile(r"[^A-Za-z]+")
+        tok_re = re.compile(r"\(([^)]*)\)")
+        for pdf in batches:
+            out = {"doc_id": [], "pos": [], "token": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [
+                    w
+                    for w in strip.sub(" ", text or "").lower().split(" ")
+                    if w
+                ]
+                s = " ".join("(" + ")(".join(w) + ")" for w in ws)
+                for p1, p2 in merge_pairs:
+                    s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+                for pos, tok in enumerate(tok_re.findall(s), start=1):
+                    out["doc_id"].append(int(doc_id))
+                    out["pos"].append(pos)
+                    out["token"].append(tok)
+            yield pd.DataFrame(out)
+
+    sampled = ensure_parallelism(
+        docs.select("doc_id", "text").filter(
+            F.col("doc_id") % _TOKENIZE_SAMPLE_MOD == 0
+        )
+    )
+    return sampled.mapInPandas(
+        encode, "doc_id long, pos long, token string"
+    )
