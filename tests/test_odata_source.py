@@ -600,3 +600,44 @@ def test_get_text_sends_auth_headers():
     assert client.get_text("http://example.invalid/$metadata") == "<edmx/>"
     assert captured["headers"].get("Authorization", "").startswith("Basic ")
     assert captured["headers"].get("Accept") == "application/xml"
+
+
+def test_client_retries_when_error_body_read_fails():
+    """Draining a retryable error's BODY can itself hit a reset;
+    exceptions raised inside an except handler bypass sibling except
+    clauses, so the HTTPError branch must guard its own read. One 503
+    whose body read resets, then success — the retry contract holds."""
+    import io
+    import urllib.error
+
+    calls = {"n": 0}
+
+    class _BrokenBody(io.RawIOBase):
+        def read(self, *a):
+            raise ConnectionResetError("reset while draining error body")
+
+    class _Resp:
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b'{"d": {"results": []}}'
+
+    class _Opener:
+        def open(self, req, timeout=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise urllib.error.HTTPError(
+                    req.full_url, 503, "unavailable", {}, _BrokenBody()
+                )
+            return _Resp()
+
+    client = ODataClient("http://example.invalid", retries=2, backoff=0.01)
+    client._opener = _Opener()
+    assert client.get_json("http://example.invalid/Emp") == {"d": {"results": []}}
+    assert calls["n"] == 2

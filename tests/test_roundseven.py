@@ -10,8 +10,8 @@ import duckdb
 from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.plans.registry import all_specs
 from turnover_odata_etl_spark.plans.roundseven import (
+    BPE_TOKENIZE_ORACLE,
     PNG_ADAM7_ORACLE,
-    _tokenize_oracle,
     m_png_adam7_decode_features,
     t_bpe_tokenize_ids,
 )
@@ -41,10 +41,11 @@ def test_png_adam7_decode_features_matches_oracle(spark, sf_dir):
 
 
 def test_bpe_tokenize_ids_matches_oracle(spark, sf_dir):
+    assert BPE_TOKENIZE_ORACLE  # eager constant, never None
     compare_spark_vs_oracle(
         t_bpe_tokenize_ids(spark, sf_dir),
         _con(sf_dir),
-        _tokenize_oracle(),
+        BPE_TOKENIZE_ORACLE,
         "t_bpe_tokenize_ids",
     )
 

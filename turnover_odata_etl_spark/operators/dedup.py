@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint
 
 # -- tier 2: normalized fingerprint ----------------------------------------
 

@@ -2285,12 +2285,19 @@ def _bpe_apply_oracle(n_merges: int, top_words: int) -> str:
 )""",
     ]
     for i in range(1, n_merges + 1):
+        # LEFT JOIN ON TRUE, not CROSS JOIN: if a merge round runs dry
+        # (tiny corpus exhausts mergeable pairs before K), best{i} is
+        # empty and a cross join would annihilate every document —
+        # whereas the Spark trainer breaks out of its loop and still
+        # encodes the corpus. The NULL guard keeps both sides
+        # degrading identically.
         parts.append(
             f""", enc{i} AS (
   SELECT doc_id, n_words, n_chars,
-         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
-                 '(' || b.p1 || b.p2 || ')') AS s
-  FROM enc{i - 1} CROSS JOIN best{i} b)"""
+         CASE WHEN b.p1 IS NULL THEN s
+              ELSE replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                           '(' || b.p1 || b.p2 || ')') END AS s
+  FROM enc{i - 1} LEFT JOIN best{i} b ON TRUE)"""
         )
     parts.append(
         f"""
@@ -2367,6 +2374,29 @@ def _train_bpe_merges(docs: DataFrame) -> list[tuple[int, str, str, int]]:
         words.unpersist()
 
 
+def _make_bpe_encoder():
+    """Factory for the document → wrapped-merged-string encoder shared
+    by ``t_bpe_apply`` and the staged ``t_bpe_tokenize_ids``: ONE
+    implementation of the convention every BPE oracle replays (strip
+    ``[^A-Za-z]+`` → lower → wrap each word → rank-ordered literal
+    replaces), so the two queries cannot desynchronize. ``<locals>``
+    qualname ⇒ cloudpickle ships it BY VALUE inside mapInPandas
+    closures (the ``sources/warc.py`` pattern); returns
+    ``(words, encoded_string)``."""
+    import re
+
+    strip = re.compile(r"[^A-Za-z]+")
+
+    def encode_doc(text, merge_pairs):
+        ws = [w for w in strip.sub(" ", text or "").lower().split(" ") if w]
+        s = " ".join("(" + ")(".join(w) + ")" for w in ws)
+        for p1, p2 in merge_pairs:
+            s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+        return ws, s
+
+    return encode_doc
+
+
 @register(
     "t_bpe_apply",
     oracle=_bpe_apply_oracle(_BPE_MERGES, _BPE_TOP_WORDS),
@@ -2405,13 +2435,11 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out (no-op at real scale)."""
     docs = load_table(spark, sf_dir, "documents")
     merge_pairs = [(p1, p2) for _, p1, p2, _ in _train_bpe_merges(docs)]
+    encode_doc = _make_bpe_encoder()
 
     def encode(batches):
-        import re
-
         import pandas as pd
 
-        strip = re.compile(r"[^A-Za-z]+")
         for pdf in batches:
             out = {
                 "doc_id": [],
@@ -2420,14 +2448,7 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_bpe_tokens": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = [
-                    w
-                    for w in strip.sub(" ", text or "").lower().split(" ")
-                    if w
-                ]
-                s = " ".join("(" + ")(".join(w) + ")" for w in ws)
-                for p1, p2 in merge_pairs:
-                    s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+                ws, s = encode_doc(text, merge_pairs)
                 out["doc_id"].append(int(doc_id))
                 out["n_words"].append(len(ws))
                 out["n_chars"].append(sum(len(w) for w in ws))

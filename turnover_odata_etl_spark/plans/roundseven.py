@@ -132,12 +132,16 @@ def _bpe_tokenize_oracle(n_merges: int, top_words: int, sample_mod: int) -> str:
 )""",
     ]
     for i in range(1, n_merges + 1):
+        # LEFT JOIN ON TRUE + NULL guard, matching _bpe_apply_oracle:
+        # a dry merge round (empty best{i}) must not annihilate the
+        # corpus the way a cross join would.
         parts.append(
             f""", enc{i} AS (
   SELECT doc_id,
-         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
-                 '(' || b.p1 || b.p2 || ')') AS s
-  FROM enc{i - 1} CROSS JOIN best{i} b)"""
+         CASE WHEN b.p1 IS NULL THEN s
+              ELSE replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                           '(' || b.p1 || b.p2 || ')') END AS s
+  FROM enc{i - 1} LEFT JOIN best{i} b ON TRUE)"""
         )
     parts.append(
         f"""
@@ -155,16 +159,21 @@ FROM tk WHERE len(toks) > 0"""
 
 # Pinned knobs mirror t_bpe_train/t_bpe_apply; the doc sample keeps
 # the exploded oracle comparison bounded (every ~16th document).
+# The oracle constant is built EAGERLY so the activation checklist
+# ("pass the oracle constants below") cannot accidentally register
+# the query with oracle=None.
 _TOKENIZE_SAMPLE_MOD = 16
-BPE_TOKENIZE_ORACLE = None  # built lazily: needs plans.llm constants
 
 
-def _tokenize_oracle() -> str:
+def _build_tokenize_oracle() -> str:
     from .llm import _BPE_MERGES, _BPE_TOP_WORDS
 
     return _bpe_tokenize_oracle(
         _BPE_MERGES, _BPE_TOP_WORDS, _TOKENIZE_SAMPLE_MOD
     )
+
+
+BPE_TOKENIZE_ORACLE = _build_tokenize_oracle()
 
 
 def t_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,29 +193,24 @@ def t_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest parenthesized tokens WITH ORDINALITY."""
     from pyspark.sql import functions as F
 
-    from .llm import _train_bpe_merges
+    from .llm import _make_bpe_encoder, _train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
     merge_pairs = [(p1, p2) for _, p1, p2, _ in _train_bpe_merges(docs)]
+    # ONE encode convention, shared with t_bpe_apply (the factory's
+    # <locals> qualname ships it by value into the closure).
+    encode_doc = _make_bpe_encoder()
 
     def encode(batches):
         import re
 
         import pandas as pd
 
-        strip = re.compile(r"[^A-Za-z]+")
         tok_re = re.compile(r"\(([^)]*)\)")
         for pdf in batches:
             out = {"doc_id": [], "pos": [], "token": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = [
-                    w
-                    for w in strip.sub(" ", text or "").lower().split(" ")
-                    if w
-                ]
-                s = " ".join("(" + ")(".join(w) + ")" for w in ws)
-                for p1, p2 in merge_pairs:
-                    s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+                _ws, s = encode_doc(text, merge_pairs)
                 for pos, tok in enumerate(tok_re.findall(s), start=1):
                     out["doc_id"].append(int(doc_id))
                     out["pos"].append(pos)

@@ -172,7 +172,15 @@ class ODataClient:
                 with self._opener.open(req, timeout=self.timeout) as resp:
                     return resp.status, resp.read()
             except urllib.error.HTTPError as e:
-                body = e.read().decode("utf-8", errors="replace")
+                # Draining the ERROR body can itself hit a reset /
+                # short read; an exception raised here would bypass
+                # the sibling read-error branch below (except clauses
+                # are not chained), so guard it — the status code is
+                # what the retry decision needs, not the body.
+                try:
+                    body = e.read().decode("utf-8", errors="replace")
+                except (http.client.IncompleteRead, TimeoutError, OSError):
+                    body = "<error body unreadable>"
                 if e.code not in self.retryable or attempt >= self.retries:
                     raise ODataError(e.code, url, body) from e
                 delay = self.backoff * (2**attempt)
