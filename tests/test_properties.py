@@ -604,8 +604,9 @@ def test_png_palette_and_16bit_roundtrip_random(data):
 
 
 def test_png_variant_errors_are_loud():
-    """Missing PLTE, out-of-range palette index, and unsupported bit
-    depths raise ValueError — never a silent wrong decode."""
+    """Missing PLTE, out-of-range palette index, and spec-invalid
+    depth/color combinations raise ValueError — never a silent wrong
+    decode."""
     import struct
 
     import numpy as np
@@ -631,7 +632,9 @@ def test_png_variant_errors_are_loud():
 
     blob = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint16), depth=16))
     i = blob.find(b"IHDR")
-    blob[i + 12] = 4  # depth byte → 4 (sub-byte packing, unsupported)
+    # depth byte → 4 on an RGB image: sub-byte depths are only legal
+    # for gray/paletted per the spec, so this must stay a loud error
+    blob[i + 12] = 4
     with pytest.raises(ValueError, match="unsupported"):
         _decode_png(bytes(blob))
 
@@ -795,3 +798,47 @@ def test_png_adam7_roundtrip_random(data):
     b = _decode_png(inter)
     assert a.shape == b.shape == (h, w, 3)
     assert (a == b).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_png_sub_byte_roundtrip_random(data):
+    """Sub-byte depths (1/2/4-bit gray and paletted — the only color
+    types the spec allows below 8 bits): encode → decode is exact for
+    ANY geometry (widths that don't fill the last byte exercise the
+    padding), filter cycle, and BOTH layouts — sequential and Adam7
+    (where each pass packs bits within its own rows)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    w = data.draw(st.integers(1, 19), label="w")
+    h = data.draw(st.integers(1, 19), label="h")
+    depth = data.draw(st.sampled_from([1, 2, 4]), label="depth")
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        label="filters",
+    )
+    paletted = data.draw(st.booleans(), label="paletted")
+    interlace = data.draw(st.booleans(), label="interlace")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+
+    vals = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    if paletted:
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        blob = encode_png(
+            vals, filters, palette=pal, depth=depth, interlace=interlace
+        )
+        want = pal[vals]
+    else:
+        blob = encode_png(vals, filters, depth=depth, interlace=interlace)
+        scale = 255 // ((1 << depth) - 1)
+        want = np.repeat(
+            (vals * scale).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+    got = _decode_png(blob)
+    assert got.shape == (h, w, 3)
+    assert (got == want).all()

@@ -14,10 +14,11 @@ unfilters; 8-bit gray/RGB/RGBA, paletted PLTE, and 16-bit gray/RGB —
 ``_decode_png``) and baseline-sequential JPEG (pure-numpy Huffman +
 dequant + IDCT, ``functions/jpeg.py``); round 6 added Adam7
 interlace for every supported PNG variant (seven independently-
-filtered pass sub-images). WebP — plus sub-byte-depth PNG and the
-JPEG variants outside baseline (progressive SOF2, arithmetic) —
-still require an external codec; those branches are the documented
-extension points and fail loudly.
+filtered pass sub-images) AND the sub-byte depths 1/2/4 for gray and
+paletted — the complete non-exotic PNG surface, sequential and
+interlaced. WebP and the JPEG variants outside baseline (progressive
+SOF2, arithmetic) still require an external codec; those branches
+are the documented extension points and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
@@ -152,11 +153,13 @@ def _make_binary_codecs():
     def _decode_png(data: bytes):
         """PNG decode → ``(H, W, 3) uint8`` RGB. Supported variants:
         8-bit gray/RGB/RGBA (color types 0/2/6), 8-bit PALETTED
-        (color type 3, PLTE lookup), and 16-bit gray/RGB (down-scaled
-        by high byte — the standard 16→8 approximation), each in both
-        sequential AND Adam7-interlaced layouts (round 6 — interlace
-        was the last documented loud-failure corner for real-world
-        8/16-bit PNGs). Bit depths 1/2/4 still fail loudly.
+        (color type 3, PLTE lookup), 16-bit gray/RGB (down-scaled by
+        high byte — the standard 16→8 approximation), and SUB-BYTE
+        depths 1/2/4 for gray and paletted (the only color types the
+        spec allows below 8 bits; MSB-first bit unpacking, exact
+        integer gray scaling ×255/85/17), each in both sequential AND
+        Adam7-interlaced layouts. That is the complete non-exotic PNG
+        surface; nothing fails loudly anymore except corrupt streams.
 
         Chunk walk → concatenated-IDAT zlib inflate → per-scanline
         unfilter. PNG filters operate on BYTES with the left-neighbor
@@ -197,29 +200,52 @@ def _make_binary_codecs():
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR/IDAT")
         w, h, depth, color_type, _comp, _filt, interlace = ihdr
-        supported = (depth == 8 and color_type in (0, 2, 3, 6)) or (
-            depth == 16 and color_type in (0, 2)
+        supported = (
+            (depth == 8 and color_type in (0, 2, 3, 6))
+            or (depth == 16 and color_type in (0, 2))
+            or (depth in (1, 2, 4) and color_type in (0, 3))
         )
         if interlace not in (0, 1) or not supported:
             raise ValueError(
                 f"PNG variant unsupported (depth={depth}, color={color_type}, "
-                f"interlace={interlace}); supported: 8-bit "
-                "gray/RGB/paletted/RGBA and 16-bit gray/RGB, "
-                "sequential or Adam7"
+                f"interlace={interlace}); supported: 1/2/4-bit "
+                "gray/paletted, 8-bit gray/RGB/paletted/RGBA and "
+                "16-bit gray/RGB, sequential or Adam7"
             )
         if color_type == 3 and plte is None:
             raise ValueError("PNG paletted image missing PLTE chunk")
         nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
-        bpp = nch * (depth // 8)  # filter unit: bytes per pixel
-        stride = w * bpp
+        sub_byte = depth < 8
+        # Filter unit: bytes per complete pixel, ROUNDED UP TO ONE for
+        # sub-byte depths (the spec's bpp definition — filters always
+        # operate on whole bytes of the packed layout).
+        bpp = 1 if sub_byte else nch * (depth // 8)
+
+        def rowbytes(pw: int) -> int:
+            return (pw * depth + 7) // 8 if sub_byte else pw * bpp
+
+        if sub_byte:
+            bit_weights = 1 << np.arange(depth - 1, -1, -1)
+
+        def to_vals(bytes2d, npix):
+            """Packed sub-byte rows → per-pixel values (MSB first)."""
+            bits = np.unpackbits(bytes2d, axis=1)[:, : npix * depth]
+            return (
+                (bits.reshape(-1, npix, depth) * bit_weights)
+                .sum(axis=2)
+                .astype(np.uint8)
+            )
+
+        stride = rowbytes(w)
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
 
-        def unfilter(seg, ph, rowbytes):
-            """One filtered sub-raster (``ph`` scanlines of
-            ``rowbytes`` bytes, each prefixed by its filter type) →
-            decoded bytes. Filter state starts fresh (prev = zeros):
-            true for the whole image in sequential layout and for
-            EACH PASS in Adam7."""
+        def unfilter(seg, ph, rb):
+            """One filtered sub-raster (``ph`` scanlines of ``rb``
+            bytes, each prefixed by its filter type) → decoded bytes.
+            Filter state starts fresh (prev = zeros): true for the
+            whole image in sequential layout and for EACH PASS in
+            Adam7."""
+            rowbytes = rb
             seg = seg.reshape(ph, rowbytes + 1)
             dec = np.empty((ph, rowbytes), dtype=np.uint8)
             prev = np.zeros(rowbytes, dtype=np.int32)
@@ -259,40 +285,58 @@ def _make_binary_codecs():
                 prev = cur
             return dec
 
+        vals = None  # sub-byte path: (h, w) per-pixel values
         if interlace == 0:
             if raw.size != h * (stride + 1):
                 raise ValueError("PNG raster size mismatch")
             out = unfilter(raw, h, stride)
+            if sub_byte:
+                vals = to_vals(out, w)
         else:  # Adam7: seven independently-filtered sub-images
             passes = (
                 (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
             )
-            out = np.empty((h, w, bpp), dtype=np.uint8)
+            # Sub-byte passes pack bits per PASS row, so packed bytes
+            # cannot be scattered into a full-row layout — scatter
+            # unpacked VALUES instead; full-byte passes scatter bytes.
+            if sub_byte:
+                vals = np.empty((h, w), dtype=np.uint8)
+            else:
+                out = np.empty((h, w, bpp), dtype=np.uint8)
             pos2 = 0
             for x0, y0, dx, dy in passes:
                 pw = max(0, (w - x0 + dx - 1) // dx)
                 ph = max(0, (h - y0 + dy - 1) // dy)
                 if pw == 0 or ph == 0:
                     continue  # empty pass: zero bytes, not ph filter bytes
-                need = ph * (pw * bpp + 1)
+                prb = rowbytes(pw)
+                need = ph * (prb + 1)
                 seg = raw[pos2 : pos2 + need]
                 if seg.size != need:
                     raise ValueError("PNG raster size mismatch")
                 pos2 += need
-                dec = unfilter(seg, ph, pw * bpp).reshape(ph, pw, bpp)
-                out[y0::dy, x0::dx, :] = dec
+                dec = unfilter(seg, ph, prb)
+                if sub_byte:
+                    vals[y0::dy, x0::dx] = to_vals(dec, pw)
+                else:
+                    out[y0::dy, x0::dx, :] = dec.reshape(ph, pw, bpp)
             if pos2 != raw.size:
                 raise ValueError("PNG raster size mismatch")
-            out = out.reshape(h, stride)
+            if not sub_byte:
+                out = out.reshape(h, stride)
         if color_type == 3:  # palette lookup
             palette = np.frombuffer(plte, dtype=np.uint8)
             if len(palette) % 3:
                 raise ValueError("PNG PLTE length not a multiple of 3")
             palette = palette.reshape(-1, 3)
-            if out.max(initial=0) >= len(palette):
+            idx = vals if sub_byte else out
+            if idx.max(initial=0) >= len(palette):
                 raise ValueError("PNG palette index out of range")
-            return palette[out].reshape(h, w, 3).copy()
+            return palette[idx].reshape(h, w, 3).copy()
+        if sub_byte:  # gray 1/2/4-bit: exact integer scale to 0..255
+            px = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            return np.repeat(px[:, :, None], 3, axis=2).copy()
         if depth == 16:  # big-endian u16 → high byte
             px = out.reshape(h, w, nch, 2)[:, :, :, 0]
         else:
@@ -310,20 +354,62 @@ def _make_binary_codecs():
         types 0/2/6); ``palette=(N, 3) uint8`` makes ``img`` an
         ``(H, W)`` index array (color type 3, PLTE written);
         ``depth=16`` takes ``(H, W[, C]) uint16`` (C ∈ {1, 3},
-        big-endian samples on the wire). ``filters`` cycles per-row
-        filter types (default all-0) — ``[0, 1, 2, 3, 4]`` exercises
-        every unfilter path with a single image. Filtering always
-        operates on the BYTE layout with the encoded bytes-per-pixel
-        as the left offset, mirroring the decoder. ``interlace=True``
-        writes the Adam7 layout: seven pass sub-images, each filtered
-        independently (filter cycle restarts per pass, matching the
-        decoder's per-pass state reset); empty passes emit nothing."""
+        big-endian samples on the wire); ``depth ∈ {1, 2, 4}`` takes
+        an ``(H, W)`` value/index array (gray, or paletted when
+        ``palette`` is also given — the spec's two sub-byte color
+        types), packed MSB-first into scanline bytes. ``filters``
+        cycles per-row filter types (default all-0) — ``[0, 1, 2, 3,
+        4]`` exercises every unfilter path with a single image.
+        Filtering always operates on the BYTE layout with the encoded
+        bytes-per-pixel (1 for sub-byte) as the left offset, mirroring
+        the decoder. ``interlace=True`` writes the Adam7 layout: seven
+        pass sub-images, each filtered independently (filter cycle
+        restarts per pass, matching the decoder's per-pass state
+        reset); empty passes emit nothing — sub-byte passes pack their
+        bits within the pass's own rows."""
         import struct
         import zlib
 
         import numpy as np
 
-        if palette is not None:
+        pix_vals = None  # sub-byte path: (H, W) values, packed per raster
+        if depth in (1, 2, 4):
+            img = np.asarray(img, dtype=np.uint8)
+            if img.ndim != 2:
+                raise ValueError("sub-byte image must be (H, W) values")
+            if img.max(initial=0) >= (1 << depth):
+                raise ValueError(f"value out of range for depth {depth}")
+            if palette is not None:
+                palette = np.asarray(palette, dtype=np.uint8)
+                if (
+                    palette.ndim != 2
+                    or palette.shape[1] != 3
+                    or len(palette) > (1 << depth)
+                ):
+                    raise ValueError(
+                        f"palette must be (N<={1 << depth}, 3) uint8"
+                    )
+                if img.max(initial=0) >= len(palette):
+                    raise ValueError("palette index out of range")
+                color_type = 3
+            else:
+                color_type = 0
+            h, w = img.shape
+            bpp = 1
+            pix_vals = img
+            sub_weights = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+
+            def pack_rows(vals):
+                """(ph, pw) sub-byte values → (ph, rowbytes) int32,
+                MSB-first, zero-padded to the byte boundary."""
+                ph, pw = vals.shape
+                bits = ((vals[:, :, None] >> sub_weights) & 1).reshape(
+                    ph, pw * depth
+                )
+                return np.packbits(bits, axis=1).astype(np.int32)
+
+            flat = pack_rows(pix_vals)
+        elif palette is not None:
             palette = np.asarray(palette, dtype=np.uint8)
             if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
                 raise ValueError("palette must be (N<=256, 3) uint8")
@@ -355,7 +441,6 @@ def _make_binary_codecs():
             color_type = {1: 0, 3: 2, 4: 6}[nch]
             bpp = nch
             flat = img.reshape(h, w * nch).astype(np.int32)
-        stride = w * bpp
         zeros = np.zeros(bpp, dtype=np.int32)
 
         def filter_rows(sub):
@@ -401,15 +486,25 @@ def _make_binary_codecs():
                 (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
             )
-            px = flat.reshape(h, w, bpp)
             rows = []
-            for x0, y0, dx, dy in passes:
-                sub = px[y0::dy, x0::dx, :]
-                if sub.shape[0] == 0 or sub.shape[1] == 0:
-                    continue
-                rows.extend(
-                    filter_rows(sub.reshape(sub.shape[0], -1))
-                )
+            if pix_vals is not None:
+                # Sub-byte: pass extraction happens in PIXEL space and
+                # each pass packs its own rows (bit offsets restart
+                # per pass row — a byte-space slice would be wrong).
+                for x0, y0, dx, dy in passes:
+                    sub = pix_vals[y0::dy, x0::dx]
+                    if sub.shape[0] == 0 or sub.shape[1] == 0:
+                        continue
+                    rows.extend(filter_rows(pack_rows(sub)))
+            else:
+                px = flat.reshape(h, w, bpp)
+                for x0, y0, dx, dy in passes:
+                    sub = px[y0::dy, x0::dx, :]
+                    if sub.shape[0] == 0 or sub.shape[1] == 0:
+                        continue
+                    rows.extend(
+                        filter_rows(sub.reshape(sub.shape[0], -1))
+                    )
 
         def chunk(ctype: bytes, payload: bytes) -> bytes:
             return (
