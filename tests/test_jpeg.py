@@ -1,7 +1,9 @@
-"""Baseline JPEG codec: exact roundtrips on quantization-aligned
-uniform tiles, bounded loss on random content, subsampling/restart/
-grayscale paths, loud rejection of progressive and malformed streams,
-and a hypothesis sweep over geometries."""
+"""JPEG codec: exact roundtrips on quantization-aligned uniform
+tiles, bounded loss on random content, subsampling/restart/grayscale
+paths, progressive (SOF2) decode pinned bit-identical to baseline,
+loud rejection of the remaining corners (successive approximation,
+extended/arithmetic SOFs, malformed streams), and hypothesis sweeps
+over geometries and band partitions."""
 
 from __future__ import annotations
 
@@ -86,12 +88,30 @@ def test_restart_markers_do_not_change_pixels():
     assert np.array_equal(plain, rst)
 
 
-def test_progressive_rejected_loudly():
+def test_progressive_unsupported_corners_rejected_loudly():
+    """Round 6 made SOF2 (spectral-selection progressive) a SUPPORTED
+    layout; the remaining corners — successive approximation, restarts
+    inside progressive scans, extended/arithmetic SOFs — stay loud."""
+    from turnover_odata_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
     img = np.full((8, 8, 3), 130, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_progressive(img))
+    # Patch the FIRST AC scan's AhAl byte (last byte of its SOS
+    # payload) to claim successive approximation (Al=1).
+    first_sos = blob.find(b"\xff\xda")
+    second_sos = blob.find(b"\xff\xda", first_sos + 2)
+    ln = int.from_bytes(blob[second_sos + 2 : second_sos + 4], "big")
+    blob[second_sos + 2 + ln - 1] = 0x01
+    with pytest.raises(ValueError, match="successive"):
+        decode_jpeg(bytes(blob))
+
+    # SOF1 (extended sequential) remains rejected.
     blob = bytearray(encode_jpeg_baseline(img))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    blob[idx + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(blob))
 
 
@@ -159,3 +179,67 @@ def test_sampling_factor_above_two_rejected_loudly():
     blob[hv] = 0x32  # 3x2 — legal per spec, unsupported here
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(blob))
+
+
+def test_progressive_exactness_domain_roundtrip():
+    """Uniform 8×8-aligned tiles inside the codec's exactness domain
+    roundtrip BIT-EXACTLY through the progressive pipeline too — the
+    same property the closed-form oracle of the registered query
+    relies on for the baseline stream."""
+    from turnover_odata_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    for ty in range(2):
+        for tx in range(3):
+            v = 2 * ((ty * 13 + tx * 29) % 128)
+            img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8, :] = v
+    dec = decode_jpeg(encode_jpeg_progressive(img, quant_luma=16))
+    assert (dec == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_progressive_equals_baseline_random(data):
+    """Progressive is a LOSSLESS reorganization of the same quantized
+    coefficients: decode(progressive) == decode(baseline) bit-exactly
+    for ANY image, geometry (incl. non-multiples of 8/16), gray/color,
+    4:4:4/4:2:0, quant step, and band partition — including flat and
+    high-quant images whose AC bands are empty (long EOB runs through
+    the decoder's EOBn path)."""
+    from turnover_odata_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    gray = data.draw(st.booleans(), label="gray")
+    sub = (not gray) and data.draw(st.booleans(), label="subsample")
+    q = data.draw(st.sampled_from([1, 16, 64, 255]), label="quant")
+    flat = data.draw(st.booleans(), label="flat")
+    # random contiguous band partition of 1..63
+    n_cuts = data.draw(st.integers(0, 3), label="n_cuts")
+    cuts = sorted(
+        set(
+            data.draw(st.integers(1, 62), label=f"cut{i}")
+            for i in range(n_cuts)
+        )
+    )
+    edges = [1] + [c + 1 for c in cuts] + [64]
+    bands = tuple(
+        (a, b - 1) for a, b in zip(edges, edges[1:]) if a <= b - 1
+    )
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    shape = (h, w) if gray else (h, w, 3)
+    img = (
+        np.full(shape, int(rng.integers(0, 256)), np.uint8)
+        if flat
+        else rng.integers(0, 256, shape, dtype=np.uint8)
+    )
+    base = decode_jpeg(encode_jpeg_baseline(img, quant_luma=q, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quant_luma=q, subsample=sub, bands=bands)
+    )
+    assert base.shape == prog.shape
+    assert (base == prog).all()

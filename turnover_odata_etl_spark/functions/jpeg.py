@@ -7,20 +7,29 @@ every stage (marker segments, canonical Huffman, zigzag, dequantize,
 8x8 IDCT, chroma upsampling, YCbCr) is ordinary numpy work. No
 imaging library is involved anywhere.
 
-Decoder (`decode_jpeg`): baseline DCT sequential, 8-bit, 1- or
-3-component, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart
-markers, multi-segment DQT/DHT, APPn/COM skipping. Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise ``ValueError``
-loudly — same contract as the PNG/WAV decoders' unsupported corners.
+Decoder (`decode_jpeg`): baseline DCT sequential (SOF0) — 8-bit, 1-
+or 3-component, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart
+markers, multi-segment DQT/DHT, APPn/COM skipping — and, since round
+6, Huffman PROGRESSIVE (SOF2) via spectral selection: scans
+accumulate into per-component coefficient planes (interleaved or
+single-component DC scans, single-component AC band scans with
+EOB-run coding), then one shared dequant+IDCT pass finishes the
+image. Successive approximation (Ah/Al ≠ 0), restarts inside
+progressive scans, arithmetic coding, and 12-bit precision raise
+``ValueError`` loudly — same contract as the PNG/WAV decoders'
+unsupported corners.
 
-Encoder (`encode_jpeg_baseline`): the test-vector generator — 4:4:4
-or 4:2:0, uniform or custom quant tables, canonical Huffman tables
-built from fixed code-length histograms (the DHT segment carries
-whatever tables we define, so the spec's example Annex-K tables are
-not needed). Quantization is the only lossy step; uniform 8x8-aligned
-tiles whose level-shifted value is divisible by the quant step
-roundtrip EXACTLY, which is what makes a closed-form SQL oracle
-possible for a lossy format.
+Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): the
+test-vector generators — 4:4:4 or 4:2:0, uniform or custom quant
+tables, canonical Huffman tables built from fixed code-length
+histograms (the DHT segment carries whatever tables we define, so
+the spec's example Annex-K tables are not needed). Quantization is
+the only lossy step; uniform 8x8-aligned tiles whose level-shifted
+value is divisible by the quant step roundtrip EXACTLY, which is
+what makes a closed-form SQL oracle possible for a lossy format.
+Progressive is a LOSSLESS reorganization of the same quantized
+coefficients, so ``decode(progressive) == decode(baseline)``
+bit-exactly for any image — the fuzz tests pin that equality.
 
 The DCT pair uses the orthonormal 8x8 DCT-II matrix ``M`` (forward
 ``M @ b @ M.T``, inverse ``M.T @ S @ M``): for a constant block of
@@ -146,28 +155,28 @@ def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray):
 # Encoder Huffman tables: canonical, fixed-length — DC categories
 # 0..11 as 4-bit codes (12 of 16, the all-ones code stays unused as
 # the spec prefers), every AC run/size symbol as an 8-bit code
-# (162 symbols ≤ 254, all-ones unused). Valid canonical tables the
-# decoder rebuilds generically from the DHT segment.
+# (176 symbols ≤ 254, all-ones unused): EOB0, ZRL, the 160 baseline
+# run/size pairs, and the 14 progressive EOBn symbols (r<<4, size 0,
+# 1 ≤ r ≤ 14 — EOB-run lengths 2^r..2^(r+1)−1). Valid canonical
+# tables the decoder rebuilds generically from the DHT segment.
 _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = list(range(12))
-_ENC_AC_VALS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_ENC_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 
-def encode_jpeg_baseline(
-    img: np.ndarray,
-    quant_luma: int | np.ndarray = 16,
-    quant_chroma: int | np.ndarray | None = None,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode ``(H, W, 3) uint8`` RGB (or ``(H, W)`` grayscale) as
-    baseline JFIF-style JPEG. ``subsample=True`` → 4:2:0 (chroma
-    averaged 2x2), else 4:4:4. Scalar quant values mean a uniform
-    table. ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercises the decoder's resync path)."""
+def _prepare_encode(img, quant_luma, quant_chroma, subsample):
+    """Shared encoder front half: color transform, subsampling,
+    per-plane quantized zigzag blocks. Returns
+    ``(gray, h, w, samp, qsel, qy, qc, blocks, bw)`` — used by both
+    the baseline and the progressive entropy back halves (identical
+    coefficients; progressive is a lossless reorganization of the
+    same data, which is what makes the cross-encoder equality test
+    possible)."""
     gray = img.ndim == 2
     qy = (
         np.full((8, 8), quant_luma, dtype=np.int32)
@@ -208,8 +217,6 @@ def encode_jpeg_baseline(
             samp = [(1, 1), (1, 1), (1, 1)]
         qsel = [0, 1, 1]
 
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
     blocks = []
     bw = []
     for p, (sh, sv) in zip(planes, samp):
@@ -218,6 +225,27 @@ def encode_jpeg_baseline(
         blks, blocks_w = _encode_plane_blocks(np.asarray(padded), qt)
         blocks.append(blks)
         bw.append(blocks_w)
+    return gray, h, w, samp, qsel, qy, qc, blocks, bw
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quant_luma: int | np.ndarray = 16,
+    quant_chroma: int | np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode ``(H, W, 3) uint8`` RGB (or ``(H, W)`` grayscale) as
+    baseline JFIF-style JPEG. ``subsample=True`` → 4:2:0 (chroma
+    averaged 2x2), else 4:4:4. Scalar quant values mean a uniform
+    table. ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (exercises the decoder's resync path)."""
+    gray, h, w, samp, qsel, qy, qc, blocks, bw = _prepare_encode(
+        img, quant_luma, quant_chroma, subsample
+    )
+    planes = blocks  # one entry per component
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
     dc_codes = _build_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _build_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
@@ -305,6 +333,154 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant_luma: int | np.ndarray = 16,
+    quant_chroma: int | np.ndarray | None = None,
+    subsample: bool = False,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JPEG via spectral selection: one
+    interleaved DC scan over the MCU grid, then per-component AC
+    band scans (``bands`` partitions 1..63; non-interleaved, so each
+    AC scan walks the component's TRUE ceil(dim/8) block grid — the
+    padded MCU-grid blocks carry DC only, they are cropped away).
+    No successive approximation (Ah=Al=0 in every scan).
+
+    Progressive is a LOSSLESS reorganization of the same quantized
+    coefficients the baseline encoder emits — ``decode_jpeg`` of this
+    stream is bit-identical to decoding ``encode_jpeg_baseline`` of
+    the same image/quant, which the fuzz tests pin."""
+    lo = [b[0] for b in bands]
+    hi = [b[1] for b in bands]
+    if lo[0] != 1 or hi[-1] != 63 or any(
+        a != b + 1 for a, b in zip(lo[1:], hi[:-1])
+    ):
+        raise ValueError("bands must partition 1..63 contiguously")
+    gray, h, w, samp, qsel, qy, qc, blocks, bw = _prepare_encode(
+        img, quant_luma, quant_chroma, subsample
+    )
+    ncomp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_codes = _build_canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = lambda q: bytes(int(q[i, j]) for i, j in _ZIGZAG)  # noqa: E731
+    out += seg(0xDB, b"\x00" + zz_q(qy))
+    if not gray:
+        out += seg(0xDB, b"\x01" + zz_q(qc))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive, Huffman
+    out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+
+    # --- scan 1: DC, interleaved over the full (padded) MCU grid ----
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        r = my * sv + by
+                        c = mx * sh + bx
+                        zz = blocks[ci][r * bw[ci] + c]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        size = _magnitude_category(diff)
+                        ln, code = dc_codes[size]
+                        writer.write(code, ln)
+                        if size:
+                            amp = diff if diff > 0 else diff + (1 << size) - 1
+                            writer.write(amp, size)
+    writer.flush()
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 0, 0])  # Ss=0 Se=0 Ah=0 Al=0
+    out += seg(0xDA, bytes(sos))
+    out += writer.out
+
+    # --- AC band scans: non-interleaved, per component ---------------
+    for ci, (sh, sv) in enumerate(samp):
+        # TRUE component block grid (ceil of unpadded sample dims)
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        tb_w = -(-cw // 8)
+        tb_h = -(-ch // 8)
+        for ss, se in bands:
+            writer = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                # EOBn: symbol (r, 0) + r extra bits encodes an EOB
+                # run of (1<<r) + bits blocks, r ≤ 14 (run ≤ 32767).
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                ln, code = ac_codes[r << 4]
+                writer.write(code, ln)
+                if r:
+                    writer.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for r in range(tb_h):
+                for c in range(tb_w):
+                    zz = blocks[ci][r * bw[ci] + c]
+                    last_nz = 0
+                    for k in range(ss, se + 1):
+                        if zz[k] != 0:
+                            last_nz = k
+                    if last_nz == 0:  # ss >= 1, so 0 means empty band
+                        # No coefficients in this band: join the
+                        # pending EOB run (exercises the decoder's
+                        # EOBn path on every multi-block image).
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for k in range(ss, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_codes[0xF0]
+                            writer.write(code, ln)
+                            run -= 16
+                        size = _magnitude_category(v)
+                        ln, code = ac_codes[(run << 4) | size]
+                        writer.write(code, ln)
+                        amp = v if v > 0 else v + (1 << size) - 1
+                        writer.write(amp, size)
+                        run = 0
+                    if last_nz < se:
+                        # This block ends with EOB — it STARTS a run
+                        # that following empty-band blocks may extend.
+                        eobrun += 1
+            flush_eobrun()
+            writer.flush()
+            sos = bytearray([1, ci + 1, 0x00, ss, se, 0x00])
+            out += seg(0xDA, bytes(sos))
+            out += writer.out
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # --- decoder -------------------------------------------------------
 
 
@@ -354,6 +530,51 @@ class _BitReader:
         return marker
 
 
+def _parse_dqt(payload: bytes, qtabs: dict) -> None:
+    """DQT segment (possibly several tables) → ``qtabs[tid]``."""
+    p = 0
+    while p < len(payload):
+        prec = payload[p] >> 4
+        tid = payload[p] & 0x0F
+        if prec != 0:
+            raise ValueError("JPEG: 16-bit quant tables unsupported")
+        q = np.zeros((8, 8), dtype=np.int32)
+        vals = payload[p + 1 : p + 65]
+        for (i, j), v in zip(_ZIGZAG, vals):
+            q[i, j] = v
+        qtabs[tid] = q
+        p += 65
+
+
+def _parse_dht(payload: bytes, huff: dict) -> None:
+    """DHT segment (possibly several tables) → ``huff[(class, id)]``."""
+    p = 0
+    while p < len(payload):
+        tc = payload[p] >> 4
+        th = payload[p] & 0x0F
+        bits = list(payload[p + 1 : p + 17])
+        n = sum(bits)
+        vals = list(payload[p + 17 : p + 17 + n])
+        codes = _build_canonical_codes(bits, vals)
+        huff[(tc, th)] = {
+            (ln, code): sym for sym, (ln, code) in codes.items()
+        }
+        p += 17 + n
+
+
+def _parse_sos(payload: bytes):
+    """SOS payload → ``(scan_comps, Ss, Se, Ah, Al)``."""
+    ns = payload[0]
+    scan_comps = []
+    for i in range(ns):
+        cs, tables = payload[1 + 2 * i : 3 + 2 * i]
+        scan_comps.append((cs, tables >> 4, tables & 0x0F))
+    ss = payload[1 + 2 * ns]
+    se = payload[2 + 2 * ns]
+    ahal = payload[3 + 2 * ns]
+    return scan_comps, ss, se, ahal >> 4, ahal & 0x0F
+
+
 def _decode_huffman(reader: _BitReader, table: dict) -> int:
     code = 0
     for length in range(1, 17):
@@ -379,6 +600,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> (len,code)->sym
     restart_interval = 0
     frame = None
+    progressive = False
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
@@ -386,41 +608,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("JPEG: EOI before SOS")
-        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+        if marker in (0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
-                "JPEG: only baseline sequential (SOF0) is supported — "
-                f"got SOF marker 0x{marker:02x} (progressive/extended need "
-                "a full codec library)"
+                "JPEG: only baseline sequential (SOF0) and Huffman "
+                "progressive (SOF2) are supported — got SOF marker "
+                f"0x{marker:02x} (extended/arithmetic need a full codec "
+                "library)"
             )
         length = int.from_bytes(data[pos : pos + 2], "big")
         payload = data[pos + 2 : pos + length]
         if marker == 0xDB:  # DQT, possibly several tables per segment
-            p = 0
-            while p < len(payload):
-                prec = payload[p] >> 4
-                tid = payload[p] & 0x0F
-                if prec != 0:
-                    raise ValueError("JPEG: 16-bit quant tables unsupported")
-                q = np.zeros((8, 8), dtype=np.int32)
-                vals = payload[p + 1 : p + 65]
-                for (i, j), v in zip(_ZIGZAG, vals):
-                    q[i, j] = v
-                qtabs[tid] = q
-                p += 65
+            _parse_dqt(payload, qtabs)
         elif marker == 0xC4:  # DHT, possibly several tables
-            p = 0
-            while p < len(payload):
-                tc = payload[p] >> 4
-                th = payload[p] & 0x0F
-                bits = list(payload[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + n])
-                codes = _build_canonical_codes(bits, vals)
-                huff[(tc, th)] = {
-                    (ln, code): sym for sym, (ln, code) in codes.items()
-                }
-                p += 17 + n
-        elif marker == 0xC0:  # SOF0
+            _parse_dht(payload, huff)
+        elif marker in (0xC0, 0xC2):  # SOF0 (baseline) / SOF2 (progressive)
             if payload[0] != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
             fh = int.from_bytes(payload[1:3], "big")
@@ -447,21 +648,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, sh, sv, tq))
             frame = (fh, fw, comps)
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            scan_comps = []
-            ns = payload[0]
-            for i in range(ns):
-                cs, tables = payload[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            scan = _parse_sos(payload)
+            scan_comps = scan[0]
             pos += length
             break
         # APPn / COM / unknown: skip
         pos += length
 
     if frame is None:
-        raise ValueError("JPEG: no SOF0 before SOS")
+        raise ValueError("JPEG: no SOF before SOS")
+    if progressive:
+        return _decode_progressive(
+            data, pos, frame, qtabs, huff, scan, restart_interval
+        )
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -531,3 +734,183 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    frame,
+    qtabs: dict,
+    huff: dict,
+    scan,
+    restart_interval: int,
+) -> np.ndarray:
+    """Progressive (SOF2) decode, spectral selection only.
+
+    Scans accumulate into per-component COEFFICIENT planes; nothing is
+    dequantized or transformed until every scan has landed, then one
+    shared dequant + IDCT + upsample + color-convert pass finishes the
+    image (T.81 G.2: a progressive stream carries the same quantized
+    coefficients a sequential stream would — the scans just reorganize
+    them). Supported scan shapes: an interleaved or single-component
+    DC scan (Ss=Se=0) over the MCU grid, and single-component AC band
+    scans (1 ≤ Ss ≤ Se ≤ 63) over the component's TRUE ceil(dim/8)
+    block grid, with EOB-run coding (EOBn, r < 15). Successive
+    approximation (Ah/Al ≠ 0) and restart intervals inside progressive
+    scans raise ``ValueError`` loudly — the documented corners left.
+    """
+    if restart_interval:
+        raise ValueError(
+            "JPEG: restart markers in progressive scans unsupported"
+        )
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    coef = []
+    true_blocks = {}
+    for cid, sh, sv, tq in comps:
+        coef.append(
+            np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int32)
+        )
+        cw = -(-fw * sh // hmax)
+        ch = -(-fh * sv // vmax)
+        true_blocks[cid] = (-(-ch // 8), -(-cw // 8))
+
+    while True:
+        scan_comps, ss, se, ah, al = scan
+        if ah != 0 or al != 0:
+            raise ValueError(
+                "JPEG: successive-approximation progressive scans "
+                "unsupported (spectral selection only)"
+            )
+        reader = _BitReader(data, pos)
+        if len(scan_comps) > 1:
+            # Interleaved scan: must be DC (T.81 forbids interleaved AC)
+            if ss != 0 or se != 0:
+                raise ValueError("JPEG: interleaved AC scan is invalid")
+            pred = {cs: 0 for cs, _, _ in scan_comps}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cs, td, _ta in scan_comps:
+                        ci = idx_of[cs]
+                        _, sh, sv, _ = comps[ci]
+                        dc_tab = huff[(0, td)]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                size = _decode_huffman(reader, dc_tab)
+                                diff = (
+                                    _extend(reader.read_bits(size), size)
+                                    if size
+                                    else 0
+                                )
+                                pred[cs] += diff
+                                coef[ci][my * sv + by, mx * sh + bx, 0] = pred[cs]
+        else:
+            cs, td, ta = scan_comps[0]
+            ci = idx_of[cs]
+            tbh, tbw = true_blocks[cs]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("JPEG: DC scan must have Se=0")
+                dc_tab = huff[(0, td)]
+                predv = 0
+                for r in range(tbh):
+                    for c in range(tbw):
+                        size = _decode_huffman(reader, dc_tab)
+                        diff = (
+                            _extend(reader.read_bits(size), size)
+                            if size
+                            else 0
+                        )
+                        predv += diff
+                        coef[ci][r, c, 0] = predv
+            else:
+                ac_tab = huff[(1, ta)]
+                eobrun = 0
+                for r in range(tbh):
+                    for c in range(tbw):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huffman(reader, ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                # EOBn: ends THIS block; the run counts
+                                # ADDITIONAL blocks with no coefficients
+                                # in this band.
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += reader.read_bits(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: AC index past band end"
+                                )
+                            coef[ci][r, c, k] = _extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+
+        # Past this scan's entropy data: align to the next marker.
+        p = reader.pos
+        while data[p] != 0xFF or data[p + 1] == 0x00:
+            p += 1
+        scan = None
+        while True:
+            marker = data[p + 1]
+            p += 2
+            if marker == 0xD9:  # EOI — all scans landed
+                break
+            length = int.from_bytes(data[p : p + 2], "big")
+            payload = data[p + 2 : p + length]
+            if marker == 0xC4:
+                _parse_dht(payload, huff)
+            elif marker == 0xDB:
+                _parse_dqt(payload, qtabs)
+            elif marker == 0xDD:
+                if int.from_bytes(payload[:2], "big"):
+                    raise ValueError(
+                        "JPEG: restart markers in progressive scans "
+                        "unsupported"
+                    )
+            elif marker == 0xDA:
+                scan = _parse_sos(payload)
+                pos = p + length
+                break
+            p += length
+        if scan is None:
+            break
+
+    # Finish: one dequant + IDCT + upsample + color-convert pass.
+    planes = []
+    for (cid, sh, sv, tq), cf in zip(comps, coef):
+        pbh, pbw = cf.shape[:2]
+        qt = qtabs[tq]
+        plane = np.zeros((pbh * 8, pbw * 8), dtype=np.float64)
+        for r in range(pbh):
+            for c in range(pbw):
+                coefs = np.zeros((8, 8), dtype=np.float64)
+                coefs[_ZZ_ROWS, _ZZ_COLS] = (
+                    cf[r, c] * qt[_ZZ_ROWS, _ZZ_COLS]
+                )
+                plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    _DCT_M.T @ coefs @ _DCT_M + 128.0
+                )
+        if sh != hmax or sv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1
+            )
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

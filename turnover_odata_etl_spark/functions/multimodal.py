@@ -16,9 +16,11 @@ dequant + IDCT, ``functions/jpeg.py``); round 6 added Adam7
 interlace for every supported PNG variant (seven independently-
 filtered pass sub-images) AND the sub-byte depths 1/2/4 for gray and
 paletted — the complete non-exotic PNG surface, sequential and
-interlaced. WebP and the JPEG variants outside baseline (progressive
-SOF2, arithmetic) still require an external codec; those branches
-are the documented extension points and fail loudly.
+interlaced — and spectral-selection progressive JPEG (SOF2, decoded
+bit-identically to baseline). WebP and the JPEG corners outside that
+(successive approximation, arithmetic coding, 12-bit) still require
+an external codec; those branches are the documented extension
+points and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
