@@ -89,22 +89,23 @@ def test_restart_markers_do_not_change_pixels():
 
 
 def test_progressive_unsupported_corners_rejected_loudly():
-    """Round 6 made SOF2 (spectral-selection progressive) a SUPPORTED
-    layout; the remaining corners — successive approximation, restarts
-    inside progressive scans, extended/arithmetic SOFs — stay loud."""
+    """Round 6 made SOF2 (full Huffman progressive — spectral
+    selection AND successive approximation) a SUPPORTED layout; the
+    remaining corners — restarts inside progressive scans and
+    extended/arithmetic SOFs — stay loud."""
     from turnover_odata_etl_spark.functions.jpeg import (
         encode_jpeg_progressive,
     )
 
     img = np.full((8, 8, 3), 130, dtype=np.uint8)
+    # Inject a DRI segment (interval 2) right before the first SOS of
+    # a progressive stream: restart handling inside progressive scans
+    # is the documented unsupported corner.
     blob = bytearray(encode_jpeg_progressive(img))
-    # Patch the FIRST AC scan's AhAl byte (last byte of its SOS
-    # payload) to claim successive approximation (Al=1).
     first_sos = blob.find(b"\xff\xda")
-    second_sos = blob.find(b"\xff\xda", first_sos + 2)
-    ln = int.from_bytes(blob[second_sos + 2 : second_sos + 4], "big")
-    blob[second_sos + 2 + ln - 1] = 0x01
-    with pytest.raises(ValueError, match="successive"):
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    blob[first_sos:first_sos] = dri
+    with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(blob))
 
     # SOF1 (extended sequential) remains rejected.
@@ -205,13 +206,15 @@ def test_progressive_equals_baseline_random(data):
     """Progressive is a LOSSLESS reorganization of the same quantized
     coefficients: decode(progressive) == decode(baseline) bit-exactly
     for ANY image, geometry (incl. non-multiples of 8/16), gray/color,
-    4:4:4/4:2:0, quant step, and band partition — including flat and
-    high-quant images whose AC bands are empty (long EOB runs through
-    the decoder's EOBn path)."""
+    4:4:4/4:2:0, quant step, band partition, and WITH or WITHOUT
+    successive approximation — including flat and high-quant images
+    whose AC bands are empty (long EOB runs through the decoder's
+    EOBn path, with correction bits riding the runs in SA mode)."""
     from turnover_odata_etl_spark.functions.jpeg import (
         encode_jpeg_progressive,
     )
 
+    successive = data.draw(st.booleans(), label="successive")
     h = data.draw(st.integers(1, 40), label="h")
     w = data.draw(st.integers(1, 40), label="w")
     gray = data.draw(st.booleans(), label="gray")
@@ -239,7 +242,13 @@ def test_progressive_equals_baseline_random(data):
     )
     base = decode_jpeg(encode_jpeg_baseline(img, quant_luma=q, subsample=sub))
     prog = decode_jpeg(
-        encode_jpeg_progressive(img, quant_luma=q, subsample=sub, bands=bands)
+        encode_jpeg_progressive(
+            img,
+            quant_luma=q,
+            subsample=sub,
+            bands=bands,
+            successive=successive,
+        )
     )
     assert base.shape == prog.shape
     assert (base == prog).all()

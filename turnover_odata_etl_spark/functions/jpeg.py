@@ -10,14 +10,15 @@ imaging library is involved anywhere.
 Decoder (`decode_jpeg`): baseline DCT sequential (SOF0) — 8-bit, 1-
 or 3-component, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart
 markers, multi-segment DQT/DHT, APPn/COM skipping — and, since round
-6, Huffman PROGRESSIVE (SOF2) via spectral selection: scans
-accumulate into per-component coefficient planes (interleaved or
-single-component DC scans, single-component AC band scans with
-EOB-run coding), then one shared dequant+IDCT pass finishes the
-image. Successive approximation (Ah/Al ≠ 0), restarts inside
-progressive scans, arithmetic coding, and 12-bit precision raise
-``ValueError`` loudly — same contract as the PNG/WAV decoders'
-unsupported corners.
+6, FULL Huffman PROGRESSIVE (SOF2): spectral selection AND
+successive approximation. Scans accumulate into per-component
+coefficient planes (interleaved/single DC first+refinement scans,
+single-component AC band scans with EOB-run coding, and the AC
+refinement correction-bit walk per T.81 G.1.2.3), then one shared
+dequant+IDCT pass finishes the image. Restarts inside progressive
+scans, arithmetic coding, and 12-bit precision raise ``ValueError``
+loudly — same contract as the PNG/WAV decoders' unsupported
+corners.
 
 Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): the
 test-vector generators — 4:4:4 or 4:2:0, uniform or custom quant
@@ -339,18 +340,25 @@ def encode_jpeg_progressive(
     quant_chroma: int | np.ndarray | None = None,
     subsample: bool = False,
     bands: tuple = ((1, 5), (6, 63)),
+    successive: bool = False,
 ) -> bytes:
-    """Encode as PROGRESSIVE (SOF2) JPEG via spectral selection: one
-    interleaved DC scan over the MCU grid, then per-component AC
-    band scans (``bands`` partitions 1..63; non-interleaved, so each
-    AC scan walks the component's TRUE ceil(dim/8) block grid — the
-    padded MCU-grid blocks carry DC only, they are cropped away).
-    No successive approximation (Ah=Al=0 in every scan).
+    """Encode as PROGRESSIVE (SOF2) JPEG: one interleaved DC scan
+    over the MCU grid, then per-component AC band scans (``bands``
+    partitions 1..63; non-interleaved, so each AC scan walks the
+    component's TRUE ceil(dim/8) block grid — the padded MCU-grid
+    blocks carry DC only, they are cropped away).
 
-    Progressive is a LOSSLESS reorganization of the same quantized
-    coefficients the baseline encoder emits — ``decode_jpeg`` of this
-    stream is bit-identical to decoding ``encode_jpeg_baseline`` of
-    the same image/quant, which the fuzz tests pin."""
+    ``successive=True`` adds SUCCESSIVE APPROXIMATION (the libjpeg-
+    style script shape): every first scan sends the point-transformed
+    coefficients (Al=1 — arithmetic shift for DC, magnitude shift for
+    AC), followed by a refinement level (Ah=1→Al=0): raw DC bits and
+    the AC correction-bit walk — all four progressive scan kinds.
+
+    Either way progressive is a LOSSLESS reorganization of the same
+    quantized coefficients the baseline encoder emits —
+    ``decode_jpeg`` of this stream is bit-identical to decoding
+    ``encode_jpeg_baseline`` of the same image/quant, which the fuzz
+    tests pin."""
     lo = [b[0] for b in bands]
     hi = [b[1] for b in bands]
     if lo[0] != 1 or hi[-1] != 63 or any(
@@ -382,100 +390,229 @@ def encode_jpeg_progressive(
     out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
 
-    # --- scan 1: DC, interleaved over the full (padded) MCU grid ----
-    writer = _BitWriter()
-    pred = [0] * ncomp
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        r = my * sv + by
-                        c = mx * sh + bx
-                        zz = blocks[ci][r * bw[ci] + c]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        size = _magnitude_category(diff)
-                        ln, code = dc_codes[size]
-                        writer.write(code, ln)
-                        if size:
-                            amp = diff if diff > 0 else diff + (1 << size) - 1
-                            writer.write(amp, size)
-    writer.flush()
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 0, 0])  # Ss=0 Se=0 Ah=0 Al=0
-    out += seg(0xDA, bytes(sos))
-    out += writer.out
 
-    # --- AC band scans: non-interleaved, per component ---------------
-    for ci, (sh, sv) in enumerate(samp):
-        # TRUE component block grid (ceil of unpadded sample dims)
+    def true_dims(ci):
+        sh, sv = samp[ci]
         cw = -(-w * sh // hmax)
         ch = -(-h * sv // vmax)
-        tb_w = -(-cw // 8)
-        tb_h = -(-ch // 8)
-        for ss, se in bands:
-            writer = _BitWriter()
+        return -(-ch // 8), -(-cw // 8)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(sos))
+
+    def emit_dc_first(al):
+        """Interleaved DC scan: diffs of the arithmetic-shifted DC."""
+        writer = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            r = my * sv + by
+                            c = mx * sh + bx
+                            d = int(blocks[ci][r * bw[ci] + c][0]) >> al
+                            diff = d - pred[ci]
+                            pred[ci] = d
+                            size = _magnitude_category(diff)
+                            ln, code = dc_codes[size]
+                            writer.write(code, ln)
+                            if size:
+                                amp = (
+                                    diff
+                                    if diff > 0
+                                    else diff + (1 << size) - 1
+                                )
+                                writer.write(amp, size)
+        writer.flush()
+        return writer.out
+
+    def emit_dc_refine(al):
+        """Interleaved DC refinement: one raw bit (bit ``al``) per
+        block, no Huffman coding."""
+        writer = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            r = my * sv + by
+                            c = mx * sh + bx
+                            v = int(blocks[ci][r * bw[ci] + c][0])
+                            writer.write((v >> al) & 1, 1)
+        writer.flush()
+        return writer.out
+
+    def emit_ac_first(ci, ss, se, al):
+        """AC band first scan at precision ``al``: run/size coding of
+        sign(v)·(|v| >> al), with EOB-run compression."""
+        writer = _BitWriter()
+        tb_h, tb_w = true_dims(ci)
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            rr = eobrun.bit_length() - 1
+            ln, code = ac_codes[rr << 4]
+            writer.write(code, ln)
+            if rr:
+                writer.write(eobrun - (1 << rr), rr)
             eobrun = 0
 
-            def flush_eobrun():
-                # EOBn: symbol (r, 0) + r extra bits encodes an EOB
-                # run of (1<<r) + bits blocks, r ≤ 14 (run ≤ 32767).
-                nonlocal eobrun
-                if not eobrun:
-                    return
-                r = eobrun.bit_length() - 1
-                ln, code = ac_codes[r << 4]
-                writer.write(code, ln)
-                if r:
-                    writer.write(eobrun - (1 << r), r)
-                eobrun = 0
-
-            for r in range(tb_h):
-                for c in range(tb_w):
-                    zz = blocks[ci][r * bw[ci] + c]
-                    last_nz = 0
-                    for k in range(ss, se + 1):
-                        if zz[k] != 0:
-                            last_nz = k
-                    if last_nz == 0:  # ss >= 1, so 0 means empty band
-                        # No coefficients in this band: join the
-                        # pending EOB run (exercises the decoder's
-                        # EOBn path on every multi-block image).
-                        eobrun += 1
-                        if eobrun == 0x7FFF:
-                            flush_eobrun()
+        for r in range(tb_h):
+            for c in range(tb_w):
+                zz = blocks[ci][r * bw[ci] + c]
+                ts = [0] * 64
+                last_nz = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    ts[k] = t if v >= 0 else -t
+                    if t:
+                        last_nz = k
+                if last_nz == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                for k in range(ss, last_nz + 1):
+                    v = ts[k]
+                    if v == 0:
+                        run += 1
                         continue
-                    flush_eobrun()
-                    run = 0
-                    for k in range(ss, last_nz + 1):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ln, code = ac_codes[0xF0]
-                            writer.write(code, ln)
-                            run -= 16
-                        size = _magnitude_category(v)
-                        ln, code = ac_codes[(run << 4) | size]
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
                         writer.write(code, ln)
-                        amp = v if v > 0 else v + (1 << size) - 1
-                        writer.write(amp, size)
-                        run = 0
-                    if last_nz < se:
-                        # This block ends with EOB — it STARTS a run
-                        # that following empty-band blocks may extend.
-                        eobrun += 1
-            flush_eobrun()
-            writer.flush()
-            sos = bytearray([1, ci + 1, 0x00, ss, se, 0x00])
-            out += seg(0xDA, bytes(sos))
-            out += writer.out
+                        run -= 16
+                    size = _magnitude_category(v)
+                    ln, code = ac_codes[(run << 4) | size]
+                    writer.write(code, ln)
+                    amp = v if v > 0 else v + (1 << size) - 1
+                    writer.write(amp, size)
+                    run = 0
+                if last_nz < se:
+                    eobrun += 1
+        flush_eobrun()
+        writer.flush()
+        return writer.out
+
+    def emit_ac_refine(ci, ss, se, al):
+        """AC band refinement (Ah = Al+1 → Al), emitted by SIMULATING
+        the decoder's walk so every correction bit lands exactly where
+        ``_decode_progressive``'s refinement walk consumes it: newly-
+        nonzero coefficients (|v| >> al == 1) are run/size-1 symbols
+        whose run counts ZERO-history positions; nonzero-history
+        positions passed over emit magnitude bit ``al``; EOB runs
+        carry the buffered correction bits of every block they
+        cover."""
+        writer = _BitWriter()
+        tb_h, tb_w = true_dims(ci)
+        eobrun = 0
+        pending: list[int] = []  # EOB-run correction bits, in order
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            rr = eobrun.bit_length() - 1
+            ln, code = ac_codes[rr << 4]
+            writer.write(code, ln)
+            if rr:
+                writer.write(eobrun - (1 << rr), rr)
+            for b in pending:
+                writer.write(b, 1)
+            pending.clear()
+            eobrun = 0
+
+        for r in range(tb_h):
+            for c in range(tb_w):
+                zz = blocks[ci][r * bw[ci] + c]
+                temps = [0] * 64
+                for k in range(ss, se + 1):
+                    temps[k] = abs(int(zz[k])) >> al
+                new_pos = [k for k in range(ss, se + 1) if temps[k] == 1]
+                if not new_pos:
+                    # Whole block joins the EOB run: its history
+                    # coefficients' corrections ride with the flush.
+                    eobrun += 1
+                    for k in range(ss, se + 1):
+                        if temps[k] > 1:
+                            pending.append(temps[k] & 1)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                k = ss
+                for target in new_pos:
+                    nzeros = sum(
+                        1 for j in range(k, target) if temps[j] == 0
+                    )
+                    while nzeros > 15:
+                        ln, code = ac_codes[0xF0]
+                        writer.write(code, ln)
+                        # decoder walk: corrections at history
+                        # positions until 16 zeros consumed
+                        zc = 0
+                        while zc < 16:
+                            if temps[k] > 1:
+                                writer.write(temps[k] & 1, 1)
+                            else:
+                                zc += 1
+                            k += 1
+                        nzeros -= 16
+                    ln, code = ac_codes[(nzeros << 4) | 1]
+                    writer.write(code, ln)
+                    writer.write(1 if int(zz[target]) > 0 else 0, 1)
+                    while k < target:
+                        if temps[k] > 1:
+                            writer.write(temps[k] & 1, 1)
+                        k += 1
+                    k = target + 1
+                if k <= se:
+                    # Trailing band positions: this block starts (or
+                    # extends) an EOB run; buffer their corrections.
+                    eobrun += 1
+                    for j in range(k, se + 1):
+                        if temps[j] > 1:
+                            pending.append(temps[j] & 1)
+        flush_eobrun()
+        writer.flush()
+        return writer.out
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    if not successive:
+        out += sos_header(all_ids, 0, 0, 0, 0)
+        out += emit_dc_first(0)
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([ci + 1], ss, se, 0, 0)
+                out += emit_ac_first(ci, ss, se, 0)
+    else:
+        # Two-level successive approximation (Al=1 first scans, one
+        # refinement level) — the libjpeg-style script shape, hitting
+        # all four progressive scan kinds.
+        out += sos_header(all_ids, 0, 0, 0, 1)
+        out += emit_dc_first(1)
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([ci + 1], ss, se, 0, 1)
+                out += emit_ac_first(ci, ss, se, 1)
+        out += sos_header(all_ids, 0, 0, 1, 0)
+        out += emit_dc_refine(0)
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([ci + 1], ss, se, 1, 0)
+                out += emit_ac_refine(ci, ss, se, 0)
 
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -745,19 +882,23 @@ def _decode_progressive(
     scan,
     restart_interval: int,
 ) -> np.ndarray:
-    """Progressive (SOF2) decode, spectral selection only.
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation.
 
     Scans accumulate into per-component COEFFICIENT planes; nothing is
     dequantized or transformed until every scan has landed, then one
     shared dequant + IDCT + upsample + color-convert pass finishes the
     image (T.81 G.2: a progressive stream carries the same quantized
     coefficients a sequential stream would — the scans just reorganize
-    them). Supported scan shapes: an interleaved or single-component
-    DC scan (Ss=Se=0) over the MCU grid, and single-component AC band
-    scans (1 ≤ Ss ≤ Se ≤ 63) over the component's TRUE ceil(dim/8)
-    block grid, with EOB-run coding (EOBn, r < 15). Successive
-    approximation (Ah/Al ≠ 0) and restart intervals inside progressive
-    scans raise ``ValueError`` loudly — the documented corners left.
+    them). Supported scan shapes: interleaved or single-component DC
+    first scans (diffs of the arithmetic-shifted DC, << Al on store)
+    and DC refinements (one raw bit per block); single-component AC
+    band first scans (values << Al, EOB-run coding) and AC refinements
+    (T.81 G.1.2.3 correction-bit walk: newly-nonzero run/size-1
+    symbols count zero-history positions, every nonzero-history
+    position visited — including in ZRL skips and EOB-run blocks —
+    consumes one magnitude bit). Restart intervals inside progressive
+    scans raise ``ValueError`` loudly — the documented corner left.
     """
     if restart_interval:
         raise ValueError(
@@ -781,55 +922,62 @@ def _decode_progressive(
 
     while True:
         scan_comps, ss, se, ah, al = scan
-        if ah != 0 or al != 0:
-            raise ValueError(
-                "JPEG: successive-approximation progressive scans "
-                "unsupported (spectral selection only)"
-            )
         reader = _BitReader(data, pos)
-        if len(scan_comps) > 1:
-            # Interleaved scan: must be DC (T.81 forbids interleaved AC)
+        if len(scan_comps) > 1 or ss == 0:
+            # DC scan (interleaved scans must be DC; T.81 forbids
+            # interleaved AC). Walk the MCU grid for interleaved
+            # scans, the component's true block grid otherwise.
             if ss != 0 or se != 0:
                 raise ValueError("JPEG: interleaved AC scan is invalid")
-            pred = {cs: 0 for cs, _, _ in scan_comps}
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for cs, td, _ta in scan_comps:
-                        ci = idx_of[cs]
-                        _, sh, sv, _ = comps[ci]
-                        dc_tab = huff[(0, td)]
-                        for by in range(sv):
-                            for bx in range(sh):
-                                size = _decode_huffman(reader, dc_tab)
-                                diff = (
-                                    _extend(reader.read_bits(size), size)
-                                    if size
-                                    else 0
-                                )
-                                pred[cs] += diff
-                                coef[ci][my * sv + by, mx * sh + bx, 0] = pred[cs]
+
+            def dc_blocks():
+                if len(scan_comps) > 1:
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cs, td, _ta in scan_comps:
+                                ci = idx_of[cs]
+                                _, sh, sv, _ = comps[ci]
+                                for by in range(sv):
+                                    for bx in range(sh):
+                                        yield (
+                                            cs,
+                                            td,
+                                            ci,
+                                            my * sv + by,
+                                            mx * sh + bx,
+                                        )
+                else:
+                    cs, td, _ta = scan_comps[0]
+                    tbh, tbw = true_blocks[cs]
+                    ci = idx_of[cs]
+                    for r in range(tbh):
+                        for c in range(tbw):
+                            yield cs, td, ci, r, c
+
+            if ah == 0:
+                # DC first scan: diffs of the ARITHMETIC-shifted DC
+                # (point transform for DC is a signed right shift).
+                pred = {cs: 0 for cs, _, _ in scan_comps}
+                for cs, td, ci, r, c in dc_blocks():
+                    size = _decode_huffman(reader, huff[(0, td)])
+                    diff = (
+                        _extend(reader.read_bits(size), size) if size else 0
+                    )
+                    pred[cs] += diff
+                    coef[ci][r, c, 0] = pred[cs] << al
+            else:
+                # DC refinement: one raw bit per block, bit ``al``.
+                for cs, td, ci, r, c in dc_blocks():
+                    if reader.read_bit():
+                        coef[ci][r, c, 0] |= 1 << al
         else:
             cs, td, ta = scan_comps[0]
             ci = idx_of[cs]
             tbh, tbw = true_blocks[cs]
-            if ss == 0:
-                if se != 0:
-                    raise ValueError("JPEG: DC scan must have Se=0")
-                dc_tab = huff[(0, td)]
-                predv = 0
-                for r in range(tbh):
-                    for c in range(tbw):
-                        size = _decode_huffman(reader, dc_tab)
-                        diff = (
-                            _extend(reader.read_bits(size), size)
-                            if size
-                            else 0
-                        )
-                        predv += diff
-                        coef[ci][r, c, 0] = predv
-            else:
-                ac_tab = huff[(1, ta)]
-                eobrun = 0
+            ac_tab = huff[(1, ta)]
+            eobrun = 0
+            if ah == 0:
+                # AC first scan at precision al: values << al.
                 for r in range(tbh):
                     for c in range(tbw):
                         if eobrun:
@@ -855,10 +1003,77 @@ def _decode_progressive(
                                 raise ValueError(
                                     "JPEG: AC index past band end"
                                 )
-                            coef[ci][r, c, k] = _extend(
-                                reader.read_bits(size), size
+                            coef[ci][r, c, k] = (
+                                _extend(reader.read_bits(size), size) << al
                             )
                             k += 1
+            else:
+                # AC refinement (Ah = Al+1 → Al), T.81 G.1.2.3 /
+                # libjpeg decode_mcu_AC_refine: newly-nonzero
+                # coefficients arrive as run/size-1 symbols whose run
+                # counts ZERO-HISTORY positions only; every
+                # nonzero-history position visited (including inside
+                # ZRL skips and EOB-run blocks) consumes one
+                # correction bit that appends magnitude bit ``al``.
+                p1 = 1 << al
+                cf = coef[ci]
+                for r in range(tbh):
+                    for c in range(tbw):
+                        blk = cf[r, c]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _decode_huffman(reader, ac_tab)
+                                run, size = rs >> 4, rs & 0x0F
+                                newval = 0
+                                if size == 0:
+                                    if run != 15:
+                                        eobrun = 1 << run
+                                        if run:
+                                            eobrun += reader.read_bits(run)
+                                        break
+                                    # ZRL: run=15 → skip 16 zeros (the
+                                    # walk breaks at the (run+1)-th)
+                                else:
+                                    if size != 1:
+                                        raise ValueError(
+                                            "JPEG: invalid size in AC "
+                                            "refinement scan"
+                                        )
+                                    newval = (
+                                        p1 if reader.read_bit() else -p1
+                                    )
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if reader.read_bit() and not (
+                                            blk[k] & p1
+                                        ):
+                                            blk[k] += (
+                                                p1 if blk[k] > 0 else -p1
+                                            )
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "JPEG: AC refinement "
+                                            "placement past band end"
+                                        )
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun:
+                            # EOB-run block (including the one that
+                            # read the EOBn symbol): refine every
+                            # remaining nonzero coefficient.
+                            while k <= se:
+                                if blk[k] != 0 and reader.read_bit():
+                                    if not (blk[k] & p1):
+                                        blk[k] += p1 if blk[k] > 0 else -p1
+                                k += 1
+                            eobrun -= 1
 
         # Past this scan's entropy data: align to the next marker.
         p = reader.pos

@@ -16,11 +16,12 @@ dequant + IDCT, ``functions/jpeg.py``); round 6 added Adam7
 interlace for every supported PNG variant (seven independently-
 filtered pass sub-images) AND the sub-byte depths 1/2/4 for gray and
 paletted — the complete non-exotic PNG surface, sequential and
-interlaced — and spectral-selection progressive JPEG (SOF2, decoded
-bit-identically to baseline). WebP and the JPEG corners outside that
-(successive approximation, arithmetic coding, 12-bit) still require
-an external codec; those branches are the documented extension
-points and fail loudly.
+interlaced — and full Huffman progressive JPEG (SOF2: spectral
+selection + successive approximation, decoded bit-identically to
+baseline). WebP and the JPEG corners outside that (arithmetic
+coding, 12-bit, restarts inside progressive scans) still require an
+external codec; those branches are the documented extension points
+and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
