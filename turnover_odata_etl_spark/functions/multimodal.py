@@ -531,14 +531,17 @@ def _make_binary_codecs():
 
 
     def decode_wav(data: bytes):
-        """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag 1),
-        mono or multi-channel: chunk walk (``fmt `` for the header,
+        """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag
+        1, mono or multi-channel) or, since round 6, 4-bit IMA/DVI
+        ADPCM (format tag 0x11, mono) — the first COMPRESSED audio
+        rung, pure stdlib. Chunk walk (``fmt `` for the header,
         ``data`` for the payload; unknown chunks skipped per spec, odd
-        sizes padded), little-endian int16 samples de-interleaved to an
-        ``(n_frames, n_channels) int16`` array. Returns
-        ``(samples, sample_rate)``. Compressed audio (MP3/AAC/Opus)
-        requires an external codec — same loud-failure contract as
-        JPEG/WebP on the image side."""
+        sizes padded); PCM de-interleaves little-endian int16, ADPCM
+        runs the adaptive-step nibble reconstruction per block.
+        Returns ``(samples, sample_rate)`` with samples
+        ``(n_frames, n_channels) int16``. MP3/AAC/Opus require an
+        external codec — same loud-failure contract as JPEG/WebP on
+        the image side."""
         import struct
 
         import numpy as np
@@ -557,11 +560,24 @@ def _make_binary_codecs():
                 payload = body
         if fmt is None or payload is None:
             raise ValueError("WAV missing fmt/data chunk")
-        audio_format, n_channels, sample_rate, _byte_rate, _block, bits = fmt
+        audio_format, n_channels, sample_rate, _byte_rate, block, bits = fmt
+        if audio_format == 0x11 and bits == 4:
+            # IMA/DVI ADPCM (round 6) — the first COMPRESSED audio
+            # rung: 4-bit adaptive differential coding, public spec,
+            # stdlib-only. Mono only (stereo interleaves 4-byte
+            # nibble chunks per channel — a documented extension).
+            if n_channels != 1:
+                raise ValueError(
+                    "WAV IMA ADPCM: mono only (stereo chunk "
+                    "interleaving not implemented)"
+                )
+            samples = _ima_adpcm_decode(payload, block)
+            return samples[:, None], sample_rate
         if audio_format != 1 or bits != 16:
             raise ValueError(
                 f"WAV variant unsupported (format={audio_format}, bits={bits}); "
-                "only 16-bit PCM — wire a codec library for compressed audio"
+                "16-bit PCM and 4-bit IMA ADPCM (0x11) — wire a codec "
+                "library for MP3/AAC/Opus"
             )
         samples = np.frombuffer(
             payload, dtype="<i2", count=len(payload) // 2
@@ -598,11 +614,157 @@ def _make_binary_codecs():
         )
         return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
-    return _decode_png, encode_png, decode_wav, encode_wav
+    # IMA/DVI ADPCM tables (public spec: IMA Digital Audio Focus and
+    # Technical Working Groups recommendation, as carried in WAV
+    # format tag 0x11).
+    _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+    _IMA_STEP = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+        3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+        8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+        20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+
+    def _ima_reconstruct(pred, index, nibble):
+        """One ADPCM state step — THE shared transition: the encoder
+        must track exactly what the decoder will reconstruct, so both
+        call this one function (divergence here is the classic ADPCM
+        drift bug)."""
+        step = _IMA_STEP[index]
+        diffq = step >> 3
+        if nibble & 4:
+            diffq += step
+        if nibble & 2:
+            diffq += step >> 1
+        if nibble & 1:
+            diffq += step >> 2
+        pred = pred - diffq if nibble & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[nibble]))
+        return pred, index
+
+    def _ima_adpcm_decode(payload: bytes, block_align: int):
+        """IMA ADPCM payload (mono) → int16 numpy array. Block layout
+        per the WAV spec: 4-byte header (predictor int16 LE = the
+        block's FIRST sample, step index, reserved), then nibble
+        pairs LOW nibble first."""
+        import struct
+
+        import numpy as np
+
+        out = []
+        pos = 0
+        while pos + 4 <= len(payload):
+            end = min(pos + block_align, len(payload))
+            (pred,) = struct.unpack_from("<h", payload, pos)
+            index = payload[pos + 2]
+            if index > 88:
+                raise ValueError("WAV IMA ADPCM: step index out of range")
+            out.append(pred)
+            for b in payload[pos + 4 : end]:
+                for nibble in (b & 0x0F, b >> 4):
+                    pred, index = _ima_reconstruct(pred, index, nibble)
+                    out.append(pred)
+            pos = end
+        return np.array(out, dtype=np.int16)
+
+    def encode_wav_adpcm(
+        samples, sample_rate: int = 16000, block_samples: int = 505
+    ) -> bytes:
+        """Mono int16 PCM → RIFF/WAVE with IMA ADPCM (format 0x11)
+        payload — the compressed-audio test-vector generator. Input is
+        padded to whole blocks by repeating the final sample (decode
+        returns the padded length); ``block_samples`` must be odd so
+        the per-block nibble count is even. The step index carries
+        across blocks (each header re-syncs the predictor to the true
+        sample, per spec)."""
+        import struct
+
+        import numpy as np
+
+        if block_samples % 2 == 0:
+            raise ValueError("block_samples must be odd")
+        s = np.asarray(samples, dtype=np.int16).ravel()
+        if s.size == 0:
+            raise ValueError("empty sample array")
+        pad = (-s.size) % block_samples
+        if pad:
+            s = np.concatenate([s, np.full(pad, s[-1], dtype=np.int16)])
+        block_align = 4 + (block_samples - 1) // 2
+        index = 0
+        payload = bytearray()
+        for b0 in range(0, s.size, block_samples):
+            blk = s[b0 : b0 + block_samples]
+            pred = int(blk[0])
+            payload += struct.pack("<hBB", pred, index, 0)
+            nibbles = []
+            for v in blk[1:]:
+                v = int(v)
+                step = _IMA_STEP[index]
+                diff = v - pred
+                nibble = 0
+                if diff < 0:
+                    nibble = 8
+                    diff = -diff
+                if diff >= step:
+                    nibble |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nibble |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nibble |= 1
+                # Track EXACTLY the decoder's state (shared transition).
+                pred, index = _ima_reconstruct(pred, index, nibble)
+                nibbles.append(nibble)
+            for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+                payload.append(lo | (hi << 4))
+        n_blocks = s.size // block_samples
+        fmt = struct.pack(
+            "<HHIIHHHH",
+            0x11,
+            1,
+            sample_rate,
+            sample_rate * block_align // block_samples + 1,
+            block_align,
+            4,
+            2,  # cbSize
+            block_samples,  # samples per block (fmt extension)
+        )
+        data = bytes(payload)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n_blocks * block_samples)
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    return (
+        _decode_png,
+        encode_png,
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+        _ima_adpcm_decode,
+        _ima_reconstruct,
+    )
 
 
 # Module-level API, created once; <locals> qualnames → by-value pickling.
-_decode_png, encode_png, decode_wav, encode_wav = _make_binary_codecs()
+(
+    _decode_png,
+    encode_png,
+    decode_wav,
+    encode_wav,
+    encode_wav_adpcm,
+    _ima_adpcm_decode,
+    _ima_reconstruct,
+) = _make_binary_codecs()
 
 
 def encode_ppm(img) -> bytes:
