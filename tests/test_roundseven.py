@@ -57,3 +57,17 @@ def test_roundseven_is_not_registered_yet():
     assert "m_png_adam7_decode_features" not in specs
     assert "t_bpe_tokenize_ids" not in specs
     assert len(specs) == 178
+
+
+def test_adpcm_decode_features_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundseven import (
+        ADPCM_ORACLE,
+        m_adpcm_decode_features,
+    )
+
+    compare_spark_vs_oracle(
+        m_adpcm_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        ADPCM_ORACLE,
+        "m_adpcm_decode_features",
+    )

@@ -39,13 +39,15 @@ from . import roundsix  # noqa: E402,F401
 # driver CORRECTNESS row — the ledger this build has been walking
 # toward since round 1 closes.
 #
-# Round 7 should REGISTER the two queries STAGED in plans/roundseven.py
-# (m_png_adam7_decode_features, t_bpe_tokenize_ids — oracle-green at
-# sf0.001+0.01 via tests/test_roundseven.py; held out only so this
-# window keeps its exact ledger-closing composition) and gate them
-# immediately, plus refresh the next-stalest greens (the remaining
-# round-1/2 rows: a_count_rows, e1_string_agg_ordered, e3_join_anti,
-# e3_join_left, e4_range_join, e7_intersect, q_sql_correlated_subquery,
+# Round 7 should REGISTER queries STAGED in plans/roundseven.py
+# (m_png_adam7_decode_features, m_adpcm_decode_features,
+# t_bpe_tokenize_ids — all oracle-green at sf0.001+0.01 via
+# tests/test_roundseven.py; held out only so this window keeps its
+# exact ledger-closing composition; see that module's cap note for
+# which two fit the ≤180 guidance) and gate them immediately, plus
+# refresh the next-stalest greens (the remaining round-1/2 rows:
+# a_count_rows, e1_string_agg_ordered, e3_join_anti, e3_join_left,
+# e4_range_join, e7_intersect, q_sql_correlated_subquery,
 # t_text_stats, x_datetime_functions).
 #
 GATED_QUERIES = [

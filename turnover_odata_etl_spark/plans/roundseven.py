@@ -4,14 +4,23 @@ window (which closes the driver-verification ledger) stays intact.
 
 Same pattern as round 5's ``roundsix.py`` (which round 6 activated):
 this module is deliberately NOT imported by ``plans/__init__`` and
-adds zero registry entries; ``tests/test_roundseven.py`` runs both
-queries against their DuckDB oracles every session. To activate in
-round 7:
+adds zero registry entries; ``tests/test_roundseven.py`` runs all
+three queries against their DuckDB oracles every session. To
+activate in round 7:
 
 1. add ``from . import roundseven`` to ``plans/__init__`` and wrap
    each query with ``@register(name, oracle=..., tags=...)``
-   (the oracle constants below are ready to pass);
-2. give both a slot in the round-7 gate window.
+   (the oracle constants below are ready to pass — all built
+   eagerly, never None);
+2. give each registered query a slot in the round-7 gate window.
+
+Cap note: the r05 verdict's ≤180 registry guidance leaves TWO slots
+(178 + 2). If the cap stands, register ``m_png_adam7_decode_features``
++ ``m_adpcm_decode_features`` (each oracle-checks an otherwise
+query-invisible codec path) and hold ``t_bpe_tokenize_ids`` (its
+family already has two driver-confirmed rows covering the same
+encode convention); if the verdict re-ups the cap, register all
+three.
 """
 
 from __future__ import annotations
@@ -224,4 +233,100 @@ def t_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampled.mapInPandas(
         encode, "doc_id long, pos long, token string"
+    )
+
+
+# Closed-form oracle for a LOSSY adaptive codec: per-BLOCK-constant
+# signals are ADPCM's exactness domain — each block header re-syncs
+# the predictor to the true value, every in-block diff is 0 → nibble
+# 0 → reconstruction delta = step>>3 = 0 at step-index 0 (step 7),
+# and nibble 0 keeps the index clamped at 0 forever. So the decoded
+# signal equals the input EXACTLY, while the Spark side still runs
+# the FULL nibble encode + adaptive reconstruction — any state-
+# machine bug (index drift, nibble order, header parse) breaks the
+# hash. Same pattern as the JPEG query's quantization-aligned tiles.
+ADPCM_ORACLE = """
+    WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS nb FROM documents),
+    b AS (
+      SELECT doc_id, unnest(generate_series(0, nb - 1)) AS blk FROM d
+    ),
+    v AS (
+      SELECT doc_id, blk,
+             ((doc_id * 37 + blk * 101) % 60000) - 30000 AS val
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(blk AS BIGINT) AS frame_idx,
+           CAST(101 AS BIGINT) AS n_samples,
+           CAST(101 * val AS BIGINT) AS sum_s,
+           CAST(val AS BIGINT) AS min_s,
+           CAST(val AS BIGINT) AS max_s
+    FROM v
+"""
+
+
+def m_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode → framed features through the REAL
+    IMA ADPCM codec (``functions/multimodal``: block header re-sync,
+    adaptive-step nibble reconstruction) — the audio ladder's
+    compressed rung made oracle-checkable via the codec's exactness
+    domain (see ADPCM_ORACLE note).
+
+    Per document: (4 + doc_id%3) blocks of 101 constant int16 samples
+    (values spread across ±30000), IMA-ADPCM-encoded at
+    block_samples=101 and decoded back; frames align with blocks so
+    the per-frame count/sum/min/max are integers the oracle
+    recomputes arithmetically.
+
+    Scale posture: identical to ``m_wav_decode_features`` — one Arrow
+    batch stream, CPU-bound decode fanned by ensure_parallelism,
+    1→N frame expansion inside the batch, no shuffle."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav as wav_decode,
+        encode_wav_adpcm as adpcm_encode,
+    )
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "n_samples", "sum_s", "min_s",
+                    "max_s",
+                )
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nb = 4 + did % 3
+                vals = np.array(
+                    [
+                        ((did * 37 + b * 101) % 60000) - 30000
+                        for b in range(nb)
+                    ],
+                    dtype=np.int16,
+                )
+                sig = np.repeat(vals, 101)
+                dec, _rate = wav_decode(
+                    adpcm_encode(sig, block_samples=101)
+                )
+                s = dec[:, 0].astype(np.int64)
+                frames = s.reshape(nb, 101)
+                out["doc_id"].extend([did] * nb)
+                out["frame_idx"].extend(range(nb))
+                out["n_samples"].extend([101] * nb)
+                out["sum_s"].extend(frames.sum(axis=1).tolist())
+                out["min_s"].extend(frames.min(axis=1).tolist())
+                out["max_s"].extend(frames.max(axis=1).tolist())
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, frame_idx long, n_samples long, sum_s long, "
+        "min_s long, max_s long",
     )
