@@ -90,22 +90,22 @@ def test_restart_markers_do_not_change_pixels():
 
 def test_progressive_unsupported_corners_rejected_loudly():
     """Round 6 made SOF2 (full Huffman progressive — spectral
-    selection AND successive approximation) a SUPPORTED layout; the
-    remaining corners — restarts inside progressive scans and
-    extended/arithmetic SOFs — stay loud."""
+    selection, successive approximation, AND restart markers) a
+    SUPPORTED layout; what stays loud: a DRI that PROMISES restarts a
+    stream never delivers, and extended/arithmetic SOFs."""
     from turnover_odata_etl_spark.functions.jpeg import (
         encode_jpeg_progressive,
     )
 
-    img = np.full((8, 8, 3), 130, dtype=np.uint8)
-    # Inject a DRI segment (interval 2) right before the first SOS of
-    # a progressive stream: restart handling inside progressive scans
-    # is the documented unsupported corner.
+    img = np.full((24, 24, 3), 130, dtype=np.uint8)
+    # Inject a DRI (interval 2) before the first SOS of a stream that
+    # carries NO RSTn markers: the decoder must fail loudly at the
+    # missing marker, never silently desync.
     blob = bytearray(encode_jpeg_progressive(img))
     first_sos = blob.find(b"\xff\xda")
     dri = b"\xff\xdd\x00\x04\x00\x02"
     blob[first_sos:first_sos] = dri
-    with pytest.raises(ValueError, match="restart"):
+    with pytest.raises(ValueError, match="RSTn|marker"):
         decode_jpeg(bytes(blob))
 
     # SOF1 (extended sequential) remains rejected.
@@ -114,6 +114,33 @@ def test_progressive_unsupported_corners_rejected_loudly():
     blob[idx + 1] = 0xC1
     with pytest.raises(ValueError, match="SOF"):
         decode_jpeg(bytes(blob))
+
+
+def test_progressive_restart_markers_do_not_change_pixels():
+    """RSTn inside progressive scans (all four scan kinds): decode
+    equals both the restart-free progressive stream and the baseline
+    stream, for 4:4:4 / 4:2:0 / 4:2:2 and SA on/off."""
+    from turnover_odata_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for sub in (False, True, "422"):
+        for sa in (False, True):
+            img = rng.integers(0, 256, (28, 36, 3), dtype=np.uint8)
+            base = decode_jpeg(
+                encode_jpeg_baseline(img, quant_luma=4, subsample=sub)
+            )
+            rst = decode_jpeg(
+                encode_jpeg_progressive(
+                    img,
+                    quant_luma=4,
+                    subsample=sub,
+                    successive=sa,
+                    restart_interval=2,
+                )
+            )
+            assert (base == rst).all(), (sub, sa)
 
 
 @pytest.mark.parametrize(
@@ -215,10 +242,15 @@ def test_progressive_equals_baseline_random(data):
     )
 
     successive = data.draw(st.booleans(), label="successive")
+    ri = data.draw(st.sampled_from([0, 0, 1, 2, 5]), label="restart")
     h = data.draw(st.integers(1, 40), label="h")
     w = data.draw(st.integers(1, 40), label="w")
     gray = data.draw(st.booleans(), label="gray")
-    sub = (not gray) and data.draw(st.booleans(), label="subsample")
+    sub = (
+        False
+        if gray
+        else data.draw(st.sampled_from([False, True, "422"]), label="sub")
+    )
     q = data.draw(st.sampled_from([1, 16, 64, 255]), label="quant")
     flat = data.draw(st.booleans(), label="flat")
     # random contiguous band partition of 1..63
@@ -248,6 +280,7 @@ def test_progressive_equals_baseline_random(data):
             subsample=sub,
             bands=bands,
             successive=successive,
+            restart_interval=ri,
         )
     )
     assert base.shape == prog.shape

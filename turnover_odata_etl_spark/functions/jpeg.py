@@ -15,16 +15,17 @@ successive approximation. Scans accumulate into per-component
 coefficient planes (interleaved/single DC first+refinement scans,
 single-component AC band scans with EOB-run coding, and the AC
 refinement correction-bit walk per T.81 G.1.2.3), then one shared
-dequant+IDCT pass finishes the image. Restarts inside progressive
-scans, arithmetic coding, and 12-bit precision raise ``ValueError``
-loudly — same contract as the PNG/WAV decoders' unsupported
-corners.
+dequant+IDCT pass finishes the image. Restart markers are honored in
+every scan kind (sequential and all four progressive kinds).
+Arithmetic coding and 12-bit precision raise ``ValueError`` loudly —
+the only corners left, both genuinely codec-library territory.
 
 Encoders (`encode_jpeg_baseline`, `encode_jpeg_progressive`): the
-test-vector generators — 4:4:4 or 4:2:0, uniform or custom quant
-tables, canonical Huffman tables built from fixed code-length
-histograms (the DHT segment carries whatever tables we define, so
-the spec's example Annex-K tables are not needed). Quantization is
+test-vector generators — 4:4:4, 4:2:2, or 4:2:0, uniform or custom
+quant tables, restart intervals, canonical Huffman tables built from
+fixed code-length histograms (the DHT segment carries whatever
+tables we define, so the spec's example Annex-K tables are not
+needed). Quantization is
 the only lossy step; uniform 8x8-aligned tiles whose level-shifted
 value is divisible by the quant step roundtrip EXACTLY, which is
 what makes a closed-form SQL oracle possible for a lossy format.
@@ -201,7 +202,16 @@ def _prepare_encode(img, quant_luma, quant_chroma, subsample):
     else:
         ycc = _rgb_to_ycbcr(img)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsample:
+        if subsample == "422":
+            # 4:2:2 — chroma halved horizontally only (MCU 16×8)
+            yp = _pad_to_multiple(y, 8, 16)
+            cbp = _pad_to_multiple(cb, 8, 16)
+            crp = _pad_to_multiple(cr, 8, 16)
+            cb_s = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
+            cr_s = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
+            planes = [yp, cb_s, cr_s]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
             yp = _pad_to_multiple(y, 16, 16)
             cbp = _pad_to_multiple(cb, 16, 16)
             crp = _pad_to_multiple(cr, 16, 16)
@@ -341,6 +351,7 @@ def encode_jpeg_progressive(
     subsample: bool = False,
     bands: tuple = ((1, 5), (6, 63)),
     successive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode as PROGRESSIVE (SOF2) JPEG: one interleaved DC scan
     over the MCU grid, then per-component AC band scans (``bands``
@@ -386,6 +397,8 @@ def encode_jpeg_progressive(
     sof.append(ncomp)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += seg(0xC2, bytes(sof))  # SOF2: progressive, Huffman
     out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
@@ -410,8 +423,16 @@ def encode_jpeg_progressive(
         """Interleaved DC scan: diffs of the arithmetic-shifted DC."""
         writer = _BitWriter()
         pred = [0] * ncomp
+        rst = 0
+        n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                n_mcu += 1
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):
@@ -437,8 +458,15 @@ def encode_jpeg_progressive(
         """Interleaved DC refinement: one raw bit (bit ``al``) per
         block, no Huffman coding."""
         writer = _BitWriter()
+        rst = 0
+        n_mcu = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                n_mcu += 1
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):
@@ -467,8 +495,15 @@ def encode_jpeg_progressive(
                 writer.write(eobrun - (1 << rr), rr)
             eobrun = 0
 
+        rst = 0
         for r in range(tb_h):
             for c in range(tb_w):
+                nblk = r * tb_w + c
+                if restart_interval and nblk and nblk % restart_interval == 0:
+                    flush_eobrun()
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
                 zz = blocks[ci][r * bw[ci] + c]
                 ts = [0] * 64
                 last_nz = 0
@@ -534,8 +569,15 @@ def encode_jpeg_progressive(
             pending.clear()
             eobrun = 0
 
+        rst = 0
         for r in range(tb_h):
             for c in range(tb_w):
+                nblk = r * tb_w + c
+                if restart_interval and nblk and nblk % restart_interval == 0:
+                    flush_eobrun()
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
                 zz = blocks[ci][r * bw[ci] + c]
                 temps = [0] * 64
                 for k in range(ss, se + 1):
@@ -897,13 +939,12 @@ def _decode_progressive(
     (T.81 G.1.2.3 correction-bit walk: newly-nonzero run/size-1
     symbols count zero-history positions, every nonzero-history
     position visited — including in ZRL skips and EOB-run blocks —
-    consumes one magnitude bit). Restart intervals inside progressive
-    scans raise ``ValueError`` loudly — the documented corner left.
+    consumes one magnitude bit). Restart markers are honored in every
+    scan kind: every ``restart_interval`` MCUs (interleaved scans) or
+    blocks (single-component scans) the bit reader realigns to the
+    RSTn marker and the entropy state resets — DC predictors and EOB
+    runs cannot span a restart per T.81.
     """
-    if restart_interval:
-        raise ValueError(
-            "JPEG: restart markers in progressive scans unsupported"
-        )
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -920,9 +961,18 @@ def _decode_progressive(
         ch = -(-fh * sv // vmax)
         true_blocks[cid] = (-(-ch // 8), -(-cw // 8))
 
+    ri = restart_interval
     while True:
         scan_comps, ss, se, ah, al = scan
         reader = _BitReader(data, pos)
+
+        def expect_rst():
+            marker = reader.align_to_marker()
+            if not 0xD0 <= marker <= 0xD7:
+                raise ValueError(
+                    f"JPEG: expected RSTn in scan, got 0x{marker:02x}"
+                )
+
         if len(scan_comps) > 1 or ss == 0:
             # DC scan (interleaved scans must be DC; T.81 forbids
             # interleaved AC). Walk the MCU grid for interleaved
@@ -930,46 +980,61 @@ def _decode_progressive(
             if ss != 0 or se != 0:
                 raise ValueError("JPEG: interleaved AC scan is invalid")
 
-            def dc_blocks():
+            def dc_units():
+                """Blocks grouped per restart UNIT: one MCU for
+                interleaved scans, one block for single-component."""
                 if len(scan_comps) > 1:
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            unit = []
                             for cs, td, _ta in scan_comps:
                                 ci = idx_of[cs]
                                 _, sh, sv, _ = comps[ci]
                                 for by in range(sv):
                                     for bx in range(sh):
-                                        yield (
-                                            cs,
-                                            td,
-                                            ci,
-                                            my * sv + by,
-                                            mx * sh + bx,
+                                        unit.append(
+                                            (
+                                                cs,
+                                                td,
+                                                ci,
+                                                my * sv + by,
+                                                mx * sh + bx,
+                                            )
                                         )
+                            yield unit
                 else:
                     cs, td, _ta = scan_comps[0]
                     tbh, tbw = true_blocks[cs]
                     ci = idx_of[cs]
                     for r in range(tbh):
                         for c in range(tbw):
-                            yield cs, td, ci, r, c
+                            yield [(cs, td, ci, r, c)]
 
             if ah == 0:
                 # DC first scan: diffs of the ARITHMETIC-shifted DC
                 # (point transform for DC is a signed right shift).
                 pred = {cs: 0 for cs, _, _ in scan_comps}
-                for cs, td, ci, r, c in dc_blocks():
-                    size = _decode_huffman(reader, huff[(0, td)])
-                    diff = (
-                        _extend(reader.read_bits(size), size) if size else 0
-                    )
-                    pred[cs] += diff
-                    coef[ci][r, c, 0] = pred[cs] << al
+                for n, unit in enumerate(dc_units()):
+                    if ri and n and n % ri == 0:
+                        expect_rst()
+                        pred = {cs: 0 for cs, _, _ in scan_comps}
+                    for cs, td, ci, r, c in unit:
+                        size = _decode_huffman(reader, huff[(0, td)])
+                        diff = (
+                            _extend(reader.read_bits(size), size)
+                            if size
+                            else 0
+                        )
+                        pred[cs] += diff
+                        coef[ci][r, c, 0] = pred[cs] << al
             else:
                 # DC refinement: one raw bit per block, bit ``al``.
-                for cs, td, ci, r, c in dc_blocks():
-                    if reader.read_bit():
-                        coef[ci][r, c, 0] |= 1 << al
+                for n, unit in enumerate(dc_units()):
+                    if ri and n and n % ri == 0:
+                        expect_rst()  # no entropy state beyond alignment
+                    for cs, td, ci, r, c in unit:
+                        if reader.read_bit():
+                            coef[ci][r, c, 0] |= 1 << al
         else:
             cs, td, ta = scan_comps[0]
             ci = idx_of[cs]
@@ -980,6 +1045,10 @@ def _decode_progressive(
                 # AC first scan at precision al: values << al.
                 for r in range(tbh):
                     for c in range(tbw):
+                        nblk = r * tbw + c
+                        if ri and nblk and nblk % ri == 0:
+                            expect_rst()
+                            eobrun = 0
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -1019,6 +1088,10 @@ def _decode_progressive(
                 cf = coef[ci]
                 for r in range(tbh):
                     for c in range(tbw):
+                        nblk = r * tbw + c
+                        if ri and nblk and nblk % ri == 0:
+                            expect_rst()
+                            eobrun = 0
                         blk = cf[r, c]
                         k = ss
                         if eobrun == 0:
@@ -1092,11 +1165,9 @@ def _decode_progressive(
             elif marker == 0xDB:
                 _parse_dqt(payload, qtabs)
             elif marker == 0xDD:
-                if int.from_bytes(payload[:2], "big"):
-                    raise ValueError(
-                        "JPEG: restart markers in progressive scans "
-                        "unsupported"
-                    )
+                # A DRI between scans re-defines the interval for the
+                # scans that follow (0 disables restarts).
+                ri = int.from_bytes(payload[:2], "big")
             elif marker == 0xDA:
                 scan = _parse_sos(payload)
                 pos = p + length
