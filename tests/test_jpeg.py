@@ -1,9 +1,11 @@
 """JPEG codec: exact roundtrips on quantization-aligned uniform
-tiles, bounded loss on random content, subsampling/restart/grayscale
-paths, progressive (SOF2) decode pinned bit-identical to baseline,
-loud rejection of the remaining corners (successive approximation,
-extended/arithmetic SOFs, malformed streams), and hypothesis sweeps
-over geometries and band partitions."""
+tiles, bounded loss on random content, subsampling (4:4:4 / 4:2:2 /
+4:2:0) / restart / grayscale paths, FULL Huffman progressive (SOF2 —
+spectral selection, successive approximation, restart markers)
+pinned bit-identical to baseline, loud rejection of the remaining
+corners (extended/arithmetic SOFs, promised-but-missing restarts,
+malformed streams), and hypothesis sweeps over geometries, band
+partitions, restart intervals, and SA on/off."""
 
 from __future__ import annotations
 

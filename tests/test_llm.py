@@ -634,3 +634,37 @@ def test_ima_adpcm_properties():
     blob[i + 10] = 2  # nChannels
     with pytest.raises(ValueError, match="mono"):
         decode_wav(bytes(blob))
+
+
+def test_ima_adpcm_hostile_and_foreign_streams():
+    """Malformed block alignment must fail loudly (a zero align
+    previously looped forever), and a spec-conformant FOREIGN file
+    whose fact chunk marks a partial final block truncates to the
+    true sample count instead of decoding padding nibbles."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    sig = np.full(303, 1000, dtype=np.int16)
+    blob = bytearray(encode_wav_adpcm(sig, block_samples=101))
+
+    # Hostile: zero out nBlockAlign in the fmt chunk.
+    i = blob.find(b"fmt ")
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, i + 8 + 12, 0)
+    with pytest.raises(ValueError, match="block align"):
+        decode_wav(bytes(bad))
+
+    # Foreign partial-final-block: rewrite the fact chunk to claim 10
+    # fewer samples — decode must truncate to exactly that count.
+    j = blob.find(b"fact")
+    (total,) = struct.unpack_from("<I", blob, j + 8)
+    struct.pack_into("<I", blob, j + 8, total - 10)
+    dec = decode_wav(bytes(blob))[0]
+    assert dec.shape[0] == total - 10

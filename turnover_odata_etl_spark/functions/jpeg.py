@@ -243,18 +243,19 @@ def encode_jpeg_baseline(
     img: np.ndarray,
     quant_luma: int | np.ndarray = 16,
     quant_chroma: int | np.ndarray | None = None,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Encode ``(H, W, 3) uint8`` RGB (or ``(H, W)`` grayscale) as
-    baseline JFIF-style JPEG. ``subsample=True`` → 4:2:0 (chroma
-    averaged 2x2), else 4:4:4. Scalar quant values mean a uniform
+    baseline JFIF-style JPEG. ``subsample``: ``False`` → 4:4:4,
+    ``True`` → 4:2:0 (chroma averaged 2×2), ``"422"`` → 4:2:2
+    (chroma averaged in x only). Scalar quant values mean a uniform
     table. ``restart_interval`` > 0 emits DRI + RSTn markers every
     that many MCUs (exercises the decoder's resync path)."""
     gray, h, w, samp, qsel, qy, qc, blocks, bw = _prepare_encode(
         img, quant_luma, quant_chroma, subsample
     )
-    planes = blocks  # one entry per component
+    ncomp = len(samp)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -262,7 +263,7 @@ def encode_jpeg_baseline(
     ac_codes = _build_canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
     writer = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * ncomp
 
     def emit_block(ci: int, zz: np.ndarray) -> None:
         diff = int(zz[0]) - pred[ci]
@@ -307,7 +308,7 @@ def encode_jpeg_baseline(
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                pred[:] = [0] * len(planes)
+                pred[:] = [0] * ncomp
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
@@ -328,14 +329,14 @@ def encode_jpeg_baseline(
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(len(planes))
+    sof.append(ncomp)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
     out += seg(0xC0, bytes(sof))
     out += seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))

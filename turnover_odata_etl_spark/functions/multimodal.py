@@ -17,11 +17,11 @@ interlace for every supported PNG variant (seven independently-
 filtered pass sub-images) AND the sub-byte depths 1/2/4 for gray and
 paletted — the complete non-exotic PNG surface, sequential and
 interlaced — and full Huffman progressive JPEG (SOF2: spectral
-selection + successive approximation, decoded bit-identically to
-baseline). WebP and the JPEG corners outside that (arithmetic
-coding, 12-bit, restarts inside progressive scans) still require an
-external codec; those branches are the documented extension points
-and fail loudly.
+selection, successive approximation, AND restart markers in every
+scan kind, decoded bit-identically to baseline). WebP and the JPEG
+corners outside that (arithmetic coding, 12-bit precision) still
+require an external codec; those branches are the documented
+extension points and fail loudly.
 ``extract_binary_features`` keeps the byte-level feature path for
 payloads that are not images at all.
 
@@ -548,7 +548,7 @@ def _make_binary_codecs():
 
         if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
             raise ValueError(f"not a RIFF/WAVE stream (magic {data[:4]!r})")
-        pos, fmt, payload = 12, None, None
+        pos, fmt, payload, fact_samples = 12, None, None, None
         while pos + 8 <= len(data):
             ctype = data[pos : pos + 4]
             (length,) = struct.unpack_from("<I", data, pos + 4)
@@ -556,6 +556,10 @@ def _make_binary_codecs():
             pos += 8 + length + (length & 1)  # chunks pad to even size
             if ctype == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif ctype == b"fact" and len(body) >= 4:
+                # Total sample count — compressed formats use it to
+                # mark where the final block's padding nibbles start.
+                (fact_samples,) = struct.unpack_from("<I", body, 0)
             elif ctype == b"data":
                 payload = body
         if fmt is None or payload is None:
@@ -572,6 +576,11 @@ def _make_binary_codecs():
                     "interleaving not implemented)"
                 )
             samples = _ima_adpcm_decode(payload, block)
+            if fact_samples is not None:
+                # Honor the fact chunk: a foreign encoder whose sample
+                # count doesn't fill the final block pads its nibbles;
+                # without truncation those decode into garbage tails.
+                samples = samples[:fact_samples]
             return samples[:, None], sample_rate
         if audio_format != 1 or bits != 16:
             raise ValueError(
@@ -656,6 +665,12 @@ def _make_binary_codecs():
 
         import numpy as np
 
+        if block_align < 4:
+            # 4 bytes is the bare header; anything less cannot frame a
+            # block — and 0 would stall the walk forever (pos = end).
+            raise ValueError(
+                f"WAV IMA ADPCM: invalid block align {block_align}"
+            )
         out = []
         pos = 0
         while pos + 4 <= len(payload):
