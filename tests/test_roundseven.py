@@ -50,13 +50,21 @@ def test_bpe_tokenize_ids_matches_oracle(spark, sf_dir):
     )
 
 
-def test_roundseven_is_not_registered_yet():
-    """The staging module must not leak into the driver contract while
-    the round-6 ledger-closing window holds (registry == 178)."""
+def test_roundseven_is_registered_and_cap_frozen():
+    """Round 7 activated the staging module (VERDICT r06 cap ruling:
+    register all three; the registry moves to 181 and FREEZES). The
+    gate window leads with the three new registrations."""
     specs = all_specs()
-    assert "m_png_adam7_decode_features" not in specs
-    assert "t_bpe_tokenize_ids" not in specs
-    assert len(specs) == 178
+    assert "m_png_adam7_decode_features" in specs
+    assert "m_adpcm_decode_features" in specs
+    assert "t_bpe_tokenize_ids" in specs
+    assert len(specs) == 181
+    first_three = list(specs)[:3]
+    assert first_three == [
+        "m_png_adam7_decode_features",
+        "m_adpcm_decode_features",
+        "t_bpe_tokenize_ids",
+    ]
 
 
 def test_adpcm_decode_features_matches_oracle(spark, sf_dir):

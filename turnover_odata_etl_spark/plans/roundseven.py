@@ -1,26 +1,17 @@
-"""Round-7 staging area — queries built and oracle-tested in round 6
-but NOT registered, keeping the registry at 178 so the round-6 gate
-window (which closes the driver-verification ledger) stays intact.
+"""Round-6 staging area, ACTIVATED in round 7.
 
-Same pattern as round 5's ``roundsix.py`` (which round 6 activated):
-this module is deliberately NOT imported by ``plans/__init__`` and
-adds zero registry entries; ``tests/test_roundseven.py`` runs all
-three queries against their DuckDB oracles every session. To
-activate in round 7:
-
-1. add ``from . import roundseven`` to ``plans/__init__`` and wrap
-   each query with ``@register(name, oracle=..., tags=...)``
-   (the oracle constants below are ready to pass — all built
-   eagerly, never None);
-2. give each registered query a slot in the round-7 gate window.
-
-Cap note: the r05 verdict's ≤180 registry guidance leaves TWO slots
-(178 + 2). If the cap stands, register ``m_png_adam7_decode_features``
-+ ``m_adpcm_decode_features`` (each oracle-checks an otherwise
-query-invisible codec path) and hold ``t_bpe_tokenize_ids`` (its
-family already has two driver-confirmed rows covering the same
-encode convention); if the verdict re-ups the cap, register all
-three.
+These three queries were built and oracle-tested in round 6 but held
+out of the registry so the round-6 gate window (which closed the
+driver-verification ledger) kept its exact composition. The round-6
+verdict ruled on the cap question this module used to carry:
+"register all three; the cap moves to 181 and freezes there"
+(VERDICT r06, What's wrong #3). So round 7 imports this module from
+``plans/__init__`` and registers all three —
+``m_png_adam7_decode_features``, ``m_adpcm_decode_features``,
+``t_bpe_tokenize_ids`` (registry 178 → 181, frozen) — each with an
+immediate slot in the round-7 gate window.
+``tests/test_roundseven.py`` keeps the direct DuckDB checks as a
+second net alongside ``tests/test_oracle_parity``.
 """
 
 from __future__ import annotations
@@ -28,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import ensure_parallelism, load_table
+from .registry import register
 
 # Identical closed-form oracle to m_png_decode_features: the Adam7
 # variant must decode to the SAME pixels, so the same sums hold —
@@ -54,6 +46,11 @@ PNG_ADAM7_ORACLE = """
 """
 
 
+@register(
+    "m_png_adam7_decode_features",
+    oracle=PNG_ADAM7_ORACLE,
+    tags=("llm", "multimodal", "png"),
+)
 def m_png_adam7_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adam7-INTERLACED PNG decode → resize → features (round 6 built
     interlace into the codec; this query oracle-checks the layout at
@@ -185,6 +182,11 @@ def _build_tokenize_oracle() -> str:
 BPE_TOKENIZE_ORACLE = _build_tokenize_oracle()
 
 
+@register(
+    "t_bpe_tokenize_ids",
+    oracle=BPE_TOKENIZE_ORACLE,
+    tags=("llm", "text", "bpe"),
+)
 def t_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's REAL output: the ordered token sequence per
     document — ``(doc_id, pos, token)`` — not just counts. Completes
@@ -265,6 +267,11 @@ ADPCM_ORACLE = """
 """
 
 
+@register(
+    "m_adpcm_decode_features",
+    oracle=ADPCM_ORACLE,
+    tags=("llm", "multimodal", "audio", "adpcm"),
+)
 def m_adpcm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-audio decode → framed features through the REAL
     IMA ADPCM codec (``functions/multimodal``: block header re-sync,
