@@ -8,7 +8,12 @@ the first N registered queries at sf0.01, and compares each against its
 DuckDB oracle with the same row-count + sorted-column + value check the
 driver applies.
 
-Usage: python scripts/gate_check.py [N] [sf_dir]
+Usage: python scripts/gate_check.py [N | name1,name2,...] [sf_dir]
+
+The first argument is either a count (audit the first N registrations —
+the driver's window is the first 50) or a comma-separated list of query
+names (targeted re-verification, e.g. the registered codec queries
+after a functions/{jpeg,multimodal}.py edit).
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ TABLES = (
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sel = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     spark = (
@@ -52,7 +57,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    specs = list(registry.all_specs().items())[:n]
+    all_specs = registry.all_specs()
+    if sel.isdigit():
+        specs = list(all_specs.items())[: int(sel)]
+    else:
+        names = [s for s in sel.split(",") if s]
+        unknown = [s for s in names if s not in all_specs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        specs = [(s, all_specs[s]) for s in names]
     results: dict[str, dict] = {}
     failed = []
 

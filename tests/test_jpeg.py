@@ -211,6 +211,41 @@ def test_sampling_factor_above_two_rejected_loudly():
         decode_jpeg(bytes(blob))
 
 
+def test_progressive_fill_bytes_before_interscan_markers():
+    """T.81 §B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker. A foreign progressive stream padded with fill bytes before
+    each inter-scan marker (DHT / SOS) must decode identically to the
+    unpadded stream — previously the marker walk read marker=0xFF and
+    fell through to a garbage segment length."""
+    from turnover_odata_etl_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(img, quant_luma=4, successive=True)
+    want = decode_jpeg(data)
+
+    # Pad every SOS after the first, and every DHT, with fill bytes.
+    # Entropy-coded 0xFF bytes are stuffed as FF 00, so a raw FF FF /
+    # FF C4 / FF DA sequence can only be a marker boundary.
+    padded = bytearray()
+    i = 0
+    first_sos_seen = False
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data):
+            m = data[i + 1]
+            if m == 0xDA and not first_sos_seen:
+                first_sos_seen = True
+            elif m in (0xDA, 0xC4):
+                padded.extend(b"\xff" * 3)
+        padded.append(data[i])
+        i += 1
+    assert len(padded) > len(data)  # the padding actually landed
+    got = decode_jpeg(bytes(padded))
+    assert (got == want).all()
+
+
 def test_progressive_exactness_domain_roundtrip():
     """Uniform 8×8-aligned tiles inside the codec's exactness domain
     roundtrip BIT-EXACTLY through the progressive pipeline too — the

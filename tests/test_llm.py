@@ -661,6 +661,16 @@ def test_ima_adpcm_hostile_and_foreign_streams():
     with pytest.raises(ValueError, match="block align"):
         decode_wav(bytes(bad))
 
+    # Truncated foreign stream: a data chunk whose size leaves a 1-3
+    # byte tail cannot frame a block header — must fail loudly, not
+    # silently decode a shortened signal. block_samples=101 gives a
+    # 54-byte block align; one full block + 2 stray bytes.
+    k = blob.find(b"data")
+    trunc = bytearray(blob[: k + 8 + 56])
+    struct.pack_into("<I", trunc, k + 4, 56)
+    with pytest.raises(ValueError, match="truncated block fragment"):
+        decode_wav(bytes(trunc))
+
     # Foreign partial-final-block: rewrite the fact chunk to claim 10
     # fewer samples — decode must truncate to exactly that count.
     j = blob.find(b"fact")

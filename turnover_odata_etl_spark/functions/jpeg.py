@@ -247,7 +247,8 @@ def encode_jpeg_baseline(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode ``(H, W, 3) uint8`` RGB (or ``(H, W)`` grayscale) as
-    baseline JFIF-style JPEG. ``subsample``: ``False`` → 4:4:4,
+    baseline JFIF-style JPEG. ``subsample`` (same contract in
+    :func:`encode_jpeg_progressive`): ``False`` → 4:4:4,
     ``True`` → 4:2:0 (chroma averaged 2×2), ``"422"`` → 4:2:2
     (chroma averaged in x only). Scalar quant values mean a uniform
     table. ``restart_interval`` > 0 emits DRI + RSTn markers every
@@ -349,7 +350,7 @@ def encode_jpeg_progressive(
     img: np.ndarray,
     quant_luma: int | np.ndarray = 16,
     quant_chroma: int | np.ndarray | None = None,
-    subsample: bool = False,
+    subsample: bool | str = False,
     bands: tuple = ((1, 5), (6, 63)),
     successive: bool = False,
     restart_interval: int = 0,
@@ -784,6 +785,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker byte.
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1155,6 +1160,12 @@ def _decode_progressive(
             p += 1
         scan = None
         while True:
+            # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad
+            # before a marker; skip them so a foreign stream with
+            # fill padding yields the real marker (not 0xFF followed
+            # by a garbage segment length).
+            while data[p + 1] == 0xFF:
+                p += 1
             marker = data[p + 1]
             p += 2
             if marker == 0xD9:  # EOI — all scans landed

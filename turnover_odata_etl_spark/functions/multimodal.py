@@ -685,6 +685,14 @@ def _make_binary_codecs():
                     pred, index = _ima_reconstruct(pred, index, nibble)
                     out.append(pred)
             pos = end
+        if pos < len(payload):
+            # Loud-failure contract: a 1-3 byte tail cannot frame a
+            # block header — a truncated/corrupt foreign stream must
+            # not silently decode to a shortened signal.
+            raise ValueError(
+                "WAV IMA ADPCM: truncated block fragment of "
+                f"{len(payload) - pos} bytes"
+            )
         return np.array(out, dtype=np.int16)
 
     def encode_wav_adpcm(

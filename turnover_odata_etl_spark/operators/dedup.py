@@ -430,6 +430,11 @@ def simhash_neardup_pairs(
     return hamming_neardup_pairs(sigs, max_hamming)
 
 
+# Single-slot holder for hamming_neardup_pairs' persisted signature
+# frame (see its docstring for the release protocol).
+_LAST_PERSISTED_SIGS: list = [None]
+
+
 def hamming_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """All pairs of 64-bit signatures within ``max_hamming`` bits —
     the banding engine shared by the SimHash (text) and perceptual-
@@ -443,10 +448,19 @@ def hamming_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     verification then removes false candidates. Scale: band keys are
     near-uniform 16-bit values, so the self-join is skew-free; the
     signature frame is persisted because it feeds both the candidate
-    and the verification sides."""
+    and the verification sides. The cache can only be released after
+    the caller materializes the result (the plan is lazy), so each
+    invocation unpersists the PREVIOUS invocation's frame — bounding
+    the session to one cached signature frame at a time instead of
+    one per call (at worst an already-released frame recomputes; it
+    can never produce wrong results)."""
     from pyspark import StorageLevel
 
+    prior = _LAST_PERSISTED_SIGS.pop()
+    if prior is not None:
+        prior.unpersist(blocking=False)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_PERSISTED_SIGS.append(sigs)
     banded = sigs.select("doc_id", F.posexplode("bands").alias("band", "bval"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
