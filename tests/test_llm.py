@@ -678,3 +678,60 @@ def test_ima_adpcm_hostile_and_foreign_streams():
     struct.pack_into("<I", blob, j + 8, total - 10)
     dec = decode_wav(bytes(blob))[0]
     assert dec.shape[0] == total - 10
+
+
+def test_bpe_heap_encoder_ships_into_worker_closures(spark):
+    """The production heap tier must run INSIDE a mapInPandas worker:
+    make_bpe_word_encoder's returned closure is <locals>-defined, so
+    cloudpickle ships it by value (the sources/warc.py pattern) — no
+    package import on the worker. Output must equal the replace-tier
+    convention applied driver-side."""
+    import pandas as pd
+
+    from turnover_odata_etl_spark.functions.text import (
+        make_bpe_word_encoder,
+    )
+
+    merges = [("a", "b"), ("ab", "a"), ("c", "c")]
+    docs = [(1, "abab acca"), (2, "ccc babba"), (3, ""), (4, "aba ab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    encode_word = make_bpe_word_encoder(merges)
+
+    def encode(batches):
+        import re
+
+        strip = re.compile(r"[^A-Za-z]+")
+        for pdf in batches:
+            out = {"doc_id": [], "toks": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [
+                    w
+                    for w in strip.sub(" ", text or "").lower().split(" ")
+                    if w
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["toks"].append(
+                    [t for w in ws for t in encode_word(w)]
+                )
+            yield pd.DataFrame(out)
+
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.mapInPandas(
+            encode, "doc_id long, toks array<string>"
+        ).collect()
+    }
+
+    # Replace-tier reference, driver-side.
+    want = {}
+    for doc_id, text in docs:
+        ws = [w for w in text.lower().split(" ") if w]
+        toks = []
+        for w in ws:
+            s = "(" + ")(".join(w) + ")"
+            for p1, p2 in merges:
+                s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+            toks.extend(s[1:-1].split(")("))
+        want[doc_id] = toks
+    assert got == want

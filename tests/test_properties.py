@@ -639,6 +639,95 @@ def test_png_variant_errors_are_loud():
         _decode_png(bytes(blob))
 
 
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_bpe_heap_encoder_matches_replace_convention(data):
+    """The production heap-tier encoder (make_bpe_word_encoder) must be
+    BIT-IDENTICAL to the rank-ordered literal-replace convention the
+    cross-engine oracles replay — at deep K (the textbook trainer is
+    run for up to 40 rounds; small alphabets force repeated-pair words
+    and overlapping occurrences, the spots where heap order could
+    diverge from left-to-right replace). Mirrors the trainer\'s own
+    K=40 pin; the equivalence argument lives in the factory docstring
+    and REQUIRES trained tables, which is exactly what this generates.
+    """
+    from collections import Counter
+
+    from turnover_odata_etl_spark.functions.text import (
+        make_bpe_word_encoder,
+    )
+
+    alphabet = data.draw(st.sampled_from(["ab", "abc"]), label="alphabet")
+    n_words = data.draw(st.integers(3, 10), label="n_words")
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=9),
+            min_size=n_words,
+            max_size=n_words,
+            unique=True,
+        ),
+        label="words",
+    )
+    counts = [
+        data.draw(st.integers(1, 9), label=f"cnt{i}")
+        for i in range(len(words))
+    ]
+    k = data.draw(st.integers(1, 40), label="k")
+
+    # Textbook sequential trainer (same reference as the trainer pins).
+    seqs = [(list(w), c) for w, c in zip(words, counts)]
+    merges = []
+    for _rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for toks, c in seqs:
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(best)
+        new = []
+        for toks, c in seqs:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == best[0]
+                    and toks[i + 1] == best[1]
+                ):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new.append((out, c))
+        seqs = new
+
+    # Encode BOTH trained words and unseen words from the same
+    # alphabet (a tokenizer service sees out-of-dictionary words).
+    probe = words + data.draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=12),
+            min_size=0,
+            max_size=6,
+        ),
+        label="probe",
+    )
+    encode_word = make_bpe_word_encoder(merges, cache_size=4)
+
+    for w in probe:
+        # Replace-tier reference: the exact _make_bpe_encoder
+        # convention, per word.
+        s = "(" + ")(".join(w) + ")"
+        for p1, p2 in merges:
+            s = s.replace(f"({p1})({p2})", f"({p1}{p2})")
+        want = tuple(s[1:-1].split(")("))
+        got = encode_word(w)
+        assert got == want, (w, merges, got, want)
+        # Cache hit (and post-eviction recompute) must be identical.
+        assert encode_word(w) == want
+
+
 def test_bpe_train_deep_k_with_checkpoints_matches_reference(spark):
     """The lineage-depth guard (localCheckpoint every C rounds) must be
     bit-identical to the unguarded trainer: K=40 merges over a fixed

@@ -252,3 +252,100 @@ def bpe_train_merges(
             # replace-chain lineage (see docstring).
             seq = seq.localCheckpoint()
     return merges
+
+
+def make_bpe_word_encoder(merge_pairs, cache_size: int = 1 << 16):
+    """Production-tier BPE encoder factory: (rank, position) pair-
+    priority-HEAP merges per word with an LRU word cache — the encode
+    path a real tokenizer service runs, vs the oracle tier's K
+    sequential whole-string ``str.replace`` passes (``plans/llm.
+    _make_bpe_encoder``), which are O(K·len) per document and two
+    orders of magnitude slower at a production 32k-merge vocabulary
+    (``scripts/bench_bpe_encode.py`` measures the gap; BASELINE.md
+    records it).
+
+    ``merge_pairs`` is the rank-ordered ``[(left, right), ...]`` list
+    a training run produced. Returns ``encode_word(word) -> [token]``.
+
+    BIT-IDENTICAL to the rank-ordered literal-replace convention the
+    cross-engine oracles replay (``tests/test_properties.py`` pins it
+    at K=40 against trained tables): a merge at rank r can only
+    create adjacencies involving the token born at rank r, and any
+    pair containing that token must have been selected at a LATER
+    training round — so every pair a merge creates has rank > r, and
+    popping a (rank, position) heap reproduces exactly the
+    rank-by-rank, left-to-right non-overlapping replace. Within one
+    rank the position key gives left-to-right order, and the
+    stale-entry guards skip overlapping occurrences the same way a
+    non-overlapping ``replace`` does (``aaa`` with merge (a,a) →
+    ``[aa, a]`` in both tiers). The argument needs the table to come
+    from a real training run: an arbitrary hand-built list could
+    rank a pair below the round that creates one of its sides, which
+    the replace tier would process in list order — trained tables
+    cannot.
+
+    Cost: O(len · log len) amortized per UNIQUE word (each merge is
+    O(log len) heap work, ≤ len−1 merges, plus ≤ 2 pushes per merge);
+    word-frequency Zipf makes the LRU cache absorb the common case
+    into a dict hit. Defined inside the factory (``<locals>``
+    qualname) so cloudpickle ships it BY VALUE into mapInPandas
+    closures — the ``sources/warc.py`` pattern; the ranks dict is
+    vocabulary-sized (< 1 MB at 32k merges), the broadcast-a-
+    dimension-table posture.
+    """
+    import heapq
+    from collections import OrderedDict
+
+    ranks = {pair: i for i, pair in enumerate(merge_pairs)}
+    cache: OrderedDict = OrderedDict()
+
+    def encode_word(word):
+        hit = cache.get(word)
+        if hit is not None:
+            cache.move_to_end(word)
+            return hit
+        toks = list(word)
+        n = len(toks)
+        if n >= 2:
+            nxt = list(range(1, n)) + [-1]
+            prv = [-1] + list(range(n - 1))
+            alive = [True] * n
+            heap = [
+                (r, i)
+                for i in range(n - 1)
+                if (r := ranks.get((toks[i], toks[i + 1]))) is not None
+            ]
+            heapq.heapify(heap)
+            while heap:
+                r, i = heapq.heappop(heap)
+                # Stale-entry guards: the pair must still exist AND
+                # still be the pair this rank refers to (tokens at i
+                # or its neighbor may have merged since the push).
+                if not alive[i]:
+                    continue
+                j = nxt[i]
+                if j == -1 or ranks.get((toks[i], toks[j])) != r:
+                    continue
+                toks[i] = toks[i] + toks[j]
+                alive[j] = False
+                k = nxt[j]
+                nxt[i] = k
+                if k != -1:
+                    prv[k] = i
+                p = prv[i]
+                if p != -1:
+                    rp = ranks.get((toks[p], toks[i]))
+                    if rp is not None:
+                        heapq.heappush(heap, (rp, p))
+                if k != -1:
+                    rk = ranks.get((toks[i], toks[k]))
+                    if rk is not None:
+                        heapq.heappush(heap, (rk, i))
+            toks = [t for t, a in zip(toks, alive) if a]
+        out = tuple(toks)
+        cache[word] = out
+        if len(cache) > cache_size:
+            cache.popitem(last=False)
+        return out
+
+    return encode_word

@@ -2427,12 +2427,19 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact compression accounting.
 
     Scale: at a production 32k-merge vocab the K sequential
-    str.replace passes are O(K·len) per batch — linear, but a real
-    tokenizer service would switch to a pair-priority heap per word;
-    the literal-replace form is kept here because it is the exact
-    convention the trainer optimizes and the cross-engine check
-    needs. CPU-bound Python ⇒ ``ensure_parallelism`` fans small scans
-    out (no-op at real scale)."""
+    str.replace passes are O(K·len) per batch — linear in corpus but
+    linear in K too. The production tier exists:
+    ``functions/text.make_bpe_word_encoder`` (rank-position pair-
+    priority heap per unique word + LRU cache, K-independent,
+    property-pinned bit-identical to this replace convention at K=40
+    and A/B-benched at K=256..4096 in ``scripts/bench_bpe_encode.py``
+    — BASELINE.md "Round 7"). Its returned closure is ``<locals>``-
+    defined, so it ships by value into a mapInPandas closure exactly
+    like this one (``tests/test_llm.py`` proves the worker path).
+    The literal-replace form stays HERE because it is the exact
+    convention the trainer optimizes and the cross-engine DuckDB
+    check can replay. CPU-bound Python ⇒ ``ensure_parallelism`` fans
+    small scans out (no-op at real scale)."""
     docs = load_table(spark, sf_dir, "documents")
     merge_pairs = [(p1, p2) for _, p1, p2, _ in _train_bpe_merges(docs)]
     encode_doc = _make_bpe_encoder()
