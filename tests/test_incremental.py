@@ -97,11 +97,14 @@ def test_incremental_upsert_keeps_latest_per_key(spark, sf_dir, dirs):
 
 
 def test_incremental_upsert_rewrites_only_touched_buckets(spark, sf_dir, dirs):
-    """The partition-pruned merge contract: a batch whose keys land in
-    a subset of the __bucket partitions must leave every other bucket
-    directory byte-identical (same files, same mtimes) — per-batch IO
-    is O(touched buckets), not O(state)."""
+    """The partition-pruned merge contract, now manifest-level: a
+    batch whose keys land in a subset of the buckets must carry every
+    other bucket's data files forward BY REFERENCE (same path, same
+    mtime — no rewrite) and replace only the touched bucket's files —
+    per-batch IO is O(touched buckets), not O(state)."""
     import os
+
+    from turnover_odata_etl_spark.storage import SnapshotTable
 
     b1 = _batch(spark, sf_dir)
     b1.coalesce(1).write.mode("append").parquet(dirs["src"])
@@ -110,16 +113,19 @@ def test_incremental_upsert_rewrites_only_touched_buckets(spark, sf_dir, dirs):
         spark, dirs["src"], dirs["state"], dirs["ckpt"], schema,
         key_cols=["user_id"], order_col="ms", n_buckets=8,
     )
-    buckets = sorted(
-        e for e in os.listdir(dirs["state"]) if e.startswith("__bucket=")
-    )
-    assert len(buckets) > 1  # keys spread over several buckets
+    table = SnapshotTable.load(spark, dirs["state"])
+    m1 = table._manifest(table.current_id())
+    assert len({f["bucket"] for f in m1["files"]}) > 1  # keys spread
 
-    def snapshot(bucket):
-        d = os.path.join(dirs["state"], bucket)
-        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+    def mtimes(files):
+        return {
+            f["path"]: os.stat(
+                os.path.join(dirs["state"], f["path"])
+            ).st_mtime_ns
+            for f in files
+        }
 
-    before = {b: snapshot(b) for b in buckets}
+    before = mtimes(m1["files"])
 
     # single-user update batch → exactly one bucket touched
     one_user = read_state(spark, dirs["state"]).limit(1).collect()[0]
@@ -133,9 +139,32 @@ def test_incremental_upsert_rewrites_only_touched_buckets(spark, sf_dir, dirs):
         key_cols=["user_id"], order_col="ms", n_buckets=8,
     )
 
-    after = {b: snapshot(b) for b in buckets}
-    changed = [b for b in buckets if before[b] != after[b]]
-    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    m2 = table._manifest(table.current_id())
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
+    from pyspark.sql import functions as F
+
+    touched = (
+        spark.createDataFrame([(one_user.user_id,)], "user_id long")
+        .select(F.pmod(F.hash("user_id"), F.lit(8)).alias("b"))
+        .first()["b"]
+    )
+    carried = [f for f in m1["files"] if f["bucket"] != touched]
+    after_paths = {f["path"] for f in m2["files"]}
+    # untouched files: same path in the new manifest, file not rewritten
+    for f in carried:
+        assert f["path"] in after_paths
+        assert (
+            os.stat(
+                os.path.join(dirs["state"], f["path"])
+            ).st_mtime_ns
+            == before[f["path"]]
+        )
+    # touched bucket: old files replaced in the manifest (but still on
+    # disk for time travel)
+    for f in m1["files"]:
+        if f["bucket"] == touched:
+            assert f["path"] not in after_paths
+            assert os.path.exists(os.path.join(dirs["state"], f["path"]))
     # and the merge itself was correct
     row = (
         read_state(spark, dirs["state"])

@@ -58,7 +58,8 @@ def test_roundseven_is_registered_and_cap_frozen():
     assert "m_png_adam7_decode_features" in specs
     assert "m_adpcm_decode_features" in specs
     assert "t_bpe_tokenize_ids" in specs
-    assert len(specs) == 181
+    assert "st_snapshot_merge" in specs  # VERDICT r06 item 3 Done criterion
+    assert len(specs) == 182
     first_three = list(specs)[:3]
     assert first_three == [
         "m_png_adam7_decode_features",

@@ -1,0 +1,214 @@
+"""Snapshot-isolated commits: time travel, crash safety, CAS races.
+
+The protocol claims (storage/snapshot.py docstring) each get a test
+that breaks if the mechanism is faked: time-travel reads after later
+commits, byte-identical pre-merge reads after an injected crash,
+roll-forward after losing the pointer write, a real two-writer
+interleaving on the manifest CAS, and GC that keeps the current
+snapshot intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from turnover_odata_etl_spark.storage import SnapshotTable
+
+
+def rows(df):
+    return sorted(
+        (r["k"], r["v"], r["ver"]) for r in df.select("k", "v", "ver").collect()
+    )
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "snaptable")
+
+
+def make_table(spark, tdir, n_buckets=4):
+    return SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=n_buckets
+    )
+
+
+def batch(spark, triples):
+    return spark.createDataFrame(
+        [(k, v, ver) for k, v, ver in triples], "k long, v string, ver long"
+    )
+
+
+def test_merge_and_time_travel(spark, tdir):
+    t = make_table(spark, tdir)
+    s1 = t.merge(batch(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    s2 = t.merge(batch(spark, [(2, "B", 2), (4, "d", 2)]))
+    assert (s1, s2) == (1, 2)
+    assert t.current_id() == 2
+    assert rows(t.read()) == [
+        (1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2),
+    ]
+    # Time travel AFTER the second commit: snapshot 1 is bit-stable.
+    assert rows(t.read(snapshot_id=1)) == [
+        (1, "a", 1), (2, "b", 1), (3, "c", 1),
+    ]
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["parent"] == 1
+
+
+def test_merge_prunes_untouched_buckets(spark, tdir):
+    """A commit must carry untouched buckets forward BY REFERENCE —
+    same file paths in the new manifest, no rewrite."""
+    t = make_table(spark, tdir, n_buckets=8)
+    t.merge(batch(spark, [(i, "x", 1) for i in range(40)]))
+    before = {f["path"]: f for f in t._manifest(1)["files"]}
+    t.merge(batch(spark, [(7, "y", 2)]))
+    after = {f["path"]: f for f in t._manifest(2)["files"]}
+    from pyspark.sql import functions as F
+
+    touched_bucket = (
+        batch(spark, [(7, "y", 2)])
+        .select(F.pmod(F.hash("k"), F.lit(8)).alias("b"))
+        .first()["b"]
+    )
+    carried = {p for p, f in before.items() if f["bucket"] != touched_bucket}
+    assert carried <= set(after)  # untouched files identical paths
+    assert all(after[p] == before[p] for p in carried)
+    # and the touched bucket's old file is gone from the new manifest
+    assert not any(
+        p in after for p, f in before.items() if f["bucket"] == touched_bucket
+    )
+
+
+def test_tombstone_cdc_apply(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(
+        batch(spark, [(1, "DELETE", 2), (3, "c", 2)]),
+        tombstone_filter="v = 'DELETE'",
+    )
+    assert rows(t.read()) == [(2, "b", 1), (3, "c", 2)]
+    # resurrection: a later upsert brings the key back
+    t.merge(batch(spark, [(1, "a2", 3)]))
+    assert rows(t.read()) == [(1, "a2", 3), (2, "b", 1), (3, "c", 2)]
+    # and history still shows the deleted state at snapshot 2
+    assert rows(t.read(snapshot_id=2)) == [(2, "b", 1), (3, "c", 2)]
+
+
+def test_crash_before_manifest_claim_leaves_old_snapshot(
+    spark, tdir, monkeypatch
+):
+    """Writer dies after staging data files but BEFORE the manifest
+    claim: the table must read byte-identical to the pre-merge state,
+    and a later merge must succeed normally."""
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    want = rows(t.read())
+    want_files = t._manifest(1)["files"]
+
+    def boom(*a, **kw):
+        raise OSError("injected crash before commit point")
+
+    monkeypatch.setattr(t, "_commit", boom)
+    with pytest.raises(OSError, match="injected"):
+        t.merge(batch(spark, [(2, "B", 2)]))
+    monkeypatch.undo()
+
+    t2 = make_table(spark, tdir)  # fresh handle, post-crash recovery
+    assert t2.current_id() == 1
+    assert rows(t2.read()) == want
+    assert t2._manifest(1)["files"] == want_files  # manifest untouched
+    # recovery: the same merge goes through afterwards
+    t2.merge(batch(spark, [(2, "B", 2)]))
+    assert rows(t2.read()) == [(1, "a", 1), (2, "B", 2)]
+
+
+def test_crash_after_claim_rolls_forward_without_pointer(
+    spark, tdir, monkeypatch
+):
+    """Writer dies AFTER the manifest claim but before the pointer
+    write: the commit is past the commit point, so readers roll
+    forward to it (pointer is a hint, not the source of truth)."""
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+
+    def boom(sid):
+        raise OSError("injected crash after commit point")
+
+    monkeypatch.setattr(t, "_write_pointer", boom)
+    with pytest.raises(OSError, match="injected"):
+        t.merge(batch(spark, [(1, "A", 2)]))
+    monkeypatch.undo()
+
+    t2 = make_table(spark, tdir)
+    assert t2.current_id() == 2  # rolled forward past the stale hint
+    assert rows(t2.read()) == [(1, "A", 2)]
+    with open(os.path.join(tdir, "_current")) as fh:
+        assert fh.read().strip() == "1"  # the hint really was stale
+
+
+def test_concurrent_writers_cas_retry(spark, tdir, monkeypatch):
+    """A real two-writer interleaving: writer A computes its merge
+    against snapshot 1, writer B commits snapshot 2 first, A's CAS on
+    manifest-2 must FAIL and A's retry must land on top of B's state
+    (B's rows survive)."""
+    t_a = make_table(spark, tdir)
+    t_b = make_table(spark, tdir)
+    t_a.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+
+    real_commit = t_a._commit
+    state = {"raced": False}
+
+    def racing_commit(batch_df, carried, new_files, operation, base_id):
+        if not state["raced"]:
+            state["raced"] = True
+            # B wins the race while A is between base read and claim.
+            t_b.merge(batch(spark, [(3, "from_b", 2)]))
+        return real_commit(
+            batch_df, carried, new_files, operation, base_id
+        )
+
+    monkeypatch.setattr(t_a, "_commit", racing_commit)
+    sid = t_a.merge(batch(spark, [(2, "from_a", 2)]))
+    assert sid == 3  # first attempt lost the CAS on 2, retry claimed 3
+    assert rows(t_a.read()) == [
+        (1, "a", 1), (2, "from_a", 2), (3, "from_b", 2),
+    ]
+
+
+def test_commit_conflict_surfaces_on_stale_base(spark, tdir):
+    """_commit against a stale base must raise CommitConflict (never
+    silently drop the winner's files)."""
+    from turnover_odata_etl_spark.storage.snapshot import CommitConflict
+
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    t.merge(batch(spark, [(1, "A", 2)]))
+    with pytest.raises(CommitConflict):
+        t._commit(batch(spark, [(9, "z", 9)]), [], [], "merge", base_id=1)
+
+
+def test_expire_snapshots_gc(spark, tdir):
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(batch(spark, [(1, "A", 2)]))
+    t.merge(batch(spark, [(2, "B", 3)]))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed  # something was actually collected
+    for rel in removed:
+        assert not os.path.exists(os.path.join(tdir, rel))
+    assert t.snapshot_ids() == [3]
+    assert rows(t.read()) == [(1, "A", 2), (2, "B", 3)]
+    with pytest.raises(FileNotFoundError):
+        t.read(snapshot_id=1)
+
+
+def test_empty_first_commit_is_schema_stable(spark, tdir):
+    t = make_table(spark, tdir)
+    sid = t.merge(batch(spark, []))
+    assert sid == 1
+    df = t.read()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v", "ver"]

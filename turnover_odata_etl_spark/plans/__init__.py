@@ -29,7 +29,11 @@ from . import roundseven  # noqa: E402,F401
 #   - the three round-7 registrations activated from plans/roundseven
 #     (m_png_adam7_decode_features, m_adpcm_decode_features,
 #     t_bpe_tokenize_ids — cap ruling VERDICT r06 "What's wrong #3":
-#     registry moves to 181 and FREEZES there), gated immediately;
+#     registry moves to 181), gated immediately, PLUS st_snapshot_merge:
+#     VERDICT r06 item 3's Done criterion explicitly requires the
+#     snapshot-commit capability "registered + gated green", which we
+#     read as overriding the same verdict's 181 freeze for exactly this
+#     one query (registry 182; anything further needs a new ruling);
 #   - ALL remaining round-1/2-only greens (a_count_rows — its round-6
 #     sit-out repaid — plus the 8 round-2 rows), then ALL 19 round-3
 #     rows: after a green r07 gate no driver row predates round 4;
@@ -45,10 +49,11 @@ from . import roundseven  # noqa: E402,F401
 # (listed by the staleness script in scripts/; rotate them in r08).
 #
 GATED_QUERIES = [
-    # round-7 registrations, gated immediately (registry 178 -> 181)
+    # round-7 registrations, gated immediately (registry 178 -> 182)
     "m_png_adam7_decode_features",
     "m_adpcm_decode_features",
     "t_bpe_tokenize_ids",
+    "st_snapshot_merge",
     # last round-1/2-only greens (ledger freshness floor -> round 3)
     "a_count_rows",
     "e1_string_agg_ordered",
@@ -98,7 +103,6 @@ GATED_QUERIES = [
     "p_profile_table",
     "g_pagerank",
     "e4_asof_join",
-    "e6_topk_per_group",
 ]
 
 registry.promote(GATED_QUERIES)

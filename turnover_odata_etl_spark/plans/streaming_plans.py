@@ -241,6 +241,79 @@ def st_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_snapshot_merge",
+    oracle="""
+    WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+    h1 AS (SELECT user_id, event_id, event_type, value
+           FROM events, m WHERE event_id <= mid),
+    s1 AS (SELECT * FROM h1 e
+           WHERE event_id = (SELECT max(event_id) FROM h1 e2
+                             WHERE e2.user_id = e.user_id)),
+    s2 AS (SELECT user_id, event_id, event_type, value FROM events e
+           WHERE event_id = (SELECT max(event_id) FROM events e2
+                             WHERE e2.user_id = e.user_id))
+    SELECT CAST(1 AS BIGINT) AS snap, * FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS snap, * FROM s2
+    """,
+    tags=("streaming", "merge", "snapshot", "timetravel"),
+)
+def st_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-ISOLATED keep-latest merge with TIME TRAVEL — the
+    storage capability VERDICT r06 item 3 named as the last thing a
+    real 100 TB pipeline lacked here (``storage/snapshot.py``: write
+    files → claim manifest via os.link CAS → advance pointer; the
+    mini-Iceberg commit protocol the upsert/CDC family now runs on).
+
+    Two MERGE commits land the events in halves (split at
+    ``max(event_id) // 2`` — integer-exact in both engines); the
+    result is the UNION of the snapshot-1 state read AFTER snapshot 2
+    committed (time travel — the rows must be the keep-latest of the
+    first half only, bit-stable against the later commit) and the
+    current state (keep-latest over everything). A broken isolation
+    story — commit 2 mutating commit 1's files, a reader seeing a
+    half-merged state — breaks the snap=1 half of the hash.
+
+    Scale: each commit rewrites only touched buckets and carries the
+    rest forward by manifest reference (O(touched) commit cost);
+    time-travel reads cost the same file-level pruning any snapshot
+    read does. Crash/race behavior is pinned in
+    ``tests/test_snapshot.py`` (crash injection both sides of the
+    commit point, two-writer CAS interleaving)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..storage import SnapshotTable
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/snapshot_merge"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    mid = int(ev.agg(F.max("event_id")).first()[0]) // 2
+    table = SnapshotTable(
+        spark, f"{base}/table", key_cols=["user_id"],
+        order_col="event_id", n_buckets=8,
+    )
+    s1 = table.merge(ev.filter(F.col("event_id") <= mid))
+    s2 = table.merge(ev.filter(F.col("event_id") > mid))
+    v1 = table.read(snapshot_id=s1).withColumn(
+        "snap", F.lit(1).cast("long")
+    )
+    v2 = table.read(snapshot_id=s2).withColumn(
+        "snap", F.lit(2).cast("long")
+    )
+    return v1.unionByName(v2).select(
+        "snap", "user_id", "event_id", "event_type", "value"
+    )
+
+
+@register(
     "st_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment,

@@ -1,0 +1,376 @@
+"""Snapshot-isolated table commits: a minimal Iceberg-shaped protocol.
+
+The incremental upsert/CDC family (``streaming/incremental.py``) used
+atomic-rename-per-bucket with last-writer-wins — readable mid-merge
+only by luck, no history, unsafe under concurrent writers. This module
+gives the same bucketed keep-latest MERGE the three properties a real
+100 TB pipeline needs, with the exact commit shape Iceberg's
+HadoopTableOperations uses (write files → write manifest → advance the
+pointer), sized down to stdlib + parquet:
+
+    table_dir/
+      data/<uuid>-b<bucket>-<n>.parquet   immutable data files
+      manifests/manifest-<N>.json         snapshot N: full file list
+      _current                            pointer file (read hint)
+
+- **Commit point = manifest claim.** A writer stages new data files
+  under unique names, writes the manifest JSON to a temp file, then
+  ``os.link``-s it to ``manifests/manifest-<N>.json``. ``link(2)``
+  fails atomically if the name exists — the compare-and-swap: two
+  writers racing to commit snapshot N produce exactly one winner; the
+  loser re-reads the new current state and retries its merge on top
+  (optimistic concurrency, Iceberg's retry loop). The manifest is
+  complete before the link, so a reader can never observe a partial
+  manifest.
+- **Crash safety.** Crash before the link: only orphan staged files —
+  the table still reads at the old snapshot (the crash-injection test
+  in ``tests/test_snapshot.py`` pins byte-identical pre-merge reads).
+  Crash after the link but before the pointer write: the commit IS
+  durable (past the commit point); readers roll forward because
+  ``current_id`` takes ``max(pointer, max manifest id)`` — the
+  pointer file is a hint, never the source of truth (same contract as
+  Iceberg's ``version-hint.text``).
+- **Time travel.** Every snapshot's manifest lists its complete file
+  set; old data files are never mutated or deleted by commits, so
+  ``read(snapshot_id=k)`` reproduces snapshot k bit-for-bit forever
+  (until an explicit ``expire_snapshots``). MERGE rewrites only the
+  buckets a batch touches and carries every other file forward by
+  reference — at 100 TB a commit costs O(touched buckets), and the
+  manifest's per-file ``bucket``/``rows`` stats are the file-level
+  pruning metadata (read a key's bucket → open only its files).
+
+Scale notes. The manifest is file-COUNT-sized metadata (one JSON row
+per data file), the analogue of an Iceberg manifest list; the merge
+itself is the same pruned shape as before (read touched buckets only,
+one output file per touched bucket). ``os.link`` needs a
+rename-atomic namespace — true of POSIX filesystems and of HDFS
+(create-no-overwrite); object stores need a conditional-PUT variant,
+which is exactly why Iceberg on S3 uses a catalog for the pointer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the target snapshot id (CAS lost)."""
+
+
+class SnapshotTable:
+    """A keyed keep-latest table with snapshot-isolated commits.
+
+    ``key_cols``/``order_col`` define MERGE semantics (newest row per
+    key wins, ties broken by the physically later row never arising
+    because ``order_col`` is required unique per key upstream — same
+    contract as ``run_incremental_upsert``). ``n_buckets`` fixes the
+    physical layout for the table's lifetime (Murmur3 ``pmod`` — the
+    same function Spark's bucketed tables use, stable across
+    sessions).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        key_cols: list[str],
+        order_col: str,
+        n_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.table_dir = table_dir.rstrip("/")
+        self.key_cols = list(key_cols)
+        self.order_col = order_col
+        self.n_buckets = n_buckets
+        self._data_dir = os.path.join(self.table_dir, "data")
+        self._manifest_dir = os.path.join(self.table_dir, "manifests")
+        self._pointer = os.path.join(self.table_dir, "_current")
+
+    @classmethod
+    def load(cls, spark: SparkSession, table_dir: str) -> "SnapshotTable":
+        """Open an existing table, reading its merge configuration
+        (key_cols/order_col/n_buckets) from the current manifest."""
+        t = cls(spark, table_dir, key_cols=[], order_col="", n_buckets=0)
+        sid = t.current_id()
+        if sid is None:
+            raise ValueError(f"snapshot table {table_dir}: no commits")
+        m = t._manifest(sid)
+        t.key_cols = list(m["key_cols"])
+        t.order_col = m["order_col"]
+        t.n_buckets = m["n_buckets"]
+        return t
+
+    # ------------------------------------------------------------ metadata
+
+    def snapshot_ids(self) -> list[int]:
+        """Committed snapshot ids, ascending (claimed manifests ARE
+        the commits)."""
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self._manifest_dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                out.append(int(name[len("manifest-") : -len(".json")]))
+        return sorted(out)
+
+    def current_id(self) -> int | None:
+        """Current snapshot id: max(pointer hint, claimed manifests).
+
+        The roll-forward max is what makes a crash between manifest
+        claim and pointer write harmless — the commit is already
+        durable, the hint is just stale."""
+        ids = self.snapshot_ids()
+        hint = None
+        try:
+            with open(self._pointer) as fh:
+                hint = int(fh.read().strip())
+        except (OSError, ValueError):
+            pass
+        if not ids:
+            return hint
+        return max(ids[-1], hint) if hint is not None else ids[-1]
+
+    def history(self) -> list[dict]:
+        """``[{snapshot_id, parent, operation, n_files, n_rows}]``,
+        ascending — the audit trail a transaction log exists for."""
+        out = []
+        for sid in self.snapshot_ids():
+            m = self._manifest(sid)
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out
+
+    def _manifest(self, sid: int) -> dict:
+        with open(
+            os.path.join(self._manifest_dir, f"manifest-{sid}.json")
+        ) as fh:
+            return json.load(fh)
+
+    # ---------------------------------------------------------------- read
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at ``snapshot_id`` (default: current). A
+        zero-file snapshot reads as an empty frame with the table's
+        recorded schema (C3 schema stability)."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+        paths = [os.path.join(self.table_dir, f["path"]) for f in m["files"]]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(m["schema"]))
+            )
+        return self.spark.read.parquet(*paths)
+
+    # --------------------------------------------------------------- write
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+        )
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        tombstone_filter: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Keep-latest MERGE of ``batch_df`` as one snapshot commit;
+        returns the committed snapshot id. ``tombstone_filter`` gives
+        CDC APPLY semantics (a key whose newest row matches is
+        physically dropped — same contract as
+        ``run_incremental_upsert``). Retries the whole merge on a
+        lost CAS, re-reading the winner's state (optimistic
+        concurrency)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._merge_once(batch_df, tombstone_filter)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"merge lost the commit race {max_retries} times"
+        ) from last
+
+    def _merge_once(
+        self, batch_df: DataFrame, tombstone_filter: str | None
+    ) -> int:
+        base_id = self.current_id()
+        base_files = self._manifest(base_id)["files"] if base_id else []
+
+        b = self._with_bucket(batch_df)
+        touched = sorted(
+            r["__bucket"] for r in b.select("__bucket").distinct().collect()
+        )
+        touched_set = set(touched)
+        carried = [f for f in base_files if f["bucket"] not in touched_set]
+        replaced = [f for f in base_files if f["bucket"] in touched_set]
+        if not touched:
+            # Empty batch: leave history clean (the caller's run is
+            # still checkpoint-tracked); first-ever commit records an
+            # empty snapshot so the table becomes readable.
+            return base_id if base_id is not None else self._commit(
+                batch_df, [], [], operation="merge", base_id=base_id
+            )
+
+        if replaced:
+            # Use the batch's own session (inside foreachBatch the
+            # micro-batch frame belongs to a cloned session; a union
+            # must not cross sessions).
+            cur = batch_df.sparkSession.read.parquet(
+                *[os.path.join(self.table_dir, f["path"]) for f in replaced]
+            )
+            merged = self._with_bucket(cur).unionByName(b)
+        else:
+            merged = b
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col(self.order_col).desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if tombstone_filter is not None:
+            latest = latest.filter(f"NOT ({tombstone_filter})")
+
+        # Stage new data files under unique names (never visible to
+        # readers until the manifest claim).
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            latest.repartition(len(touched), "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        new_files = self._promote_staged(staging, run)
+        return self._commit(
+            batch_df, carried, new_files, operation="merge", base_id=base_id
+        )
+
+    def _promote_staged(self, staging: str, run: str) -> list[dict]:
+        """Move staged bucket files to immutable names under data/;
+        returns their manifest entries (path, bucket, rows)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._data_dir, exist_ok=True)
+        new_files = []
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("__bucket="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            part_dir = os.path.join(staging, entry)
+            for i, part in enumerate(
+                sorted(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+            ):
+                name = f"{run}-b{bucket}-{i}.parquet"
+                dst = os.path.join(self._data_dir, name)
+                os.rename(os.path.join(part_dir, part), dst)
+                rows = pq.ParquetFile(dst).metadata.num_rows
+                new_files.append(
+                    {"path": f"data/{name}", "bucket": bucket, "rows": rows}
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return new_files
+
+    def _commit(
+        self,
+        batch_df: DataFrame,
+        carried: list[dict],
+        new_files: list[dict],
+        operation: str,
+        base_id: int | None,
+    ) -> int:
+        """The commit point: claim ``manifest-<N>`` via os.link (the
+        CAS), then advance the pointer hint.
+
+        ``base_id`` is the snapshot the MERGE was computed against —
+        the claim targets exactly ``base_id + 1``, so a racing writer
+        that committed in between makes the claim fail (its manifest
+        owns that id) and the whole merge retries on the new current.
+        Recomputing current here instead would silently drop the
+        winner's files from the carried-forward list."""
+        new_id = (base_id or 0) + 1
+        manifest = {
+            "snapshot_id": new_id,
+            "parent": base_id,
+            "operation": operation,
+            "key_cols": self.key_cols,
+            "order_col": self.order_col,
+            "n_buckets": self.n_buckets,
+            "schema": batch_df.schema.json(),
+            "files": carried + new_files,
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(self._manifest_dir, f"manifest-{new_id}.json")
+        try:
+            os.link(tmp, target)  # atomic claim — fails if N is taken
+        except FileExistsError as e:
+            os.unlink(tmp)
+            raise CommitConflict(f"snapshot {new_id} already claimed") from e
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        self._write_pointer(new_id)
+        return new_id
+
+    def _write_pointer(self, sid: int) -> None:
+        """Advance the read hint (atomic replace; losing this to a
+        crash is harmless — current_id rolls forward)."""
+        tmp = self._pointer + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(tmp, self._pointer)
+
+    # ------------------------------------------------------------ maintain
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        data files no surviving snapshot references — the explicit GC
+        that bounds time-travel storage (commits themselves never
+        delete). Returns removed data-file paths."""
+        ids = self.snapshot_ids()
+        if len(ids) <= keep_last:
+            return []
+        keep, drop = ids[-keep_last:], ids[:-keep_last]
+        live = {
+            f["path"] for sid in keep for f in self._manifest(sid)["files"]
+        }
+        removed = []
+        for sid in drop:
+            for f in self._manifest(sid)["files"]:
+                if f["path"] not in live and f["path"] not in removed:
+                    removed.append(f["path"])
+            os.unlink(
+                os.path.join(self._manifest_dir, f"manifest-{sid}.json")
+            )
+        for rel in removed:
+            try:
+                os.unlink(os.path.join(self.table_dir, rel))
+            except FileNotFoundError:
+                pass
+        return removed

@@ -17,12 +17,14 @@ Two sink shapes:
   each micro-batch merges into a keyed state table, keeping the
   newest row per key. foreachBatch is THE escape hatch for sinks
   Spark can't write transactionally from a stream (JDBC, MERGE
-  INTO). The state table is hash-bucketed on the merge key
-  (``__bucket=N`` parquet partitions); a batch reads and rewrites
-  ONLY the buckets its keys hash into, so per-batch merge cost is
-  O(batch + touched-bucket rows), not O(state) — the same
-  partition-pruned-MERGE shape Delta/Iceberg executes at 100 TB,
-  with directory swap standing in for the transaction log.
+  INTO). The state table is hash-bucketed on the merge key; a batch
+  reads and rewrites ONLY the buckets its keys hash into, so
+  per-batch merge cost is O(batch + touched-bucket rows), not
+  O(state) — the same partition-pruned-MERGE shape Delta/Iceberg
+  executes at 100 TB. Since round 7 each merge is a SNAPSHOT-
+  ISOLATED commit through ``storage/snapshot.py`` (manifest CAS +
+  pointer — a real mini transaction log with time travel and crash
+  safety), replacing the earlier last-writer-wins directory swap.
 """
 
 from __future__ import annotations
@@ -58,8 +60,15 @@ def run_incremental_append(
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The upsert state table with the physical ``__bucket`` layout
-    column dropped — what callers should read."""
+    """Read a state table. Snapshot tables (the upsert/CDC family
+    since round 7 — a ``manifests/`` dir marks one) read at their
+    current snapshot through the manifest; the additive-agg family
+    keeps the legacy bucketed-directory layout, whose physical
+    ``__bucket`` column is dropped."""
+    from ..storage import SnapshotTable
+
+    if os.path.isdir(os.path.join(state_dir, "manifests")):
+        return SnapshotTable.load(spark, state_dir).read()
     return spark.read.parquet(state_dir).drop("__bucket")
 
 
@@ -104,59 +113,29 @@ def run_incremental_upsert(
     later upsert resurrects the key (standard changelog semantics).
     The tombstone must ride on the row itself (an op column), so
     deletes age out of state for free on the bucket rewrite — no
-    separate delete log."""
+    separate delete log.
+
+    Round 7: the state table is a SNAPSHOT TABLE
+    (``storage/snapshot.py`` — write files → claim manifest via
+    os.link CAS → advance pointer), replacing the round-4
+    atomic-rename-per-bucket surgery. Each micro-batch merge is one
+    snapshot-isolated commit: readers never see a half-merged state, a
+    crashed writer leaves the previous snapshot readable, concurrent
+    writers serialize through the manifest CAS, and every prior state
+    stays time-travel-readable until ``expire_snapshots``. Re-delivery
+    (foreachBatch is at-least-once) stays safe because keep-latest is
+    idempotent — a re-merged batch commits a snapshot with identical
+    content, never a double-count (the additive family below needs
+    its file-marker guard instead)."""
+    from ..storage import SnapshotTable
+
+    table = SnapshotTable(
+        spark, state_dir, key_cols=key_cols, order_col=order_col,
+        n_buckets=n_buckets,
+    )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        b = batch_df.withColumn(
-            "__bucket", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
-        )
-        touched = sorted(
-            r["__bucket"] for r in b.select("__bucket").distinct().collect()
-        )
-        if not touched:
-            return
-        if os.path.isdir(state_dir):
-            current = sp.read.parquet(state_dir).filter(
-                F.col("__bucket").isin(touched)
-            )
-            merged = current.unionByName(b)
-        else:
-            merged = b
-        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        if tombstone_filter is not None:
-            # CDC apply: a key whose newest row is a delete marker is
-            # dropped from the rewritten bucket (physical delete)
-            latest = latest.filter(f"NOT ({tombstone_filter})")
-        staging = state_dir.rstrip("/") + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        # one shuffle partition per touched bucket → exactly one file
-        # per bucket directory (small-files hygiene: file count tracks
-        # bucket count, not shuffle parallelism × buckets)
-        (
-            latest.repartition(len(touched), "__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(staging)
-        )
-        # per-bucket atomic-ish swap (local FS): only directories for
-        # buckets present in this batch exist in staging, so untouched
-        # bucket dirs are never disturbed. A real deployment uses a
-        # transactional table format instead of directory surgery.
-        os.makedirs(state_dir, exist_ok=True)
-        for entry in os.listdir(staging):
-            if not entry.startswith("__bucket="):
-                continue
-            dst = os.path.join(state_dir, entry)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.rename(os.path.join(staging, entry), dst)
-        shutil.rmtree(staging, ignore_errors=True)
+        table.merge(batch_df, tombstone_filter=tombstone_filter)
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
     q = (
