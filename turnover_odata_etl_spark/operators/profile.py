@@ -87,9 +87,11 @@ def profile_table(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__null_{c}").alias("n_null"),
-                F.round(F.col(f"__null_{c}") / F.col("__n"), 4).alias(
-                    "null_frac"
-                ),
+                F.round(
+                    # try_divide: an empty table profiles to NULL
+                    # fractions instead of an ANSI divide-by-zero
+                    F.try_divide(F.col(f"__null_{c}"), F.col("__n")), 4
+                ).alias("null_frac"),
                 F.col(f"__dist_{c}").alias("n_distinct"),
                 F.col(f"__min_{c}").alias("min_str"),
                 F.col(f"__max_{c}").alias("max_str"),
@@ -137,7 +139,11 @@ def check_expectations(
                 F.lit(r["name"]).alias("rule"),
                 F.col(f"__viol_{r['name']}").alias("n_violations"),
                 F.round(
-                    F.col(f"__viol_{r['name']}") / F.col("__n"), 6
+                    # try_divide: zero-row inputs gate to NULL fracs
+                    F.try_divide(
+                        F.col(f"__viol_{r['name']}"), F.col("__n")
+                    ),
+                    6,
                 ).alias("violation_frac"),
                 (F.col(f"__viol_{r['name']}") == 0).alias("passed"),
             )

@@ -68,6 +68,17 @@ def cosine_topk(
     )
 
 
+def _empty_topk(df: DataFrame) -> DataFrame:
+    """Schema-stable empty result shared by the whole top-k family —
+    the C3 contract on zero-row inputs (the empty-input sweep in
+    ``tests/test_empty_input.py`` exercises every path): a driver-side
+    probe or centroid/codebook seed that collects nothing must yield
+    an empty frame, never feed a (0,)-shaped matrix to numpy."""
+    return df.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, cos double, rn long"
+    )
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: each component
     derived from md5(table, plane, i) → [-0.5, 0.5). No RNG state."""
@@ -128,6 +139,8 @@ def cosine_topk_blocked(
     )
     if len(q_rows) > max_driver_queries:
         return cosine_topk_tiled(queries, corpus, id_col, vec_col, k=k)
+    if not q_rows:
+        return _empty_topk(queries)
     qids = np.array([r.query_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.vec for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -138,6 +151,8 @@ def cosine_topk_blocked(
         import pandas as _pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
             Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
             C = Qn @ Vn.T  # (n_queries, batch)
@@ -445,6 +460,8 @@ def ivf_topk(
     seed_rows = (
         c.orderBy("nid").limit(n_cells).select("vec").collect()
     )  # n_cells vectors — metadata-scale collect, not the data path
+    if not seed_rows:
+        return _empty_topk(corpus)
     cents = np.array([r.vec for r in seed_rows], dtype=np.float64)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -707,6 +724,8 @@ def pq_topk(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
     )
     train_rows = c.orderBy("nid").limit(train_n).select("vec").collect()
+    if not q_rows or not train_rows:
+        return _empty_topk(queries)
     sample = np.array([r.vec for r in train_rows], dtype=np.float64)
     books = _pq_train_codebooks(sample, m, ksub)
 

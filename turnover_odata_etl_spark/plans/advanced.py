@@ -130,7 +130,9 @@ def s_partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ms", F.unix_millis(F.col("ts").cast("timestamp"))
     ).drop("ts")
     write_partitioned(ev, path, ["event_type"])
-    back = spark.read.parquet(path)
+    # Explicit schema: schema-stable on a zero-row write (no partition
+    # dirs to infer from) — and the production-correct pattern anyway.
+    back = spark.read.schema(ev.schema).parquet(path)
     return (
         back.filter(F.col("event_type") == "click")
         .groupBy("user_id")
@@ -2536,11 +2538,13 @@ def s_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
 
-    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
-        compact
-    )
+    frag_df = spark.read.parquet(frag)
+    frag_df.repartition(4).write.mode("overwrite").parquet(compact)
     n_compact = sum(f.endswith(".parquet") for f in os.listdir(compact))
-    assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
+    # Zero-row inputs collapse to a single empty file per write — the
+    # 64→4 contract only holds when there are rows to fragment.
+    if not frag_df.isEmpty():
+        assert n_frag == 64 and n_compact == 4, (n_frag, n_compact)
 
     return (
         spark.read.parquet(compact)

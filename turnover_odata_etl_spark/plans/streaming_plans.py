@@ -295,7 +295,8 @@ def st_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value"
     )
-    mid = int(ev.agg(F.max("event_id")).first()[0]) // 2
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    mid = int(max_id) // 2 if max_id is not None else 0  # empty-safe
     table = SnapshotTable(
         spark, f"{base}/table", key_cols=["user_id"],
         order_col="event_id", n_buckets=8,
@@ -402,13 +403,22 @@ def st_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, state, ckpt, schema,
         key_cols=["user_id"], agg_col="value", n_buckets=8,
     )
-    return (
+    # Zero-row source: no bucket ever gets written (the merge no-ops),
+    # so read the declared state schema instead of failing inference.
+    has_state = os.path.isdir(state) and any(
+        e.startswith("__bucket=") for e in os.listdir(state)
+    )
+    state_df = (
         spark.read.parquet(state)
-        .select(
-            "user_id",
-            F.col("n").alias("n_events"),
-            F.round("total", 2).alias("sum_value"),
+        if has_state
+        else spark.createDataFrame(
+            [], "user_id long, n long, total double, __bucket int"
         )
+    )
+    return state_df.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round("total", 2).alias("sum_value"),
     )
 
 
