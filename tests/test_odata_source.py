@@ -641,3 +641,84 @@ def test_client_retries_when_error_body_read_fails():
     client._opener = _Opener()
     assert client.get_json("http://example.invalid/Emp") == {"d": {"results": []}}
     assert calls["n"] == 2
+
+
+# -- page prefetch [VERDICT r06 item 5] -------------------------------------
+
+
+def test_prefetched_pages_equal_serial(mock_v2):
+    """Same pages, same order, same rows as the serial pager."""
+    client = ODataClient(mock_v2.base_url)
+    serial = list(client.fetch_pages("Emp"))
+    prefetched = list(client.fetch_pages_prefetched("Emp"))
+    assert prefetched == serial
+    assert len(prefetched) >= 2  # pagination actually happened
+
+
+def test_prefetch_error_propagation(mock_v2):
+    """A page-fetch failure in the producer thread must re-raise in
+    the consumer as the same ODataError the serial pager raises."""
+    client = ODataClient(mock_v2.base_url)
+    mock_v2.fail_first = 10**6
+    mock_v2.fail_status = 400  # non-retryable: fails fast
+    with pytest.raises(ODataError):
+        list(client.fetch_pages_prefetched("Emp"))
+
+
+def test_prefetch_abandoned_iterator_stops_producer(mock_v2):
+    """Closing the iterator mid-chain (a satisfied LIMIT) must stop
+    the producer thread promptly — never a thread parked forever on a
+    full queue."""
+    import threading
+    import time
+
+    client = ODataClient(mock_v2.base_url)
+    gen = client.fetch_pages_prefetched("Emp")
+    first = next(gen)
+    assert first  # got a page
+    gen.close()
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not any(
+            t.name == "odata-prefetch" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("prefetch producer thread leaked")
+
+
+def test_prefetch_overlaps_fetch_with_consumer_work():
+    """The throughput contract: with per-request RTT ~= per-page
+    consumer work, the prefetched chain approaches max(rtt, work) per
+    page instead of rtt + work. Measured numbers recorded in SCALE.md."""
+    import time
+
+    rows = [{"Employee": f"e{i}", "Structure": "S", "K": str(i)} for i in range(20)]
+    m = MockOData(rows, FIELDS, version=2, page_size=2, delay=0.04)
+    m.start()
+    try:
+        client = ODataClient(m.base_url)
+        work = 0.04
+
+        t0 = time.time()
+        n_serial = 0
+        for page in client.fetch_pages("Emp"):
+            time.sleep(work)  # stand-in for row coercion
+            n_serial += len(page)
+        serial = time.time() - t0
+
+        t0 = time.time()
+        n_pre = 0
+        for page in client.fetch_pages_prefetched("Emp"):
+            time.sleep(work)
+            n_pre += len(page)
+        prefetched = time.time() - t0
+    finally:
+        m.stop()
+
+    assert n_serial == n_pre == len(rows)
+    # 10 pages: serial ~10*(rtt+work)=0.8s, prefetched ~rtt+10*work
+    # ~0.44s. Generous margin for CI jitter.
+    assert prefetched < serial * 0.8, (serial, prefetched)

@@ -80,6 +80,7 @@ class MockOData:
         fail_first: int = 0,
         fail_status: int = 503,
         retry_after: float | None = None,
+        delay: float = 0.0,
     ):
         self.rows = rows
         self.fields = fields
@@ -101,6 +102,9 @@ class MockOData:
         self.fail_first = fail_first
         self.fail_status = fail_status
         self.retry_after = retry_after
+        # Simulated round-trip latency per request — drives the page-
+        # prefetch throughput A/B (SCALE.md).
+        self.delay = delay
         self.requests: list[str] = []  # observed (for pushdown asserts)
         self._httpd: ThreadingHTTPServer | None = None
 
@@ -209,6 +213,10 @@ class MockOData:
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
                 mock.requests.append(self.path)
+                if mock.delay:
+                    import time
+
+                    time.sleep(mock.delay)
                 if mock.fail_first > 0:
                     mock.fail_first -= 1
                     payload = b"simulated transient failure"

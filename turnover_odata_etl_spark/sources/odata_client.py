@@ -314,6 +314,74 @@ class ODataClient:
                 time.sleep(self.pause)
             payload = self.get_json(self._resolve_next(nxt))
 
+    def fetch_pages_prefetched(
+        self,
+        entity: str,
+        select: str | None = None,
+        filter_: str | None = None,
+        top: int | None = None,
+        queue_size: int = 1,
+    ) -> Iterator[list[dict[str, Any]]]:
+        """:meth:`fetch_pages` with intra-partition page PREFETCH:
+        page N+1's HTTP round-trip overlaps the consumer's processing
+        of page N (one producer thread, bounded queue — default one
+        page in flight, so memory stays O(page)). Same pages, same
+        order, same errors as the serial pager; the politeness
+        ``pause`` still runs in the producer, so the wire cadence is
+        unchanged [S1, S6].
+
+        Why: the page chain inside one Spark partition is otherwise a
+        serial fetch→yield loop, so per-partition throughput is
+        RTT-bound — with prefetch the task pipeline hides whichever of
+        {network, row coercion} is cheaper (A/B on the mock server
+        recorded in SCALE.md). Errors raised by the producer (after
+        its own bounded retries) re-raise in the consumer at the page
+        boundary where the serial pager would have raised them.
+        Abandoning the iterator (``close()``/GC, e.g. a LIMIT
+        satisfied mid-scan) stops the producer promptly via the stop
+        event — it never blocks on a full queue forever."""
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=queue_size)
+        stop = threading.Event()
+        done = object()
+
+        def offer(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def producer() -> None:
+            try:
+                for page in self.fetch_pages(
+                    entity, select=select, filter_=filter_, top=top
+                ):
+                    if not offer(page):
+                        return
+                offer(done)
+            except BaseException as e:  # re-raised consumer-side
+                offer(e)
+
+        t = threading.Thread(
+            target=producer, daemon=True, name="odata-prefetch"
+        )
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     def _resolve_next(self, nxt: str) -> str:
         """Absolutize a next-page link. SAP V2 gateways routinely emit
         ``__next`` RELATIVE to the service root ("Emp?$skiptoken=3");
