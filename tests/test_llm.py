@@ -604,8 +604,8 @@ def test_ima_adpcm_decode_matches_independent_reference():
 
 def test_ima_adpcm_properties():
     """Bounded error on smooth signals, exact convergence on constant
-    signals, deterministic output, padded-to-block length contract,
-    stereo rejected loudly."""
+    signals, deterministic output, padded-to-block length contract;
+    the stereo carve-out closed in round 7 (see the stereo test)."""
     import numpy as np
     import pytest
 
@@ -628,11 +628,18 @@ def test_ima_adpcm_properties():
     with pytest.raises(ValueError, match="odd"):
         encode_wav_adpcm(sig, block_samples=100)
 
-    # Stereo ADPCM is the documented loud corner: flip channel count.
+    # Stereo ADPCM was the documented loud corner through round 6;
+    # round 7 implemented it (correctness pinned by
+    # test_ima_adpcm_stereo_channels_equal_independent_mono). A mono
+    # stream whose fmt header is FORGED to claim 2 channels now walks
+    # the multi-channel layout and trips a structural check (here:
+    # the data bytes misread as channel-1's header carry a step index
+    # > 88) — loud failure on the inconsistent stream, never a silent
+    # garbage decode.
     blob = bytearray(encode_wav_adpcm(sig))
     i = blob.find(b"fmt ")
     blob[i + 10] = 2  # nChannels
-    with pytest.raises(ValueError, match="mono"):
+    with pytest.raises(ValueError, match="step index|word-aligned"):
         decode_wav(bytes(blob))
 
 
@@ -735,3 +742,55 @@ def test_bpe_heap_encoder_ships_into_worker_closures(spark):
             toks.extend(s[1:-1].split(")("))
         want[doc_id] = toks
     assert got == want
+
+
+def test_ima_adpcm_stereo_channels_equal_independent_mono():
+    """Stereo IMA ADPCM (round 7): each channel's nibble stream runs
+    an independent predictor state, so decoding a stereo encode must
+    equal the mono encode/decode of each channel separately (same
+    block_samples — 105 satisfies both the mono odd rule and the
+    multi-channel whole-word rule). Also: the constant-per-block
+    exactness domain holds per channel, and a non-word-aligned stereo
+    block fails loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 3 * 105 + 17  # forces final-frame padding
+    left = rng.integers(-30000, 30000, n).astype(np.int16)
+    right = (np.cumsum(rng.integers(-500, 500, n)) % 20000).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+
+    dec_st, rate = decode_wav(encode_wav_adpcm(stereo, block_samples=105))
+    assert dec_st.shape[1] == 2
+    for ch, sig in enumerate((left, right)):
+        dec_mono, _ = decode_wav(encode_wav_adpcm(sig, block_samples=105))
+        assert (dec_st[:, ch] == dec_mono[:, 0]).all(), f"channel {ch}"
+
+    # Exactness domain per channel: per-block-constant signals decode
+    # bit-exactly (block headers re-sync, diffs are zero).
+    vals = np.array([[1000, -2000], [5, 17], [-30000, 29999]], np.int16)
+    sig = np.repeat(vals, 105, axis=0)
+    dec, _ = decode_wav(encode_wav_adpcm(sig, block_samples=105))
+    assert (dec == sig).all()
+
+    # Loud failure: chop one interleave word off the data chunk so the
+    # final stereo block's data is not word-aligned.
+    blob = bytearray(encode_wav_adpcm(stereo, block_samples=105))
+    k = blob.find(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, k + 4)
+    trunc = bytearray(blob[: k + 8 + dlen - 4])
+    struct.pack_into("<I", trunc, k + 4, dlen - 4)
+    with pytest.raises(ValueError, match="word-aligned"):
+        decode_wav(bytes(trunc))
+
+    # And the mono invariants still hold (block_samples parity guard).
+    with pytest.raises(ValueError, match="mod 8"):
+        encode_wav_adpcm(stereo, block_samples=101)

@@ -566,22 +566,18 @@ def _make_binary_codecs():
             raise ValueError("WAV missing fmt/data chunk")
         audio_format, n_channels, sample_rate, _byte_rate, block, bits = fmt
         if audio_format == 0x11 and bits == 4:
-            # IMA/DVI ADPCM (round 6) — the first COMPRESSED audio
-            # rung: 4-bit adaptive differential coding, public spec,
-            # stdlib-only. Mono only (stereo interleaves 4-byte
-            # nibble chunks per channel — a documented extension).
-            if n_channels != 1:
-                raise ValueError(
-                    "WAV IMA ADPCM: mono only (stereo chunk "
-                    "interleaving not implemented)"
-                )
-            samples = _ima_adpcm_decode(payload, block)
+            # IMA/DVI ADPCM (round 6; stereo/multi-channel round 7) —
+            # the first COMPRESSED audio rung: 4-bit adaptive
+            # differential coding, public spec, stdlib-only. Each
+            # channel runs its own predictor state over interleaved
+            # 4-byte nibble words.
+            samples = _ima_adpcm_decode(payload, block, n_channels)
             if fact_samples is not None:
                 # Honor the fact chunk: a foreign encoder whose sample
                 # count doesn't fill the final block pads its nibbles;
                 # without truncation those decode into garbage tails.
                 samples = samples[:fact_samples]
-            return samples[:, None], sample_rate
+            return samples, sample_rate
         if audio_format != 1 or bits != 16:
             raise ValueError(
                 f"WAV variant unsupported (format={audio_format}, bits={bits}); "
@@ -656,101 +652,168 @@ def _make_binary_codecs():
         index = max(0, min(88, index + _IMA_INDEX[nibble]))
         return pred, index
 
-    def _ima_adpcm_decode(payload: bytes, block_align: int):
-        """IMA ADPCM payload (mono) → int16 numpy array. Block layout
-        per the WAV spec: 4-byte header (predictor int16 LE = the
-        block's FIRST sample, step index, reserved), then nibble
-        pairs LOW nibble first."""
+    def _ima_adpcm_decode(
+        payload: bytes, block_align: int, n_channels: int = 1
+    ):
+        """IMA ADPCM payload → ``(n_frames, n_channels) int16``. Block
+        layout per the WAV spec: one 4-byte header PER CHANNEL
+        (predictor int16 LE = the block's first sample, step index,
+        reserved), then — mono — nibble pairs LOW nibble first, or —
+        multi-channel (round 7) — the data interleaved as 4-byte
+        (8-nibble) words per channel, ch0 word, ch1 word, …, each
+        channel running its own independent (pred, index) state. Mono
+        stays byte-granular (our encoder emits exact nibble counts);
+        multi-channel data must be word-aligned per spec — a
+        non-aligned block is a loud failure."""
         import struct
 
         import numpy as np
 
-        if block_align < 4:
-            # 4 bytes is the bare header; anything less cannot frame a
-            # block — and 0 would stall the walk forever (pos = end).
+        if block_align < 4 * n_channels:
+            # One header per channel is the bare minimum; anything
+            # less cannot frame a block — and 0 would stall the walk.
             raise ValueError(
-                f"WAV IMA ADPCM: invalid block align {block_align}"
+                f"WAV IMA ADPCM: invalid block align {block_align} "
+                f"for {n_channels} channel(s)"
             )
-        out = []
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
         pos = 0
-        while pos + 4 <= len(payload):
+        word = 4 * n_channels
+        while pos + word <= len(payload):
             end = min(pos + block_align, len(payload))
-            (pred,) = struct.unpack_from("<h", payload, pos)
-            index = payload[pos + 2]
-            if index > 88:
-                raise ValueError("WAV IMA ADPCM: step index out of range")
-            out.append(pred)
-            for b in payload[pos + 4 : end]:
-                for nibble in (b & 0x0F, b >> 4):
-                    pred, index = _ima_reconstruct(pred, index, nibble)
-                    out.append(pred)
+            preds, idxs = [], []
+            for ch in range(n_channels):
+                (pred,) = struct.unpack_from("<h", payload, pos + 4 * ch)
+                index = payload[pos + 4 * ch + 2]
+                if index > 88:
+                    raise ValueError(
+                        "WAV IMA ADPCM: step index out of range"
+                    )
+                preds.append(pred)
+                idxs.append(index)
+                chans[ch].append(pred)
+            data_start = pos + word
+            if n_channels == 1:
+                for b in payload[data_start:end]:
+                    for nibble in (b & 0x0F, b >> 4):
+                        preds[0], idxs[0] = _ima_reconstruct(
+                            preds[0], idxs[0], nibble
+                        )
+                        chans[0].append(preds[0])
+            else:
+                if (end - data_start) % word:
+                    raise ValueError(
+                        "WAV IMA ADPCM: multi-channel block data not "
+                        "4-byte word-aligned per channel"
+                    )
+                for g in range(data_start, end, word):
+                    for ch in range(n_channels):
+                        for b in payload[g + 4 * ch : g + 4 * ch + 4]:
+                            for nibble in (b & 0x0F, b >> 4):
+                                preds[ch], idxs[ch] = _ima_reconstruct(
+                                    preds[ch], idxs[ch], nibble
+                                )
+                                chans[ch].append(preds[ch])
             pos = end
         if pos < len(payload):
-            # Loud-failure contract: a 1-3 byte tail cannot frame a
-            # block header — a truncated/corrupt foreign stream must
+            # Loud-failure contract: a short tail cannot frame a block
+            # header group — a truncated/corrupt foreign stream must
             # not silently decode to a shortened signal.
             raise ValueError(
                 "WAV IMA ADPCM: truncated block fragment of "
                 f"{len(payload) - pos} bytes"
             )
-        return np.array(out, dtype=np.int16)
+        return np.stack(
+            [np.array(c, dtype=np.int16) for c in chans], axis=1
+        )
 
     def encode_wav_adpcm(
         samples, sample_rate: int = 16000, block_samples: int = 505
     ) -> bytes:
-        """Mono int16 PCM → RIFF/WAVE with IMA ADPCM (format 0x11)
-        payload — the compressed-audio test-vector generator. Input is
-        padded to whole blocks by repeating the final sample (decode
-        returns the padded length); ``block_samples`` must be odd so
-        the per-block nibble count is even. The step index carries
-        across blocks (each header re-syncs the predictor to the true
-        sample, per spec)."""
+        """Int16 PCM — mono ``(n,)`` or multi-channel ``(n, ch)`` —
+        → RIFF/WAVE with IMA ADPCM (format 0x11) payload — the
+        compressed-audio test-vector generator. Input is padded to
+        whole blocks by repeating the final frame (decode returns the
+        padded length); mono requires ``block_samples`` odd (even
+        per-block nibble count), multi-channel requires
+        ``block_samples % 8 == 1`` (each channel's per-block nibbles
+        must fill whole 4-byte interleave words). Per-channel step
+        indices carry across blocks (each header re-syncs that
+        channel's predictor to its true sample, per spec)."""
         import struct
 
         import numpy as np
 
-        if block_samples % 2 == 0:
-            raise ValueError("block_samples must be odd")
-        s = np.asarray(samples, dtype=np.int16).ravel()
+        s = np.asarray(samples, dtype=np.int16)
+        if s.ndim == 1:
+            s = s[:, None]
         if s.size == 0:
             raise ValueError("empty sample array")
-        pad = (-s.size) % block_samples
+        n_ch = s.shape[1]
+        if n_ch == 1:
+            if block_samples % 2 == 0:
+                raise ValueError("block_samples must be odd")
+        elif block_samples % 8 != 1:
+            raise ValueError(
+                "multi-channel block_samples must be ≡ 1 (mod 8) to "
+                "fill whole per-channel interleave words"
+            )
+        pad = (-s.shape[0]) % block_samples
         if pad:
-            s = np.concatenate([s, np.full(pad, s[-1], dtype=np.int16)])
-        block_align = 4 + (block_samples - 1) // 2
-        index = 0
+            s = np.concatenate(
+                [s, np.repeat(s[-1:, :], pad, axis=0)], axis=0
+            )
+        block_align = (4 + (block_samples - 1) // 2) * n_ch
+        indices = [0] * n_ch
+
+        def encode_nibble(v, pred, index):
+            step = _IMA_STEP[index]
+            diff = v - pred
+            nibble = 0
+            if diff < 0:
+                nibble = 8
+                diff = -diff
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            # Track EXACTLY the decoder's state (shared transition).
+            pred, index = _ima_reconstruct(pred, index, nibble)
+            return nibble, pred, index
+
         payload = bytearray()
-        for b0 in range(0, s.size, block_samples):
+        for b0 in range(0, s.shape[0], block_samples):
             blk = s[b0 : b0 + block_samples]
-            pred = int(blk[0])
-            payload += struct.pack("<hBB", pred, index, 0)
-            nibbles = []
-            for v in blk[1:]:
-                v = int(v)
-                step = _IMA_STEP[index]
-                diff = v - pred
-                nibble = 0
-                if diff < 0:
-                    nibble = 8
-                    diff = -diff
-                if diff >= step:
-                    nibble |= 4
-                    diff -= step
-                if diff >= step >> 1:
-                    nibble |= 2
-                    diff -= step >> 1
-                if diff >= step >> 2:
-                    nibble |= 1
-                # Track EXACTLY the decoder's state (shared transition).
-                pred, index = _ima_reconstruct(pred, index, nibble)
-                nibbles.append(nibble)
-            for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-                payload.append(lo | (hi << 4))
-        n_blocks = s.size // block_samples
+            ch_nibbles: list[list[int]] = []
+            for ch in range(n_ch):
+                pred = int(blk[0, ch])
+                payload += struct.pack("<hBB", pred, indices[ch], 0)
+                nibbles = []
+                for v in blk[1:, ch]:
+                    nib, pred, indices[ch] = encode_nibble(
+                        int(v), pred, indices[ch]
+                    )
+                    nibbles.append(nib)
+                ch_nibbles.append(nibbles)
+            if n_ch == 1:
+                for lo, hi in zip(ch_nibbles[0][0::2], ch_nibbles[0][1::2]):
+                    payload.append(lo | (hi << 4))
+            else:
+                # Interleave: one 4-byte (8-nibble) word per channel.
+                for g in range(0, len(ch_nibbles[0]), 8):
+                    for ch in range(n_ch):
+                        w = ch_nibbles[ch][g : g + 8]
+                        for lo, hi in zip(w[0::2], w[1::2]):
+                            payload.append(lo | (hi << 4))
+        n_blocks = s.shape[0] // block_samples
         fmt = struct.pack(
             "<HHIIHHHH",
             0x11,
-            1,
+            n_ch,
             sample_rate,
             sample_rate * block_align // block_samples + 1,
             block_align,
