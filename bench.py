@@ -95,6 +95,15 @@ ADDITIONS_R6 = [
     "d_phash_neardup",
 ]
 
+# Round-7 registrations: the two codec-path oracle queries, the BPE
+# sequence output, and the snapshot-commit merge (time travel).
+ADDITIONS_R7 = [
+    "m_png_adam7_decode_features",
+    "m_adpcm_decode_features",
+    "t_bpe_tokenize_ids",
+    "st_snapshot_merge",
+]
+
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
     "e6_q2_min_cost_supplier",
@@ -186,6 +195,7 @@ def main() -> None:
     pipeline = time_queries(spark, specs, PIPELINE, sf_dir, reps, errors)
     additions = time_queries(spark, specs, ADDITIONS, sf_dir, reps, errors)
     additions_r6 = time_queries(spark, specs, ADDITIONS_R6, sf_dir, reps, errors)
+    additions_r7 = time_queries(spark, specs, ADDITIONS_R7, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -212,6 +222,7 @@ def main() -> None:
     pipeline_total = round(sum(pipeline.values()), 3)
     additions_total = round(sum(additions.values()), 3)
     additions_r6_total = round(sum(additions_r6.values()), 3)
+    additions_r7_total = round(sum(additions_r7.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -241,13 +252,16 @@ def main() -> None:
         "additions_total": additions_total,
         "additions_r6": additions_r6,
         "additions_r6_total": additions_r6_total,
+        "additions_r7": additions_r7,
+        "additions_r7_total": additions_r7_total,
         "all_total": round(
             total
             + streaming_total
             + showcase_total
             + pipeline_total
             + additions_total
-            + additions_r6_total,
+            + additions_r6_total
+            + additions_r7_total,
             3,
         ),
         "fixtures": fixtures,
