@@ -212,3 +212,64 @@ def test_empty_first_commit_is_schema_stable(spark, tdir):
     df = t.read()
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["k", "v", "ver"]
+
+
+def test_concurrent_writers_stress(spark, tdir):
+    """Real contention: 4 threads x 3 merges each race on one table
+    with no injected interleaving. Every commit must land (12 + 1
+    seed snapshots, contiguous ids), and the final state must equal
+    the keep-latest over ALL batches — lost updates impossible."""
+    import threading
+
+    t0 = make_table(spark, tdir)
+    t0.merge(batch(spark, [(0, "seed", 0)]))
+
+    n_threads, n_merges = 4, 3
+    all_rows = []
+    errors = []
+
+    def writer(wid):
+        t = make_table(spark, tdir)
+        try:
+            for j in range(n_merges):
+                rows_ = [
+                    (wid * 10 + j, f"w{wid}m{j}", 100 + j),
+                    (99, f"contended-w{wid}m{j}", wid * 100 + j),
+                ]
+                t.merge(batch(spark, rows_), max_retries=30)
+        except Exception as e:  # noqa: BLE001
+            errors.append((wid, repr(e)))
+
+    for wid in range(n_threads):
+        all_rows.extend(
+            [
+                (wid * 10 + j, f"w{wid}m{j}", 100 + j)
+                for j in range(n_merges)
+            ]
+            + [
+                (99, f"contended-w{wid}m{j}", wid * 100 + j)
+                for j in range(n_merges)
+            ]
+        )
+    threads = [
+        threading.Thread(target=writer, args=(wid,))
+        for wid in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    t = make_table(spark, tdir)
+    ids = t.snapshot_ids()
+    assert ids == list(range(1, n_threads * n_merges + 2))
+
+    # keep-latest over seed + all batches, ties impossible by
+    # construction except key 99 where max ver wins
+    want = {}
+    for k, v, ver in [(0, "seed", 0)] + all_rows:
+        if k not in want or ver > want[k][1]:
+            want[k] = (v, ver)
+    got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
+    assert got == want
