@@ -1,0 +1,61 @@
+"""Round-8 staging queries (plans/roundeight.py) — oracle-tested every
+session even though they are not registered (the registry is frozen at
+182 pending a round-8 ruling; see the module docstring's activation
+checklist)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from .oracle_utils import compare_spark_vs_oracle
+from turnover_odata_etl_spark.plans.registry import all_specs
+from turnover_odata_etl_spark.plans.roundeight import (
+    GIF_ORACLE,
+    SNAPSHOT_PRUNED_ORACLE,
+    m_gif_decode_features,
+    s_snapshot_pruned_read,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_gif_decode_features_matches_oracle(spark, sf_dir):
+    assert GIF_ORACLE  # eager constant, never None
+    compare_spark_vs_oracle(
+        m_gif_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        GIF_ORACLE,
+        "m_gif_decode_features",
+    )
+
+
+def test_snapshot_pruned_read_matches_oracle(spark, sf_dir):
+    assert SNAPSHOT_PRUNED_ORACLE
+    compare_spark_vs_oracle(
+        s_snapshot_pruned_read(spark, sf_dir),
+        _con(sf_dir),
+        SNAPSHOT_PRUNED_ORACLE,
+        "s_snapshot_pruned_read",
+    )
+
+
+def test_roundeight_is_not_registered_yet():
+    """The staging module must not leak into the driver contract while
+    the registry freeze holds (182 after the round-7 additions)."""
+    specs = all_specs()
+    assert "m_gif_decode_features" not in specs
+    assert "s_snapshot_pruned_read" not in specs
+    assert len(specs) == 182

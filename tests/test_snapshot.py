@@ -273,3 +273,42 @@ def test_concurrent_writers_stress(spark, tdir):
             want[k] = (v, ver)
     got = {r["k"]: (r["v"], r["ver"]) for r in t.read().collect()}
     assert got == want
+
+
+def test_read_keys_prunes_files_and_matches_full_read(spark, tdir):
+    """Manifest-stat pruning: a point lookup must open ONLY the
+    requested keys' bucket files and return exactly the full read
+    filtered to those keys."""
+    t = make_table(spark, tdir, n_buckets=8)
+    t.merge(batch(spark, [(i, f"v{i}", 1) for i in range(64)]))
+    t.merge(batch(spark, [(7, "V7", 2), (13, "V13", 2)]))
+
+    keys = [7, 13, 40]
+    got = rows(t.read_keys(keys))
+    want = [r for r in rows(t.read()) if r[0] in keys]
+    assert got == want
+
+    # pruning actually happened: requested buckets < total buckets
+    from pyspark.sql import functions as F
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    n_req = (
+        kdf.select(F.pmod(F.hash("k"), F.lit(8)).alias("b"))
+        .distinct()
+        .count()
+    )
+    m = t._manifest(t.current_id())
+    all_buckets = {f["bucket"] for f in m["files"]}
+    assert n_req < len(all_buckets)
+
+    # keys hashing to an absent bucket → schema-stable empty frame
+    empty = t.read_keys([10**9])
+    assert empty.count() == 0 or rows(empty) == [
+        r for r in rows(t.read()) if r[0] == 10**9
+    ]
+    # multi-column key tables refuse (partial-key pruning is a lie)
+    t2 = SnapshotTable(
+        spark, tdir + "2", key_cols=["a", "b"], order_col="v"
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        t2.read_keys([1])

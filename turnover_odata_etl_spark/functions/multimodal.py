@@ -62,6 +62,11 @@ def decode_image(data: bytes):
       numpy (``functions/jpeg.py``). Progressive (SOF2) / arithmetic
       / 12-bit raise loudly.
 
+    * **GIF** — 87a/89a paletted with REAL LZW decompression
+      (variable-width LSB-first codes, CLEAR/EOI, 4096-entry cap),
+      4-pass interlace, extension skip, first-frame compositing onto
+      the background-filled logical screen (round 7).
+
     Returns an ``(H, W, 3) uint8`` numpy array. WebP still requires
     an external VP8 codec — that remains the documented extension
     point: add an ``elif`` on its magic bytes delegating to the
@@ -79,10 +84,12 @@ def decode_image(data: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        return _decode_gif(data)
     raise ValueError(
         f"unsupported image format (magic {data[:4]!r}); pure-numpy "
-        "decode covers PPM(P6)/BMP/PNG/baseline-JPEG — wire a codec "
-        "library here for WebP"
+        "decode covers PPM(P6)/BMP/PNG/GIF/baseline+progressive JPEG "
+        "— wire a codec library here for WebP"
     )
 
 
@@ -830,6 +837,293 @@ def _make_binary_codecs():
         )
         return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
+    def _lzw_decode(data: bytes, min_code_size: int, expected: int):
+        """GIF-variant LZW (round 7): LSB-first variable-width codes,
+        CLEAR resets the dictionary, EOI ends the stream, dictionary
+        capped at 4096 codes (width capped at 12 — the 'deferred
+        clear' convention: past the cap, codes keep flowing at width
+        12 with no growth). Decode stops once ``expected`` pixels have
+        landed (some encoders omit EOI). Width bumps AFTER the entry
+        whose code is 2^width − 1 is added — the bit-exact mirror of
+        the encoder below."""
+        if min_code_size < 2 or min_code_size > 11:
+            raise ValueError(
+                f"GIF LZW: invalid minimum code size {min_code_size}"
+            )
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        dic: list[bytes] = []
+        width = min_code_size + 1
+
+        def reset():
+            nonlocal dic, width
+            dic = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+
+        reset()
+        prev: bytes | None = None
+        acc = accbits = i = 0
+        while len(out) < expected:
+            while accbits < width and i < len(data):
+                acc |= data[i] << accbits
+                accbits += 8
+                i += 1
+            if accbits < width:
+                break  # stream exhausted
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            accbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(dic):
+                    raise ValueError(
+                        "GIF LZW: first code after clear not a root"
+                    )
+                entry = dic[code]
+            else:
+                if code < len(dic):
+                    entry = dic[code]
+                elif code == len(dic):
+                    # the KwKwK case: the code being defined right now
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("GIF LZW: code out of range")
+                if len(dic) < 4096:
+                    dic.append(prev + entry[:1])
+                    if len(dic) == (1 << width) and width < 12:
+                        width += 1
+            out += entry
+            prev = entry
+        return bytes(out)
+
+    def _decode_gif(data: bytes):
+        """REAL GIF decode (round 7) — GIF87a/89a, pure stdlib/numpy:
+        logical-screen + color-table parse, extension sub-block walk,
+        LZW-compressed image data (``_lzw_decode``), 4-pass interlace
+        reorder, and first-frame COMPOSITING onto the
+        background-filled logical screen (a frame smaller than the
+        screen renders at its (left, top) offset, per spec — animated
+        GIFs decode as their first frame). Returns ``(H, W, 3)
+        uint8``. Malformed streams (unknown block, palette index out
+        of range, truncated pixel data) fail loudly."""
+        import struct
+
+        import numpy as np
+
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError(f"not a GIF stream (magic {data[:6]!r})")
+        sw, sh, flags, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 0x07) + 1)
+            if len(data) < pos + 3 * n:
+                raise ValueError("GIF: truncated global color table")
+            gct = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                left, top, iw, ih, iflags = struct.unpack_from(
+                    "<HHHHB", data, pos + 1
+                )
+                pos += 10
+                ct = gct
+                if iflags & 0x80:  # local color table
+                    n = 2 ** ((iflags & 0x07) + 1)
+                    if len(data) < pos + 3 * n:
+                        raise ValueError(
+                            "GIF: truncated local color table"
+                        )
+                    ct = np.frombuffer(
+                        data[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("GIF: no color table for image")
+                if left + iw > sw or top + ih > sh:
+                    raise ValueError("GIF: frame exceeds logical screen")
+                min_code = data[pos]
+                pos += 1
+                chunks = []
+                while pos < len(data) and data[pos] != 0:
+                    ln = data[pos]
+                    chunks.append(data[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                if pos >= len(data):
+                    raise ValueError("GIF: unterminated image data")
+                pos += 1  # block terminator
+                idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+                if len(idx) < iw * ih:
+                    raise ValueError(
+                        f"GIF: truncated pixel data ({len(idx)} of "
+                        f"{iw * ih})"
+                    )
+                arr = np.frombuffer(idx[: iw * ih], dtype=np.uint8)
+                if int(arr.max(initial=0)) >= len(ct):
+                    raise ValueError("GIF: palette index out of range")
+                grid = arr.reshape(ih, iw)
+                if iflags & 0x40:  # 4-pass interlace row order
+                    order = np.concatenate(
+                        [
+                            np.arange(0, ih, 8),
+                            np.arange(4, ih, 8),
+                            np.arange(2, ih, 4),
+                            np.arange(1, ih, 2),
+                        ]
+                    )
+                    de = np.empty_like(grid)
+                    de[order] = grid
+                    grid = de
+                # First-frame composite onto the background screen.
+                if gct is not None and bg_idx < len(gct):
+                    canvas = np.broadcast_to(
+                        gct[bg_idx], (sh, sw, 3)
+                    ).copy()
+                else:
+                    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+                canvas[top : top + ih, left : left + iw] = ct[grid]
+                return canvas
+            elif block == 0x3B:  # trailer
+                raise ValueError("GIF: trailer before any image data")
+            else:
+                raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        raise ValueError("GIF: no image descriptor")
+
+    def encode_gif(
+        indices, palette, interlace: bool = False, min_code_size=None
+    ) -> bytes:
+        """Paletted ``(H, W)`` index grid + ``(n, 3)`` palette →
+        GIF89a bytes with REAL LZW compression — the test-vector
+        generator whose output exercises every decoder path (variable
+        code widths, dictionary growth to the 4096 cap with mid-stream
+        CLEAR, the KwKwK case, interlace, sub-255-byte block packing).
+        Width-bump timing mirrors ``_lzw_decode`` exactly (bump after
+        assigning code 2^width − 1); at the 4096 cap the encoder emits
+        CLEAR and resets, so decode never needs deferred-clear
+        handling from OUR streams (foreign deferred-clear streams
+        still decode — the decoder just stops growing)."""
+        import struct
+
+        import numpy as np
+
+        idx = np.asarray(indices, dtype=np.uint8)
+        pal = np.asarray(palette, dtype=np.uint8)
+        if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError("encode_gif: indices (H,W), palette (n,3)")
+        if pal.shape[0] < 2 or pal.shape[0] > 256:
+            raise ValueError("encode_gif: palette size must be 2..256")
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("encode_gif: index out of palette range")
+        h, w = idx.shape
+        # palette padded to a power of two ≥ 2, per the size-field encoding
+        bits = max(2, (pal.shape[0] - 1).bit_length())
+        padded = np.zeros((1 << bits, 3), dtype=np.uint8)
+        padded[: pal.shape[0]] = pal
+        if min_code_size is None:
+            min_code_size = bits
+        clear = 1 << min_code_size
+        eoi = clear + 1
+
+        rows = idx
+        if interlace:
+            order = np.concatenate(
+                [
+                    np.arange(0, h, 8),
+                    np.arange(4, h, 8),
+                    np.arange(2, h, 4),
+                    np.arange(1, h, 2),
+                ]
+            )
+            rows = idx[order]
+        seq = rows.reshape(-1).tobytes()
+
+        out = bytearray()
+        acc = accbits = 0
+
+        def emit(code, width):
+            nonlocal acc, accbits
+            acc |= code << accbits
+            accbits += width
+            while accbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                accbits -= 8
+
+        def fresh():
+            return (
+                {bytes([i]): i for i in range(clear)},
+                eoi + 1,
+                min_code_size + 1,
+            )
+
+        dic, next_code, width = fresh()
+        emit(clear, width)
+        wbuf = b""
+        for pos_ in range(len(seq)):
+            ch = seq[pos_ : pos_ + 1]
+            nb = wbuf + ch
+            if nb in dic:
+                wbuf = nb
+                continue
+            emit(dic[wbuf], width)
+            if next_code < 4096:
+                dic[nb] = next_code
+                next_code += 1
+                # The decoder mirrors each add ONE CODE LATER (it
+                # learns entry j only upon reading code j+1), so its
+                # width bump — at dict size 2^width — lands one
+                # emission after the encoder's dict hits 2^width. Bump
+                # on next_code == 2^width + 1, not 2^width, or the
+                # encoder emits one code wider than the decoder reads.
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                dic, next_code, width = fresh()
+            wbuf = ch
+        if wbuf:
+            emit(dic[wbuf], width)
+        emit(eoi, width)
+        if accbits:
+            out.append(acc & 0xFF)
+
+        blocks = bytearray()
+        for i in range(0, len(out), 255):
+            chunk = out[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+
+        screen = struct.pack(
+            "<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0
+        )
+        img_desc = struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+        )
+        return (
+            b"GIF89a"
+            + screen
+            + padded.tobytes()
+            + img_desc
+            + bytes([min_code_size])
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
     return (
         _decode_png,
         encode_png,
@@ -838,6 +1132,9 @@ def _make_binary_codecs():
         encode_wav_adpcm,
         _ima_adpcm_decode,
         _ima_reconstruct,
+        _decode_gif,
+        encode_gif,
+        _lzw_decode,
     )
 
 
@@ -850,6 +1147,9 @@ def _make_binary_codecs():
     encode_wav_adpcm,
     _ima_adpcm_decode,
     _ima_reconstruct,
+    _decode_gif,
+    encode_gif,
+    _lzw_decode,
 ) = _make_binary_codecs()
 
 

@@ -46,7 +46,15 @@ from . import roundseven  # noqa: E402,F401
 #     reference-parity queries (flagship_turnover,
 #     semi_join_orchestration).
 # Next-stalest after this round: the remaining 31 round-4 rows
-# (listed by the staleness script in scripts/; rotate them in r08).
+# (listed by scripts/staleness.py; rotate them in r08).
+#
+# Round 8 should consider REGISTERING the queries STAGED in
+# plans/roundeight.py (m_gif_decode_features — the only end-to-end
+# exercise of the round-7 GIF/LZW codec — and s_snapshot_pruned_read
+# — the only exercise of the manifest-stat pruned point lookup; both
+# oracle-green at sf0.001+0.01 via tests/test_roundeight.py), IF the
+# round-7 verdict re-ups the 182 cap; activation checklist in that
+# module's docstring.
 #
 GATED_QUERIES = [
     # round-7 registrations, gated immediately (registry 178 -> 182)

@@ -1,0 +1,191 @@
+"""Round-8 staging area — queries built and oracle-tested in round 7
+but NOT registered: the round-6 verdict froze the registry ("the cap
+moves to 181 and freezes there"; round 7 added ONLY the
+verdict-item-3-mandated ``st_snapshot_merge`` on top, 182) — so these
+wait for a round-8 ruling. Same pattern as ``roundsix.py``/
+``roundseven.py`` (both since activated): this module is deliberately
+NOT imported by ``plans/__init__`` and adds zero registry entries;
+``tests/test_roundeight.py`` runs both queries against their DuckDB
+oracles every session. To activate:
+
+1. add ``from . import roundeight`` to ``plans/__init__`` and wrap
+   each query with ``@register(name, oracle=..., tags=...)`` (oracle
+   constants below are eager, never None);
+2. give each registered query a slot in the round-8 gate window.
+
+Both stage capabilities that are otherwise query-invisible:
+``m_gif_decode_features`` is the only end-to-end exercise of the GIF
+LZW decode path (round 7 codec), and ``s_snapshot_pruned_read`` is
+the only exercise of the manifest-stat pruned point-lookup
+(``SnapshotTable.read_keys``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import ensure_parallelism, load_table
+
+# Closed-form oracle for a LOSSLESS codec: palette colors and index
+# grid are deterministic functions of (doc_id, x, y), so the decoded
+# sums are integer arithmetic the oracle recomputes — while the Spark
+# side runs the FULL GIF pipeline (palette write, LZW compress,
+# sub-block framing, LZW decompress, interlace reorder on odd doc_ids,
+# palette lookup). Any LZW width-bump / dictionary / interlace bug
+# breaks the hash.
+GIF_ORACLE = """
+    WITH d AS (SELECT doc_id,
+                      12 + doc_id % 9 AS w,
+                      12 + doc_id % 7 AS h,
+                      4 + doc_id % 13 AS n
+               FROM documents),
+    g AS (SELECT unnest(generate_series(0, 20)) AS i),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + 3 * gx.i + 5 * gy.i) % d.n AS ci
+      FROM d
+      JOIN g gx ON gx.i < d.w
+      JOIN g gy ON gy.i < d.h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((doc_id * 3 + ci * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 5 + ci * 11) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + ci * 13) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+"""
+
+
+def m_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode → features through the REAL codec (round 7:
+    variable-width LZW with CLEAR/EOI and the 4096 cap, sub-block
+    framing, 4-pass interlace on odd doc_ids, palette lookup) — the
+    compressed-palette rung of the image ladder made oracle-checkable
+    (GIF is lossless, so the whole pixel space is the exactness
+    domain; cf. the quantization-aligned JPEG and per-block-constant
+    ADPCM oracles).
+
+    Per document: a (12+doc_id%9) × (12+doc_id%7) grid over a
+    (4+doc_id%13)-color deterministic palette, encoded with the
+    repo's LZW encoder and decoded back through ``decode_image``'s
+    magic-byte dispatch.
+
+    Scale posture: identical to the other codec queries — one Arrow
+    batch stream, CPU-bound decode fanned by ``ensure_parallelism``,
+    no shuffle."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_image as gif_decode,
+        encode_gif as gif_encode,
+    )
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "sum_g",
+                          "sum_b")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 12 + did % 9, 12 + did % 7
+                n = 4 + did % 13
+                i = np.arange(n)
+                pal = np.stack(
+                    [
+                        (did * 3 + i * 7) % 256,
+                        (did * 5 + i * 11) % 256,
+                        (did * 7 + i * 13) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((did + 3 * x + 5 * y) % n).astype(np.uint8)
+                data = gif_encode(idx, pal, interlace=bool(did % 2))
+                dec = gif_decode(data).astype(np.int64)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(dec[:, :, 0].sum()))
+                out["sum_g"].append(int(dec[:, :, 1].sum()))
+                out["sum_b"].append(int(dec[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long",
+    )
+
+
+# Oracle: keep-latest over ALL events, filtered to the lookup keys —
+# exactly what the pruned read must return; the Spark side opens only
+# the requested keys' bucket files (asserted separately in
+# tests/test_snapshot.py; here the ORACLE pins the values).
+SNAPSHOT_PRUNED_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value FROM events e
+      WHERE event_id = (SELECT max(event_id) FROM events e2
+                        WHERE e2.user_id = e.user_id)
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM latest WHERE user_id % 17 = 0
+"""
+
+
+def s_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stat PRUNED point lookup on a snapshot table — the
+    read path that makes the snapshot layer (round 7, E95) useful for
+    serving: build the keyed keep-latest table in two commits, then
+    ``read_keys`` a key subset. The manifest's per-file ``bucket``
+    stats prune the scan to the requested keys' buckets (file-level
+    pruning — Iceberg's partition-stats read in miniature); the
+    oracle pins the VALUES (keep-latest over everything, filtered),
+    while tests/test_snapshot.py pins that pruning actually opens
+    fewer files.
+
+    Scale: the lookup's cost is O(|keys| + matched buckets), never
+    O(table) — at 100 TB a point lookup opens ~1/n_buckets of the
+    files."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..storage import SnapshotTable
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/snapshot_pruned"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    mid = int(max_id) // 2 if max_id is not None else 0  # empty-safe
+    table = SnapshotTable(
+        spark, f"{base}/table", key_cols=["user_id"],
+        order_col="event_id", n_buckets=8,
+    )
+    table.merge(ev.filter(F.col("event_id") <= mid))
+    table.merge(ev.filter(F.col("event_id") > mid))
+    keys = [
+        r["user_id"]
+        for r in ev.select("user_id")
+        .filter(F.col("user_id") % 17 == 0)
+        .distinct()
+        .collect()
+    ]  # lookup-key set: bounded, the caller's input in a real lookup
+    if not keys:
+        return table.read().limit(0)
+    return table.read_keys(keys).select(
+        "user_id", "event_id", "event_type", "value"
+    )

@@ -176,6 +176,55 @@ class SnapshotTable:
             )
         return self.spark.read.parquet(*paths)
 
+    def read_keys(
+        self, key_values: list, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """File-PRUNED point-lookup read: open only the data files
+        whose bucket any requested key hashes into (the manifest's
+        per-file ``bucket`` stat is the pruning metadata — Iceberg's
+        partition-stats read path in miniature), then filter to the
+        exact keys. Single-column keys only (the layout hash is on
+        the full key tuple; a partial-key lookup can't prune).
+
+        The requested keys' buckets are computed THROUGH Spark's own
+        ``hash``/``pmod`` (a key-count-sized local frame — metadata,
+        never data), so pruning can never disagree with the layout.
+        At 100 TB this is the difference between a point lookup
+        opening ~1/n_buckets of the table and scanning all of it."""
+        if len(self.key_cols) != 1:
+            raise ValueError("read_keys: single-column key tables only")
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+        key = self.key_cols[0]
+        key_type = next(
+            f["type"]
+            for f in json.loads(m["schema"])["fields"]
+            if f["name"] == key
+        )
+        kdf = self.spark.createDataFrame(
+            [(v,) for v in key_values], f"{key} {key_type}"
+        )
+        buckets = {
+            r["b"]
+            for r in kdf.select(
+                F.pmod(F.hash(key), F.lit(self.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        files = [f for f in m["files"] if f["bucket"] in buckets]
+        if not files:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(m["schema"]))
+            )
+        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        return (
+            self.spark.read.parquet(*paths)
+            .filter(F.col(key).isin(key_values))
+        )
+
     # --------------------------------------------------------------- write
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
