@@ -794,3 +794,49 @@ def test_ima_adpcm_stereo_channels_equal_independent_mono():
     # And the mono invariants still hold (block_samples parity guard).
     with pytest.raises(ValueError, match="mod 8"):
         encode_wav_adpcm(stereo, block_samples=101)
+
+
+def test_g711_companded_audio():
+    """G.711 µ-law/A-law (round 7): the 256-entry expansion tables
+    hit the published reference points exactly (Sun/ITU
+    ulaw2linear/alaw2linear), roundtrip error is bounded by the top
+    segment's step + clip region, decode(encode(decode(x))) is
+    lossless (companded levels are fixed points), stereo interleaves
+    per frame, and unknown laws fail loudly."""
+    import numpy as np
+    import pytest
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _alaw_table,
+        _mulaw_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    mt, at = _mulaw_table(), _alaw_table()
+    assert (mt[0x00], mt[0x80], mt[0xFF], mt[0x7F]) == (
+        -32124, 32124, 0, 0,
+    )
+    assert (at[0x55], at[0xD5], at[0x2A], at[0xAA]) == (
+        -8, 8, -32256, 32256,
+    )
+    # expansion tables are odd-symmetric: flipping the sign bit
+    # negates (µ-law sign bit is 0x80 pre-complement: byte^0x80)
+    assert (mt[np.arange(256) ^ 0x80] == -mt).all()
+    assert (at[np.arange(256) ^ 0x80] == -at).all()
+
+    rng = np.random.default_rng(5)
+    for law, max_err in (("mulaw", 643 + 1), ("alaw", 511 + 1)):
+        sig = rng.integers(-32768, 32768, 2000).astype(np.int16)
+        dec, rate = decode_wav(encode_wav_g711(sig, law=law))
+        assert rate == 8000 and dec.shape == (2000, 1)
+        err = np.abs(dec[:, 0].astype(np.int32) - sig.astype(np.int32))
+        assert err.max() <= max_err, (law, err.max())
+        dec2, _ = decode_wav(encode_wav_g711(dec[:, 0], law=law))
+        assert (dec2[:, 0] == dec[:, 0]).all()
+
+    st = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    dec, _ = decode_wav(encode_wav_g711(st, law="alaw"))
+    assert dec.shape == (500, 2)
+    with pytest.raises(ValueError, match="companding law"):
+        encode_wav_g711(st, law="dbx")

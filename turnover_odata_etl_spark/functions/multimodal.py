@@ -18,7 +18,11 @@ filtered pass sub-images) AND the sub-byte depths 1/2/4 for gray and
 paletted — the complete non-exotic PNG surface, sequential and
 interlaced — and full Huffman progressive JPEG (SOF2: spectral
 selection, successive approximation, AND restart markers in every
-scan kind, decoded bit-identically to baseline). WebP and the JPEG
+scan kind, decoded bit-identically to baseline). Round 7 added GIF
+(87a/89a with real variable-width LZW, interlace, and first-frame
+compositing — ``_decode_gif``), stereo/multi-channel IMA ADPCM
+(per-channel interleaved nibble words), and G.711 µ-law/A-law
+telephony audio (exact ITU expansion tables). WebP and the JPEG
 corners outside that (arithmetic coding, 12-bit precision) still
 require an external codec; those branches are the documented
 extension points and fail loudly.
@@ -539,9 +543,9 @@ def _make_binary_codecs():
 
     def decode_wav(data: bytes):
         """REAL audio decode — RIFF/WAVE with 16-bit PCM (format tag
-        1, mono or multi-channel) or, since round 6, 4-bit IMA/DVI
-        ADPCM (format tag 0x11, mono) — the first COMPRESSED audio
-        rung, pure stdlib. Chunk walk (``fmt `` for the header,
+        1, mono or multi-channel), 4-bit IMA/DVI ADPCM (format tag
+        0x11; mono round 6, multi-channel round 7), or 8-bit G.711
+        A-law/µ-law (format tags 6/7, round 7) — pure stdlib. Chunk walk (``fmt `` for the header,
         ``data`` for the payload; unknown chunks skipped per spec, odd
         sizes padded); PCM de-interleaves little-endian int16, ADPCM
         runs the adaptive-step nibble reconstruction per block.
@@ -585,11 +589,27 @@ def _make_binary_codecs():
                 # without truncation those decode into garbage tails.
                 samples = samples[:fact_samples]
             return samples, sample_rate
+        if audio_format in (6, 7) and bits == 8:
+            # G.711 A-law (6) / µ-law (7), round 7 — the companded
+            # 8-bit telephony rung: one 256-entry expansion table
+            # built from the ITU formulas, decode is an exact table
+            # gather per byte (channels interleave per frame as in
+            # PCM).
+            table = (
+                _alaw_table() if audio_format == 6 else _mulaw_table()
+            )
+            samples = table[
+                np.frombuffer(payload, dtype=np.uint8)
+            ].reshape(-1, n_channels)
+            if fact_samples is not None:
+                samples = samples[:fact_samples]
+            return samples, sample_rate
         if audio_format != 1 or bits != 16:
             raise ValueError(
                 f"WAV variant unsupported (format={audio_format}, bits={bits}); "
-                "16-bit PCM and 4-bit IMA ADPCM (0x11) — wire a codec "
-                "library for MP3/AAC/Opus"
+                "16-bit PCM, 4-bit IMA ADPCM (0x11), and 8-bit G.711 "
+                "A-law/µ-law (6/7) — wire a codec library for "
+                "MP3/AAC/Opus"
             )
         samples = np.frombuffer(
             payload, dtype="<i2", count=len(payload) // 2
@@ -621,6 +641,85 @@ def _make_binary_codecs():
         )
         chunks = (
             b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def _mulaw_table():
+        """G.711 µ-law byte → int16 expansion (the exact ITU decode
+        formula, vectorized over all 256 codes): complement, unpack
+        (sign, 3-bit exponent, 4-bit mantissa), magnitude =
+        ((mantissa·8 + 132) << exponent) − 132."""
+        import numpy as np
+
+        b = np.arange(256, dtype=np.int32)
+        u = (~b) & 0xFF
+        t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07))
+        return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    def _alaw_table():
+        """G.711 A-law byte → int16 expansion (ITU formula: XOR 0x55,
+        then segment 0 → mantissa·16 + 8, segment s ≥ 1 →
+        (mantissa·16 + 264) << (s − 1); sign bit SET means
+        positive)."""
+        import numpy as np
+
+        vals = []
+        for byte in range(256):
+            a = byte ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            else:
+                t = (t + 0x108) << (seg - 1)
+            vals.append(t if a & 0x80 else -t)
+        return np.array(vals, dtype=np.int16)
+
+    def encode_wav_g711(
+        samples, sample_rate: int = 8000, law: str = "mulaw"
+    ) -> bytes:
+        """Int16 PCM — mono ``(n,)`` or ``(n, ch)`` — → RIFF/WAVE
+        with G.711 companded 8-bit payload (format tag 7 µ-law / 6
+        A-law) — the telephony-audio test-vector generator. Encoding
+        picks the NEAREST expansion level via searchsorted over the
+        decode table: optimal companding by construction, and it
+        agrees with the ITU bit-twiddling encoder everywhere except
+        exact midpoint ties (the decode side, which is what foreign
+        streams exercise, is the exact ITU formula either way)."""
+        import struct
+
+        import numpy as np
+
+        if law not in ("mulaw", "alaw"):
+            raise ValueError(f"unknown companding law {law!r}")
+        table = _mulaw_table() if law == "mulaw" else _alaw_table()
+        order = np.argsort(table, kind="stable")
+        levels = table[order]
+        s = np.asarray(samples, dtype=np.int16)
+        if s.ndim == 1:
+            s = s[:, None]
+        if s.size == 0:
+            raise ValueError("empty sample array")
+        n_ch = s.shape[1]
+        flat = s.reshape(-1).astype(np.int32)
+        pos = np.clip(np.searchsorted(levels, flat), 1, 255)
+        left, right = levels[pos - 1].astype(np.int32), levels[pos].astype(np.int32)
+        idx = np.where(flat - left <= right - flat, pos - 1, pos)
+        payload = order[idx].astype(np.uint8).tobytes()
+        fmt = struct.pack(
+            "<HHIIHH",
+            7 if law == "mulaw" else 6,
+            n_ch,
+            sample_rate,
+            sample_rate * n_ch,
+            n_ch,
+            8,
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, s.shape[0])
             + b"data" + struct.pack("<I", len(payload)) + payload
             + (b"\x00" if len(payload) & 1 else b"")
         )
@@ -1135,6 +1234,9 @@ def _make_binary_codecs():
         _decode_gif,
         encode_gif,
         _lzw_decode,
+        encode_wav_g711,
+        _mulaw_table,
+        _alaw_table,
     )
 
 
@@ -1150,6 +1252,9 @@ def _make_binary_codecs():
     _decode_gif,
     encode_gif,
     _lzw_decode,
+    encode_wav_g711,
+    _mulaw_table,
+    _alaw_table,
 ) = _make_binary_codecs()
 
 
