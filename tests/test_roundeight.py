@@ -59,3 +59,18 @@ def test_roundeight_is_not_registered_yet():
     assert "m_gif_decode_features" not in specs
     assert "s_snapshot_pruned_read" not in specs
     assert len(specs) == 182
+
+
+def test_g711_decode_features_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        G711_ORACLE,
+        m_g711_decode_features,
+    )
+
+    assert G711_ORACLE
+    compare_spark_vs_oracle(
+        m_g711_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        G711_ORACLE,
+        "m_g711_decode_features",
+    )

@@ -13,11 +13,12 @@ oracles every session. To activate:
    constants below are eager, never None);
 2. give each registered query a slot in the round-8 gate window.
 
-Both stage capabilities that are otherwise query-invisible:
+All three stage capabilities that are otherwise query-invisible:
 ``m_gif_decode_features`` is the only end-to-end exercise of the GIF
-LZW decode path (round 7 codec), and ``s_snapshot_pruned_read`` is
-the only exercise of the manifest-stat pruned point-lookup
-(``SnapshotTable.read_keys``).
+LZW decode path (round 7 codec), ``s_snapshot_pruned_read`` the only
+exercise of the manifest-stat pruned point-lookup
+(``SnapshotTable.read_keys``), and ``m_g711_decode_features`` the
+only end-to-end exercise of the G.711 companded-audio decode.
 """
 
 from __future__ import annotations
@@ -188,4 +189,101 @@ def s_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.read().limit(0)
     return table.read_keys(keys).select(
         "user_id", "event_id", "event_type", "value"
+    )
+
+
+def _g711_oracle() -> str:
+    """Oracle for the G.711 decode query: the 256-entry expansion
+    tables are inlined as VALUES lists (they are pinned to the
+    published Sun/ITU reference points by
+    ``tests/test_llm.py::test_g711_companded_audio`` — the oracle's
+    job here is the END-TO-END path: RIFF chunk walk, format-tag
+    dispatch, payload gather, per-doc aggregation), joined against
+    the deterministic per-doc byte pattern."""
+    from ..functions.multimodal import _alaw_table, _mulaw_table
+
+    mu = ",".join(f"({i},{int(v)})" for i, v in enumerate(_mulaw_table()))
+    al = ",".join(f"({i},{int(v)})" for i, v in enumerate(_alaw_table()))
+    return f"""
+    WITH mu(code, val) AS (VALUES {mu}),
+         al(code, val) AS (VALUES {al}),
+    d AS (SELECT doc_id, 64 + doc_id % 17 AS nb FROM documents),
+    b AS (SELECT doc_id, unnest(generate_series(0, nb - 1)) AS i FROM d),
+    c AS (SELECT doc_id, (doc_id * 13 + i * 29) % 256 AS code FROM b),
+    v AS (SELECT c.doc_id,
+                 CASE WHEN c.doc_id % 2 = 0 THEN mu.val ELSE al.val END AS s
+          FROM c JOIN mu ON mu.code = c.code JOIN al ON al.code = c.code)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(min(s) AS BIGINT) AS min_s,
+           CAST(max(s) AS BIGINT) AS max_s
+    FROM v GROUP BY doc_id
+"""
+
+
+G711_ORACLE = _g711_oracle()
+
+
+def m_g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 companded-audio decode → features through the REAL
+    decoder (round 7): per document a deterministic byte pattern is
+    framed as a RIFF/WAVE stream — format tag 7 (µ-law) on even
+    doc_ids, 6 (A-law) on odd — and decoded through the full chunk
+    walk + expansion-table gather. The WAV container is assembled
+    INLINE (bytes are the codes themselves), so the query exercises
+    decode only; the oracle replays the expansion via inlined VALUES
+    tables (see ``_g711_oracle``).
+
+    Scale posture: identical to the other codec queries — one Arrow
+    batch stream, ensure_parallelism fan-out, no shuffle."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        decode_wav as wav_decode,
+    )
+
+    def decode_features(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wrap(payload: bytes, tag: int) -> bytes:
+            fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b"")
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks
+            )
+
+        for pdf in batches:
+            out = {
+                k: [] for k in ("doc_id", "n_samples", "sum_s", "min_s",
+                                "max_s")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nb = 64 + did % 17
+                codes = bytes(
+                    (did * 13 + i * 29) % 256 for i in range(nb)
+                )
+                tag = 7 if did % 2 == 0 else 6
+                dec, _rate = wav_decode(wrap(codes, tag))
+                s = dec[:, 0].astype(np.int64)
+                out["doc_id"].append(did)
+                out["n_samples"].append(int(s.size))
+                out["sum_s"].append(int(s.sum()))
+                out["min_s"].append(int(s.min()))
+                out["max_s"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, n_samples long, sum_s long, min_s long, max_s long",
     )
