@@ -74,3 +74,33 @@ def test_g711_decode_features_matches_oracle(spark, sf_dir):
         G711_ORACLE,
         "m_g711_decode_features",
     )
+
+
+def test_flac_decode_features_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        FLAC_ORACLE,
+        m_flac_decode_features,
+    )
+
+    assert FLAC_ORACLE
+    compare_spark_vs_oracle(
+        m_flac_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        FLAC_ORACLE,
+        "m_flac_decode_features",
+    )
+
+
+def test_snapshot_changes_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        SNAPSHOT_CHANGES_ORACLE,
+        s_snapshot_changes,
+    )
+
+    assert SNAPSHOT_CHANGES_ORACLE
+    compare_spark_vs_oracle(
+        s_snapshot_changes(spark, sf_dir),
+        _con(sf_dir),
+        SNAPSHOT_CHANGES_ORACLE,
+        "s_snapshot_changes",
+    )

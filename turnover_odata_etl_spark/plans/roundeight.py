@@ -13,12 +13,17 @@ oracles every session. To activate:
    constants below are eager, never None);
 2. give each registered query a slot in the round-8 gate window.
 
-All three stage capabilities that are otherwise query-invisible:
-``m_gif_decode_features`` is the only end-to-end exercise of the GIF
-LZW decode path (round 7 codec), ``s_snapshot_pruned_read`` the only
-exercise of the manifest-stat pruned point-lookup
-(``SnapshotTable.read_keys``), and ``m_g711_decode_features`` the
-only end-to-end exercise of the G.711 companded-audio decode.
+All staged queries cover capabilities that are otherwise
+query-invisible: ``m_gif_decode_features`` is the only end-to-end
+exercise of the GIF LZW decode path (round 7 codec),
+``s_snapshot_pruned_read`` the only exercise of the manifest-stat
+pruned point-lookup (``SnapshotTable.read_keys``),
+``m_g711_decode_features`` the only end-to-end exercise of the G.711
+companded-audio decode, ``m_flac_decode_features`` the only
+end-to-end exercise of the FLAC entropy-coded lossless audio path
+(round 7, ``functions/flac.py``), and ``s_snapshot_changes`` the
+only exercise of the manifest-diff CDC read
+(``SnapshotTable.changes``).
 """
 
 from __future__ import annotations
@@ -287,3 +292,208 @@ def m_g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_features,
         "doc_id long, n_samples long, sum_s long, min_s long, max_s long",
     )
+
+
+# Closed-form oracle for a LOSSLESS entropy-coded codec: the signal
+# is a deterministic integer function of (doc_id, i), so the decoded
+# aggregates are integer arithmetic the oracle recomputes — while the
+# Spark side runs the FULL FLAC pipeline (fixed/LPC prediction, rice
+# partitioning, stereo decorrelation, CRC-8/16, STREAMINFO MD5
+# verification on decode). Any rice/predictor/decorrelation bit bug
+# breaks the hash.
+FLAC_ORACLE = """
+    WITH d AS (SELECT doc_id, 96 + doc_id % 33 AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, g.i,
+             ((d.doc_id * 31 + g.i * g.i * 7) % 4001) - 2000 AS l
+      FROM d JOIN (SELECT unnest(generate_series(0, 128)) AS i) g
+        ON g.i < d.n
+    ),
+    lr AS (
+      SELECT doc_id, l, l + (doc_id + i * 3) % 7 - 3 AS r FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(l) AS BIGINT) AS sum_l,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(max(r) AS BIGINT) AS max_r
+    FROM lr GROUP BY doc_id
+"""
+
+
+def m_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode → features through the REAL codec (round 7,
+    ``functions/flac.py``: frame sync + CRC-8 header walk, fixed AND
+    Levinson-Durbin LPC prediction, rice/rice2 partitioned residuals,
+    all four stereo channel assignments, per-frame CRC-16, STREAMINFO
+    MD5 over the reassembled PCM) — the lossless-COMPRESSION rung of
+    the audio ladder after PCM (E87), IMA ADPCM (E87/round 6-7) and
+    G.711 (round 7). FLAC is the audio analogue of PNG: decode must
+    be bit-exact, so the whole sample space is the exactness domain.
+
+    Per document: a 96+doc_id%33-sample stereo signal (quadratic
+    left channel, near-copy right channel) is FLAC-encoded with
+    doc-varying stream features — stereo mode cycles through all four
+    assignments by doc_id%4, LPC subframes on doc_id%5==0, rice
+    partition order 1 on odd doc_ids, rice2 coding on doc_id%7==0 —
+    then decoded back and reduced to exact integer aggregates. The
+    encode options vary the STREAM LAYOUT but never the decoded
+    samples, so one oracle covers every variant.
+
+    Scale posture: identical to the other codec queries — one Arrow
+    batch stream, CPU-bound decode fanned by ``ensure_parallelism``,
+    no shuffle. Reference parity note: the reference ETL
+    (src/etl.py:201-209) carries opaque payloads; real decode is part
+    of this repo's multimodal mandate (SURVEY.md §2 E11).
+    """
+    from pyspark import cloudpickle
+
+    from ..functions import flac as flac_mod
+
+    cloudpickle.register_pickle_by_value(flac_mod)
+    enc, dec = flac_mod.encode_flac, flac_mod.decode_flac
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        modes = ("independent", "left_side", "right_side", "mid_side")
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "n_samples", "sum_l", "sum_r",
+                          "min_l", "max_r")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                n = 96 + did % 33
+                i = np.arange(n, dtype=np.int64)
+                left = ((did * 31 + i * i * 7) % 4001) - 2000
+                right = left + (did + i * 3) % 7 - 3
+                st = np.stack([left, right], axis=1)
+                data = enc(
+                    st,
+                    sample_rate=8000,
+                    block_size=64,
+                    stereo_mode=modes[did % 4],
+                    partition_order=did % 2,
+                    lpc_order=4 if did % 5 == 0 else 0,
+                    coding_method=1 if did % 7 == 0 else 0,
+                )
+                decoded, _rate = dec(data)
+                dl = decoded[:, 0].astype(np.int64)
+                dr = decoded[:, 1].astype(np.int64)
+                out["doc_id"].append(did)
+                out["n_samples"].append(int(dl.size))
+                out["sum_l"].append(int(dl.sum()))
+                out["sum_r"].append(int(dr.sum()))
+                out["min_l"].append(int(dl.min()))
+                out["max_r"].append(int(dr.max()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, n_samples long, sum_l long, sum_r long, "
+        "min_l long, max_r long",
+    )
+
+
+# Oracle: the NET difference between keep-latest(first half) and
+# keep-latest(all events, minus the tombstoned keys) — exactly what a
+# manifest-diff CDC read from snapshot 1 to snapshot 3 must return.
+# IS DISTINCT FROM mirrors the Spark side's null-safe struct
+# inequality; pre-image for deletes, post-image otherwise.
+SNAPSHOT_CHANGES_ORACLE = """
+    WITH mid AS (SELECT CAST(max(event_id) AS BIGINT) // 2 AS m
+                 FROM events),
+    s1 AS (SELECT user_id, event_id, event_type, value
+           FROM (SELECT user_id, event_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_id <= (SELECT m FROM mid))
+           WHERE rn = 1),
+    s2 AS (SELECT user_id, event_id, event_type, value
+           FROM (SELECT user_id, event_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+    SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s2.user_id IS NULL THEN s1.event_id
+                ELSE s2.event_id END AS event_id,
+           CASE WHEN s2.user_id IS NULL THEN s1.event_type
+                ELSE s2.event_type END AS event_type,
+           CASE WHEN s2.user_id IS NULL THEN s1.value
+                ELSE s2.value END AS value,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS _change_type
+    FROM s1 FULL OUTER JOIN
+         (SELECT * FROM s2 WHERE user_id % 13 <> 0) s2
+      ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.event_id IS DISTINCT FROM s2.event_id
+       OR s1.event_type IS DISTINCT FROM s2.event_type
+       OR s1.value IS DISTINCT FROM s2.value
+"""
+
+
+def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-diff CDC read on a snapshot table (round 7 addition
+    to E95): three commits — first-half events, second-half events,
+    then a tombstone APPLY deleting every ``user_id % 13 == 0`` key —
+    followed by ``changes(1, 3)``: the NET insert/update/delete set
+    between the two states, with pre-images for deletes.
+
+    Scale posture: the manifest diff prunes both sides of the
+    comparison to buckets whose file sets differ (immutable data
+    files + carry-by-reference make per-bucket file-list equality a
+    proof of byte-equality), so an incremental read costs O(changed
+    data), never O(table) — the property that makes a downstream
+    incremental materialization viable at 100 TB. The diff itself is
+    ONE full-outer shuffle join on the key over the pruned buckets.
+
+    Oracle note: ``changes`` computes net state difference, so the
+    oracle never has to model the middle commit — only the two
+    endpoint states (and the tombstoned keys)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..storage import SnapshotTable
+    from ..tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/snapshot_changes"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    table = SnapshotTable(
+        spark, f"{base}/table", key_cols=["user_id"],
+        order_col="event_id", n_buckets=8,
+    )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    if max_id is None:  # empty events: one empty commit, empty diff
+        sid = table.merge(ev)
+        return table.changes(sid, sid)
+    mid = int(max_id) // 2
+    table.merge(ev.filter(F.col("event_id") <= mid))
+    table.merge(ev.filter(F.col("event_id") > mid))
+    tomb = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("event_id", F.lit(int(max_id) + 1))
+        .withColumn("event_type", F.lit("__delete__"))
+        .withColumn("value", F.lit(0.0))
+    )
+    table.merge(tomb, tombstone_filter="event_type = '__delete__'")
+    return table.changes(1, 3)

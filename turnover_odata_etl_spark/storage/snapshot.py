@@ -225,6 +225,94 @@ class SnapshotTable:
             .filter(F.col(key).isin(key_values))
         )
 
+    @staticmethod
+    def _changed_buckets(
+        files_from: list[dict], files_to: list[dict]
+    ) -> set[int]:
+        """Buckets whose FILE SETS differ between two manifests.
+        Data files are immutable and carried forward by reference, so
+        identical per-bucket file lists prove the bucket's contents
+        are byte-identical — the manifest diff is the pruning
+        metadata for an incremental read (Iceberg's incremental-scan
+        planning in miniature). Unit-tested directly in
+        tests/test_snapshot.py."""
+        by_bucket_from: dict[int, list[str]] = {}
+        by_bucket_to: dict[int, list[str]] = {}
+        for f in files_from:
+            by_bucket_from.setdefault(f["bucket"], []).append(f["path"])
+        for f in files_to:
+            by_bucket_to.setdefault(f["bucket"], []).append(f["path"])
+        changed = set()
+        for b in set(by_bucket_from) | set(by_bucket_to):
+            if sorted(by_bucket_from.get(b, [])) != sorted(
+                by_bucket_to.get(b, [])
+            ):
+                changed.add(b)
+        return changed
+
+    def changes(self, from_id: int, to_id: int | None = None) -> DataFrame:
+        """Incremental CDC read: the NET row-level difference between
+        two snapshots, as the table's columns plus a ``_change_type``
+        column (``insert`` / ``update`` / ``delete``; post-image for
+        insert/update, pre-image for delete). ``changes(n, m)``
+        compares states directly, so a key updated five times between
+        n and m appears ONCE with its final value — net-changes
+        semantics, the right input for downstream incremental
+        materialization (compose with ``streaming/incremental.py``).
+
+        Scale posture: the manifest diff prunes BOTH reads to the
+        buckets whose file sets differ (``_changed_buckets``) — a
+        commit touches O(batch) buckets, so an incremental read costs
+        O(changed data), never O(table), exactly the property that
+        makes CDC viable on a 100 TB table. The diff itself is one
+        full-outer join on the key columns over the pruned buckets,
+        filtered by null-safe struct inequality (unchanged rows in
+        rewritten buckets drop out here)."""
+        sid_to = self.current_id() if to_id is None else to_id
+        m_from, m_to = self._manifest(from_id), self._manifest(sid_to)
+        schema = T.StructType.fromJson(json.loads(m_to["schema"]))
+        out_schema = T.StructType(
+            schema.fields
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        changed = self._changed_buckets(m_from["files"], m_to["files"])
+
+        def _side(manifest: dict) -> DataFrame:
+            paths = [
+                os.path.join(self.table_dir, f["path"])
+                for f in manifest["files"]
+                if f["bucket"] in changed
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.parquet(*paths)
+
+        if not changed:
+            return self.spark.createDataFrame([], out_schema)
+        non_key = [c for c in schema.fieldNames() if c not in self.key_cols]
+        old = _side(m_from).select(
+            *self.key_cols, F.struct(*non_key).alias("__old")
+        )
+        new = _side(m_to).select(
+            *self.key_cols, F.struct(*non_key).alias("__new")
+        )
+        j = old.join(new, on=self.key_cols, how="full_outer").filter(
+            ~F.col("__old").eqNullSafe(F.col("__new"))
+        )
+        change_type = (
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        image = F.when(
+            F.col("__new").isNull(), F.col("__old")
+        ).otherwise(F.col("__new"))
+        return j.select(
+            *self.key_cols,
+            *[image[c].alias(c) for c in non_key],
+            change_type.alias("_change_type"),
+        ).select(*schema.fieldNames(), "_change_type")
+
     # --------------------------------------------------------------- write
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
