@@ -840,3 +840,65 @@ def test_g711_companded_audio():
     assert dec.shape == (500, 2)
     with pytest.raises(ValueError, match="companding law"):
         encode_wav_g711(st, law="dbx")
+
+
+def test_duplicate_spans_semantics(spark):
+    """Hand-built corpus pinning the three contracts of the span
+    dedup: keep-one (the canonical smallest (id, pos) occurrence is
+    NOT flagged), overlap merge (runs longer than k collapse to one
+    maximal span), and adjacency merge (back-to-back k-grams join)."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    # doc 1 holds the canonical copy of a 6-token run; doc 2 repeats
+    # it twice separated by unique filler; doc 3 is all-unique.
+    run = "a b c d e f"
+    rows = [
+        (1, f"{run} u1 u2 u3 u4"),
+        (2, f"{run} v1 v2 v3 v4 v5 {run}"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "tk", "doc_id", k=4).collect()
+    }
+    # k=4 shingles of the run: positions 0,1,2 in each copy; doc 1 is
+    # canonical everywhere (smallest doc_id), so only doc 2's two
+    # copies are flagged, each merged to one maximal [start, start+6).
+    assert spans == {(2, 0, 6), (2, 11, 17)}
+
+    stats = {
+        r["doc_id"]: (r["total_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicate_span_stats(df, "tk", "doc_id", k=4).collect()
+    }
+    assert stats == {1: (10, 0, 0), 2: (17, 2, 12), 3: (9, 0, 0)}
+
+
+def test_duplicate_spans_hashed_equals_string(spark, sf_dir):
+    """The 100-TB exchange-narrowing option (xxhash64 shingle keys)
+    must produce identical spans to the exact string keys on the
+    fixture corpus."""
+    from turnover_odata_etl_spark.operators.dedup import duplicate_spans
+    from turnover_odata_etl_spark.plans.llm import _with_tk
+    from turnover_odata_etl_spark.tables import load_table
+
+    docs = _with_tk(load_table(spark, sf_dir, "documents"))
+    a = sorted(
+        map(tuple, duplicate_spans(docs, "tk", "doc_id", k=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                docs, "tk", "doc_id", k=8, hash_shingles=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

@@ -104,3 +104,35 @@ def test_snapshot_changes_matches_oracle(spark, sf_dir):
         SNAPSHOT_CHANGES_ORACLE,
         "s_snapshot_changes",
     )
+
+
+def test_exact_substr_spans_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        EXACT_SUBSTR_ORACLE,
+        d_exact_substr_spans,
+    )
+
+    assert EXACT_SUBSTR_ORACLE
+    compare_spark_vs_oracle(
+        d_exact_substr_spans(spark, sf_dir),
+        _con(sf_dir),
+        EXACT_SUBSTR_ORACLE,
+        "d_exact_substr_spans",
+    )
+
+
+def test_exact_substr_spans_nontrivial(spark, sf_dir):
+    """The fixture corpus must actually contain cross-document
+    duplicate runs — an all-zero result would make the oracle test
+    vacuous."""
+    from turnover_odata_etl_spark.plans.roundeight import (
+        d_exact_substr_spans,
+    )
+    from pyspark.sql import functions as F
+
+    got = (
+        d_exact_substr_spans(spark, sf_dir)
+        .agg(F.sum("n_dup_spans"), F.sum("dup_tokens"))
+        .first()
+    )
+    assert got[0] > 0 and got[1] > 0

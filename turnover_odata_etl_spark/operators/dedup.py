@@ -577,3 +577,117 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
     )
     return verified.select("a_id", "b_id", F.round("jac", 4).alias("jac"))
+
+
+# -- tier 5: span-level exact-substring dedup ------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    k: int = 8,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplicate spans — the span-level
+    rung of the dedup ladder (document-level tiers above miss the
+    boilerplate/license-header/quotation case where otherwise-distinct
+    documents share long verbatim runs; the published recipe is
+    suffix-array ExactSubstr dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Distributed shape (the suffix array's job is finding repeated
+    k-grams; a shuffle-on-shingle does the same without a global
+    sorted structure):
+
+    1. explode positioned k-token shingles (map-side, one Generate);
+    2. ONE shuffle keyed on the shingle: window count + row_number
+       marks every occurrence beyond the first (canonical = smallest
+       ``(id, pos)`` — keep-one semantics, so the first copy of a
+       repeated passage survives);
+    3. ONE shuffle keyed on the document: merge overlapping/adjacent
+       duplicate k-gram positions into MAXIMAL spans (gaps-and-islands
+       over a running max of span ends — the same sweep as the E45
+       concurrency operator).
+
+    Returns ``(id_col, span_start, span_end)`` — token offsets,
+    end-exclusive, 0-based; downstream removal is one ``slice`` per
+    span complement.
+
+    Scale posture: the corpus text never shuffles — stage 2 moves
+    ``(key, id, pos)`` rows where ``key`` is the shingle string, or
+    an 8-byte ``xxhash64`` when ``hash_shingles=True`` (the 100-TB
+    setting: narrows the exchange ~10×; collisions ~n²/2⁻⁶⁴ merge
+    unrelated spans with negligible probability — the property test
+    pins hashed ≡ string results on fixtures). Shingle frequency is
+    bounded by corpus repetition (the window partitions are tiny);
+    no skew salt needed.
+    """
+    shingle = F.expr(
+        f"transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, {k})))"
+    )
+    occ = (
+        df.filter(F.size(tokens_col) >= k)
+        .select(F.col(id_col), F.posexplode(shingle).alias("pos", "__s"))
+    )
+    key = F.xxhash64("__s") if hash_shingles else F.col("__s")
+    occ = occ.select(id_col, "pos", key.alias("__key"))
+    w_all = Window.partitionBy("__key")
+    w_ord = Window.partitionBy("__key").orderBy(id_col, "pos")
+    dup = (
+        occ.withColumn("__c", F.count("*").over(w_all))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter((F.col("__c") > 1) & (F.col("__rn") > 1))
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup.withColumn(
+            "__new",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max(F.col("pos") + k).cast("long").alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    k: int = 8,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Per-document rollup of :func:`duplicate_spans`:
+    ``(id, total_tokens, n_dup_spans, dup_tokens)`` — every input
+    document appears (zero spans → zeros), so the frame doubles as
+    the removal budget report a curation run logs. The final join is
+    id-keyed and the span side is already id-partitioned."""
+    spans = duplicate_spans(df, tokens_col, id_col, k, hash_shingles)
+    stats = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    totals = df.select(
+        id_col, F.size(tokens_col).cast("long").alias("total_tokens")
+    )
+    return (
+        totals.join(stats, on=id_col, how="left")
+        .fillna(0, subset=["n_dup_spans", "dup_tokens"])
+    )

@@ -497,3 +497,84 @@ def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.merge(tomb, tombstone_filter="event_type = '__delete__'")
     return table.changes(1, 3)
+
+
+# Oracle: the same three stages in SQL — positioned 8-gram explode,
+# keep-one duplicate marking (canonical = smallest (doc_id, pos)),
+# gaps-and-islands span merge — over the shared whitespace-token
+# convention (trim + split, empty text = zero tokens).
+EXACT_SUBSTR_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(
+               string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS s
+      FROM toks, unnest(range(len(t) - 7)) AS u(i)
+      WHERE n_tok >= 8
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY s) AS c,
+             row_number() OVER (PARTITION BY s
+                                ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + 8) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id
+                                   ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s0, max(pos + 8) AS e0
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             sum(e0 - s0) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tok AS BIGINT) AS total_tokens,
+           CAST(coalesce(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM toks t LEFT JOIN stats st USING (doc_id)
+"""
+
+
+def d_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup stats (round 7,
+    ``operators/dedup.duplicate_span_stats``) — the rung the
+    document-level dedup ladder misses: otherwise-distinct documents
+    sharing verbatim ≥8-token runs (boilerplate, license headers,
+    quotations). Published recipe: suffix-array ExactSubstr dedup
+    (Lee et al. 2022); the distributed equivalent here is a
+    shuffle-on-shingle keep-one marking plus a gaps-and-islands span
+    merge — see the operator docstring for the two-shuffle shape and
+    the ``hash_shingles`` 100-TB exchange-narrowing option (the
+    property test pins hashed ≡ string results; the ORACLE runs the
+    string path so parity is by construction, not w.h.p.).
+
+    Output per document: total tokens, number of maximal duplicate
+    spans, and tokens covered — the removal budget a curation run
+    logs before slicing the spans out."""
+    from ..operators.dedup import duplicate_span_stats
+    from .llm import _with_tk
+
+    docs = _with_tk(load_table(spark, sf_dir, "documents"))
+    return duplicate_span_stats(docs, "tk", "doc_id", k=8)
