@@ -3,6 +3,8 @@ restarts, and foreachBatch keep-latest upsert."""
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -306,3 +308,72 @@ def test_incremental_agg_checkpoint_wipe_plus_append_loses_nothing(
         .collect()
     }
     assert got == want  # appended files folded once, old files not twice
+
+
+def test_apply_cdc_to_agg_equals_recompute(spark, tmp_path):
+    """IVM correctness: folding the CDF feed into the base aggregate
+    must BIT-equal a full recompute (decimal sums), including the
+    group-moving-update case that additive folds cannot express."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.streaming.incremental import (
+        agg_from_state,
+        apply_cdc_to_agg,
+    )
+
+    t = SnapshotTable(
+        spark, os.path.join(str(tmp_path), "t"),
+        key_cols=["k"], order_col="ver", n_buckets=2,
+    )
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "k long, grp string, val double, ver long"
+        )
+
+    t.merge(b([(1, "a", 1.5, 1), (2, "a", 2.0, 1), (3, "b", 3.25, 1)]))
+    # k2 moves group a->b, k3 deleted, k4 inserted into a
+    t.merge(
+        b([(2, "b", 5.0, 2), (3, "b", 0.0, 2), (4, "a", 7.75, 2)]),
+        tombstone_filter="val = 0.0",
+    )
+    base = agg_from_state(t.read(snapshot_id=1), ["grp"], "val")
+    cdc = t.changes(1, 2, include_preimages=True)
+    maintained = apply_cdc_to_agg(base, cdc, ["grp"], "val")
+    recompute = agg_from_state(t.read(snapshot_id=2), ["grp"], "val")
+    m = sorted(map(tuple, maintained.collect()))
+    r = sorted(map(tuple, recompute.collect()))
+    assert m == r
+    assert m == [("a", 2, Decimal("9.250000")), ("b", 1, Decimal("5.000000"))]
+
+
+def test_apply_cdc_to_agg_rejects_net_form(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.streaming.incremental import (
+        agg_from_state,
+        apply_cdc_to_agg,
+    )
+
+    t = SnapshotTable(
+        spark, os.path.join(str(tmp_path), "t"),
+        key_cols=["k"], order_col="ver", n_buckets=2,
+    )
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "k long, grp string, val double, ver long"
+        )
+
+    t.merge(b([(1, "a", 1.0, 1)]))
+    t.merge(b([(1, "a", 2.0, 2)]))
+    base = agg_from_state(t.read(snapshot_id=1), ["grp"], "val")
+    net = t.changes(1, 2)  # net form: _change_type='update'
+    with pytest.raises(Exception, match="include_preimages"):
+        apply_cdc_to_agg(base, net, ["grp"], "val").collect()

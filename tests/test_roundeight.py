@@ -136,3 +136,18 @@ def test_exact_substr_spans_nontrivial(spark, sf_dir):
         .first()
     )
     assert got[0] > 0 and got[1] > 0
+
+
+def test_snapshot_incremental_agg_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        SNAPSHOT_IVM_ORACLE,
+        s_snapshot_incremental_agg,
+    )
+
+    assert SNAPSHOT_IVM_ORACLE
+    compare_spark_vs_oracle(
+        s_snapshot_incremental_agg(spark, sf_dir),
+        _con(sf_dir),
+        SNAPSHOT_IVM_ORACLE,
+        "s_snapshot_incremental_agg",
+    )

@@ -395,3 +395,24 @@ def test_changes_reads_only_changed_buckets(spark, tdir, monkeypatch):
         if any(p.endswith(f["path"]) for p in opened)
     }
     assert opened_buckets == changed
+
+
+def test_changes_preimage_form(spark, tdir):
+    """Delta-CDF convention: updates emit pre+post rows; inserts and
+    deletes stay single-row; column set matches the net form."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(
+        batch(spark, [(1, "A", 2), (2, "DEL", 2), (3, "c", 2)]),
+        tombstone_filter="v = 'DEL'",
+    )
+    got = sorted(
+        (r["k"], r["v"], r["ver"], r["_change_type"])
+        for r in t.changes(1, 2, include_preimages=True).collect()
+    )
+    assert got == [  # sorted() order: 'A' < 'a'
+        (1, "A", 2, "update_postimage"),
+        (1, "a", 1, "update_preimage"),
+        (2, "b", 1, "delete"),
+        (3, "c", 2, "insert"),
+    ]

@@ -461,6 +461,20 @@ def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle note: ``changes`` computes net state difference, so the
     oracle never has to model the middle commit — only the two
     endpoint states (and the tombstoned keys)."""
+    table, empty_sid = _events_three_commits(
+        spark, sf_dir, "snapshot_changes"
+    )
+    if empty_sid is not None:  # empty events: empty diff, stable schema
+        return table.changes(empty_sid, empty_sid)
+    return table.changes(1, 3)
+
+
+def _events_three_commits(spark: SparkSession, sf_dir: str, name: str):
+    """Shared table builder for the CDC queries: commit 1 = first-half
+    events (keep-latest by user), commit 2 = second half, commit 3 =
+    tombstone APPLY deleting every ``user_id % 13 == 0`` key. Returns
+    ``(table, empty_sid)`` where ``empty_sid`` is the single empty
+    commit's id when the events fixture is empty (else None)."""
     import os
     import shutil
 
@@ -470,7 +484,7 @@ def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/spark_graft_layout/{tag}/snapshot_changes"
+    base = f"/tmp/spark_graft_layout/{tag}/{name}"
     shutil.rmtree(base, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -481,9 +495,8 @@ def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="event_id", n_buckets=8,
     )
     max_id = ev.agg(F.max("event_id")).first()[0]
-    if max_id is None:  # empty events: one empty commit, empty diff
-        sid = table.merge(ev)
-        return table.changes(sid, sid)
+    if max_id is None:
+        return table, table.merge(ev)
     mid = int(max_id) // 2
     table.merge(ev.filter(F.col("event_id") <= mid))
     table.merge(ev.filter(F.col("event_id") > mid))
@@ -496,7 +509,70 @@ def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.lit(0.0))
     )
     table.merge(tomb, tombstone_filter="event_type = '__delete__'")
-    return table.changes(1, 3)
+    return table, None
+
+
+# Oracle: a FULL RECOMPUTE of the final state's (count, exact-decimal
+# sum) grain per event_type — the Spark side never reads the final
+# state for its aggregate: it folds the CDF feed into the snapshot-1
+# aggregate. Incremental maintenance == recompute is the IVM
+# correctness claim itself.
+SNAPSHOT_IVM_ORACLE = """
+    WITH s2 AS (SELECT user_id, event_type, value
+           FROM (SELECT user_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM s2 WHERE user_id % 13 <> 0
+    GROUP BY event_type
+"""
+
+
+def s_snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental aggregate maintenance (round 7,
+    ``incremental.apply_cdc_to_agg``): materialize the (count, sum)
+    grain per event_type at snapshot 1, then fold the Delta-CDF-style
+    pre/post-image feed ``changes(1, 3, include_preimages=True)``
+    into it — updates that MOVE a key between groups decrement the
+    old group and increment the new one, deletes decrement, and the
+    final aggregate NEVER re-reads the final state. The oracle is a
+    full recompute of state 3; equality is the IVM correctness claim.
+
+    Scale posture: maintenance cost is O(|changes| + touched groups)
+    — the signed fold partial-aggregates map-side, the base table is
+    read once at snapshot 1 and never again, and the CDF read itself
+    is manifest-diff pruned (see ``SnapshotTable.changes``). This is
+    the E74 additive-fold operator's missing sibling: E74 handles
+    appends only; this one closes deletes and updates.
+
+    Sum runs in DECIMAL(28,6) end-to-end (exact, order-independent),
+    cast to double only at the output boundary."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import agg_from_state, apply_cdc_to_agg
+
+    table, empty_sid = _events_three_commits(
+        spark, sf_dir, "snapshot_ivm"
+    )
+    if empty_sid is not None:
+        base = agg_from_state(
+            table.read(empty_sid), ["event_type"], "value"
+        )
+        return base.select(
+            "event_type", "n_rows",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    base = agg_from_state(table.read(snapshot_id=1), ["event_type"], "value")
+    cdc = table.changes(1, 3, include_preimages=True)
+    maintained = apply_cdc_to_agg(base, cdc, ["event_type"], "value")
+    return maintained.select(
+        "event_type", "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
 
 
 # Oracle: the same three stages in SQL — positioned 8-gram explode,

@@ -250,15 +250,31 @@ class SnapshotTable:
                 changed.add(b)
         return changed
 
-    def changes(self, from_id: int, to_id: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_id: int,
+        to_id: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Incremental CDC read: the NET row-level difference between
         two snapshots, as the table's columns plus a ``_change_type``
-        column (``insert`` / ``update`` / ``delete``; post-image for
-        insert/update, pre-image for delete). ``changes(n, m)``
-        compares states directly, so a key updated five times between
-        n and m appears ONCE with its final value — net-changes
-        semantics, the right input for downstream incremental
-        materialization (compose with ``streaming/incremental.py``).
+        column. Two output conventions:
+
+        - default (net form): ``insert`` / ``update`` / ``delete``;
+          post-image for insert/update, pre-image for delete — one
+          row per changed key.
+        - ``include_preimages=True`` (Delta CDF convention): updates
+          emit TWO rows, ``update_preimage`` (old values) +
+          ``update_postimage`` (new values). This is the form
+          downstream incremental aggregate maintenance needs: a key
+          whose GROUP changed must decrement the old group and
+          increment the new one (``incremental.apply_cdc_to_agg``).
+
+        ``changes(n, m)`` compares states directly, so a key updated
+        five times between n and m appears once (or twice with
+        pre-images) with its endpoint values — net-changes semantics,
+        the right input for downstream incremental materialization
+        (compose with ``streaming/incremental.py``).
 
         Scale posture: the manifest diff prunes BOTH reads to the
         buckets whose file sets differ (``_changed_buckets``) — a
@@ -299,6 +315,34 @@ class SnapshotTable:
         j = old.join(new, on=self.key_cols, how="full_outer").filter(
             ~F.col("__old").eqNullSafe(F.col("__new"))
         )
+        if include_preimages:
+            def tagged(img: str, t: str):
+                return F.struct(
+                    F.col(img).alias("img"), F.lit(t).alias("t")
+                )
+
+            arr = (
+                F.when(
+                    F.col("__old").isNull(),
+                    F.array(tagged("__new", "insert")),
+                )
+                .when(
+                    F.col("__new").isNull(),
+                    F.array(tagged("__old", "delete")),
+                )
+                .otherwise(
+                    F.array(
+                        tagged("__old", "update_preimage"),
+                        tagged("__new", "update_postimage"),
+                    )
+                )
+            )
+            ex = j.select(*self.key_cols, F.explode(arr).alias("__e"))
+            return ex.select(
+                *self.key_cols,
+                *[F.col("__e")["img"][c].alias(c) for c in non_key],
+                F.col("__e")["t"].alias("_change_type"),
+            ).select(*schema.fieldNames(), "_change_type")
         change_type = (
             F.when(F.col("__old").isNull(), F.lit("insert"))
             .when(F.col("__new").isNull(), F.lit("delete"))
