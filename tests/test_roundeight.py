@@ -151,3 +151,18 @@ def test_snapshot_incremental_agg_matches_oracle(spark, sf_dir):
         SNAPSHOT_IVM_ORACLE,
         "s_snapshot_incremental_agg",
     )
+
+
+def test_tiff_decode_features_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        TIFF_ORACLE,
+        m_tiff_decode_features,
+    )
+
+    assert TIFF_ORACLE
+    compare_spark_vs_oracle(
+        m_tiff_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        TIFF_ORACLE,
+        "m_tiff_decode_features",
+    )

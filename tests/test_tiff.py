@@ -1,0 +1,209 @@
+"""TIFF codec tests (functions/tiff.py).
+
+The TIFF-LZW early-change rule is the classic symmetric-bug trap: an
+encoder/decoder pair that both bump the code width one code late
+roundtrips perfectly and reads no real-world file. So besides
+roundtrip fuzz, the module encoder's output is decoded by an
+INDEPENDENT reference LZW decoder written here (bit-string based,
+sharing no code with the module), across the 9→10 bit boundary — and
+a short hand-assembled stream pins CLEAR / literal / KwKwK / EOI
+handling bit by bit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from turnover_odata_etl_spark.functions.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+# --- independent reference LZW decoder (test-local) ----------------
+
+
+def _ref_lzw_decode(data: bytes) -> bytes:
+    """Bit-string implementation straight from the TIFF 6.0 spec
+    pseudocode — deliberately different machinery from the module."""
+    bits = "".join(format(b, "08b") for b in data)
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    out = b""
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"?", b"?"]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        code = int(bits[pos : pos + width], 2)
+        pos += width
+        if code == 257:
+            return out
+        if code == 256:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            assert code == len(table), "reference: invalid code"
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def test_lzw_module_encoder_read_by_reference_decoder():
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 700, 5000, 30000):
+        for hi in (4, 256):  # low entropy (slow growth) and high (fast)
+            d = bytes(rng.integers(0, hi, n).astype(np.uint8))
+            assert _ref_lzw_decode(_lzw_encode(d)) == d
+            assert _lzw_decode(_lzw_encode(d)) == d
+
+
+def test_lzw_hand_assembled_stream():
+    """CLEAR + literals + the KwKwK (code == table length) case +
+    EOI, placed bit by bit. Sequence: A B A B A B A — the encoder
+    would emit A, B, 258(AB), 260(ABA)... here we hand-feed
+    256, 65, 66, 258, 260, 257:
+      65 -> A            (table: 258=?)
+      66 -> B            (table grows: 258 = A+B)
+      258 -> AB          (table: 259 = B+A)
+      260 -> KwKwK: prev(AB) + prev[0] = ABA (table: 260 = ABA)
+      EOI
+    decoded: A B AB ABA = 'ABABABA'
+    """
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 258, 260, 257))
+    bits += "0" * ((-len(bits)) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _lzw_decode(data) == b"ABABABA"
+
+
+def test_lzw_rejects_garbage():
+    with pytest.raises(ValueError):
+        _lzw_decode(b"")  # no EOI
+    # first code after clear must be a literal
+    bits = "".join(format(c, "09b") for c in (256, 300, 257))
+    bits += "0" * ((-len(bits)) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(ValueError):
+        _lzw_decode(data)
+
+
+def test_packbits_spec_vectors_and_roundtrip():
+    # the Apple PackBits spec's canonical example
+    src = bytes(
+        [0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+         0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+         0xAA, 0xAA, 0xAA, 0xAA]
+    )
+    enc = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    assert _packbits_decode(enc) == src
+    assert _packbits_decode(_packbits_encode(src)) == src
+    rng = np.random.default_rng(9)
+    for n in (0, 1, 129, 4000):
+        d = bytes(rng.choice([0, 0, 0, 5, 9], n).astype(np.uint8))
+        assert _packbits_decode(_packbits_encode(d)) == d
+
+
+# --- container roundtrips ------------------------------------------
+
+
+def _expect(img):
+    return (
+        np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+    )
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (23, 41, 3)).astype(np.uint8)
+    smooth = (np.add.outer(np.arange(64), np.arange(80)) % 256).astype(
+        np.uint8
+    )
+    for endian in ("<", ">"):
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (1, 2):
+                for img in (gray, rgb, smooth):
+                    got = decode_tiff(
+                        encode_tiff(
+                            img, compression=comp, endian=endian,
+                            predictor=pred, rows_per_strip=7,
+                        )
+                    )
+                    assert np.array_equal(got, _expect(img))
+
+
+def test_white_is_zero_and_palette():
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (16, 17)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(g, photometric=0)), _expect(g)
+    )
+    cmap = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (20, 33)).astype(np.uint8)
+    got = decode_tiff(
+        encode_tiff(idx, photometric=3, colormap=cmap, compression="lzw")
+    )
+    assert np.array_equal(got, cmap[idx])
+
+
+def test_compression_effective_on_smooth_data():
+    smooth = (np.add.outer(np.arange(64), np.arange(80)) % 256).astype(
+        np.uint8
+    )
+    raw = len(encode_tiff(smooth, compression="none"))
+    lzw = len(encode_tiff(smooth, compression="lzw", predictor=2))
+    assert lzw < raw / 4
+
+
+def test_loud_failures():
+    g = np.zeros((4, 4), dtype=np.uint8)
+    enc = bytearray(encode_tiff(g))
+    with pytest.raises(ValueError, match="magic|TIFF"):
+        decode_tiff(b"GIF8" + bytes(enc[4:]))
+    # unsupported compression code in the IFD
+    bad = bytearray(encode_tiff(g, compression="lzw"))
+    # tag 259 value: find it via a decode of a hacked stream instead —
+    # simplest loud-failure probes below:
+    with pytest.raises(ValueError, match="bits"):
+        # bits-per-sample 16 is rejected: fake via a 16-bit image path
+        decode_tiff(_hack_bits(encode_tiff(g), 16))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(enc[: len(enc) // 2]))
+
+
+def _hack_bits(data: bytes, new_bits: int) -> bytes:
+    """Rewrite the (inline, count=1) BitsPerSample value of a
+    little-endian single-gray-channel stream."""
+    out = bytearray(data)
+    (ifd_off,) = struct.unpack_from("<I", out, 4)
+    (n,) = struct.unpack_from("<H", out, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", out, base)
+        if tag == 258:
+            struct.pack_into("<H", out, base + 8, new_bits)
+    return bytes(out)

@@ -21,9 +21,15 @@ pruned point-lookup (``SnapshotTable.read_keys``),
 ``m_g711_decode_features`` the only end-to-end exercise of the G.711
 companded-audio decode, ``m_flac_decode_features`` the only
 end-to-end exercise of the FLAC entropy-coded lossless audio path
-(round 7, ``functions/flac.py``), and ``s_snapshot_changes`` the
-only exercise of the manifest-diff CDC read
-(``SnapshotTable.changes``).
+(round 7, ``functions/flac.py``), ``m_tiff_decode_features`` the
+only end-to-end exercise of the TIFF container path (round 7,
+``functions/tiff.py`` — PackBits + early-change TIFF-LZW, both byte
+orders), ``s_snapshot_changes`` the only exercise of the
+manifest-diff CDC read (``SnapshotTable.changes``),
+``s_snapshot_incremental_agg`` the only exercise of CDF-pre-image
+aggregate maintenance (``incremental.apply_cdc_to_agg``), and
+``d_exact_substr_spans`` the only exercise of the span-level
+exact-substring dedup (``operators/dedup.duplicate_spans``).
 """
 
 from __future__ import annotations
@@ -654,3 +660,125 @@ def d_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _with_tk(load_table(spark, sf_dir, "documents"))
     return duplicate_span_stats(docs, "tk", "doc_id", k=8)
+
+
+# Closed-form oracle for the (lossless) TIFF path — gray docs on even
+# doc_ids (WhiteIsZero inversion on doc_id%5==0 cancels out in
+# decode: encode inverts samples, decode re-inverts), RGB on odd;
+# the Spark side runs the FULL container pipeline (IFD walk, strip
+# split, PackBits / TIFF-LZW with the early width change, predictor-2
+# prefix sums, both byte orders) while the oracle recomputes the
+# pixel functions directly.
+TIFF_ORACLE = """
+    WITH d AS (SELECT doc_id,
+                      10 + doc_id % 13 AS w,
+                      9 + doc_id % 11 AS h
+               FROM documents),
+    g AS (SELECT unnest(generate_series(0, 22)) AS i),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, gx.i AS x, gy.i AS y
+      FROM d JOIN g gx ON gx.i < d.w JOIN g gy ON gy.i < d.h
+    )
+    SELECT doc_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum(CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 5 + x * 3 + y * 7) % 256
+                ELSE (doc_id * 3 + x + 2 * y) % 256 END) AS BIGINT)
+             AS sum_r,
+           CAST(sum(CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 5 + x * 3 + y * 7) % 256
+                ELSE (doc_id * 5 + 2 * x + y) % 256 END) AS BIGINT)
+             AS sum_g,
+           CAST(sum(CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 5 + x * 3 + y * 7) % 256
+                ELSE (doc_id * 7 + x + y) % 256 END) AS BIGINT)
+             AS sum_b
+    FROM px GROUP BY doc_id
+"""
+
+
+def m_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode → features through the REAL codec (round 7,
+    ``functions/tiff.py``: IFD tag walk in both byte orders, strip
+    organization, PackBits and TIFF-LZW — the MSB-first, EARLY
+    width-change LZW variant, not GIF's — horizontal-differencing
+    predictor, WhiteIsZero inversion) — the scanning/scientific
+    interchange rung of the image container ladder after PPM/BMP,
+    PNG, GIF and JPEG.
+
+    Per document: a deterministic (10+doc_id%13) × (9+doc_id%11)
+    image — gray on even doc_ids (stored WhiteIsZero when
+    doc_id%5==0), RGB on odd — encoded with doc-varying container
+    features (compression cycles none/PackBits/LZW by doc_id%3,
+    predictor 2 on doc_id%4<2 for LZW/none, big-endian on
+    doc_id%7<3), decoded back, and reduced to exact channel sums.
+    Container options vary the BYTES, never the decoded pixels, so
+    one oracle covers every variant.
+
+    Scale posture: identical to the other codec queries — one Arrow
+    batch stream, ``ensure_parallelism`` fan-out, no shuffle."""
+    from pyspark import cloudpickle
+
+    from ..functions import tiff as tiff_mod
+
+    cloudpickle.register_pickle_by_value(tiff_mod)
+    enc, dec = tiff_mod.encode_tiff, tiff_mod.decode_tiff
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        comps = ("none", "packbits", "lzw")
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "sum_g",
+                          "sum_b")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 10 + did % 13, 9 + did % 11
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                if did % 2 == 0:
+                    img = ((did * 5 + x * 3 + y * 7) % 256).astype(
+                        np.uint8
+                    )
+                    photometric = 0 if did % 5 == 0 else 1
+                else:
+                    img = np.stack(
+                        [
+                            (did * 3 + x + 2 * y) % 256,
+                            (did * 5 + 2 * x + y) % 256,
+                            (did * 7 + x + y) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    photometric = None
+                data = enc(
+                    img,
+                    compression=comps[did % 3],
+                    predictor=2 if did % 4 < 2 else 1,
+                    endian=">" if did % 7 < 3 else "<",
+                    rows_per_strip=4 + did % 5,
+                    photometric=photometric,
+                )
+                d = dec(data).astype(np.int64)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(d[:, :, 0].sum()))
+                out["sum_g"].append(int(d[:, :, 1].sum()))
+                out["sum_b"].append(int(d[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long",
+    )
