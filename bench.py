@@ -104,6 +104,34 @@ ADDITIONS_R7 = [
     "st_snapshot_merge",
 ]
 
+# Round-8 STAGED queries (plans/roundeight.py — oracle-green, not yet
+# registered; timed from the module directly so the next round's bench
+# series has a baseline for these paths the moment they register).
+STAGED_R8 = [
+    "m_gif_decode_features",
+    "m_g711_decode_features",
+    "m_flac_decode_features",
+    "m_tiff_decode_features",
+    "s_snapshot_pruned_read",
+    "s_snapshot_changes",
+    "s_snapshot_incremental_agg",
+    "d_exact_substr_spans",
+]
+
+
+def staged_specs():
+    """SimpleNamespace(.fn) wrappers for the staging module, shaped
+    like registry specs so ``time_queries`` runs them unchanged."""
+    from types import SimpleNamespace
+
+    from turnover_odata_etl_spark.plans import roundeight
+
+    return {
+        name: SimpleNamespace(fn=getattr(roundeight, name))
+        for name in STAGED_R8
+    }
+
+
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
 SHOWCASE = [
     "e6_q2_min_cost_supplier",
@@ -196,6 +224,9 @@ def main() -> None:
     additions = time_queries(spark, specs, ADDITIONS, sf_dir, reps, errors)
     additions_r6 = time_queries(spark, specs, ADDITIONS_R6, sf_dir, reps, errors)
     additions_r7 = time_queries(spark, specs, ADDITIONS_R7, sf_dir, reps, errors)
+    staged_r8 = time_queries(
+        spark, staged_specs(), STAGED_R8, sf_dir, reps, errors
+    )
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -223,6 +254,7 @@ def main() -> None:
     additions_total = round(sum(additions.values()), 3)
     additions_r6_total = round(sum(additions_r6.values()), 3)
     additions_r7_total = round(sum(additions_r7.values()), 3)
+    staged_r8_total = round(sum(staged_r8.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -254,6 +286,8 @@ def main() -> None:
         "additions_r6_total": additions_r6_total,
         "additions_r7": additions_r7,
         "additions_r7_total": additions_r7_total,
+        "staged_r8": staged_r8,
+        "staged_r8_total": staged_r8_total,
         "all_total": round(
             total
             + streaming_total
@@ -261,7 +295,8 @@ def main() -> None:
             + pipeline_total
             + additions_total
             + additions_r6_total
-            + additions_r7_total,
+            + additions_r7_total
+            + staged_r8_total,
             3,
         ),
         "fixtures": fixtures,

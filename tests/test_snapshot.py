@@ -416,3 +416,58 @@ def test_changes_preimage_form(spark, tdir):
         (2, "b", 1, "delete"),
         (3, "c", 2, "insert"),
     ]
+
+
+def test_rebucket_preserves_content_and_history(spark, tdir):
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(i, f"v{i}", 1) for i in range(30)]))
+    before = rows(t.read())
+    sid = t.rebucket(16)
+    assert sid == 2
+    m = t._manifest(2)
+    assert m["operation"] == "rebucket" and m["n_buckets"] == 16
+    assert rows(t.read()) == before
+    # time travel to the pre-rebucket snapshot still reads (old layout)
+    assert rows(t.read(snapshot_id=1)) == before
+    # per-snapshot layout: old manifest keeps its own bucket count
+    assert t._manifest(1)["n_buckets"] == 2
+    buckets_now = {f["bucket"] for f in m["files"]}
+    assert len(buckets_now) > 2  # data actually spread over new layout
+
+
+def test_read_keys_prunes_with_target_snapshot_layout(spark, tdir):
+    """After a rebucket, a time-travel read_keys must prune with the
+    OLD snapshot's bucket count — pruning with the handle's current
+    count would open the wrong files and silently drop rows."""
+    t = make_table(spark, tdir, n_buckets=4)
+    t.merge(batch(spark, [(i, f"v{i}", 1) for i in range(40)]))
+    t.rebucket(16)
+    keys = [3, 17, 29]
+    want = [(k, f"v{k}", 1) for k in keys]
+    assert rows(t.read_keys(keys)) == want  # new layout
+    assert rows(t.read_keys(keys, snapshot_id=1)) == want  # old layout
+
+
+def test_merge_adopts_manifest_layout(spark, tdir):
+    """A handle constructed with a stale bucket count must follow the
+    table's on-disk layout, never mix two layouts in one snapshot."""
+    t = make_table(spark, tdir, n_buckets=4)
+    t.merge(batch(spark, [(i, "x", 1) for i in range(20)]))
+    t.rebucket(12)
+    stale = make_table(spark, tdir, n_buckets=4)  # wrong constructor value
+    stale.merge(batch(spark, [(5, "y", 2), (99, "z", 2)]))
+    m = stale._manifest(stale.current_id())
+    assert m["n_buckets"] == 12
+    assert rows(stale.read_keys([5, 99])) == [(5, "y", 2), (99, "z", 2)]
+
+
+def test_changes_across_rebucket_boundary(spark, tdir):
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.rebucket(8)
+    t.merge(batch(spark, [(2, "B", 2), (3, "c", 2)]))
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes(1, 3).collect()
+    )
+    assert got == [(2, "B", "update"), (3, "c", "insert")]

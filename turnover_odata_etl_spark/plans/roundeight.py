@@ -85,11 +85,20 @@ def m_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: identical to the other codec queries — one Arrow
     batch stream, CPU-bound decode fanned by ``ensure_parallelism``,
-    no shuffle."""
-    from turnover_odata_etl_spark.functions.multimodal import (
-        decode_image as gif_decode,
-        encode_gif as gif_encode,
-    )
+    no shuffle.
+
+    Worker shipping: ``decode_image`` is a MODULE-LEVEL dispatch (not
+    a factory-made ``<locals>`` function like the codecs it calls),
+    so it pickles by reference unless the module is registered for
+    by-value serialization — caught by a /tmp-driven bench run where
+    workers cannot import the package (the exact trap the verify
+    skill documents); same fix as the jpeg query."""
+    from pyspark import cloudpickle
+
+    from turnover_odata_etl_spark.functions import multimodal as mm_mod
+
+    cloudpickle.register_pickle_by_value(mm_mod)
+    gif_decode, gif_encode = mm_mod.decode_image, mm_mod.encode_gif
 
     def decode_features(batches):
         import numpy as np

@@ -206,10 +206,14 @@ class SnapshotTable:
         kdf = self.spark.createDataFrame(
             [(v,) for v in key_values], f"{key} {key_type}"
         )
+        # Prune with the TARGET SNAPSHOT's bucket count, not the
+        # handle's: after a rebucket, older snapshots keep their own
+        # layout, and pruning a time-travel read with the new count
+        # would open the wrong files.
         buckets = {
             r["b"]
             for r in kdf.select(
-                F.pmod(F.hash(key), F.lit(self.n_buckets)).alias("b")
+                F.pmod(F.hash(key), F.lit(m["n_buckets"])).alias("b")
             )
             .distinct()
             .collect()
@@ -391,7 +395,16 @@ class SnapshotTable:
         self, batch_df: DataFrame, tombstone_filter: str | None
     ) -> int:
         base_id = self.current_id()
-        base_files = self._manifest(base_id)["files"] if base_id else []
+        if base_id:
+            base_m = self._manifest(base_id)
+            base_files = base_m["files"]
+            # The on-disk layout is the truth: adopt the current
+            # manifest's bucket count so a handle constructed with a
+            # stale value (or racing a rebucket — the CAS retry
+            # re-enters here) can never mix layouts in one snapshot.
+            self.n_buckets = base_m["n_buckets"]
+        else:
+            base_files = []
 
         b = self._with_bucket(batch_df)
         touched = sorted(
@@ -526,6 +539,57 @@ class SnapshotTable:
         with open(tmp, "w") as fh:
             fh.write(str(sid))
         os.replace(tmp, self._pointer)
+
+    def rebucket(self, new_n_buckets: int, max_retries: int = 5) -> int:
+        """Bucket-count EVOLUTION: rewrite the current state into
+        ``new_n_buckets`` hash buckets as one snapshot commit
+        (operation ``rebucket``). The operation a growing table needs
+        when its fixed bucket count stops matching its size — at
+        100 TB, 8 buckets means 12.5 TB merges and lookups; 4096
+        means 25 GB.
+
+        Properties: an O(table) rewrite, but a NORMAL commit — time
+        travel to pre-rebucket snapshots still works (each manifest
+        records its own ``n_buckets``, and ``read_keys`` prunes with
+        the target snapshot's count), concurrent writers race on the
+        same CAS (a merge that loses to a rebucket retries and adopts
+        the new layout via ``_merge_once``'s manifest-first rule),
+        and a crash leaves the old snapshot current. ``changes``
+        across a rebucket boundary stays CORRECT but unpruned — every
+        file path is new, so every bucket's list differs and both
+        endpoint states are read in full (the diff itself is still
+        exact)."""
+        if new_n_buckets < 1:
+            raise ValueError("rebucket: need at least one bucket")
+        last: Exception | None = None
+        for _ in range(max_retries):
+            base_id = self.current_id()
+            if base_id is None:
+                raise ValueError(
+                    f"snapshot table {self.table_dir}: no commits"
+                )
+            cur = self.read(snapshot_id=base_id)
+            self.n_buckets = new_n_buckets
+            b = self._with_bucket(cur)
+            run = uuid.uuid4().hex[:12]
+            staging = os.path.join(self._data_dir, f".staging-{run}")
+            (
+                b.repartition(new_n_buckets, "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
+            new_files = self._promote_staged(staging, run)
+            try:
+                return self._commit(
+                    cur, [], new_files, operation="rebucket",
+                    base_id=base_id,
+                )
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"rebucket lost the commit race {max_retries} times"
+        ) from last
 
     # ------------------------------------------------------------ maintain
 
