@@ -187,7 +187,10 @@ def test_commit_conflict_surfaces_on_stale_base(spark, tdir):
     t.merge(batch(spark, [(1, "a", 1)]))
     t.merge(batch(spark, [(1, "A", 2)]))
     with pytest.raises(CommitConflict):
-        t._commit(batch(spark, [(9, "z", 9)]), [], [], "merge", base_id=1)
+        t._commit(
+            batch(spark, [(9, "z", 9)]).schema.json(),
+            [], [], "merge", base_id=1,
+        )
 
 
 def test_expire_snapshots_gc(spark, tdir):
@@ -471,3 +474,61 @@ def test_changes_across_rebucket_boundary(spark, tdir):
         for r in t.changes(1, 3).collect()
     )
     assert got == [(2, "B", "update"), (3, "c", "insert")]
+
+
+def test_additive_schema_evolution(spark, tdir):
+    """A batch with a NEW column widens the table: old rows read
+    typed NULL, time travel to pre-evolution snapshots keeps the
+    narrower schema, and an old-writer batch (missing the new
+    column) merges as NULLs."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "B", 2, "extra2")], "k long, v string, ver long, note string"
+    )
+    t.merge(wide)
+    got = sorted(
+        (r["k"], r["v"], r["ver"], r["note"]) for r in t.read().collect()
+    )
+    assert got == [(1, "a", 1, None), (2, "B", 2, "extra2")]
+    # manifest schema is the WIDENED one; snapshot 1 keeps the old
+    assert [f["name"] for f in __import__("json").loads(
+        t._manifest(2)["schema"])["fields"]] == ["k", "v", "ver", "note"]
+    assert t.read(snapshot_id=1).columns == ["k", "v", "ver"]
+    # an old writer (no `note`) still merges; its rows read NULL note
+    t.merge(batch(spark, [(3, "c", 3)]))
+    got3 = sorted(
+        (r["k"], r["note"]) for r in t.read().collect()
+    )
+    assert got3 == [(1, None), (2, "extra2"), (3, None)]
+    # pruned lookup also reads the aligned schema
+    assert sorted(
+        (r["k"], r["note"]) for r in t.read_keys([1, 2]).collect()
+    ) == [(1, None), (2, "extra2")]
+
+
+def test_changes_across_schema_evolution(spark, tdir):
+    """CDF across an evolution boundary: both sides align to the TO
+    schema, pre-evolution pre-images carry NULL for the new column."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    wide = spark.createDataFrame(
+        [(2, "B", 2, "n2")], "k long, v string, ver long, note string"
+    )
+    t.merge(wide)
+    got = sorted(
+        (r["k"], r["v"], r["note"], r["_change_type"])
+        for r in t.changes(1, 2, include_preimages=True).collect()
+    )
+    assert got == [
+        (2, "B", "n2", "update_postimage"),
+        (2, "b", None, "update_preimage"),
+    ]
+
+
+def test_merge_rejects_missing_key_columns(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    bad = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="key/order"):
+        t.merge(bad)

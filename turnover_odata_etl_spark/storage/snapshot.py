@@ -161,6 +161,35 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- read
 
+    def _aligned_read(
+        self, paths: list[str], schema: T.StructType, spark=None
+    ) -> DataFrame:
+        """Read data files ALIGNED to a manifest schema. After an
+        additive schema evolution, carried-forward files lack the new
+        columns — a plain ``read.parquet`` would adopt one footer's
+        schema and silently drop or invent columns. ``mergeSchema``
+        unions the footers (footer-count-sized work), then the select
+        backfills any still-missing field as typed NULL and drops
+        extras, so every snapshot reads with EXACTLY its manifest's
+        schema — including time travel to pre-evolution snapshots,
+        which read with their own (narrower) schema."""
+        spark = spark or self.spark
+        if not paths:
+            return spark.createDataFrame([], schema)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        cols = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def _schema_of(self, manifest: dict) -> T.StructType:
+        return T.StructType.fromJson(json.loads(manifest["schema"]))
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at ``snapshot_id`` (default: current). A
         zero-file snapshot reads as an empty frame with the table's
@@ -170,11 +199,7 @@ class SnapshotTable:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
         m = self._manifest(sid)
         paths = [os.path.join(self.table_dir, f["path"]) for f in m["files"]]
-        if not paths:
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(m["schema"]))
-            )
-        return self.spark.read.parquet(*paths)
+        return self._aligned_read(paths, self._schema_of(m))
 
     def read_keys(
         self, key_values: list, snapshot_id: int | None = None
@@ -219,14 +244,9 @@ class SnapshotTable:
             .collect()
         }
         files = [f for f in m["files"] if f["bucket"] in buckets]
-        if not files:
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(m["schema"]))
-            )
         paths = [os.path.join(self.table_dir, f["path"]) for f in files]
-        return (
-            self.spark.read.parquet(*paths)
-            .filter(F.col(key).isin(key_values))
+        return self._aligned_read(paths, self._schema_of(m)).filter(
+            F.col(key).isin(key_values)
         )
 
     @staticmethod
@@ -290,7 +310,7 @@ class SnapshotTable:
         rewritten buckets drop out here)."""
         sid_to = self.current_id() if to_id is None else to_id
         m_from, m_to = self._manifest(from_id), self._manifest(sid_to)
-        schema = T.StructType.fromJson(json.loads(m_to["schema"]))
+        schema = self._schema_of(m_to)
         out_schema = T.StructType(
             schema.fields
             + [T.StructField("_change_type", T.StringType(), False)]
@@ -298,14 +318,15 @@ class SnapshotTable:
         changed = self._changed_buckets(m_from["files"], m_to["files"])
 
         def _side(manifest: dict) -> DataFrame:
+            # both sides align to the TO-schema: across an additive
+            # evolution, pre-evolution rows carry typed NULLs for the
+            # new columns (the standard CDF backfill convention)
             paths = [
                 os.path.join(self.table_dir, f["path"])
                 for f in manifest["files"]
                 if f["bucket"] in changed
             ]
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.parquet(*paths)
+            return self._aligned_read(paths, schema)
 
         if not changed:
             return self.spark.createDataFrame([], out_schema)
@@ -394,6 +415,15 @@ class SnapshotTable:
     def _merge_once(
         self, batch_df: DataFrame, tombstone_filter: str | None
     ) -> int:
+        missing = [
+            c
+            for c in (*self.key_cols, self.order_col)
+            if c not in batch_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"merge: batch is missing key/order columns {missing}"
+            )
         base_id = self.current_id()
         if base_id:
             base_m = self._manifest(base_id)
@@ -418,17 +448,27 @@ class SnapshotTable:
             # still checkpoint-tracked); first-ever commit records an
             # empty snapshot so the table becomes readable.
             return base_id if base_id is not None else self._commit(
-                batch_df, [], [], operation="merge", base_id=base_id
+                batch_df.schema.json(), [], [], operation="merge",
+                base_id=base_id,
             )
 
         if replaced:
             # Use the batch's own session (inside foreachBatch the
             # micro-batch frame belongs to a cloned session; a union
-            # must not cross sessions).
-            cur = batch_df.sparkSession.read.parquet(
-                *[os.path.join(self.table_dir, f["path"]) for f in replaced]
+            # must not cross sessions). Aligned to the BASE schema so
+            # files predating an earlier evolution read consistently.
+            cur = self._aligned_read(
+                [os.path.join(self.table_dir, f["path"]) for f in replaced],
+                self._schema_of(base_m),
+                spark=batch_df.sparkSession,
             )
-            merged = self._with_bucket(cur).unionByName(b)
+            # allowMissingColumns = ADDITIVE schema evolution: a batch
+            # with a new column widens the table (old rows read NULL);
+            # a batch from an old writer gets NULLs for newer columns.
+            # Same-name type conflicts fail loudly inside unionByName.
+            merged = self._with_bucket(cur).unionByName(
+                b, allowMissingColumns=True
+            )
         else:
             merged = b
         w = Window.partitionBy(*self.key_cols).orderBy(
@@ -453,8 +493,10 @@ class SnapshotTable:
             .parquet(staging)
         )
         new_files = self._promote_staged(staging, run)
+        evolved_json = latest.drop("__bucket").schema.json()
         return self._commit(
-            batch_df, carried, new_files, operation="merge", base_id=base_id
+            evolved_json, carried, new_files, operation="merge",
+            base_id=base_id,
         )
 
     def _promote_staged(self, staging: str, run: str) -> list[dict]:
@@ -486,7 +528,7 @@ class SnapshotTable:
 
     def _commit(
         self,
-        batch_df: DataFrame,
+        schema_json: str,
         carried: list[dict],
         new_files: list[dict],
         operation: str,
@@ -509,7 +551,7 @@ class SnapshotTable:
             "key_cols": self.key_cols,
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
-            "schema": batch_df.schema.json(),
+            "schema": schema_json,
             "files": carried + new_files,
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -582,8 +624,8 @@ class SnapshotTable:
             new_files = self._promote_staged(staging, run)
             try:
                 return self._commit(
-                    cur, [], new_files, operation="rebucket",
-                    base_id=base_id,
+                    cur.schema.json(), [], new_files,
+                    operation="rebucket", base_id=base_id,
                 )
             except CommitConflict as e:  # re-plan on the new current
                 last = e
