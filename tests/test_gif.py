@@ -164,3 +164,34 @@ def test_gif_87a_magic_accepted():
     idx = np.array([[0, 1, 0]], np.uint8)
     gif = b"GIF87a" + encode_gif(idx, pal)[6:]
     assert (decode_image(gif) == pal[idx]).all()
+
+
+def test_exhaustive_short_streams_cover_end_on_bump_boundary():
+    """Every 4-symbol sequence of length 1-7 roundtrips — exhaustive
+    over a space that necessarily contains streams whose FINAL data
+    code lands exactly on the decoder's width-bump boundary. GIF is
+    structurally immune to the end-on-boundary EOI desync that bit
+    TIFF-LZW (tests/test_tiff.py regression): LSB-first packing means
+    a decoder that bumps before reading EOI takes its extra bit as
+    the HIGH bit, and the encoder's zero padding makes that bit 0 —
+    the EOI value is unchanged; a fully-padded stream simply ends and
+    the decoder tolerates a missing EOI (deferred-clear convention)."""
+    import itertools
+
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array(
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90], [1, 2, 3]],
+        dtype=np.uint8,
+    )
+    for length in range(1, 8):
+        for seq in itertools.product(range(4), repeat=length):
+            idx = np.array(seq, dtype=np.uint8).reshape(1, length)
+            assert np.array_equal(
+                _decode_gif(encode_gif(idx, pal)), pal[idx]
+            ), seq

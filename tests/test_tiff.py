@@ -207,3 +207,41 @@ def _hack_bits(data: bytes, new_bits: int) -> bytes:
         if tag == 258:
             struct.pack_into("<H", out, base + 8, new_bits)
     return bytes(out)
+
+
+def test_lzw_final_code_on_width_boundary_regression():
+    """Regression (found by the sf0.1 bench): when the FINAL data
+    code's table append lands exactly on the 2^w - 1 early-change
+    boundary, the decoder bumps before reading EOI — the encoder
+    must model the decoder's table length (which grows on every data
+    code, not just on encoder-dictionary registrations) or the
+    MSB-first EOI is misread as wider garbage. This is the exact
+    doc-1931 strip from the staged TIFF query."""
+    did = 1931
+    w, h = 10 + did % 13, 9 + did % 11
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    img = np.stack(
+        [(did * 3 + x + 2 * y) % 256, (did * 5 + 2 * x + y) % 256,
+         (did * 7 + x + y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    strip = img[5:10].tobytes()  # the second rows_per_strip=5 strip
+    assert _lzw_decode(_lzw_encode(strip)) == strip
+    assert _ref_lzw_decode(_lzw_encode(strip)) == strip
+    # and the whole container path
+    got = decode_tiff(encode_tiff(img, compression="lzw", rows_per_strip=5))
+    assert np.array_equal(got, img)
+
+
+def test_lzw_boundary_length_sweep():
+    """Systematic sweep across stream lengths straddling the 9->10
+    bump region — every length, several entropies, both decoders."""
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        for n in range(230, 300):
+            for hi in (16, 256):
+                d = bytes(r.integers(0, hi, n).astype(np.uint8))
+                enc = _lzw_encode(d)
+                assert _lzw_decode(enc) == d
+                assert _ref_lzw_decode(enc) == d

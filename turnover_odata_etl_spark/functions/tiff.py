@@ -100,11 +100,37 @@ def _lzw_encode(data: bytes) -> bytes:
 
     table: dict[bytes, int] = {}
     width = 9
+    decoder_len = 258  # entries the DECODER's table will hold
+    first_since_clear = True
 
     def reset():
-        nonlocal table, width
+        nonlocal table, width, decoder_len, first_since_clear
         table = {bytes([i]): i for i in range(256)}
         width = 9
+        decoder_len = 258
+        first_since_clear = True
+
+    def emit_data(code: int):
+        """Emit a data code and advance the DECODER's state model.
+
+        Width sync is driven by the decoder's table length, not the
+        encoder's dictionary: the decoder appends one entry on EVERY
+        data code after the first since a clear — INCLUDING the final
+        run code that registers nothing here — and bumps EARLY when
+        its length hits 2^w - 1. Modeling only the encoder's
+        registrations desyncs exactly when the last data code lands
+        on the bump boundary: the decoder bumps before reading EOI,
+        the encoder doesn't, and a 9-bit EOI is read as 10 garbage
+        bits ("stream ended without EOI" — caught by the sf0.1 bench,
+        doc 1931's second strip)."""
+        nonlocal decoder_len, width, first_since_clear
+        emit(code, width)
+        if first_since_clear:
+            first_since_clear = False
+        else:
+            decoder_len += 1
+        if decoder_len == (1 << width) - 1 and width < 12:
+            width += 1
 
     reset()
     emit(_CLEAR, width)
@@ -114,24 +140,15 @@ def _lzw_encode(data: bytes) -> bytes:
         if nxt in table:
             run = nxt
             continue
-        emit(table[run], width)
-        code = len(table) + 2  # 256/257 reserved
-        table[nxt] = code
-        # Width sync: the decoder learns each entry one code BEHIND
-        # the encoder (it can only build an entry after seeing the
-        # next code), and bumps EARLY at table length 2^w - 1 — so
-        # the encoder bumps right after registering code 2^w - 1,
-        # which is when the decoder's table has just REACHED that
-        # length. (Bumping at -2 here desyncs after code 510 — the
-        # symmetric-pair trap the hand-assembled test pins.)
-        if code == (1 << width) - 1:
-            width += 1
-        if code >= 4094:  # table nearly full: clear per spec
+        emit_data(table[run])
+        # the entry the decoder just built is exactly `nxt`
+        table[nxt] = decoder_len
+        if decoder_len >= 4093:  # table nearly full: clear per spec
             emit(_CLEAR, width)
             reset()
         run = bytes([byte])
     if run:
-        emit(table[run], width)
+        emit_data(table[run])
     emit(_EOI, width)
     # pack MSB-first
     acc = 0
