@@ -902,3 +902,39 @@ def test_duplicate_spans_hashed_equals_string(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_remove_duplicate_spans(spark):
+    """The removal step: covered tokens vanish, canonical copies and
+    clean documents pass through untouched, and the cleaned corpus
+    re-analyzed has NO duplicate spans left (idempotence — the
+    fixpoint property ExactSubstr removal needs)."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    run = "a b c d e f"
+    rows = [
+        (1, f"{run} u1 u2 u3 u4"),
+        (2, f"{run} v1 v2 v3 v4 v5 {run}"),
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    out = {
+        r["doc_id"]: r["tokens_clean"]
+        for r in remove_duplicate_spans(df, "tk", "doc_id", k=4).collect()
+    }
+    assert out[1] == run.split() + ["u1", "u2", "u3", "u4"]  # canonical
+    assert out[2] == ["v1", "v2", "v3", "v4", "v5"]  # both copies cut
+    assert out[3] == [f"w{i}" for i in range(1, 10)]  # untouched
+    # fixpoint: re-analyzing the cleaned corpus finds nothing
+    cleaned = remove_duplicate_spans(df, "tk", "doc_id", k=4).select(
+        "doc_id", F.col("tokens_clean").alias("tk")
+    )
+    stats = duplicate_span_stats(cleaned, "tk", "doc_id", k=4)
+    assert stats.agg(F.sum("n_dup_spans")).first()[0] == 0

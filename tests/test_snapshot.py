@@ -532,3 +532,73 @@ def test_merge_rejects_missing_key_columns(spark, tdir):
     bad = spark.createDataFrame([("x",)], "v string")
     with pytest.raises(ValueError, match="key/order"):
         t.merge(bad)
+
+
+def test_read_range_prunes_by_footer_stats(spark, tdir, monkeypatch):
+    """Range reads must open only files whose [order_min, order_max]
+    overlaps the window; missing stats degrade to must-read, and the
+    values equal the unpruned filter either way."""
+    from pyspark.sql import functions as F
+
+    t = make_table(spark, tdir, n_buckets=4)
+    # Each commit rewrites every bucket it touches MERGED with prior
+    # rows, so disjoint per-FILE ranges require bucket-disjoint key
+    # groups: route each version band to its own bucket.
+    kb = {
+        r["k"]: r["b"]
+        for r in batch(spark, [(i, "", 0) for i in range(200)])
+        .select("k", F.pmod(F.hash("k"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    by_bucket = {b: [k for k, kb_ in kb.items() if kb_ == b] for b in range(4)}
+    t.merge(batch(spark, [(k, "x", i) for i, k in
+                          enumerate(by_bucket[0][:15])]))
+    t.merge(batch(spark, [(k, "y", 100 + i) for i, k in
+                          enumerate(by_bucket[1][:15])]))
+    t.merge(batch(spark, [(k, "z", 200 + i) for i, k in
+                          enumerate(by_bucket[2][:15])]))
+    m = t._manifest(t.current_id())
+    assert all("order_min" in f for f in m["files"])
+
+    opened = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        opened.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    got = rows(t.read_range(100, 140))
+    monkeypatch.undo()
+    assert got == sorted(
+        (k, "y", 100 + i) for i, k in enumerate(by_bucket[1][:15])
+    )
+    # only files overlapping [100, 140] were opened
+    touched = [
+        f for f in m["files"]
+        if any(p.endswith(f["path"]) for p in opened)
+    ]
+    assert touched and all(
+        not (f["order_max"] < 100 or f["order_min"] > 140) for f in touched
+    )
+    assert len(touched) < len(m["files"])
+    # equivalence with the unpruned filter
+    full = t.read().filter("ver between 100 and 140")
+    assert got == rows(full)
+
+
+def test_read_range_without_stats_reads_everything(spark, tdir):
+    """A manifest predating the stats upgrade (entries without
+    order_min) must still answer range reads correctly."""
+    import json as _json
+
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(i, "x", i) for i in range(10)]))
+    mp = os.path.join(tdir, "manifests", "manifest-1.json")
+    m = _json.load(open(mp))
+    for f in m["files"]:
+        f.pop("order_min", None)
+        f.pop("order_max", None)
+    _json.dump(m, open(mp, "w"))
+    assert rows(t.read_range(3, 5)) == [(3, "x", 3), (4, "x", 4),
+                                        (5, "x", 5)]

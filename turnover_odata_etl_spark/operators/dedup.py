@@ -691,3 +691,39 @@ def duplicate_span_stats(
         totals.join(stats, on=id_col, how="left")
         .fillna(0, subset=["n_dup_spans", "dup_tokens"])
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    k: int = 8,
+    hash_shingles: bool = False,
+    out_col: str = "tokens_clean",
+) -> DataFrame:
+    """The REMOVAL step of the ExactSubstr ladder: drop every token
+    covered by a duplicate span (keep-one semantics — canonical
+    copies survive untouched), returning the input plus ``out_col``
+    (the cleaned token array). This is what a curation run actually
+    writes out; :func:`duplicate_span_stats` is its budget report.
+
+    Shape: the span frame groups to one bounded array per affected
+    document (spans per doc ≈ repeated-passage count, small by
+    construction), left-joins back on the id (co-partitioned with the
+    span agg), and the cut itself is one JVM-side ``filter`` lambda
+    with the element index probed against the span array via
+    ``exists`` — no Python, no explode, no second pass over the
+    corpus."""
+    spans = duplicate_spans(df, tokens_col, id_col, k, hash_shingles)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left")
+    covered = lambda x, i: F.exists(
+        "__spans",
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    cleaned = F.when(
+        F.col("__spans").isNull(), F.col(tokens_col)
+    ).otherwise(F.filter(tokens_col, lambda x, i: ~covered(x, i)))
+    return joined.withColumn(out_col, cleaned).drop("__spans")

@@ -501,7 +501,10 @@ class SnapshotTable:
 
     def _promote_staged(self, staging: str, run: str) -> list[dict]:
         """Move staged bucket files to immutable names under data/;
-        returns their manifest entries (path, bucket, rows)."""
+        returns their manifest entries (path, bucket, rows, and —
+        when the footer has them — JSON-safe ``order_min``/
+        ``order_max`` stats over the order column, the file-level
+        pruning metadata :meth:`read_range` uses)."""
         import shutil
 
         import pyarrow.parquet as pq
@@ -519,12 +522,68 @@ class SnapshotTable:
                 name = f"{run}-b{bucket}-{i}.parquet"
                 dst = os.path.join(self._data_dir, name)
                 os.rename(os.path.join(part_dir, part), dst)
-                rows = pq.ParquetFile(dst).metadata.num_rows
-                new_files.append(
-                    {"path": f"data/{name}", "bucket": bucket, "rows": rows}
-                )
+                meta = pq.ParquetFile(dst).metadata
+                rec = {
+                    "path": f"data/{name}", "bucket": bucket,
+                    "rows": meta.num_rows,
+                }
+                lo, hi = self._order_stats(meta)
+                if lo is not None:
+                    rec["order_min"], rec["order_max"] = lo, hi
+                new_files.append(rec)
         shutil.rmtree(staging, ignore_errors=True)
         return new_files
+
+    def _order_stats(self, meta) -> tuple:
+        """(min, max) of the order column across a file's row groups,
+        or (None, None) when stats are absent or not JSON-safe
+        (missing stats degrade to must-read, never to wrong-prune)."""
+        try:
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema
+                == self.order_col
+            )
+        except (StopIteration, IndexError):
+            return None, None
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            mins.append(st.min)
+            maxs.append(st.max)
+        lo, hi = min(mins), max(maxs)
+        if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+            return None, None
+        return lo, hi
+
+    def read_range(
+        self, lo, hi, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """File-pruned RANGE read on the order column: open only
+        files whose footer ``[order_min, order_max]`` overlaps
+        ``[lo, hi]`` (Iceberg's column-stats pruning in miniature —
+        the time-series read path: "events in this id/time window"
+        touches only the files that hold it). Files without recorded
+        stats (pre-upgrade manifests) are conservatively read; the
+        exact predicate is applied after the prune either way, so
+        pruning can only skip files proven irrelevant."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+        files = [
+            f
+            for f in m["files"]
+            if "order_min" not in f
+            or not (f["order_max"] < lo or f["order_min"] > hi)
+        ]
+        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        return self._aligned_read(paths, self._schema_of(m)).filter(
+            F.col(self.order_col).between(F.lit(lo), F.lit(hi))
+        )
 
     def _commit(
         self,
