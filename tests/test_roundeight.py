@@ -166,3 +166,18 @@ def test_tiff_decode_features_matches_oracle(spark, sf_dir):
         TIFF_ORACLE,
         "m_tiff_decode_features",
     )
+
+
+def test_mixed_image_decode_features_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeight import (
+        MIXED_IMAGE_ORACLE,
+        m_mixed_image_decode_features,
+    )
+
+    assert MIXED_IMAGE_ORACLE
+    compare_spark_vs_oracle(
+        m_mixed_image_decode_features(spark, sf_dir),
+        _con(sf_dir),
+        MIXED_IMAGE_ORACLE,
+        "m_mixed_image_decode_features",
+    )

@@ -44,6 +44,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Module-LEVEL codec imports (not runtime imports inside
+# ``decode_image``): a runtime ``from .jpeg import ...`` executes a
+# real package import in the WORKER, which fails when the package is
+# not importable there (the /tmp-driven-session trap) even if every
+# module was registered for by-value pickling. As module globals,
+# these ride along when a query registers multimodal+jpeg+tiff by
+# value, and the dispatch needs no worker-side import at all.
+from .jpeg import decode_jpeg as _dispatch_decode_jpeg
+from .tiff import decode_tiff as _dispatch_decode_tiff
+
+
+def register_codecs_by_value() -> None:
+    """Register multimodal + jpeg + tiff for BY-VALUE cloudpickle
+    serialization — the one call a query must make before closing
+    over ``decode_image`` (or any module-level codec API). Because
+    ``decode_image`` reaches its JPEG/TIFF branches through module
+    globals, registering multimodal ALONE leaves those globals as
+    by-reference pickles of the jpeg/tiff modules, and a worker that
+    cannot import the package dies unpickling them — all three must
+    ship together. Idempotent and process-global."""
+    from pyspark import cloudpickle
+
+    from . import jpeg as _jpeg_mod
+    from . import multimodal as _mm_mod
+    from . import tiff as _tiff_mod
+
+    for _mod in (_mm_mod, _jpeg_mod, _tiff_mod):
+        cloudpickle.register_pickle_by_value(_mod)
+
 
 def decode_image(data: bytes):
     """REAL image decode for the formats a pure-numpy decoder can
@@ -85,15 +114,15 @@ def decode_image(data: bytes):
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
-
-        return decode_jpeg(data)
+        return _dispatch_decode_jpeg(data)
     if data[:4] == b"GIF8":
         return _decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _dispatch_decode_tiff(data)
     raise ValueError(
         f"unsupported image format (magic {data[:4]!r}); pure-numpy "
-        "decode covers PPM(P6)/BMP/PNG/GIF/baseline+progressive JPEG "
-        "— wire a codec library here for WebP"
+        "decode covers PPM(P6)/BMP/PNG/GIF/TIFF/baseline+progressive "
+        "JPEG — wire a codec library here for WebP"
     )
 
 
@@ -1263,6 +1292,32 @@ def encode_ppm(img) -> bytes:
     generator for tests and the oracle-checked decode operator)."""
     h, w = img.shape[0], img.shape[1]
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def encode_bmp(img) -> bytes:
+    """``(H, W, 3) uint8`` RGB → 24-bit BI_RGB bottom-up BMP bytes
+    (BITMAPINFOHEADER; rows padded to 4 bytes, channels stored BGR) —
+    the test-vector generator for ``_decode_bmp``'s standard layout."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h)
+    )
+    pixel_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
 
 
 def resize_nearest(img, out_w: int, out_h: int):

@@ -27,9 +27,12 @@ only end-to-end exercise of the TIFF container path (round 7,
 orders), ``s_snapshot_changes`` the only exercise of the
 manifest-diff CDC read (``SnapshotTable.changes``),
 ``s_snapshot_incremental_agg`` the only exercise of CDF-pre-image
-aggregate maintenance (``incremental.apply_cdc_to_agg``), and
+aggregate maintenance (``incremental.apply_cdc_to_agg``),
 ``d_exact_substr_spans`` the only exercise of the span-level
-exact-substring dedup (``operators/dedup.duplicate_spans``).
+exact-substring dedup (``operators/dedup.duplicate_spans``), and
+``m_mixed_image_decode_features`` the only end-to-end exercise of
+the UNIFIED six-format ``decode_image`` dispatch (one format-blind
+oracle over PPM/BMP/PNG/GIF/JPEG/TIFF).
 """
 
 from __future__ import annotations
@@ -93,11 +96,9 @@ def m_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     by-value serialization — caught by a /tmp-driven bench run where
     workers cannot import the package (the exact trap the verify
     skill documents); same fix as the jpeg query."""
-    from pyspark import cloudpickle
-
     from turnover_odata_etl_spark.functions import multimodal as mm_mod
 
-    cloudpickle.register_pickle_by_value(mm_mod)
+    mm_mod.register_codecs_by_value()
     gif_decode, gif_encode = mm_mod.decode_image, mm_mod.encode_gif
 
     def decode_features(batches):
@@ -790,4 +791,123 @@ def m_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_features,
         "doc_id long, width long, height long, sum_r long, sum_g long, "
         "sum_b long",
+    )
+
+
+# ONE oracle for SIX container formats: every arm decodes to the SAME
+# deterministic image (uniform 8x8 tiles with values divisible by the
+# JPEG quant step — JPEG's proven exactness domain, trivially exact
+# for the five lossless formats), so the oracle is format-blind
+# integer arithmetic while the Spark side exercises the entire
+# magic-byte dispatch surface.
+MIXED_IMAGE_ORACLE = """
+    WITH d AS (SELECT doc_id,
+                      2 + doc_id % 2 AS ty,
+                      2 + doc_id % 3 AS tx
+               FROM documents),
+    g AS (SELECT unnest(generate_series(0, 3)) AS i),
+    tiles AS (
+      SELECT d.doc_id, d.ty, d.tx, gy.i AS tyi, gx.i AS txi,
+             2 * ((d.doc_id * 7 + gy.i * 13 + gx.i * 29) % 128) AS v
+      FROM d JOIN g gy ON gy.i < d.ty JOIN g gx ON gx.i < d.tx
+    )
+    SELECT doc_id,
+           CAST(max(tx) * 8 AS BIGINT) AS width,
+           CAST(max(ty) * 8 AS BIGINT) AS height,
+           CAST(sum(64 * v) AS BIGINT) AS sum_r,
+           CAST(sum(64 * v * (tyi * 8 + txi + 1)) AS BIGINT) AS checksum
+    FROM tiles GROUP BY doc_id
+"""
+
+
+def m_mixed_image_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The UNIFIED image-decode surface, end to end: each document's
+    image is encoded in one of SIX container formats chosen by
+    ``doc_id % 6`` — PPM, BMP, PNG, GIF, baseline JPEG, TIFF-LZW
+    (big-endian + predictor 2 on alternating docs) — and every one
+    decodes through the SAME ``decode_image`` magic-byte dispatch. A
+    user of this engine hands arbitrary image bytes to one function;
+    this query is the proof that claim holds across the whole ladder.
+
+    The image is uniform 8x8 tiles with values in JPEG's proven
+    exactness domain (even values, quant step 16 — see the
+    ``m_jpeg_decode_features`` oracle note), so all six formats
+    decode bit-identically and ONE format-blind oracle covers them.
+
+    Worker shipping: multimodal + jpeg + tiff are ALL registered for
+    by-value pickling — ``decode_image`` reaches its JPEG/TIFF
+    branches through module globals, never a worker-side import
+    (the module-level-import fix this query exists to exercise).
+
+    Scale posture: identical to the other codec queries — one Arrow
+    batch stream, ``ensure_parallelism`` fan-out, no shuffle."""
+    from ..functions import jpeg as jpeg_mod
+    from ..functions import multimodal as mm_mod
+    from ..functions import tiff as tiff_mod
+
+    mm_mod.register_codecs_by_value()
+    decode = mm_mod.decode_image
+    enc_ppm, enc_bmp = mm_mod.encode_ppm, mm_mod.encode_bmp
+    enc_png, enc_gif = mm_mod.encode_png, mm_mod.encode_gif
+    enc_jpeg = jpeg_mod.encode_jpeg_baseline
+    enc_tiff = tiff_mod.encode_tiff
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "checksum")
+            }
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                tiles_y, tiles_x = 2 + did % 2, 2 + did % 3
+                h, w = tiles_y * 8, tiles_x * 8
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for ty in range(tiles_y):
+                    for tx in range(tiles_x):
+                        v = 2 * ((did * 7 + ty * 13 + tx * 29) % 128)
+                        img[ty * 8 : ty * 8 + 8,
+                            tx * 8 : tx * 8 + 8, :] = v
+                arm = did % 6
+                if arm == 0:
+                    data = enc_ppm(img)
+                elif arm == 1:
+                    data = enc_bmp(img)
+                elif arm == 2:
+                    data = enc_png(img)
+                elif arm == 3:
+                    data = enc_gif(img[:, :, 0], gray_pal)
+                elif arm == 4:
+                    data = enc_jpeg(img, quant_luma=16)
+                else:
+                    data = enc_tiff(
+                        img, compression="lzw",
+                        predictor=2 if did % 2 else 1,
+                        endian=">" if did % 4 < 2 else "<",
+                    )
+                d = decode(data).astype(np.int64)
+                r = d[:, :, 0]
+                ty_grid = np.arange(h)[:, None] // 8
+                tx_grid = np.arange(w)[None, :] // 8
+                weight = ty_grid * 8 + tx_grid + 1
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(r.sum()))
+                out["checksum"].append(int((r * weight).sum()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, width long, height long, sum_r long, checksum long",
     )
