@@ -1,7 +1,6 @@
-"""Round-8 staging queries (plans/roundeight.py) — oracle-tested every
-session even though they are not registered (the registry is frozen at
-182 pending a round-8 ruling; see the module docstring's activation
-checklist)."""
+"""Round-8 queries (plans/roundeight.py) — oracle-tested every session.
+Staged through round 7; registered in round 8 per the r07 cap ruling
+(registry 191, frozen)."""
 
 from __future__ import annotations
 
@@ -52,13 +51,24 @@ def test_snapshot_pruned_read_matches_oracle(spark, sf_dir):
     )
 
 
-def test_roundeight_is_not_registered_yet():
-    """The staging module must not leak into the driver contract while
-    the registry freeze holds (182 after the round-7 additions)."""
+def test_roundeight_is_registered():
+    """Round 8 activated the nine staged queries per the r07 cap
+    ruling; the registry is now frozen at 191."""
     specs = all_specs()
-    assert "m_gif_decode_features" not in specs
-    assert "s_snapshot_pruned_read" not in specs
-    assert len(specs) == 182
+    for name in (
+        "m_gif_decode_features",
+        "m_g711_decode_features",
+        "m_flac_decode_features",
+        "m_tiff_decode_features",
+        "m_mixed_image_decode_features",
+        "s_snapshot_pruned_read",
+        "s_snapshot_changes",
+        "s_snapshot_incremental_agg",
+        "d_exact_substr_spans",
+    ):
+        assert name in specs, name
+        assert specs[name].oracle, name
+    assert len(specs) == 191
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

@@ -52,20 +52,13 @@ def test_bpe_tokenize_ids_matches_oracle(spark, sf_dir):
 
 def test_roundseven_is_registered_and_cap_frozen():
     """Round 7 activated the staging module (VERDICT r06 cap ruling:
-    register all three; the registry moves to 181 and FREEZES). The
-    gate window leads with the three new registrations."""
+    register all three); round 8 moved the cap to 191 per the r07
+    ruling, so the count assertion lives in test_roundeight now."""
     specs = all_specs()
     assert "m_png_adam7_decode_features" in specs
     assert "m_adpcm_decode_features" in specs
     assert "t_bpe_tokenize_ids" in specs
     assert "st_snapshot_merge" in specs  # VERDICT r06 item 3 Done criterion
-    assert len(specs) == 182
-    first_three = list(specs)[:3]
-    assert first_three == [
-        "m_png_adam7_decode_features",
-        "m_adpcm_decode_features",
-        "t_bpe_tokenize_ids",
-    ]
 
 
 def test_adpcm_decode_features_matches_oracle(spark, sf_dir):

@@ -15,6 +15,7 @@ from . import advanced  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import roundsix  # noqa: E402,F401
 from . import roundseven  # noqa: E402,F401
+from . import roundeight  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -25,92 +26,82 @@ from . import roundseven  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 7, per VERDICT r06 item 1):
-#   - the three round-7 registrations activated from plans/roundseven
-#     (m_png_adam7_decode_features, m_adpcm_decode_features,
-#     t_bpe_tokenize_ids — cap ruling VERDICT r06 "What's wrong #3":
-#     registry moves to 181), gated immediately, PLUS st_snapshot_merge:
-#     VERDICT r06 item 3's Done criterion explicitly requires the
-#     snapshot-commit capability "registered + gated green", which we
-#     read as overriding the same verdict's 181 freeze for exactly this
-#     one query (registry 182; anything further needs a new ruling);
-#   - ALL remaining round-1/2-only greens (a_count_rows — its round-6
-#     sit-out repaid — plus the 8 round-2 rows), then ALL 19 round-3
-#     rows: after a green r07 gate no driver row predates round 4;
-#   - the last 19 slots refresh the round-4 greens whose underlying
-#     modules drifted most since round 4: the plans/llm.py curation
-#     family (Generate-boundary rewrite, r06), the dedup/similarity
-#     operator families (shared banding engine + tiled-GEMM changes,
-#     r05/r06), the incremental-streaming family (snapshot-commit
-#     upgrade, THIS round), multimodal decode, and the two core
-#     reference-parity queries (flagship_turnover,
-#     semi_join_orchestration).
-# Next-stalest after this round: the remaining 31 round-4 rows
-# (listed by scripts/staleness.py; rotate them in r08).
-#
-# Round 8 should consider REGISTERING the queries STAGED in
-# plans/roundeight.py (m_gif_decode_features — the only end-to-end
-# exercise of the round-7 GIF/LZW codec — and s_snapshot_pruned_read
-# — the only exercise of the manifest-stat pruned point lookup; both
-# oracle-green at sf0.001+0.01 via tests/test_roundeight.py), IF the
-# round-7 verdict re-ups the 182 cap; activation checklist in that
-# module's docstring.
+# ROTATION (round 8, per VERDICT r07 item 1 — window arithmetic given
+# verbatim there: "9 new + the 32 round-4 rows + 9 stalest round-5
+# rows = 50"):
+#   - the NINE round-8 registrations activated from plans/roundeight
+#     (cap ruling VERDICT r07 "What's missing #1": "the freeze is
+#     lifted — register all nine; the cap moves to 191 and freezes
+#     there"), gated immediately;
+#   - ALL 32 remaining round-4 rows (scripts/staleness.py output,
+#     pinned in the r07 verdict): after a green r08 gate the driver
+#     freshness floor moves from round 4 to round 5;
+#   - 9 round-5 rows. All round-5 rows are equally old in the ledger,
+#     so "stalest" is broken by code drift since round 5, exactly as
+#     the r07 rotation did: the dedup-operator pair (operators/dedup.py
+#     is rewritten THIS round — duplicate_spans de-skew, VERDICT item
+#     2), the incremental-agg row (streaming/incremental.py changes
+#     THIS round — ADVICE high/low IVM fixes), the two remaining ANN
+#     rows (operators/similarity.py drift, r06 tiling), and the
+#     e12/e13 family heads as alphabetical-first fillers.
+# Next-stalest after this round: the remaining 41 round-5 rows
+# (listed by scripts/staleness.py; rotate them across r09-r10).
 #
 GATED_QUERIES = [
-    # round-7 registrations, gated immediately (registry 178 -> 182)
-    "m_png_adam7_decode_features",
-    "m_adpcm_decode_features",
-    "t_bpe_tokenize_ids",
-    "st_snapshot_merge",
-    # last round-1/2-only greens (ledger freshness floor -> round 3)
-    "a_count_rows",
-    "e1_string_agg_ordered",
-    "e3_join_anti",
-    "e3_join_left",
-    "e4_range_join",
-    "e7_intersect",
-    "q_sql_correlated_subquery",
-    "t_text_stats",
-    "x_datetime_functions",
-    # all 19 round-3 rows (freshness floor -> round 4)
-    "a_distinct_sorted",
-    "c3_empty_relation",
-    "d_dedup_clusters",
-    "d_fingerprint_dedup",
-    "e13_hll_sketch_rollup",
-    "e6_q14_promo_revenue",
-    "e6_q19_disjunctive_join",
-    "e6_q5_local_supplier_volume",
-    "f_notnull_nonempty",
-    "m_binary_features",
-    "p_expectations",
-    "p_heavy_hitters",
-    "p_stringify_nested",
-    "s_knn_bruteforce",
-    "st_stream_static_join",
-    "t_domain_balanced_sample",
-    "t_lang_quality",
-    "t_pii_redact",
-    "x_odata_date_roundtrip",
-    # round-4 greens with the most code drift since their row
-    "flagship_turnover",
-    "semi_join_orchestration",
-    "t_decontaminate",
-    "t_sequence_pack",
-    "t_quality_filter_c4",
-    "t_corpus_mixture",
-    "t_tfidf_topterms",
-    "d_minhash_lsh_neardup",
-    "d_ngram_jaccard",
-    "d_semantic_dedup",
-    "s_knn_tiled",
-    "st_incremental_upsert",
-    "st_incremental_cdc",
-    "m_image_decode_features",
-    "e15_udtf_split_words",
-    "p_profile_table",
-    "g_pagerank",
-    "e4_asof_join",
+    # round-8 registrations, gated immediately (registry 182 -> 191,
+    # then frozen per the r07 cap ruling)
+    "m_gif_decode_features",
+    "m_g711_decode_features",
+    "m_flac_decode_features",
+    "m_tiff_decode_features",
+    "m_mixed_image_decode_features",
+    "s_snapshot_pruned_read",
+    "s_snapshot_changes",
+    "s_snapshot_incremental_agg",
+    "d_exact_substr_spans",
+    # all 32 round-4 rows (freshness floor -> round 5)
+    "c_snapshot_diff",
+    "e12_json_extract",
+    "e13_approx_aggs",
+    "e13_exact_percentiles",
+    "e13_outliers_iqr",
+    "e14_funnel_sequence",
+    "e14_peak_concurrency",
+    "e14_retention_cohorts",
+    "e1_pricing_summary",
+    "e2_rollup",
+    "e3_join_inner",
+    "e3_star_join_revenue",
+    "e4_spatial_grid_join",
+    "e5_window_ranks",
+    "e6_copurchase_pairs",
+    "e6_q13_customer_distribution",
+    "e6_q21_suppliers_kept_waiting",
+    "e6_q22_global_sales_opportunity",
+    "e6_q6_forecast_revenue",
+    "e6_topk_per_group",
+    "f_eq_predicate",
+    "o_sort_limit",
+    "p_rename_coalesce_reorder",
+    "q_sql_lateral_join",
+    "q_sql_recursive_cte",
+    "s_csv_roundtrip",
+    "st_session_window",
+    "st_stream_dedup_watermark",
+    "st_stream_stream_join",
+    "st_tumbling_window",
+    "u_union_by_name",
+    "x_string_functions",
+    # 9 round-5 rows with the most code drift since their row
+    "d_embedding_neardup",
+    "d_prefix_filter_jaccard",
+    "st_incremental_agg",
+    "s_knn_ivf",
+    "s_knn_pq",
+    "e12_from_json",
+    "e12_variant_extract",
+    "e13_bitmap_presence",
+    "e13_cms_heavy_hitters",
 ]
 
 registry.promote(GATED_QUERIES)

@@ -1,19 +1,11 @@
-"""Round-8 staging area — queries built and oracle-tested in round 7
-but NOT registered: the round-6 verdict froze the registry ("the cap
-moves to 181 and freezes there"; round 7 added ONLY the
-verdict-item-3-mandated ``st_snapshot_merge`` on top, 182) — so these
-wait for a round-8 ruling. Same pattern as ``roundsix.py``/
-``roundseven.py`` (both since activated): this module is deliberately
-NOT imported by ``plans/__init__`` and adds zero registry entries;
-``tests/test_roundeight.py`` runs both queries against their DuckDB
-oracles every session. To activate:
+"""Round-8 registrations — built and oracle-tested in round 7, staged
+behind the round-6 registry freeze, ACTIVATED in round 8 per the
+round-7 verdict's cap ruling ("the freeze is lifted — register all
+nine; the cap moves to 191 and freezes there"). Same lifecycle as
+``roundsix.py``/``roundseven.py``: the module registers its queries at
+import time and every one sits in the round-8 gate window.
 
-1. add ``from . import roundeight`` to ``plans/__init__`` and wrap
-   each query with ``@register(name, oracle=..., tags=...)`` (oracle
-   constants below are eager, never None);
-2. give each registered query a slot in the round-8 gate window.
-
-All staged queries cover capabilities that are otherwise
+All nine queries cover capabilities that are otherwise
 query-invisible: ``m_gif_decode_features`` is the only end-to-end
 exercise of the GIF LZW decode path (round 7 codec),
 ``s_snapshot_pruned_read`` the only exercise of the manifest-stat
@@ -40,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import ensure_parallelism, load_table
+from .registry import register
 
 # Closed-form oracle for a LOSSLESS codec: palette colors and index
 # grid are deterministic functions of (doc_id, x, y), so the decoded
@@ -72,6 +65,11 @@ GIF_ORACLE = """
 """
 
 
+@register(
+    "m_gif_decode_features",
+    oracle=GIF_ORACLE,
+    tags=("llm", "multimodal", "gif"),
+)
 def m_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF decode → features through the REAL codec (round 7:
     variable-width LZW with CLEAR/EOI and the 4096 cap, sub-block
@@ -162,6 +160,11 @@ SNAPSHOT_PRUNED_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_pruned_read",
+    oracle=SNAPSHOT_PRUNED_ORACLE,
+    tags=("storage", "snapshot"),
+)
 def s_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-stat PRUNED point lookup on a snapshot table — the
     read path that makes the snapshot layer (round 7, E95) useful for
@@ -246,6 +249,11 @@ def _g711_oracle() -> str:
 G711_ORACLE = _g711_oracle()
 
 
+@register(
+    "m_g711_decode_features",
+    oracle=G711_ORACLE,
+    tags=("llm", "multimodal", "audio", "g711"),
+)
 def m_g711_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 companded-audio decode → features through the REAL
     decoder (round 7): per document a deterministic byte pattern is
@@ -338,6 +346,11 @@ FLAC_ORACLE = """
 """
 
 
+@register(
+    "m_flac_decode_features",
+    oracle=FLAC_ORACLE,
+    tags=("llm", "multimodal", "audio", "flac"),
+)
 def m_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC decode → features through the REAL codec (round 7,
     ``functions/flac.py``: frame sync + CRC-8 header walk, fixed AND
@@ -459,6 +472,11 @@ SNAPSHOT_CHANGES_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_changes",
+    oracle=SNAPSHOT_CHANGES_ORACLE,
+    tags=("storage", "snapshot", "cdc"),
+)
 def s_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-diff CDC read on a snapshot table (round 7 addition
     to E95): three commits — first-half events, second-half events,
@@ -548,6 +566,11 @@ SNAPSHOT_IVM_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_incremental_agg",
+    oracle=SNAPSHOT_IVM_ORACLE,
+    tags=("storage", "snapshot", "cdc", "ivm"),
+)
 def s_snapshot_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-driven incremental aggregate maintenance (round 7,
     ``incremental.apply_cdc_to_agg``): materialize the (count, sum)
@@ -649,6 +672,11 @@ EXACT_SUBSTR_ORACLE = r"""
 """
 
 
+@register(
+    "d_exact_substr_spans",
+    oracle=EXACT_SUBSTR_ORACLE,
+    tags=("llm", "dedup", "exact-substr"),
+)
 def d_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup stats (round 7,
     ``operators/dedup.duplicate_span_stats``) — the rung the
@@ -708,6 +736,11 @@ TIFF_ORACLE = """
 """
 
 
+@register(
+    "m_tiff_decode_features",
+    oracle=TIFF_ORACLE,
+    tags=("llm", "multimodal", "tiff"),
+)
 def m_tiff_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF decode → features through the REAL codec (round 7,
     ``functions/tiff.py``: IFD tag walk in both byte orders, strip
@@ -820,6 +853,11 @@ MIXED_IMAGE_ORACLE = """
 """
 
 
+@register(
+    "m_mixed_image_decode_features",
+    oracle=MIXED_IMAGE_ORACLE,
+    tags=("llm", "multimodal", "dispatch"),
+)
 def m_mixed_image_decode_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1,0 +1,156 @@
+"""Round-9 staging area — same lifecycle as ``roundsix``/``roundseven``/
+``roundeight`` (all since activated): this module is deliberately NOT
+imported by ``plans/__init__`` and adds zero registry entries (the
+round-7 verdict froze the cap at 191 after the round-8 activations);
+``tests/test_roundnine.py`` runs every staged query against its DuckDB
+oracle each session, and ``bench.py``'s ``STAGED_R9`` section times
+them so the staged→registered delta series continues. To activate:
+
+1. wrap each query with ``@register(name, oracle=..., tags=...)``
+   (oracle constants below are eager, never None) and add
+   ``from . import roundnine`` to ``plans/__init__``;
+2. give each registered query a slot in the round-9 gate window.
+
+``m_avi_decode_features`` is the only end-to-end exercise of the
+AVI/MJPEG video container path (``functions/video.py``, round 7 —
+VERDICT r07 "What's missing #2" called it "invisible twice": no SURVEY
+row, no query; round 8 adds SURVEY §2 row E103 and this staged query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import ensure_parallelism, load_table
+
+# Closed-form oracle for the VIDEO container over a LOSSY frame codec:
+# every frame is generated inside decode_jpeg's proven exactness
+# domain (uniform 8×8-aligned tiles, R=G=B, even level-shifted values
+# dividing the quant step 16 — the same construction JPEG_ORACLE in
+# plans/roundsix.py documents), so MJPEG frames roundtrip EXACTLY and
+# the decoded per-clip sums are integer arithmetic DuckDB recomputes.
+# The Spark side still runs the FULL pipeline — RIFF chunk walk, hdrl/
+# strl header parse, movi frame extraction, one complete baseline-JPEG
+# entropy decode per frame — so any container bug (chunk padding,
+# frame-count mismatch, fps rate/scale, rec-list recursion) or codec
+# bug breaks the hash. The frame index is folded into the tile values
+# AND the checksum weight, so frame reordering or duplication cannot
+# cancel out.
+AVI_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             2 + doc_id % 2 AS tiles_y,
+             2 + doc_id % 3 AS tiles_x,
+             2 + doc_id % 4 AS n_frames,
+             5 + doc_id % 5 AS fps
+      FROM documents
+    ),
+    t AS (
+      SELECT d.doc_id, d.tiles_y, d.tiles_x, d.n_frames, d.fps,
+             f.i AS f, ty.i AS ty, tx.i AS tx,
+             2 * ((d.doc_id * 7 + f.i * 17 + ty.i * 13 + tx.i * 29)
+                  % 128) AS v
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 4)) AS i) f
+        ON f.i < d.n_frames
+      JOIN (SELECT unnest(generate_series(0, 2)) AS i) ty
+        ON ty.i < d.tiles_y
+      JOIN (SELECT unnest(generate_series(0, 3)) AS i) tx
+        ON tx.i < d.tiles_x
+    )
+    SELECT doc_id,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(max(tiles_x) * 8 AS BIGINT) AS width,
+           CAST(max(tiles_y) * 8 AS BIGINT) AS height,
+           CAST(max(fps) AS BIGINT) AS fps,
+           CAST(sum(v) * 64 AS BIGINT) AS sum_r,
+           CAST(sum(v * (f * 64 + ty * 8 + tx + 1)) * 64 AS BIGINT)
+             AS checksum
+    FROM t GROUP BY doc_id
+"""
+
+
+def m_avi_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI/MJPEG video decode → per-clip features through the REAL
+    container + codec (``functions/video.py`` round 7: RIFF/AVI chunk
+    walk, avih/strh header parse with MJPG handler check, movi frame
+    extraction; one full baseline-JPEG decode per frame via
+    ``functions/jpeg.py``) — the video rung of the multimodal ladder
+    made oracle-checkable (VERDICT r07 "What's missing #2").
+
+    Per document: a clip of (2+doc_id%4) frames at (5+doc_id%5) fps,
+    each frame a (2+doc_id%2)×(2+doc_id%3) grid of uniform 8×8 tiles
+    with R=G=B values 2·((doc_id·7+f·17+ty·13+tx·29) mod 128) — the
+    JPEG codec's proven exactness domain (see AVI_ORACLE note) — is
+    AVI-encoded, container-decoded back, and reduced to exact integer
+    features: frame count, geometry, fps, whole-clip channel sum, and
+    a frame-and-position-weighted checksum that catches frame
+    reordering, duplication, and tile transposition.
+
+    Worker shipping: ``register_video_by_value`` ships BOTH
+    ``functions/video.py`` and ``functions/jpeg.py`` by value
+    (decode reaches ``jpeg.decode_jpeg`` through module globals, so
+    the referenced module must ship too — the round-7 GIF lesson).
+
+    Scale: same posture as the image queries — ``ensure_parallelism``
+    fans the doc_id frame out (decode is CPU-bound Python), one Arrow
+    batch pass via ``mapInPandas``, no shuffle; at 100 TB the clip
+    bytes would arrive as a binary column and the plan is unchanged
+    (map-only over whatever partitioning the scan provides)."""
+    from ..functions import video as video_mod
+
+    video_mod.register_video_by_value()
+    enc, dec = video_mod.encode_avi_mjpeg, video_mod.decode_avi_mjpeg
+
+    def decode_features(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = (
+            "doc_id", "n_frames", "width", "height", "fps",
+            "sum_r", "checksum",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                tiles_y, tiles_x = 2 + did % 2, 2 + did % 3
+                n_frames, fps = 2 + did % 4, 5 + did % 5
+                h, w = tiles_y * 8, tiles_x * 8
+                clip = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+                for f in range(n_frames):
+                    for ty in range(tiles_y):
+                        for tx in range(tiles_x):
+                            v = 2 * (
+                                (did * 7 + f * 17 + ty * 13 + tx * 29)
+                                % 128
+                            )
+                            clip[
+                                f,
+                                ty * 8 : ty * 8 + 8,
+                                tx * 8 : tx * 8 + 8,
+                                :,
+                            ] = v
+                frames, got_fps = dec(enc(clip, fps=fps, quant_luma=16))
+                r = frames[:, :, :, 0].astype(np.int64)
+                ty_grid = np.arange(h)[:, None] // 8
+                tx_grid = np.arange(w)[None, :] // 8
+                f_grid = np.arange(frames.shape[0])[:, None, None]
+                weight = f_grid * 64 + ty_grid * 8 + tx_grid + 1
+                out["doc_id"].append(did)
+                out["n_frames"].append(frames.shape[0])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(int(round(got_fps)))
+                out["sum_r"].append(int(r.sum()))
+                out["checksum"].append(int((r * weight).sum()))
+            yield pd.DataFrame(out)
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        decode_features,
+        "doc_id long, n_frames long, width long, height long, fps long, "
+        "sum_r long, checksum long",
+    )
