@@ -473,3 +473,161 @@ def test_run_incremental_ivm_stream(spark, tmp_path):
     assert sorted(map(tuple, table2.read().collect())) == sorted(
         map(tuple, table.read().collect())
     )
+
+
+def test_run_incremental_ivm_heals_crash_between_merges(spark, tmp_path):
+    """The REAL at-least-once window: a crash AFTER the base merge but
+    BEFORE the agg merge. The redelivered batch re-merges identical
+    base content — with the round-7 from-point (base current_id taken
+    pre-merge) its CDF was row-empty and the batch's delta was lost
+    forever (silent under-count). With the from-point derived from the
+    view's own watermark, the redelivered fold spans the missed window
+    and the view converges to the recompute."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.streaming.incremental import (
+        agg_from_state,
+        run_incremental_ivm,
+    )
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    schema = T.StructType.fromDDL(
+        "k long, grp string, val double, ver long"
+    )
+
+    def put(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "stage")
+        )
+        part = [
+            p for p in os.listdir(os.path.join(base, "stage"))
+            if p.endswith(".parquet")
+        ][0]
+        os.rename(
+            os.path.join(base, "stage", part), os.path.join(src, name)
+        )
+
+    def run():
+        run_incremental_ivm(
+            spark, src,
+            table_dir=os.path.join(base, "table"),
+            agg_dir=os.path.join(base, "agg"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            schema=schema,
+            key_cols=["k"], order_col="ver",
+            group_cols=["grp"], value_col="val",
+            n_buckets=2,
+            tombstone_filter="val = -1.0",
+            max_files_per_trigger=1,
+        )
+
+    put("f1.parquet", [(1, "a", 1.5, 1), (2, "b", 2.0, 1)])
+    run()  # completed fold: view reflects f1
+
+    # crash simulation: the base merge of f2 commits, the agg merge
+    # never runs (process died in between)
+    f2_rows = [(3, "a", 4.0, 2), (4, "c", 6.0, 2)]
+    tbl = SnapshotTable.load(spark, os.path.join(base, "table"))
+    tbl.merge(spark.createDataFrame(f2_rows, schema))
+
+    # redelivery: the stream now sees f2 for the first time and the
+    # fold must pick up the missed window, not a row-empty diff
+    put("f2.parquet", f2_rows)
+    run()
+
+    table = SnapshotTable.load(spark, os.path.join(base, "table"))
+    view = SnapshotTable.load(spark, os.path.join(base, "agg"))
+    got = sorted(map(tuple, view.read().drop("__ver").collect()))
+    want = sorted(
+        map(tuple, agg_from_state(table.read(), ["grp"], "val").collect())
+    )
+    assert got == want
+    assert {g for g, *_ in got} == {"a", "b", "c"}
+    # and the view's watermark has caught up to the base's current
+    assert view.order_watermark() == table.current_id()
+
+
+def test_run_incremental_ivm_commits_only_touched_buckets(spark, tmp_path):
+    """O(touched groups) maintenance: a batch touching ONE group must
+    add agg data files only in that group's bucket — untouched groups
+    neither ride through the fold grain nor rewrite their buckets
+    (the round-7 shape full-outer-joined the whole aggregate each
+    trigger and rewrote every bucket)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.streaming.incremental import (
+        run_incremental_ivm,
+    )
+
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    schema = T.StructType.fromDDL(
+        "k long, grp string, val double, ver long"
+    )
+    n_buckets = 8
+    groups = [f"g{i}" for i in range(10)]
+
+    def put(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, "stage")
+        )
+        part = [
+            p for p in os.listdir(os.path.join(base, "stage"))
+            if p.endswith(".parquet")
+        ][0]
+        os.rename(
+            os.path.join(base, "stage", part), os.path.join(src, name)
+        )
+
+    def run():
+        run_incremental_ivm(
+            spark, src,
+            table_dir=os.path.join(base, "table"),
+            agg_dir=os.path.join(base, "agg"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            schema=schema,
+            key_cols=["k"], order_col="ver",
+            group_cols=["grp"], value_col="val",
+            n_buckets=n_buckets,
+        )
+
+    put(
+        "f1.parquet",
+        [(i, groups[i], float(i), 1) for i in range(10)],
+    )
+    run()
+    view = SnapshotTable.load(spark, os.path.join(base, "agg"))
+    before = {f["path"] for f in view._manifest(view.current_id())["files"]}
+
+    put("f2.parquet", [(100, "g3", 9.0, 2)])  # touches ONLY g3
+    run()
+    view2 = SnapshotTable.load(spark, os.path.join(base, "agg"))
+    after = view2._manifest(view2.current_id())["files"]
+    new_buckets = {
+        f["bucket"] for f in after if f["path"] not in before
+    }
+    g3_bucket = (
+        spark.createDataFrame([("g3",)], "grp string")
+        .select(F.pmod(F.hash("grp"), F.lit(n_buckets)).alias("b"))
+        .first()["b"]
+    )
+    assert new_buckets == {g3_bucket}
+    # and the values are still right
+    got = {
+        r["grp"]: (r["n_rows"], float(r["sum_value"]))
+        for r in view2.read().collect()
+    }
+    assert got["g3"] == (2, 12.0)
+    assert got["g0"] == (1, 0.0)

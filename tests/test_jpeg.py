@@ -322,3 +322,23 @@ def test_progressive_equals_baseline_random(data):
     )
     assert base.shape == prog.shape
     assert (base == prog).all()
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_stream_ending_in_fill_padding_raises_value_error(progressive):
+    """A truncated stream ENDING in 0xFF fill bytes must hit the
+    documented ValueError loud-failure contract, not IndexError —
+    the fill-byte marker walk is bounds-checked (round-8 fix)."""
+    img = np.full((8, 8, 3), 130, dtype=np.uint8)
+    if progressive:
+        from turnover_odata_etl_spark.functions.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        blob = encode_jpeg_progressive(img)
+    else:
+        blob = encode_jpeg_baseline(img)
+    # cut just after SOI and append pure fill padding
+    mangled = blob[:2] + b"\xff" * 8
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(mangled)

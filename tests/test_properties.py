@@ -931,3 +931,83 @@ def test_png_sub_byte_roundtrip_random(data):
     got = _decode_png(blob)
     assert got.shape == (h, w, 3)
     assert (got == want).all()
+
+
+@SETTINGS
+@given(data=st.data())
+def test_duplicate_spans_agg_equals_window_reference(spark, data):
+    """The de-skewed stage 2 of ``duplicate_spans`` (groupBy
+    ``(count, min(struct(id, pos)))`` + join-back — VERDICT r07 item
+    2) must be bit-identical to the window formulation it replaced
+    (``row_number() over (partition by key order by id, pos) > 1``),
+    for ANY corpus, at BOTH key representations (exact string and
+    xxhash64). The reference lives here so the hot-shingle-safe
+    production shape is pinned against an independent implementation,
+    not against itself."""
+    from pyspark.sql import Window
+
+    from turnover_odata_etl_spark.operators.dedup import duplicate_spans
+
+    k = data.draw(st.integers(2, 4), label="k")
+    # tiny alphabet → heavy shingle repetition (the operator's prey)
+    docs = data.draw(
+        st.lists(
+            st.lists(
+                st.sampled_from("a b c".split()), min_size=0, max_size=12
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        label="docs",
+    )
+    hashed = data.draw(st.booleans(), label="hashed")
+    df = spark.createDataFrame(
+        [(i, tk) for i, tk in enumerate(docs)],
+        "doc_id long, tk array<string>",
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                df, "tk", "doc_id", k=k, hash_shingles=hashed
+            ).collect(),
+        )
+    )
+
+    # independent window-based reference: flag every non-canonical
+    # occurrence, then merge to maximal spans in plain Python
+    shingle = F.expr(
+        f"transform(sequence(1, size(tk) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(tk, i, {k})))"
+    )
+    occ = df.filter(F.size("tk") >= k).select(
+        "doc_id", F.posexplode(shingle).alias("pos", "__key")
+    )
+    w_all = Window.partitionBy("__key")
+    w_ord = Window.partitionBy("__key").orderBy("doc_id", "pos")
+    flagged = (
+        occ.withColumn("__c", F.count("*").over(w_all))
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter((F.col("__c") > 1) & (F.col("__rn") > 1))
+        .select("doc_id", "pos")
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in flagged:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    want = []
+    for doc_id, positions in by_doc.items():
+        positions.sort()
+        start = end = None
+        for p in positions:
+            if start is None:
+                start, end = p, p + k
+            elif p <= end:  # overlap or adjacency
+                end = max(end, p + k)
+            else:
+                want.append((doc_id, start, end))
+                start, end = p, p + k
+        if start is not None:
+            want.append((doc_id, start, end))
+    assert got == sorted(want)

@@ -161,13 +161,16 @@ def test_concurrent_writers_cas_retry(spark, tdir, monkeypatch):
     real_commit = t_a._commit
     state = {"raced": False}
 
-    def racing_commit(batch_df, carried, new_files, operation, base_id):
+    def racing_commit(
+        batch_df, carried, new_files, operation, base_id, properties=None
+    ):
         if not state["raced"]:
             state["raced"] = True
             # B wins the race while A is between base read and claim.
             t_b.merge(batch(spark, [(3, "from_b", 2)]))
         return real_commit(
-            batch_df, carried, new_files, operation, base_id
+            batch_df, carried, new_files, operation, base_id,
+            properties=properties,
         )
 
     monkeypatch.setattr(t_a, "_commit", racing_commit)
@@ -602,3 +605,85 @@ def test_read_range_without_stats_reads_everything(spark, tdir):
     _json.dump(m, open(mp, "w"))
     assert rows(t.read_range(3, 5)) == [(3, "x", 3), (4, "x", 4),
                                         (5, "x", 5)]
+
+
+def test_old_writer_into_empty_bucket_does_not_narrow_schema(spark, tdir):
+    """An old-writer batch (missing the evolved column) whose keys all
+    land in buckets with NO existing files must still record the
+    WIDENED schema (base ∪ batch): before the round-8 fix _merge_once
+    took the batch's own schema on the replaced==[] path, narrowing
+    the manifest and making _aligned_read silently drop the newer
+    column from carried-forward files."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    t = make_table(spark, tdir, n_buckets=4)
+    wide = spark.createDataFrame(
+        [(1, "a", 1, "n1")], "k long, v string, ver long, note string"
+    )
+    t.merge(wide)
+    used = {
+        r["b"]
+        for r in t._with_bucket(t.read())
+        .select(F.col("__bucket").alias("b"))
+        .collect()
+    }
+    cand = spark.createDataFrame([(k,) for k in range(2, 50)], "k long")
+    buckets = {
+        r["k"]: r["b"]
+        for r in cand.select(
+            "k", F.pmod(F.hash("k"), F.lit(4)).alias("b")
+        ).collect()
+    }
+    k2 = next(k for k, b in buckets.items() if b not in used)
+    t.merge(batch(spark, [(k2, "c", 2)]))  # old writer, empty bucket
+    manifest_cols = [
+        f["name"]
+        for f in json.loads(t._manifest(t.current_id())["schema"])["fields"]
+    ]
+    assert manifest_cols == ["k", "v", "ver", "note"]
+    got = sorted((r["k"], r["note"]) for r in t.read().collect())
+    assert got == [(1, "n1"), (k2, None)]
+
+
+def test_order_watermark(spark, tdir):
+    """order_watermark = max(order col) of the CURRENT state, served
+    from manifest footer stats (no data read on the happy path);
+    None on an uncommitted or empty table."""
+    t = make_table(spark, tdir, n_buckets=2)
+    assert t.order_watermark() is None
+    t.merge(batch(spark, [(1, "a", 5), (2, "b", 3)]))
+    assert t.order_watermark() == 5
+    t.merge(batch(spark, [(3, "c", 9)]))
+    assert t.order_watermark() == 9
+    # stats-stripped manifest degrades to the column-pruned data read
+    sid = t.current_id()
+    m = t._manifest(sid)
+    for f in m["files"]:
+        f.pop("order_max", None)
+        f.pop("order_min", None)
+    import json
+    import os
+
+    with open(
+        os.path.join(t._manifest_dir, f"manifest-{sid}.json"), "w"
+    ) as fh:
+        json.dump(m, fh)
+    t2 = make_table(spark, tdir, n_buckets=2)
+    assert t2.order_watermark() == 9
+
+
+def test_commit_properties_and_latest_property(spark, tdir):
+    """merge(properties=...) records a JSON-safe dict on the commit's
+    manifest (Iceberg snapshot-summary shape); latest_property walks
+    newest→oldest so a commit WITHOUT the key falls through to the
+    last writer that stamped it."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1)]), properties={"reflects_base": 7})
+    assert t.latest_property("reflects_base") == 7
+    t.merge(batch(spark, [(2, "b", 2)]))  # no properties
+    assert t.latest_property("reflects_base") == 7
+    t.merge(batch(spark, [(3, "c", 3)]), properties={"reflects_base": 9})
+    assert t.latest_property("reflects_base") == 9
+    assert t.latest_property("nope") is None

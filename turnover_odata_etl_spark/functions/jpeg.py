@@ -786,9 +786,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before
-        # a marker byte.
-        while data[pos + 1] == 0xFF:
+        # a marker byte (bounded: a stream ENDING in fill padding is
+        # truncated — raise the documented error, not IndexError).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG: truncated stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1163,9 +1166,12 @@ def _decode_progressive(
             # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad
             # before a marker; skip them so a foreign stream with
             # fill padding yields the real marker (not 0xFF followed
-            # by a garbage segment length).
-            while data[p + 1] == 0xFF:
+            # by a garbage segment length). Bounded: a stream ENDING
+            # in fill padding raises the documented truncation error.
+            while p + 1 < len(data) and data[p + 1] == 0xFF:
                 p += 1
+            if p + 1 >= len(data):
+                raise ValueError("JPEG: truncated stream")
             marker = data[p + 1]
             p += 2
             if marker == 0xD9:  # EOI — all scans landed

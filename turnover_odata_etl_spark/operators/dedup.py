@@ -601,10 +601,12 @@ def duplicate_spans(
     sorted structure):
 
     1. explode positioned k-token shingles (map-side, one Generate);
-    2. ONE shuffle keyed on the shingle: window count + row_number
-       marks every occurrence beyond the first (canonical = smallest
-       ``(id, pos)`` — keep-one semantics, so the first copy of a
-       repeated passage survives);
+    2. a partial-aggregable groupBy on the shingle — per key
+       ``cnt = count(*)`` and ``canonical = min(struct(id, pos))``
+       (keep-one semantics: the lexicographically-first copy of a
+       repeated passage survives) — then a join back of occurrences
+       to the ``cnt > 1`` keys, keeping every occurrence that is not
+       its key's canonical;
     3. ONE shuffle keyed on the document: merge overlapping/adjacent
        duplicate k-gram positions into MAXIMAL spans (gaps-and-islands
        over a running max of span ends — the same sweep as the E45
@@ -619,9 +621,17 @@ def duplicate_spans(
     an 8-byte ``xxhash64`` when ``hash_shingles=True`` (the 100-TB
     setting: narrows the exchange ~10×; collisions ~n²/2⁻⁶⁴ merge
     unrelated spans with negligible probability — the property test
-    pins hashed ≡ string results on fixtures). Shingle frequency is
-    bounded by corpus repetition (the window partitions are tiny);
-    no skew salt needed.
+    pins hashed ≡ string results on fixtures). Stage 2 deliberately
+    avoids a ``Window.partitionBy(key)``: a window partition is ONE
+    task holding every occurrence of one shingle sorted, and shingle
+    frequency is exactly what this operator hunts — a boilerplate
+    8-gram occurring 10⁷–10⁸ times in a web corpus would become a
+    single straggler task. ``count`` and ``min(struct)`` are both
+    partial-aggregable, so map-side combine absorbs the hot key
+    before the exchange, and the join back is a plain equi-join AQE's
+    skew handling can split — no single-task hot partition anywhere.
+    (``tests/test_properties.py`` pins the agg shape ≡ a window
+    reference implementation, hashed × string, on random corpora.)
     """
     shingle = F.expr(
         f"transform(sequence(1, size({tokens_col}) - {k - 1}),"
@@ -633,12 +643,21 @@ def duplicate_spans(
     )
     key = F.xxhash64("__s") if hash_shingles else F.col("__s")
     occ = occ.select(id_col, "pos", key.alias("__key"))
-    w_all = Window.partitionBy("__key")
-    w_ord = Window.partitionBy("__key").orderBy(id_col, "pos")
+    repeated = (
+        occ.groupBy("__key")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min(F.struct(id_col, "pos")).alias("__canon"),
+        )
+        .filter(F.col("__c") > 1)
+        .select("__key", "__canon")
+    )
     dup = (
-        occ.withColumn("__c", F.count("*").over(w_all))
-        .withColumn("__rn", F.row_number().over(w_ord))
-        .filter((F.col("__c") > 1) & (F.col("__rn") > 1))
+        occ.join(repeated, "__key")
+        .filter(
+            (F.col(id_col) != F.col("__canon")[id_col])
+            | (F.col("pos") != F.col("__canon")["pos"])
+        )
         .select(id_col, "pos")
     )
     w_doc = Window.partitionBy(id_col).orderBy("pos")

@@ -136,6 +136,37 @@ class SnapshotTable:
             return hint
         return max(ids[-1], hint) if hint is not None else ids[-1]
 
+    def order_watermark(self):
+        """Max value of the order column across the CURRENT snapshot's
+        rows, from manifest footer stats alone when every file carries
+        them (O(files) metadata, no data read — the per-trigger path
+        an incremental view takes to find its own from-point), else
+        one column-pruned aggregate over the data. ``None`` when the
+        table has no commits or no rows — callers treat that as
+        "recompute from scratch"."""
+        sid = self.current_id()
+        if sid is None:
+            return None
+        files = [f for f in self._manifest(sid)["files"] if f["rows"]]
+        if not files:
+            return None
+        maxes = [f.get("order_max") for f in files]
+        if all(v is not None for v in maxes):
+            return max(maxes)
+        return self.read(sid).agg(F.max(self.order_col)).first()[0]
+
+    def latest_property(self, key: str):
+        """Newest committed value of manifest property ``key``
+        (see ``merge(properties=...)``): walk snapshots newest→oldest,
+        return the first hit, ``None`` if no commit carries it. The
+        common case reads ONE manifest — the writer that stamps the
+        property stamps it on every commit."""
+        for sid in reversed(self.snapshot_ids()):
+            props = self._manifest(sid).get("properties") or {}
+            if key in props:
+                return props[key]
+        return None
+
     def history(self) -> list[dict]:
         """``[{snapshot_id, parent, operation, n_files, n_rows}]``,
         ascending — the audit trail a transaction log exists for."""
@@ -394,18 +425,25 @@ class SnapshotTable:
         batch_df: DataFrame,
         tombstone_filter: str | None = None,
         max_retries: int = 5,
+        properties: dict | None = None,
     ) -> int:
         """Keep-latest MERGE of ``batch_df`` as one snapshot commit;
         returns the committed snapshot id. ``tombstone_filter`` gives
         CDC APPLY semantics (a key whose newest row matches is
         physically dropped — same contract as
-        ``run_incremental_upsert``). Retries the whole merge on a
-        lost CAS, re-reading the winner's state (optimistic
+        ``run_incremental_upsert``). ``properties`` is an optional
+        JSON-safe dict recorded on the commit's manifest (Iceberg's
+        snapshot-summary shape) — the hook an incremental view uses to
+        stamp which base snapshot a commit reflects, surviving even
+        commits whose every row is a tombstone. Retries the whole
+        merge on a lost CAS, re-reading the winner's state (optimistic
         concurrency)."""
         last: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self._merge_once(batch_df, tombstone_filter)
+                return self._merge_once(
+                    batch_df, tombstone_filter, properties
+                )
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
@@ -413,7 +451,10 @@ class SnapshotTable:
         ) from last
 
     def _merge_once(
-        self, batch_df: DataFrame, tombstone_filter: str | None
+        self,
+        batch_df: DataFrame,
+        tombstone_filter: str | None,
+        properties: dict | None = None,
     ) -> int:
         missing = [
             c
@@ -449,7 +490,7 @@ class SnapshotTable:
             # empty snapshot so the table becomes readable.
             return base_id if base_id is not None else self._commit(
                 batch_df.schema.json(), [], [], operation="merge",
-                base_id=base_id,
+                base_id=base_id, properties=properties,
             )
 
         if replaced:
@@ -467,6 +508,22 @@ class SnapshotTable:
             # a batch from an old writer gets NULLs for newer columns.
             # Same-name type conflicts fail loudly inside unionByName.
             merged = self._with_bucket(cur).unionByName(
+                b, allowMissingColumns=True
+            )
+        elif base_id:
+            # No touched bucket has existing files, but the table has
+            # a schema history: union against an EMPTY frame in the
+            # base manifest's schema so the recorded schema is always
+            # base ∪ batch. Without this, a batch from an old writer
+            # landing only in currently-empty buckets would NARROW the
+            # manifest schema and _aligned_read would silently drop
+            # the newer columns still present in carried-forward files
+            # — breaking the additive-evolution contract on exactly
+            # the path that skips the unionByName above.
+            empty_base = batch_df.sparkSession.createDataFrame(
+                [], self._schema_of(base_m)
+            )
+            merged = self._with_bucket(empty_base).unionByName(
                 b, allowMissingColumns=True
             )
         else:
@@ -496,7 +553,7 @@ class SnapshotTable:
         evolved_json = latest.drop("__bucket").schema.json()
         return self._commit(
             evolved_json, carried, new_files, operation="merge",
-            base_id=base_id,
+            base_id=base_id, properties=properties,
         )
 
     def _promote_staged(self, staging: str, run: str) -> list[dict]:
@@ -592,6 +649,7 @@ class SnapshotTable:
         new_files: list[dict],
         operation: str,
         base_id: int | None,
+        properties: dict | None = None,
     ) -> int:
         """The commit point: claim ``manifest-<N>`` via os.link (the
         CAS), then advance the pointer hint.
@@ -613,6 +671,8 @@ class SnapshotTable:
             "schema": schema_json,
             "files": carried + new_files,
         }
+        if properties:
+            manifest["properties"] = properties
         os.makedirs(self._manifest_dir, exist_ok=True)
         tmp = os.path.join(
             self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"

@@ -427,22 +427,34 @@ def run_incremental_ivm(
 
     Redelivery safety, precisely: foreachBatch is at-least-once, and
     :func:`run_incremental_agg` needed per-file applied-markers to
-    avoid double-counting. Here the delta is STATE-BASED, not
-    batch-based, which gives two guarantees the tests pin:
-    (1) redelivering the LAST batch (the actual crash-window case) is
-    a content no-op — the re-merge commits an identical state, the
-    CDF diff is row-empty, the view keeps its value; (2) a full
-    in-order replay (wiped checkpoint) CONVERGES to the same view —
-    intermediate commits resurrect-then-redelete keys whose
-    tombstones were physically aged out (standard changelog
-    semantics, same caveat as ``run_incremental_upsert``), but the
-    final state and view are identical. Double-counting is
-    structurally impossible either way — the marker machinery is
-    subsumed by the transactional storage layer.
+    avoid double-counting. Here the delta is STATE-BASED and the CDC
+    from-point is the VIEW'S OWN WATERMARK — every agg commit stamps
+    its rows with ``__ver`` = the base snapshot it reflects, and each
+    trigger folds ``changes(watermark, new)``. That closes BOTH sides
+    of the at-least-once window:
+    (1) over-delivery — redelivering an already-folded batch re-merges
+    an identical base state, ``changes(watermark, new)`` is row-empty,
+    the view keeps its value (double-counting structurally
+    impossible);
+    (2) under-delivery — a crash BETWEEN the base merge and the agg
+    merge leaves the base ahead of the view; the redelivered (or next)
+    batch's fold spans the missed window because the from-point is
+    what the view actually reflects, not the base's pre-merge id.
+    Deriving the from-point from ``table.current_id()`` before the
+    merge — the round-7 shape — silently dropped exactly that window's
+    delta. A full in-order replay (wiped checkpoint) still CONVERGES
+    (same changelog caveat as ``run_incremental_upsert``). One
+    operational bound: base snapshots at or after the view's watermark
+    must outlive the view's lag — ``expire_snapshots`` keeping fewer
+    than that makes the fold fail LOUDLY (missing manifest), never
+    silently.
 
     Per-trigger cost: O(batch + touched buckets) for the merge,
-    O(changed buckets) for the CDF read, O(touched groups) for the
-    view commit — never O(state), the property that makes a streamed
+    O(files) manifest metadata for the watermark, O(changed buckets)
+    for the CDF read, O(touched groups) for the view commit — the
+    fold's grain is semi-joined to the delta's group keys, so
+    untouched groups neither ride through the fold nor rewrite their
+    buckets. Never O(state) — the property that makes a streamed
     materialized view viable at 100 TB.
     """
     from ..storage import SnapshotTable
@@ -453,27 +465,45 @@ def run_incremental_ivm(
             bspark, table_dir, key_cols=key_cols, order_col=order_col,
             n_buckets=n_buckets,
         )
-        prev = table.current_id()
-        new = table.merge(batch_df, tombstone_filter=tombstone_filter)
         agg_table = SnapshotTable(
             bspark, agg_dir, key_cols=group_cols, order_col="__ver",
             n_buckets=n_buckets,
         )
+        # From-point BEFORE the merge, from the agg table itself: the
+        # base snapshot the view provably reflects. Read from the agg
+        # COMMIT's manifest property, not max(__ver) over rows — a
+        # commit whose grain is all tombstones writes no surviving row,
+        # so a row-based watermark would lag and a later fold would
+        # re-apply deltas the view already absorbed (the replay test
+        # pins this with a group that dies and is resurrected). None =>
+        # view never built => recompute.
+        prev = agg_table.latest_property("reflects_base")
+        new = table.merge(batch_df, tombstone_filter=tombstone_filter)
         if prev is None:
             grain = agg_from_state(
                 table.read(new), group_cols, value_col
             )
-        elif new == prev:  # empty batch: nothing committed
+        elif new == prev:  # view already reflects the base's current
             return
         else:
             cdc = table.changes(prev, new, include_preimages=True)
-            current = agg_table.read().drop("__ver")
+            touched = cdc.select(*group_cols).distinct()
+            # Restrict BOTH fold inputs to the delta's groups: the
+            # full-outer join inside apply_cdc_to_agg then has the
+            # touched-groups grain, so the agg commit rewrites only
+            # touched buckets (O(touched groups), not O(aggregate)).
+            current = (
+                agg_table.read()
+                .drop("__ver")
+                .join(touched, on=group_cols, how="left_semi")
+            )
             grain = apply_cdc_to_agg(
                 current, cdc, group_cols, value_col, drop_zero=False
             )
         agg_table.merge(
             grain.withColumn("__ver", F.lit(new)),
             tombstone_filter="n_rows = 0",
+            properties={"reflects_base": new},
         )
 
     reader = spark.readStream.schema(schema)
