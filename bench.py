@@ -126,6 +126,7 @@ ADDITIONS_R8 = [
 # series has a baseline for these paths the moment they register).
 STAGED_R9 = [
     "m_avi_decode_features",
+    "d_exact_substr_clean",
 ]
 
 

@@ -102,6 +102,12 @@ MANY_SHUFFLES_OK = {
     "s_knn_ivf",  # (a) Lloyd refinement rounds + probe + verify
     "s_knn_lsh",  # (a) band index + candidate join + verify
     "s_knn_pq",  # (a) codebook train rounds + ADC scan + verify
+    "s_snapshot_incremental_agg",  # (a) 3 real snapshot commits (each:
+    #     keep-latest window + bucket repartition, micro-batch-sized)
+    #     + the CDC fold (delta-keys distinct + semi-join + signed-fold
+    #     groupBy + touched-grain outer join — ALL delta-sized frames;
+    #     the round-8 semi-join is load-bearing: it is what bounds the
+    #     agg commit to O(touched buckets) instead of O(aggregate))
     "e14_funnel_sequence",  # (b) per-stage threshold subqueries
     "e14_retention_cohorts",  # (b) cohort-base subqueries per period
     "e6_copurchase_pairs",  # (b) pair support + order-count subqueries

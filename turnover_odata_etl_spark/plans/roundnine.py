@@ -15,11 +15,15 @@ them so the staged→registered delta series continues. To activate:
 AVI/MJPEG video container path (``functions/video.py``, round 7 —
 VERDICT r07 "What's missing #2" called it "invisible twice": no SURVEY
 row, no query; round 8 adds SURVEY §2 row E103 and this staged query).
+``d_exact_substr_clean`` is the only end-to-end exercise of the
+ExactSubstr REMOVAL step (``operators/dedup.remove_duplicate_spans``
+— ``d_exact_substr_spans`` covers only the stats side).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..tables import ensure_parallelism, load_table
 
@@ -153,4 +157,116 @@ def m_avi_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_features,
         "doc_id long, n_frames long, width long, height long, fps long, "
         "sum_r long, checksum long",
+    )
+
+
+# Oracle: the SAME span pipeline as EXACT_SUBSTR_ORACLE
+# (plans/roundeight.py — positioned 8-gram explode, keep-one marking,
+# gaps-and-islands merge), then the REMOVAL complement in SQL: every
+# token position NOT covered by a span survives. The per-doc outputs
+# (kept count, kept char mass, first/last surviving token by position)
+# pin count, content, and ORDER of the cleaned corpus — a removal that
+# cuts the wrong positions, mangles adjacency, or reorders tokens
+# breaks at least one column.
+EXACT_SUBSTR_CLEAN_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             CASE WHEN trim(text) = '' THEN 0 ELSE len(
+               string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS s
+      FROM toks, unnest(range(len(t) - 7)) AS u(i)
+      WHERE n_tok >= 8
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY s) AS c,
+             row_number() OVER (PARTITION BY s
+                                ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + 8) OVER (PARTITION BY doc_id
+                    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id
+                                   ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s0, max(pos + 8) AS e0
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    poss AS (
+      SELECT t.doc_id, u.p, t.t[u.p + 1] AS tok
+      FROM toks t, unnest(range(t.n_tok)) AS u(p)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM poss p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id AND p.p >= s.s0 AND p.p < s.e0
+      )
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_clean,
+             sum(len(tok)) AS clean_chars,
+             arg_min(tok, p) AS first_tok,
+             arg_max(tok, p) AS last_tok
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_clean, 0) AS BIGINT) AS n_clean,
+           CAST(coalesce(a.clean_chars, 0) AS BIGINT) AS clean_chars,
+           a.first_tok, a.last_tok
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def d_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of the ExactSubstr ladder as an end-to-end
+    query (``operators/dedup.remove_duplicate_spans``, round 7 — until
+    now exercised only by unit tests): cut every token covered by a
+    duplicate span (keep-one semantics — canonical copies survive) and
+    report what a curation run would write out, per document: kept
+    token count, kept character mass, and the first/last surviving
+    tokens (order witnesses — a removal that reorders or cuts the
+    wrong side of a span breaks them).
+
+    Shape (see the operator docstring): the span frame groups to one
+    bounded array per affected document, left-joins back on the id,
+    and the cut is one JVM-side ``filter`` HOF probing the element
+    index against the span array — no Python, no explode, no second
+    pass over the corpus; the output reductions here are ``size`` /
+    ``aggregate`` / ``get``, all map-side."""
+    from ..operators.dedup import remove_duplicate_spans
+    from .llm import _with_tk
+
+    docs = _with_tk(load_table(spark, sf_dir, "documents"))
+    cleaned = remove_duplicate_spans(docs, "tk", "doc_id", k=8)
+    return cleaned.select(
+        "doc_id",
+        F.size("tokens_clean").cast("long").alias("n_clean"),
+        F.aggregate(
+            "tokens_clean",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("clean_chars"),
+        F.get("tokens_clean", F.lit(0)).alias("first_tok"),
+        F.get(
+            "tokens_clean", F.size("tokens_clean") - 1
+        ).alias("last_tok"),
     )
