@@ -127,6 +127,8 @@ ADDITIONS_R8 = [
 STAGED_R9 = [
     "m_avi_decode_features",
     "d_exact_substr_clean",
+    "s_snapshot_lifecycle",
+    "st_snapshot_ivm",
 ]
 
 

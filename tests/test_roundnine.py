@@ -78,3 +78,56 @@ def test_roundnine_is_not_registered_yet():
     specs = all_specs()
     assert "m_avi_decode_features" not in specs
     assert "d_exact_substr_clean" not in specs
+
+
+def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        SNAPSHOT_LIFECYCLE_ORACLE,
+        s_snapshot_lifecycle,
+    )
+
+    assert SNAPSHOT_LIFECYCLE_ORACLE
+    got = s_snapshot_lifecycle(spark, sf_dir)
+    compare_spark_vs_oracle(
+        got,
+        _con(sf_dir),
+        SNAPSHOT_LIFECYCLE_ORACLE,
+        "s_snapshot_lifecycle",
+    )
+    # the band must actually hold rows — a 0-row match is vacuous
+    assert s_snapshot_lifecycle(spark, sf_dir).count() > 0
+
+
+def test_snapshot_lifecycle_expires_old_layout(spark, sf_dir):
+    """After the query runs, the table on disk must hold exactly ONE
+    snapshot in the NEW (4-bucket) layout — the expire really dropped
+    the pre-rebucket history."""
+    import os
+
+    from turnover_odata_etl_spark.plans.roundnine import (
+        s_snapshot_lifecycle,
+    )
+    from turnover_odata_etl_spark.storage import SnapshotTable
+
+    s_snapshot_lifecycle(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t = SnapshotTable.load(
+        spark, f"/tmp/spark_graft_layout/{tag}/snapshot_lifecycle/table"
+    )
+    assert len(t.snapshot_ids()) == 1
+    assert t.n_buckets == 4
+
+
+def test_st_snapshot_ivm_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        SNAPSHOT_IVM_STREAM_ORACLE,
+        st_snapshot_ivm,
+    )
+
+    assert SNAPSHOT_IVM_STREAM_ORACLE
+    compare_spark_vs_oracle(
+        st_snapshot_ivm(spark, sf_dir),
+        _con(sf_dir),
+        SNAPSHOT_IVM_STREAM_ORACLE,
+        "st_snapshot_ivm",
+    )

@@ -18,6 +18,12 @@ row, no query; round 8 adds SURVEY §2 row E103 and this staged query).
 ``d_exact_substr_clean`` is the only end-to-end exercise of the
 ExactSubstr REMOVAL step (``operators/dedup.remove_duplicate_spans``
 — ``d_exact_substr_spans`` covers only the stats side).
+``s_snapshot_lifecycle`` is the only end-to-end exercise of bucket
+evolution + snapshot GC + footer-stats range reads
+(``SnapshotTable.rebucket``/``expire_snapshots``/``read_range``), and
+``st_snapshot_ivm`` the only end-to-end exercise of the streaming
+materialized view (``incremental.run_incremental_ivm`` — the path the
+round-8 at-least-once watermark fix hardened).
 """
 
 from __future__ import annotations
@@ -269,4 +275,177 @@ def d_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(
             "tokens_clean", F.size("tokens_clean") - 1
         ).alias("last_tok"),
+    )
+
+
+# Oracle: latest-per-key state (tombstoned keys gone — the same
+# keep-latest convention as the registered snapshot queries) filtered
+# to the upper event_id band [max/2, max] (latest-per-key rows cluster
+# high, so the band is well-populated; files from the lower half are
+# the ones the range read must prune). The Spark side reaches
+# the identical rows ONLY through the round-7 storage machinery the
+# registered queries never touch end-to-end: a bucket-count REBUCKET
+# (8 -> 4, per-snapshot layout adoption), an EXPIRE of every
+# pre-rebucket snapshot (GC that must keep the current state intact),
+# and a footer-stats RANGE read over the rebucketed files. Any of the
+# three corrupting or dropping state breaks the hash.
+SNAPSHOT_LIFECYCLE_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND user_id % 13 <> 0
+    ),
+    bounds AS (
+      SELECT max(event_id) // 2 AS lo, max(event_id) AS hi
+      FROM events
+    )
+    SELECT l.user_id, l.event_id, l.event_type, l.value
+    FROM latest l, bounds b
+    WHERE l.event_id BETWEEN b.lo AND b.hi
+"""
+
+
+def s_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table LIFECYCLE end-to-end: three commits (upserts +
+    tombstone APPLY), then ``rebucket(4)`` (bucket-count evolution —
+    the new layout is a fresh snapshot whose manifest declares its own
+    n_buckets), then ``expire_snapshots(keep_last=1)`` (GC every
+    pre-rebucket snapshot and the data files only they referenced),
+    then a footer-stats ``read_range`` over the surviving layout.
+    Round 7 built all three (``storage/snapshot.py``) but only unit
+    tests exercised them; this query makes the whole lifecycle
+    oracle-checkable — the oracle recomputes the final keep-latest
+    state directly from the events fixture, so a rebucket that mixes
+    layouts, an expire that drops live files, or a range read that
+    prunes a live file all break the hash.
+
+    Scale: rebucket is the one O(table) operation (every bucket
+    rewritten once — the explicit cost of layout evolution); expire is
+    O(manifests + dead files) metadata; the range read opens only
+    files whose [order_min, order_max] overlaps the band (at 100 TB:
+    the time-series read path)."""
+    from .roundeight import _events_three_commits
+
+    table, empty_sid = _events_three_commits(
+        spark, sf_dir, "snapshot_lifecycle"
+    )
+    if empty_sid is not None:
+        return table.read(empty_sid)
+    table.rebucket(4)
+    table.expire_snapshots(keep_last=1)
+    ev = load_table(spark, sf_dir, "events")
+    max_id = int(ev.agg(F.max("event_id")).first()[0])
+    return table.read_range(max_id // 2, max_id).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+# Oracle: a FULL RECOMPUTE of the final keep-latest state's grain —
+# the same recompute the batch IVM query pins (SNAPSHOT_IVM_ORACLE in
+# plans/roundeight.py), because the correctness claim is identical:
+# the STREAMED maintained view must equal what a from-scratch
+# aggregation of the final state produces. The Spark side never reads
+# the final state for its aggregate — it folds three per-commit CDF
+# feeds.
+SNAPSHOT_IVM_STREAM_ORACLE = """
+    WITH s2 AS (SELECT user_id, event_type, value
+           FROM (SELECT user_id, event_type, value,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM s2 WHERE user_id % 13 <> 0
+    GROUP BY event_type
+"""
+
+
+def st_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING materialized view end-to-end
+    (``incremental.run_incremental_ivm`` — the round-7 capability the
+    round-8 at-least-once fix hardened, until now exercised only by
+    unit tests): three micro-batches (first-half events, second half,
+    tombstone deletes) stream through foreachBatch into a snapshot
+    table, each commit's CDF feed folds into a (count, DECIMAL-sum)
+    grain stored in a SECOND snapshot table stamped with the
+    ``reflects_base`` watermark property. Returns the maintained view;
+    the oracle is a full recompute of the final keep-latest state —
+    "maintained == recomputed" is the IVM correctness claim itself.
+
+    Scale posture (see run_incremental_ivm's docstring): per trigger
+    O(batch + touched buckets) merge, O(files) watermark metadata,
+    O(changed buckets) CDF read, O(touched groups) view commit —
+    never O(state)."""
+    import os
+    import shutil
+
+    from ..streaming.incremental import run_incremental_ivm
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/st_snapshot_ivm"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    schema = ev.schema
+    max_row = ev.agg(F.max("event_id")).first()
+    if max_row[0] is None:  # empty fixture: schema-stable empty view
+        return spark.createDataFrame(
+            [], "event_type string, n_rows long, sum_value double"
+        )
+    max_id = int(max_row[0])
+    mid = max_id // 2
+    tomb = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("event_id", F.lit(max_id + 1))
+        .withColumn("event_type", F.lit("__delete__"))
+        .withColumn("value", F.lit(0.0))
+    )
+    batches = [
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+        tomb,
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        # FileStreamSource orders by modification time: pin the
+        # delivery order explicitly (tombstones must land last —
+        # merging them first would let older rows resurrect the key).
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    run_incremental_ivm(
+        spark, src,
+        table_dir=os.path.join(base, "table"),
+        agg_dir=os.path.join(base, "agg"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        schema=schema,
+        key_cols=["user_id"], order_col="event_id",
+        group_cols=["event_type"], value_col="value",
+        n_buckets=8,
+        tombstone_filter="event_type = '__delete__'",
+        max_files_per_trigger=1,
+    )
+    view = SnapshotTable.load(spark, os.path.join(base, "agg"))
+    return view.read().select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
