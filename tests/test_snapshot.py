@@ -687,3 +687,76 @@ def test_commit_properties_and_latest_property(spark, tdir):
     t.merge(batch(spark, [(3, "c", 3)]), properties={"reflects_base": 9})
     assert t.latest_property("reflects_base") == 9
     assert t.latest_property("nope") is None
+
+
+def test_read_where_prunes_by_column_stats(spark, tdir, monkeypatch):
+    """Generic data skipping (round 8): read_where must open only
+    files whose per-column footer stats overlap the window, for a
+    NON-order column; values equal the unpruned filter; files without
+    stats for the column degrade to must-read."""
+    from pyspark.sql import functions as F
+
+    t = make_table(spark, tdir, n_buckets=4)
+    kb = {
+        r["k"]: r["b"]
+        for r in batch(spark, [(i, "", 0) for i in range(200)])
+        .select("k", F.pmod(F.hash("k"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    by_bucket = {b: [k for k, kb_ in kb.items() if kb_ == b] for b in range(4)}
+
+    def vbatch(ks, v0):
+        # schema (k, v string, ver long, val long): val is the
+        # NON-order column the prune targets
+        return spark.createDataFrame(
+            [(k, "s", 1, v0 + i) for i, k in enumerate(ks)],
+            "k long, v string, ver long, val long",
+        )
+
+    t.merge(vbatch(by_bucket[0][:15], 0))
+    t.merge(vbatch(by_bucket[1][:15], 100))
+    t.merge(vbatch(by_bucket[2][:15], 200))
+    m = t._manifest(t.current_id())
+    assert all("val" in (f.get("stats") or {}) for f in m["files"])
+    # string column must NOT carry stats (truncation-unsafe class)
+    assert all("v" not in (f.get("stats") or {}) for f in m["files"])
+
+    opened = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        opened.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    got = sorted(
+        (r["k"], r["val"]) for r in t.read_where("val", 100, 140).collect()
+    )
+    monkeypatch.undo()
+    assert got == sorted(
+        (k, 100 + i) for i, k in enumerate(by_bucket[1][:15])
+    )
+    touched = [
+        f for f in m["files"]
+        if any(p.endswith(f["path"]) for p in opened)
+    ]
+    assert touched and all(
+        not (f["stats"]["val"][1] < 100 or f["stats"]["val"][0] > 140)
+        for f in touched
+    )
+    assert len(touched) < len(m["files"])
+    # stats-stripped manifest degrades to reading (and filtering) all
+    for f in m["files"]:
+        f.pop("stats", None)
+    import json as _json
+
+    with open(
+        os.path.join(t._manifest_dir, f"manifest-{t.current_id()}.json"),
+        "w",
+    ) as fh:
+        _json.dump(m, fh)
+    t2 = make_table(spark, tdir, n_buckets=4)
+    got2 = sorted(
+        (r["k"], r["val"]) for r in t2.read_where("val", 100, 140).collect()
+    )
+    assert got2 == got

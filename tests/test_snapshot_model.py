@@ -1,0 +1,119 @@
+"""Model-based randomized testing of the snapshot-table protocol.
+
+The targeted tests in ``test_snapshot.py`` pin individual mechanisms
+(CAS race, crash injection, pruned reads). This file pins the
+PROTOCOL: a seeded random sequence of merge / tombstone-merge /
+rebucket / expire operations runs against both the real
+``SnapshotTable`` and a 20-line in-memory reference model (a dict with
+keep-latest semantics), and after EVERY step the table must agree with
+the model on the current state, on a time-travel read of every still-
+live snapshot, and on the net CDC diff between random live snapshot
+pairs. Any divergence the targeted tests failed to anticipate —
+layout adoption after rebucket, carry-forward across expires,
+keep-latest against a re-inserted key whose tombstone aged out —
+surfaces here as a concrete 10-step reproduction.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from turnover_odata_etl_spark.storage import SnapshotTable
+
+SCHEMA = "k long, v string, ver long"
+
+
+def table_state(t, sid=None):
+    return {
+        r["k"]: (r["ver"], r["v"])
+        for r in t.read(snapshot_id=sid).collect()
+    }
+
+
+def model_diff(old: dict, new: dict) -> set:
+    """Net-form CDC rows: (k, v, ver, change_type) — post-image for
+    insert/update, pre-image for delete (the changes() contract)."""
+    out = set()
+    for k, (ver, v) in new.items():
+        if k not in old:
+            out.add((k, v, ver, "insert"))
+        elif old[k] != (ver, v):
+            out.add((k, v, ver, "update"))
+    for k, (ver, v) in old.items():
+        if k not in new:
+            out.add((k, v, ver, "delete"))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_snapshot_protocol_against_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), key_cols=["k"], order_col="ver",
+        n_buckets=rng.choice([2, 4]),
+    )
+    cur: dict[int, tuple[int, str]] = {}
+    live_states: dict[int, dict] = {}  # sid -> model state
+    ver_counter = 0
+
+    for step in range(10):
+        op = rng.choices(
+            ["merge", "tomb_merge", "rebucket", "expire"],
+            weights=[6, 3, 1, 1],
+        )[0]
+        if op in ("merge", "tomb_merge"):
+            rows = []
+            for _ in range(rng.randint(0, 6)):
+                k = rng.randint(0, 9)
+                ver_counter += 1
+                v = (
+                    "DEL"
+                    if op == "tomb_merge" and rng.random() < 0.5
+                    else f"v{ver_counter}"
+                )
+                rows.append((k, v, ver_counter))
+            df = spark.createDataFrame(rows, SCHEMA)
+            sid = t.merge(df, tombstone_filter="v = 'DEL'")
+            # model: keep-latest per key against the CURRENT state,
+            # then the winning row's tombstone drops the key
+            for k, v, ver in rows:
+                if k not in cur or cur[k][0] < ver:
+                    cur[k] = (ver, v)
+            cur = {k: kv for k, kv in cur.items() if kv[1] != "DEL"}
+            live_states[sid] = dict(cur)
+        elif op == "rebucket":
+            if t.current_id() is None:
+                continue
+            sid = t.rebucket(rng.choice([2, 4, 8]))
+            live_states[sid] = dict(cur)
+        else:  # expire
+            if len(live_states) < 3:
+                continue
+            t.expire_snapshots(keep_last=2)
+            survivors = set(t.snapshot_ids())
+            live_states = {
+                s: st for s, st in live_states.items() if s in survivors
+            }
+
+        if t.current_id() is None:
+            assert cur == {}
+            continue
+        # invariant 1: current state == model
+        assert table_state(t) == cur, f"seed={seed} step={step} op={op}"
+        # invariant 2: every live snapshot time-travels to its model
+        for sid_, want in live_states.items():
+            assert table_state(t, sid_) == want, (
+                f"seed={seed} step={step} time-travel sid={sid_}"
+            )
+        # invariant 3: net CDC between a random live pair == model diff
+        if len(live_states) >= 2:
+            a, b = sorted(rng.sample(sorted(live_states), 2))
+            got = {
+                (r["k"], r["v"], r["ver"], r["_change_type"])
+                for r in t.changes(a, b).collect()
+            }
+            assert got == model_diff(live_states[a], live_states[b]), (
+                f"seed={seed} step={step} changes({a},{b})"
+            )

