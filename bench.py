@@ -128,6 +128,7 @@ STAGED_R9 = [
     "m_avi_decode_features",
     "d_exact_substr_clean",
     "s_snapshot_lifecycle",
+    "s_snapshot_skipping",
     "st_snapshot_ivm",
 ]
 

@@ -51,3 +51,24 @@ def test_query_survives_empty_input(spark, empty_dir, name):
     df = spec.fn(spark, empty_dir)
     assert df.columns, f"{name}: no columns on empty input"
     df.collect()  # must execute, not just plan
+
+
+STAGED_R9 = [
+    "m_avi_decode_features",
+    "d_exact_substr_clean",
+    "s_snapshot_lifecycle",
+    "s_snapshot_skipping",
+    "st_snapshot_ivm",
+]
+
+
+@pytest.mark.parametrize("name", STAGED_R9)
+def test_staged_query_survives_empty_input(spark, empty_dir, name):
+    """Staged round-9 queries get the same sweep BEFORE registration —
+    cheaper to find the empty-input crash now than in the driver gate
+    after the next cap ruling."""
+    from turnover_odata_etl_spark.plans import roundnine
+
+    df = getattr(roundnine, name)(spark, empty_dir)
+    assert df.columns, f"{name}: no columns on empty input"
+    df.collect()

@@ -131,3 +131,21 @@ def test_st_snapshot_ivm_matches_oracle(spark, sf_dir):
         SNAPSHOT_IVM_STREAM_ORACLE,
         "st_snapshot_ivm",
     )
+
+
+def test_snapshot_skipping_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        SNAPSHOT_SKIPPING_ORACLE,
+        s_snapshot_skipping,
+    )
+
+    assert SNAPSHOT_SKIPPING_ORACLE
+    got = s_snapshot_skipping(spark, sf_dir)
+    compare_spark_vs_oracle(
+        got,
+        _con(sf_dir),
+        SNAPSHOT_SKIPPING_ORACLE,
+        "s_snapshot_skipping",
+    )
+    # non-vacuity: the value band must actually hold rows
+    assert s_snapshot_skipping(spark, sf_dir).count() > 0

@@ -449,3 +449,55 @@ def st_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# Oracle: latest-per-key state filtered on the VALUE band — a plain
+# predicate over the recomputed final state. The Spark side reaches
+# the same rows through the round-8 generic data-skipping path:
+# per-column numeric footer stats recorded at commit time, files
+# pruned by stats overlap BEFORE the scan (read_where on a non-order
+# column — the "WHERE value BETWEEN" scan shape). A wrong prune drops
+# rows; stale stats after the tombstone commit would leak deleted
+# keys; either breaks the hash.
+SNAPSHOT_SKIPPING_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND user_id % 13 <> 0
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM latest
+    WHERE value BETWEEN 10.0 AND 40.0
+"""
+
+
+def s_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic DATA SKIPPING on a snapshot table (round 8,
+    ``SnapshotTable.read_where``): the three-commit table's manifest
+    carries per-column numeric ``[min, max]`` footer stats, and a
+    ``WHERE value BETWEEN`` read opens only files whose recorded
+    value-bounds overlap the band — ``read_range`` generalized from
+    the order column to ANY numeric column (Iceberg's lower/upper
+    bounds in miniature). The exact predicate still applies after the
+    prune, so the oracle (recomputed final keep-latest state filtered
+    the same way) catches a wrong prune, stale stats, or leaked
+    tombstoned keys.
+
+    Scale: at 100 TB with range-sorted or Z-ordered layout the value
+    bounds become selective and this read skips most of the table's
+    files before Spark plans a single task."""
+    from .roundeight import _events_three_commits
+
+    table, empty_sid = _events_three_commits(
+        spark, sf_dir, "snapshot_skipping"
+    )
+    if empty_sid is not None:
+        return table.read(empty_sid)
+    return table.read_where("value", 10.0, 40.0).select(
+        "user_id", "event_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
