@@ -544,7 +544,17 @@ class SnapshotTable:
         run = uuid.uuid4().hex[:12]
         staging = os.path.join(self._data_dir, f".staging-{run}")
         (
+            # sortWithinPartitions on the order column: free at write
+            # time (per-task sort of one bucket's rows), and it makes
+            # the parquet ROW-GROUP statistics monotone within each
+            # file — so a pushed-down range predicate (read_range /
+            # read_where on the order column, or any caller filtering
+            # it) skips whole row groups inside the files the
+            # manifest-level prune could not exclude. File-level stats
+            # are unchanged (same rows per file); this tightens the
+            # layer below them.
             latest.repartition(len(touched), "__bucket")
+            .sortWithinPartitions("__bucket", self.order_col)
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(staging)
