@@ -76,6 +76,7 @@ class MockOData:
         fail_field: str | None = None,
         field_types: dict[str, str] | None = None,
         entity_set: str = "Emp",
+        key_field: str | None = None,
         relative_next: bool = False,
         fail_first: int = 0,
         fail_status: int = 503,
@@ -106,7 +107,37 @@ class MockOData:
         # prefetch throughput A/B (SCALE.md).
         self.delay = delay
         self.requests: list[str] = []  # observed (for pushdown asserts)
+        # Change tracking (OData V4 delta links): every apply_upsert/
+        # apply_delete appends to the changelog; a tracked read's
+        # deltaLink carries the current sequence as $deltatoken, and a
+        # delta request replays entries beyond it (@removed tombstones
+        # for deletes) ending in a fresh link.
+        self.key_field = key_field or (fields[0] if fields else "Id")
+        self.change_seq = 0
+        self.changelog: list[tuple[int, str, dict]] = []
         self._httpd: ThreadingHTTPServer | None = None
+
+    # -- server-side mutations (drive the delta-link tests) -----------------
+
+    def apply_upsert(self, row: dict) -> None:
+        key = row.get(self.key_field)
+        for i, r in enumerate(self.rows):
+            if r.get(self.key_field) == key:
+                self.rows[i] = dict(row)
+                break
+        else:
+            self.rows.append(dict(row))
+        self.change_seq += 1
+        self.changelog.append((self.change_seq, "upsert", dict(row)))
+
+    def apply_delete(self, key_value) -> None:
+        self.rows = [
+            r for r in self.rows if r.get(self.key_field) != key_value
+        ]
+        self.change_seq += 1
+        self.changelog.append(
+            (self.change_seq, "delete", {self.key_field: key_value})
+        )
 
     # -- request handling ---------------------------------------------------
 
@@ -136,10 +167,17 @@ class MockOData:
             "</edmx:DataServices></edmx:Edmx>"
         )
 
-    def handle(self, path: str, query: dict[str, list[str]]) -> tuple[int, dict | str]:
+    def handle(
+        self,
+        path: str,
+        query: dict[str, list[str]],
+        headers: dict[str, str] | None = None,
+    ) -> tuple[int, dict | str]:
         if path.rstrip("/").endswith("$metadata"):
             return 200, self.metadata_document()
         qs = {k: v[0] for k, v in query.items()}
+        if "$deltatoken" in qs:
+            return self._handle_delta(path, qs)
         select = qs.get("$select")
         filt = qs.get("$filter")
         top = int(qs["$top"]) if "$top" in qs else None
@@ -198,10 +236,50 @@ class MockOData:
             d: dict = {"results": page}
             if next_link:
                 d["__next"] = next_link
+            # V2 has no delta links: Prefer: odata.track-changes is
+            # silently ignored (spec-accurate — drives the client's
+            # loud no-deltaLink failure).
             return 200, {"d": d}
         body: dict = {"value": page}
         if next_link:
             body["@odata.nextLink"] = next_link
+        elif self.version == 4 and "odata.track-changes" in (
+            (headers or {}).get("Prefer", "")
+        ):
+            body["@odata.deltaLink"] = (
+                f"{self.base_url}{path}?$deltatoken={self.change_seq}"
+            )
+        return 200, body
+
+    def _handle_delta(
+        self, path: str, qs: dict[str, str]
+    ) -> tuple[int, dict]:
+        """Serve a delta request: changelog entries beyond $deltatoken,
+        paginated, @removed tombstones for deletes, fresh deltaLink on
+        the final page (OData V4 §11.3)."""
+        token = int(qs["$deltatoken"])
+        skip = int(qs.get("$skiptoken", "0"))
+        pending = [e for e in self.changelog if e[0] > token]
+        page = pending[skip : skip + self.page_size]
+        out = []
+        for _seq, kind, data in page:
+            if kind == "delete":
+                out.append({"@removed": {"reason": "deleted"}, **data})
+            else:
+                out.append(data)
+        body: dict = {"value": out}
+        if skip + self.page_size < len(pending):
+            nq = {
+                "$deltatoken": str(token),
+                "$skiptoken": str(skip + self.page_size),
+            }
+            body["@odata.nextLink"] = (
+                f"{self.base_url}{path}?{urllib.parse.urlencode(nq)}"
+            )
+        else:
+            body["@odata.deltaLink"] = (
+                f"{self.base_url}{path}?$deltatoken={self.change_seq}"
+            )
         return 200, body
 
     # -- lifecycle ----------------------------------------------------------
@@ -229,7 +307,9 @@ class MockOData:
                     self.wfile.write(payload)
                     return
                 status, body = mock.handle(
-                    parsed.path, urllib.parse.parse_qs(parsed.query)
+                    parsed.path,
+                    urllib.parse.parse_qs(parsed.query),
+                    dict(self.headers),
                 )
                 payload = (
                     json.dumps(body) if isinstance(body, dict) else body

@@ -225,17 +225,26 @@ class ODataClient:
             time.sleep(delay)
             attempt += 1
 
-    def get_json(self, url: str, params: dict[str, str] | None = None) -> dict:
+    def get_json(
+        self,
+        url: str,
+        params: dict[str, str] | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> dict:
         """GET with query params; non-2xx raises ODataError with the
         status/url/body context the reference logs [S5]. A 2xx body
         that is not JSON (proxy error pages are the classic case) also
         raises ODataError with the URL and a body snippet — a bare
         JSONDecodeError from one of a thousand read tasks is
-        unattributable."""
+        unattributable. ``headers`` adds per-request headers on top of
+        the session's (the ``Prefer: odata.track-changes`` hook)."""
         if params:
             sep = "&" if "?" in url else "?"
             url = url + sep + urllib.parse.urlencode(params)
-        req = urllib.request.Request(url, headers=self._headers)
+        merged = dict(self._headers)
+        if headers:
+            merged.update(headers)
+        req = urllib.request.Request(url, headers=merged)
         status, raw = self._open_with_retry(req, url)
         # Strict decode — a mis-encoded body must raise loudly, never
         # silently become U+FFFD inside persisted row data — but
@@ -393,6 +402,93 @@ class ODataClient:
             p.strip("/") for p in (self.base_url, self.service_path) if p.strip("/")
         )
         return urllib.parse.urljoin(base + "/", nxt)
+
+    def fetch_tracked(
+        self,
+        entity: str,
+        select: str | None = None,
+        filter_: str | None = None,
+    ) -> tuple[list[dict[str, Any]], str]:
+        """One FULL read with server-side change tracking (OData V4
+        ``Prefer: odata.track-changes``): returns ``(rows,
+        delta_link)`` where the delta link is the server's change
+        cursor — a later :meth:`fetch_delta` on it returns only what
+        changed since THIS read. A server that ignores the preference
+        (V2 gateways, non-tracking entity sets) ends the read without
+        a ``@odata.deltaLink``; that raises loudly — silently falling
+        back to full re-reads would hide an O(table)-per-sync cost.
+
+        The tracked read is intentionally a SINGLE sequential pager
+        (not the partitioned fan-out scan): the delta link is a
+        cursor over one coherent server snapshot; per-partition reads
+        would each mint their own. Initial sync cost is one sequential
+        pass — paid once; every subsequent sync is O(changes) via the
+        link."""
+        params: dict[str, str] = {"$format": "json"}
+        if select:
+            params["$select"] = select
+        if filter_:
+            params["$filter"] = filter_
+        url = self.url_for(entity)
+        # the preference rides EVERY page request: services track it
+        # via the skiptoken, but re-sending is spec-compatible and
+        # robust against gateways that evaluate it per-request
+        prefer = {"Prefer": "odata.track-changes"}
+        payload = self.get_json(url, params, headers=prefer)
+        rows_all: list[dict[str, Any]] = []
+        while True:
+            rows, nxt = extract_results_and_next(payload)
+            rows_all.extend(rows)
+            delta = payload.get("@odata.deltaLink") or payload.get(
+                "odata.deltaLink"
+            )
+            if delta:
+                return rows_all, self._resolve_next(delta)
+            if not nxt:
+                raise ODataError(
+                    200, url,
+                    "tracked read ended without @odata.deltaLink — the "
+                    "service ignored Prefer: odata.track-changes (V2 "
+                    "gateway or non-tracking entity set); use the "
+                    "order-column incremental stream instead",
+                )
+            if self.pause:
+                time.sleep(self.pause)
+            payload = self.get_json(
+                self._resolve_next(nxt), headers=prefer
+            )
+
+    def fetch_delta(
+        self, delta_link: str
+    ) -> tuple[list[dict[str, Any]], str]:
+        """Follow a delta link: ``(changes, new_delta_link)``.
+        ``changes`` is the ORDERED list of wire entries — changed/added
+        entities as plain dicts, deletions still carrying their
+        ``@removed`` annotation (callers test ``"@removed" in entry``).
+        Order is preserved deliberately: an upsert-then-delete of one
+        key must apply as a delete, a delete-then-re-add as an upsert —
+        splitting into two lists would lose that. The new link is the
+        advanced cursor to persist for the next sync. Paginated deltas
+        (``@odata.nextLink`` inside the delta stream) are followed to
+        the final page, which per spec carries the new delta link."""
+        changes: list[dict[str, Any]] = []
+        payload = self.get_json(delta_link)
+        while True:
+            rows, nxt = extract_results_and_next(payload)
+            changes.extend(rows)
+            delta = payload.get("@odata.deltaLink") or payload.get(
+                "odata.deltaLink"
+            )
+            if delta:
+                return changes, self._resolve_next(delta)
+            if not nxt:
+                raise ODataError(
+                    200, delta_link,
+                    "delta read ended without a new @odata.deltaLink",
+                )
+            if self.pause:
+                time.sleep(self.pause)
+            payload = self.get_json(self._resolve_next(nxt))
 
     def probe_field(self, entity: str, candidates: list[str]) -> str:
         """First candidate field the entity actually has, discovered by
