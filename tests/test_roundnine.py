@@ -149,3 +149,19 @@ def test_snapshot_skipping_matches_oracle(spark, sf_dir):
     )
     # non-vacuity: the value band must actually hold rows
     assert s_snapshot_skipping(spark, sf_dir).count() > 0
+
+
+def test_odata_delta_sync_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        ODATA_DELTA_SYNC_ORACLE,
+        s_odata_delta_sync,
+    )
+
+    assert ODATA_DELTA_SYNC_ORACLE
+    compare_spark_vs_oracle(
+        s_odata_delta_sync(spark, sf_dir),
+        _con(sf_dir),
+        ODATA_DELTA_SYNC_ORACLE,
+        "s_odata_delta_sync",
+    )
+    assert s_odata_delta_sync(spark, sf_dir).count() > 0

@@ -20,10 +20,15 @@ ExactSubstr REMOVAL step (``operators/dedup.remove_duplicate_spans``
 — ``d_exact_substr_spans`` covers only the stats side).
 ``s_snapshot_lifecycle`` is the only end-to-end exercise of bucket
 evolution + snapshot GC + footer-stats range reads
-(``SnapshotTable.rebucket``/``expire_snapshots``/``read_range``), and
+(``SnapshotTable.rebucket``/``expire_snapshots``/``read_range``),
 ``st_snapshot_ivm`` the only end-to-end exercise of the streaming
 materialized view (``incremental.run_incremental_ivm`` — the path the
-round-8 at-least-once watermark fix hardened).
+round-8 at-least-once watermark fix hardened),
+``s_snapshot_skipping`` the only exercise of per-column-stats generic
+data skipping (``read_where``), and ``s_odata_delta_sync`` the only
+ORACLE-checkable exercise of the round-8 OData V4 delta-link sync
+(E104 — the wire tests in ``tests/test_odata_delta.py`` pin the
+protocol; this query pins the fixture-derived end state).
 """
 
 from __future__ import annotations
@@ -500,4 +505,135 @@ def s_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_where("value", 10.0, 40.0).select(
         "user_id", "event_id", "event_type",
         F.col("value").cast("double").alias("value"),
+    )
+
+
+# Oracle: the delta-sync result is fully determined by the events
+# fixture — the "server" is the in-process mock OData service seeded
+# with the latest-per-user state of a deterministic user subset, the
+# churn is a deterministic function of user_id, and the final synced
+# table must equal the post-churn server state. The Spark side earns
+# those rows through the ENTIRE wire stack: a tracked initial read
+# (Prefer: odata.track-changes, paginated), server-side mutations, a
+# delta read ($deltatoken replay with @removed tombstones, paginated),
+# and two keep-latest snapshot merges with the delta link persisted as
+# a commit property. A pagination bug, a lost tombstone, a mis-ordered
+# delta entry, or a stale cursor all change the final state and break
+# the hash.
+ODATA_DELTA_SYNC_ORACLE = """
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND user_id % 7 = 0
+    ),
+    churned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'churned'
+                  ELSE event_type END AS event_type,
+             CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS DOUBLE)
+                  ELSE CAST(value AS DOUBLE) END AS value
+      FROM latest
+      WHERE user_id % 5 <> 0
+    )
+    SELECT user_id,
+           event_type,
+           round(value, 2) AS value
+    FROM churned
+"""
+
+
+def s_odata_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OData V4 delta-link incremental sync END-TO-END (round 8,
+    E104): an in-process mock OData V4 service is seeded with the
+    latest-per-user state of the ``user_id % 7 == 0`` subset of the
+    events fixture; the query runs the FULL sync cycle —
+
+    1. tracked initial read (``Prefer: odata.track-changes``,
+       paginated) merged as snapshot 1 with the delta link stored as
+       a commit property;
+    2. deterministic server churn: every ``user_id % 3 == 0`` row
+       updated (event_type → 'churned', value → user_id), every
+       ``user_id % 5 == 0`` row deleted;
+    3. delta read from the stored link (``$deltatoken`` replay,
+       ``@removed`` tombstones, paginated) merged as snapshot 2 —
+
+    and returns the synced table, typed back from wire form. Same
+    self-contained pattern as the WARC and snapshot queries (the
+    "external system" is built inside the query from fixture data, so
+    a DuckDB oracle can recompute the expected state exactly).
+
+    Scale: the wire cycle is driver-side sequential BY DESIGN (a delta
+    link is a cursor over one coherent server snapshot); the merges
+    and the returned read are the snapshot table's distributed paths.
+    The subset keeps the wire volume O(hundreds of rows) at any
+    fixture sf."""
+    import os
+    import shutil
+
+    from ..sources.mock_server import MockOData
+    from ..sources.odata_client import ODataClient
+    from ..sources.odata_sync import read_synced, sync_entity
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/odata_delta_sync"
+    shutil.rmtree(base, ignore_errors=True)
+    tdir = os.path.join(base, "table")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    latest = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    fields = ["user_id", "event_type", "value"]
+    seed = [
+        {
+            "user_id": str(r["user_id"]),
+            "event_type": r["event_type"],
+            "value": repr(float(r["value"])),
+        }
+        for r in latest
+    ]
+    out_schema = "user_id long, event_type string, value double"
+    if not seed:  # empty fixture: schema-stable empty result
+        return spark.createDataFrame([], out_schema)
+
+    server = MockOData(
+        seed, fields, version=4, page_size=50, key_field="user_id",
+        entity_set="Events",
+    )
+    server.start()
+    try:
+        client = ODataClient(base_url=server.base_url, service_path="")
+        sync_entity(spark, client, "Events", tdir, "user_id", fields)
+        for row in list(server.rows):
+            uid = int(row["user_id"])
+            if uid % 5 == 0:
+                server.apply_delete(row["user_id"])
+            elif uid % 3 == 0:
+                server.apply_upsert(
+                    {
+                        "user_id": row["user_id"],
+                        "event_type": "churned",
+                        "value": repr(float(uid)),
+                    }
+                )
+        sync_entity(spark, client, "Events", tdir, "user_id", fields)
+    finally:
+        server.stop()
+
+    return read_synced(spark, tdir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.round(F.col("value").cast("double"), 2).alias("value"),
     )
