@@ -45,7 +45,10 @@ from . import roundeight  # noqa: E402,F401
 #     rows (operators/similarity.py drift, r06 tiling), and the
 #     e12/e13 family heads as alphabetical-first fillers.
 # Next-stalest after this round: the remaining 41 round-5 rows
-# (listed by scripts/staleness.py; rotate them across r09-r10).
+# (listed by scripts/staleness.py). Round-9 window math, assuming the
+# six staged plans/roundnine.py queries get a cap ruling: 6 new + 41
+# round-5 + the 3 stalest round-6 rows = 50; the rest of round 6
+# rotates in r10.
 #
 GATED_QUERIES = [
     # round-8 registrations, gated immediately (registry 182 -> 191,
