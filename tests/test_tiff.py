@@ -16,6 +16,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from turnover_odata_etl_spark.functions.tiff import (
     _lzw_decode,
@@ -189,7 +191,11 @@ def test_loud_failures():
     # tag 259 value: find it via a decode of a hacked stream instead —
     # simplest loud-failure probes below:
     with pytest.raises(ValueError, match="bits"):
-        # bits-per-sample 16 is rejected: fake via a 16-bit image path
+        # 8/16 are supported (round 8); an exotic depth still rejects
+        decode_tiff(_hack_bits(encode_tiff(g), 12))
+    with pytest.raises(ValueError, match="strip shorter"):
+        # declaring 16-bit over an 8-bit payload is caught by the
+        # strip-length check, not silently mis-parsed
         decode_tiff(_hack_bits(encode_tiff(g), 16))
     with pytest.raises(ValueError):
         decode_tiff(bytes(enc[: len(enc) // 2]))
@@ -245,3 +251,92 @@ def test_lzw_boundary_length_sweep():
                 enc = _lzw_encode(d)
                 assert _lzw_decode(enc) == d
                 assert _ref_lzw_decode(enc) == d
+
+
+@settings(max_examples=16, deadline=None)
+@given(data=st.data())
+def test_tiff_16bit_roundtrip_random(data):
+    """16-bit gray/RGB samples (round 8): encode at 16 bits in either
+    byte order × all compressions × both predictors, decode back —
+    the uint8 result must equal the high-byte downscale of the
+    source (the PNG-16 convention), including WhiteIsZero inversion
+    and per-SAMPLE predictor-2 differencing (a per-byte predictor
+    would corrupt every low-byte carry)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    w = data.draw(st.integers(1, 17), label="w")
+    h = data.draw(st.integers(1, 13), label="h")
+    rgb = data.draw(st.booleans(), label="rgb")
+    endian = data.draw(st.sampled_from(["<", ">"]), label="endian")
+    comp = data.draw(
+        st.sampled_from(["none", "lzw", "packbits"]), label="comp"
+    )
+    predictor = data.draw(st.sampled_from([1, 2]), label="predictor")
+    white_zero = data.draw(st.booleans(), label="white_zero")
+    rps = data.draw(st.integers(1, h), label="rows_per_strip")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    photometric = None
+    if not rgb and white_zero:
+        photometric = 0
+    blob = encode_tiff(
+        img,
+        compression=comp,
+        endian=endian,
+        predictor=predictor,
+        rows_per_strip=rps,
+        photometric=photometric,
+        bit_depth=16,
+    )
+    got = decode_tiff(blob)
+    want8 = (img >> 8).astype(np.uint8)
+    if not rgb:
+        want8 = np.repeat(want8[:, :, None], 3, axis=2)
+    assert got.shape == (h, w, 3)
+    assert (got == want8).all()
+
+
+def test_tiff_16bit_palette_rejected():
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.tiff import encode_tiff
+
+    img = np.zeros((4, 4), dtype=np.uint16)
+    cmap = np.zeros((256, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="16-bit palette"):
+        encode_tiff(img, photometric=3, colormap=cmap, bit_depth=16)
+
+
+def test_tiff_mixed_bits_rejected():
+    """A file declaring mixed per-channel bit depths still fails
+    loudly (the 16-bit support is uniform-depth only)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    blob = bytearray(
+        encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8))
+    )
+    # find the BitsPerSample (258) IFD entry and corrupt one count
+    import struct
+
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, vtype, count = struct.unpack_from("<HHI", blob, off)
+        if tag == 258:
+            voff = struct.unpack_from("<I", blob, off + 8)[0]
+            struct.pack_into("<H", blob, voff, 16)  # [16, 8, 8]
+            break
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_tiff(bytes(blob))

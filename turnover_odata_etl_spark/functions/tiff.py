@@ -10,9 +10,12 @@ plus three strip codecs.
 Decoder (`decode_tiff`): both byte orders ("II" little / "MM" big),
 first-IFD single image, 8-bit gray (BlackIsZero AND the inverted
 WhiteIsZero), 8-bit RGB/RGBA (alpha dropped), 8-bit palette
-(16-bit ColorMap entries), strip organization with any RowsPerStrip,
+(16-bit ColorMap entries), 16-bit gray/RGB samples in either byte
+order (high-byte downscale to the uint8 contract, per-sample
+predictor-2 differencing — round 8), strip organization with any
+RowsPerStrip,
 compressions none (1) / TIFF-LZW (5) / PackBits (32773), and
-horizontal-differencing predictor 2. Anything else (tiles, 16-bit,
+horizontal-differencing predictor 2. Anything else (tiles, 1-bit,
 CCITT fax, JPEG-in-TIFF, planar config 2) raises ``ValueError``
 loudly — the same contract as the other codecs.
 
@@ -279,11 +282,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF: zero-sized image")
     spp = one(277, default=1)
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise ValueError(
-            f"TIFF variant unsupported (bits={bits}); 8-bit only — "
-            "wire a codec library for 1/16-bit"
+            f"TIFF variant unsupported (bits={bits}); uniform 8- or "
+            "16-bit only — wire a codec library for 1-bit/mixed"
         )
+    bps = bits[0]
     compression = one(259, default=1)
     photometric = one(262)
     predictor = one(317, default=1)
@@ -307,7 +311,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"TIFF compression {compression} unsupported (1/5/32773 only)"
         )
 
-    row_bytes = width * spp
+    sample_dtype = np.uint8 if bps == 8 else np.dtype(e + "u2")
+    row_bytes = width * spp * (bps // 8)
     rows = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = decode(data[off : off + cnt])
@@ -315,18 +320,30 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if len(strip) < n_rows * row_bytes:
             raise ValueError("TIFF: strip shorter than declared rows")
         arr = np.frombuffer(
-            strip[: n_rows * row_bytes], dtype=np.uint8
+            strip[: n_rows * row_bytes], dtype=sample_dtype
         ).reshape(n_rows, width, spp)
         if predictor == 2:
-            # horizontal differencing undone by a MOD-256 prefix sum
-            # (dtype=uint8 keeps numpy's accumulation wrapping)
-            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+            # horizontal differencing undone by a MOD-2^bps prefix sum
+            # over SAMPLES (the spec's predictor unit — for 16-bit the
+            # differences are per 16-bit value in the file byte order,
+            # not per byte; the native-width dtype keeps numpy's
+            # accumulation wrapping)
+            arr = np.cumsum(
+                arr, axis=1,
+                dtype=np.uint8 if bps == 8 else np.uint16,
+            )
         elif predictor != 1:
             raise ValueError(f"TIFF predictor {predictor} unsupported")
         rows.append(arr)
     img = np.concatenate(rows, axis=0)
     if img.shape[0] != height:
         raise ValueError("TIFF: strips do not cover the image height")
+    if bps == 16:
+        if photometric == 3:
+            raise ValueError("TIFF: 16-bit palette unsupported")
+        # high-byte downscale to the (H, W, 3) uint8 contract — the
+        # same convention the PNG decoder uses for 16-bit samples
+        img = (img >> 8).astype(np.uint8)
 
     if photometric in (0, 1):
         if spp != 1:
@@ -367,18 +384,26 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     photometric: int | None = None,
     colormap: np.ndarray | None = None,
+    bit_depth: int = 8,
 ) -> bytes:
     """Encode ``(H, W) uint8`` gray / palette indices or
     ``(H, W, 3) uint8`` RGB as a single-IFD TIFF. ``photometric``
     overrides the inferred value (pass 0 for WhiteIsZero — the
     SAMPLES are then stored inverted so decode returns ``img``;
-    pass 3 with ``colormap`` ``(256, 3) uint8`` for palette)."""
-    img = np.asarray(img, dtype=np.uint8)
+    pass 3 with ``colormap`` ``(256, 3) uint8`` for palette).
+    ``bit_depth=16`` takes uint16 samples (gray or RGB, no palette)
+    and stores them in ``endian`` byte order — the test-vector source
+    for the decoder's 16-bit path."""
     if endian not in ("<", ">"):
         raise ValueError("encode_tiff: endian '<' or '>'")
     comp = _COMP_CODES.get(compression)
     if comp is None:
         raise ValueError(f"encode_tiff: unknown compression {compression}")
+    if bit_depth not in (8, 16):
+        raise ValueError("encode_tiff: bit_depth 8 or 16")
+    img = np.asarray(
+        img, dtype=np.uint8 if bit_depth == 8 else np.uint16
+    )
     if img.ndim == 2:
         spp = 1
         if photometric is None:
@@ -388,30 +413,33 @@ def encode_tiff(
         if photometric is None:
             photometric = 2
     else:
-        raise ValueError("encode_tiff: (H,W) or (H,W,3) uint8")
+        raise ValueError("encode_tiff: (H,W) or (H,W,3) samples")
+    if bit_depth == 16 and photometric == 3:
+        raise ValueError("encode_tiff: 16-bit palette unsupported")
     h, w = img.shape[:2]
     if rows_per_strip is None:
         rows_per_strip = h
     planes = img.reshape(h, w, spp)
     if photometric == 0:
-        planes = 255 - planes
+        planes = (255 if bit_depth == 8 else 65535) - planes
     if photometric == 3 and (
         spp != 1 or colormap is None or colormap.shape != (256, 3)
     ):
         raise ValueError("encode_tiff: palette needs (H,W) + (256,3) map")
 
     encode = {1: lambda b: b, 5: _lzw_encode, 32773: _packbits_encode}[comp]
+    sample_dtype = np.uint8 if bit_depth == 8 else np.dtype(endian + "u2")
     strips = []
     for y0 in range(0, h, rows_per_strip):
         part = planes[y0 : y0 + rows_per_strip]
         if predictor == 2:
             part = np.diff(
-                part.astype(np.int16), axis=1,
-                prepend=np.zeros((part.shape[0], 1, spp), dtype=np.int16),
-            ).astype(np.uint8)
+                part.astype(np.int32), axis=1,
+                prepend=np.zeros((part.shape[0], 1, spp), dtype=np.int32),
+            ).astype(np.uint8 if bit_depth == 8 else np.uint16)
         elif predictor != 1:
             raise ValueError("encode_tiff: predictor 1 or 2")
-        strips.append(encode(part.tobytes()))
+        strips.append(encode(part.astype(sample_dtype).tobytes()))
 
     e = endian
     entries: list[tuple[int, int, int, bytes]] = []  # tag,type,count,value
@@ -429,7 +457,7 @@ def encode_tiff(
     tag_list: list[tuple[int, int, int, object]] = [
         (256, 4, 1, w),
         (257, 4, 1, h),
-        (258, 3, spp, [8] * spp),
+        (258, 3, spp, [bit_depth] * spp),
         (259, 3, 1, comp),
         (262, 3, 1, photometric),
         (273, 4, len(strips), "STRIP_OFFSETS"),
