@@ -201,3 +201,61 @@ def test_random_churn_converges(spark, tmp_path, seed):
         assert SnapshotTable.load(spark, tdir).current_id() == before
     finally:
         m.stop()
+
+
+def test_force_full_rebootstraps_after_service_relocation(
+    spark, mock4, tmp_path
+):
+    """ADVICE r08: the persisted delta link embeds the server's
+    absolute URL; a relocated service makes fetch_delta fail on the
+    stored cursor with no recovery path. force_full=True must
+    rebootstrap atomically: fresh tracked read replaces the cursor
+    AND the state in one commit — including net-deleting keys that
+    vanished server-side while the cursor was broken — and time
+    travel to pre-rebootstrap snapshots survives."""
+    c = client_for(mock4)
+    tdir = str(tmp_path / "emp")
+    sid1 = sync_entity(spark, c, "Emp", tdir, "Id", FIELDS)
+    pre = state(spark, tdir)
+    old_link = SnapshotTable.load(spark, tdir).latest_property(
+        DELTA_LINK_PROP
+    )
+
+    # "relocate" the service: new instance, same data evolved — the
+    # old absolute link now points at a dead host:port.
+    evolved = [r for r in mock4.rows if r["Id"] != "2"]  # 2 vanished
+    evolved.append({"Id": "7", "Name": "emp7", "Dept": "D7"})
+    mock4.stop()
+    m2 = MockOData(evolved, FIELDS, version=4, page_size=2)
+    m2.start()
+    try:
+        c2 = client_for(m2)
+        with pytest.raises(Exception):
+            sync_entity(spark, c2, "Emp", tdir, "Id", FIELDS)
+
+        sid2 = sync_entity(
+            spark, c2, "Emp", tdir, "Id", FIELDS, force_full=True
+        )
+        assert sid2 > sid1
+        assert state(spark, tdir) == server_state(m2)
+        assert "2" not in state(spark, tdir)  # ghost row net-deleted
+        assert "7" in state(spark, tdir)
+        t = SnapshotTable.load(spark, tdir)
+        new_link = t.latest_property(DELTA_LINK_PROP)
+        assert new_link != old_link and m2.base_url in new_link
+
+        # pre-rebootstrap snapshot still time-travels
+        old = {
+            r["Id"]: (r["Name"], r["Dept"])
+            for r in t.read(sid1)
+            .drop("__sync_seq", "__deleted")
+            .collect()
+        }
+        assert old == pre
+
+        # the new cursor works: one more churn + plain delta sync
+        m2.apply_upsert({"Id": "7", "Name": "emp7b", "Dept": "D8"})
+        sync_entity(spark, c2, "Emp", tdir, "Id", FIELDS)
+        assert state(spark, tdir) == server_state(m2)
+    finally:
+        m2.stop()

@@ -1011,3 +1011,43 @@ def test_duplicate_spans_agg_equals_window_reference(spark, data):
         if start is not None:
             want.append((doc_id, start, end))
     assert got == sorted(want)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab .", max_size=6)),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_fingerprint_dedup_null_safe_keeps_every_row(spark, texts):
+    """``fingerprint_dedup`` must retain EVERY input row — including
+    rows whose text (hence fingerprint) is NULL — and its keep flags
+    must equal the window formulation the groupBy+join-back de-skew
+    replaced (``row_number() over (partition by fingerprint order by
+    id) == 1``; SQL windows put all NULLs in ONE partition). ADVICE
+    r08: the de-skew's plain equi-join dropped NULL-fingerprint rows
+    (NULL != NULL); the eqNullSafe join restores the contract. This
+    pins it for any corpus, null-heavy included."""
+    from pyspark.sql import Window
+
+    from turnover_odata_etl_spark.operators.dedup import fingerprint_dedup
+    from turnover_odata_etl_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["keep"])
+        for r in fingerprint_dedup(df, "text", "doc_id").collect()
+    }
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["keep"])
+        for r in df.withColumn("fingerprint", fingerprint("text"))
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == len(texts)  # no silent row loss

@@ -760,3 +760,69 @@ def test_read_where_prunes_by_column_stats(spark, tdir, monkeypatch):
         (r["k"], r["val"]) for r in t2.read_where("val", 100, 140).collect()
     )
     assert got2 == got
+
+
+def test_empty_merge_with_properties_commits_metadata_only(spark, tdir):
+    """An empty batch on an existing table: WITHOUT properties it
+    stays a silent no-op (no new snapshot, history clean); WITH
+    properties it must produce a metadata-only commit — all base
+    files carried forward, zero data written — so an IVM view's
+    reflects_base watermark advances on no-op batches instead of
+    forcing every later fold to walk changes() across a growing span
+    (ADVICE r08). latest_property's one-manifest fast path depends on
+    the newest commit carrying the stamp."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 2)]))
+    base = t.current_id()
+    before = rows(t.read())
+    m_before = t._manifest(base)["files"]
+
+    empty = batch(spark, [])
+    # no properties: silent no-op, same snapshot
+    assert t.merge(empty) == base
+    assert t.current_id() == base
+
+    # properties: metadata-only commit, watermark advances
+    new = t.merge(empty, properties={"reflects_base": 42})
+    assert new == base + 1
+    assert t.latest_property("reflects_base") == 42
+    m_after = t._manifest(new)
+    assert m_after["files"] == m_before  # carried verbatim, no write
+    assert rows(t.read()) == before
+    # time travel to the pre-stamp snapshot still works
+    assert rows(t.read(base)) == before
+
+
+def test_nan_column_stats_are_skipped_not_serialized(spark, tdir):
+    """A float column containing NaN yields NaN footer min/max, which
+    json.dump would emit as the non-RFC token `NaN` — readable by
+    Python but broken for any external manifest consumer (ADVICE
+    r08). The manifest must simply omit that column's stats (absent
+    stats degrade to must-read), the manifest file must stay strictly
+    RFC-parseable, and read_where on the column must still return
+    exact results via the post-prune predicate."""
+    import json as _json
+    import math as _math
+
+    t = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=2
+    )
+    df = spark.createDataFrame(
+        [(1, float("nan"), 1), (2, 0.5, 2), (3, 2.5, 3)],
+        "k long, x double, ver long",
+    )
+    t.merge(df)
+    raw = open(
+        os.path.join(t._manifest_dir, f"manifest-{t.current_id()}.json")
+    ).read()
+    m = _json.loads(raw, parse_constant=lambda s: pytest.fail(
+        f"non-RFC JSON constant {s!r} in manifest"
+    ))
+    for f in m["files"]:
+        for col, (lo, hi) in (f.get("stats") or {}).items():
+            for v in (lo, hi):
+                assert not (isinstance(v, float) and not _math.isfinite(v))
+    got = sorted(
+        r["k"] for r in t.read_where("x", 0.0, 1.0).collect()
+    )
+    assert got == [2]

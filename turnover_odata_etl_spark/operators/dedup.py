@@ -54,15 +54,22 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the hot key before the exchange, and the join back is AQE-skew-
     splittable. Duplicate-group sizes for whole-document hashes are
     far less skewed than k-gram frequencies, but the safe shape costs
-    nothing here — one extra broadcast-sized join."""
+    nothing here — one extra broadcast-sized join.
+
+    Null safety (ADVICE r08): ``fingerprint(NULL text)`` is NULL, and a
+    plain equi-join would silently drop those rows (SQL ``NULL !=
+    NULL``) — a data-loss contract change vs the window formulation it
+    replaced, where all null-fingerprint rows share ONE partition and
+    the smallest id keeps. ``eqNullSafe`` (``<=>``) restores exactly
+    the window semantics; Catalyst still extracts it as an equi-join
+    key (coalesced), so the plan stays a hash join."""
     fp = df.withColumn("fingerprint", fingerprint(text_col))
     canon = fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("__canon_id")
-    )
+    ).withColumnRenamed("fingerprint", "__canon_fp")
     return (
-        fp.join(canon, "fingerprint")
+        fp.join(canon, F.col("fingerprint").eqNullSafe(F.col("__canon_fp")))
         .withColumn("keep", F.col(id_col) == F.col("__canon_id"))
-        .drop("__canon_id")
         .select(*df.columns, "fingerprint", "keep")
     )
 

@@ -432,11 +432,17 @@ def d_rollhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint_dedup's docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     rh = docs.select("doc_id", TXT.rolling_hash("text").alias("rh"))
-    canon = rh.groupBy("rh").agg(F.min("doc_id").alias("__canon_id"))
+    # eqNullSafe, not "rh": rolling_hash(NULL text) is NULL and a plain
+    # equi-join would drop those rows; <=> matches the oracle's window
+    # semantics (SQL windows group NULLs into one partition). ADVICE r08.
+    canon = (
+        rh.groupBy("rh")
+        .agg(F.min("doc_id").alias("__canon_id"))
+        .withColumnRenamed("rh", "__canon_rh")
+    )
     return (
-        rh.join(canon, "rh")
+        rh.join(canon, F.col("rh").eqNullSafe(F.col("__canon_rh")))
         .withColumn("keep", F.col("doc_id") == F.col("__canon_id"))
-        .drop("__canon_id")
         .select("doc_id", "rh", "keep")
     )
 
@@ -1414,9 +1420,18 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-one via groupBy min(doc_id) + semi-join, not a window over
     # the fingerprint — the hot-key de-skew applied across the exact-
     # dedup family in round 8 (see fingerprint_dedup's docstring)
+    # (null-safe on the fingerprint — md5(NULL) is NULL and a plain
+    # equi-semi-join would silently drop such rows; the n_chars gate
+    # makes NULL text unreachable here, but the operator contract
+    # should not depend on that. ADVICE r08.)
     fp = d.withColumn("__fp", F.md5("text"))
-    canon = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = fp.join(canon, ["__fp", "doc_id"], "left_semi").drop("__fp")
+    canon = fp.groupBy("__fp").agg(F.min("doc_id").alias("__canon_id"))
+    kept = fp.join(
+        canon,
+        fp["__fp"].eqNullSafe(canon["__fp"])
+        & (fp["doc_id"] == canon["__canon_id"]),
+        "left_semi",
+    ).drop("__fp")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
     return (
@@ -2110,11 +2125,17 @@ def _pretrain_stages(quality: DataFrame) -> DataFrame:
     # (VERDICT r07 "What's wrong #2") — one document duplicated 10⁸×
     # would otherwise sort in a single window task; min partial-
     # aggregates map-side and the join is AQE-skew-splittable.
+    # (fp join is null-safe — md5(NULL) is NULL and plain equi-join
+    # semantics would drop such rows; unreachable behind the length
+    # gate, but the stage shouldn't rely on its caller. ADVICE r08.)
     hashed = clean.select("doc_id", "n_tok", F.md5("text").alias("fp"))
-    canon = hashed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = hashed.join(canon, ["fp", "doc_id"], "left_semi").select(
-        "doc_id", "n_tok"
-    )
+    canon = hashed.groupBy("fp").agg(F.min("doc_id").alias("__canon_id"))
+    deduped = hashed.join(
+        canon,
+        hashed["fp"].eqNullSafe(canon["fp"])
+        & (hashed["doc_id"] == canon["__canon_id"]),
+        "left_semi",
+    ).select("doc_id", "n_tok")
     return pack_fragments(deduped, n_shards=8, block=512)
 
 

@@ -37,6 +37,7 @@ matching the reference ETL's contract — typed coercion is a downstream
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..storage import SnapshotTable
@@ -82,6 +83,7 @@ def sync_entity(
     key_field: str,
     fields: list[str],
     n_buckets: int = 8,
+    force_full: bool = False,
 ) -> int:
     """One sync cycle; returns the current snapshot id.
 
@@ -91,19 +93,62 @@ def sync_entity(
     ``@removed``), persist the advanced link on the same commit. A
     row-empty delta commits nothing and keeps the stored link — the
     next sync replays an empty window, which is a no-op by
-    construction."""
+    construction.
+
+    Recovery (ADVICE r08): the persisted link is the server's absolute
+    URL, so a relocated/restarted service (or a server that expired
+    the delta token) makes ``fetch_delta`` fail and no follow-up can
+    succeed on the stored cursor. ``force_full=True`` rebootstraps:
+    one fresh tracked read replaces BOTH the cursor and the state in a
+    single atomic commit — fetched rows upsert, keys present in the
+    table but absent from the fresh read net-delete (they vanished
+    server-side while the cursor was broken; without the anti-join
+    they would linger as ghost rows), and the new link lands as the
+    same commit's property. Time travel to pre-rebootstrap snapshots
+    is preserved; a crash mid-rebootstrap leaves the old link and
+    state intact (the commit is the atom)."""
     table = SnapshotTable(
         spark, table_dir, key_cols=[key_field], order_col="__sync_seq",
         n_buckets=n_buckets,
     )
-    link = table.latest_property(DELTA_LINK_PROP)
+    link = None if force_full else table.latest_property(DELTA_LINK_PROP)
     if link is None:
         rows, new_link = client.fetch_tracked(
             entity, select=",".join(fields)
         )
+        seq_base = (table.order_watermark() or 0) + 1
         batch = _to_df(
-            spark, [(r, False) for r in rows], fields, key_field, 1
+            spark, [(r, False) for r in rows], fields, key_field, seq_base
         )
+        if table.current_id() is not None:
+            # Rebootstrap of an existing table: net-delete the keys
+            # the fresh read no longer contains. The fetched side is
+            # already driver-resident (the pager runs on the driver),
+            # but the TABLE side stays distributed — a left-anti join
+            # against the fetched keys, never a collect of table keys.
+            fetched_keys = spark.createDataFrame(
+                [(str(r.get(key_field)),) for r in rows],
+                T.StructType(
+                    [T.StructField(key_field, T.StringType(), True)]
+                ),
+            )
+            tomb_seq = seq_base + len(rows)
+            tombstones = (
+                table.read()
+                .select(key_field)
+                .join(fetched_keys, key_field, "left_anti")
+                .select(
+                    *[
+                        F.col(key_field).alias(f)
+                        if f == key_field
+                        else F.lit(None).cast("string").alias(f)
+                        for f in fields
+                    ],
+                    F.lit(tomb_seq).cast("long").alias("__sync_seq"),
+                    F.lit(True).alias("__deleted"),
+                )
+            )
+            batch = batch.unionByName(tombstones)
         return table.merge(
             batch,
             tombstone_filter="__deleted",

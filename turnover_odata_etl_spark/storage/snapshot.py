@@ -51,6 +51,7 @@ which is exactly why Iceberg on S3 uses a catalog for the pointer.
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 
@@ -487,9 +488,20 @@ class SnapshotTable:
         if not touched:
             # Empty batch: leave history clean (the caller's run is
             # still checkpoint-tracked); first-ever commit records an
-            # empty snapshot so the table becomes readable.
-            return base_id if base_id is not None else self._commit(
-                batch_df.schema.json(), [], [], operation="merge",
+            # empty snapshot so the table becomes readable. If the
+            # caller asked to stamp PROPERTIES, an existing table gets
+            # a metadata-only commit (all base files carried forward,
+            # no data write) instead of a silent return — otherwise an
+            # IVM view's `reflects_base` watermark would lag on no-op
+            # batches and every later fold would walk changes() across
+            # a growing span, breaking latest_property's documented
+            # "stamped on every commit reads ONE manifest" fast path
+            # (ADVICE r08).
+            if base_id is not None and not properties:
+                return base_id
+            return self._commit(
+                base_m["schema"] if base_id else batch_df.schema.json(),
+                base_files, [], operation="merge",
                 base_id=base_id, properties=properties,
             )
 
@@ -637,6 +649,15 @@ class SnapshotTable:
             lo, hi = min(mins), max(maxs)
             if isinstance(lo, bool) or not isinstance(lo, (int, float)):
                 continue
+            # NaN/inf bounds would serialize as the non-RFC JSON
+            # tokens `NaN`/`Infinity` — Python round-trips them but
+            # any external manifest consumer breaks. Skip the column:
+            # absent stats degrade to must-read (ADVICE r08).
+            if any(
+                isinstance(v, float) and not math.isfinite(v)
+                for v in (lo, hi)
+            ):
+                continue
             out[name] = [lo, hi]
         return out
 
@@ -692,6 +713,10 @@ class SnapshotTable:
             maxs.append(st.max)
         lo, hi = min(mins), max(maxs)
         if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+            return None, None
+        if any(
+            isinstance(v, float) and not math.isfinite(v) for v in (lo, hi)
+        ):  # NaN/inf are not RFC-JSON; degrade to must-read
             return None, None
         return lo, hi
 
