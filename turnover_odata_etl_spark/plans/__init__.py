@@ -26,85 +26,81 @@ from . import roundeight  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 8, per VERDICT r07 item 1 — window arithmetic given
-# verbatim there: "9 new + the 32 round-4 rows + 9 stalest round-5
-# rows = 50"):
-#   - the NINE round-8 registrations activated from plans/roundeight
-#     (cap ruling VERDICT r07 "What's missing #1": "the freeze is
-#     lifted — register all nine; the cap moves to 191 and freezes
-#     there"), gated immediately;
-#   - ALL 32 remaining round-4 rows (scripts/staleness.py output,
-#     pinned in the r07 verdict): after a green r08 gate the driver
-#     freshness floor moves from round 4 to round 5;
-#   - 9 round-5 rows. All round-5 rows are equally old in the ledger,
-#     so "stalest" is broken by code drift since round 5, exactly as
-#     the r07 rotation did: the dedup-operator pair (operators/dedup.py
-#     is rewritten THIS round — duplicate_spans de-skew, VERDICT item
-#     2), the incremental-agg row (streaming/incremental.py changes
-#     THIS round — ADVICE high/low IVM fixes), the two remaining ANN
-#     rows (operators/similarity.py drift, r06 tiling), and the
-#     e12/e13 family heads as alphabetical-first fillers.
-# Next-stalest after this round: the remaining 41 round-5 rows
-# (listed by scripts/staleness.py). Round-9 window math, assuming the
-# six staged plans/roundnine.py queries get a cap ruling: 6 new + 41
-# round-5 + the 3 stalest round-6 rows = 50; the rest of round 6
-# rotates in r10.
+# ROTATION (round 9 — pure freshness; REGISTRY STAYS FROZEN AT 191):
+# the r07 cap ruling ("register all nine; the cap moves to 191 and
+# freezes there") was executed in round 8 and NO round-8 verdict
+# exists to grant a new ruling, so the six oracle-green
+# plans/roundnine.py queries remain STAGED (locally tested +
+# bench-timed in the staged_r9 section) and this window is rotation
+# only:
+#   - ALL 41 remaining round-5 rows (scripts/staleness.py output;
+#     after a green r09 gate the driver freshness floor moves from
+#     round 5 to round 6);
+#   - 9 round-6 rows. All round-6 rows are equally old in the ledger,
+#     so "stalest" is broken by code drift since round 6, as the
+#     r07/r08 rotations did: d_rollhash_fingerprint /
+#     t_corpus_pipeline / s_warc_to_pretrain are EDITED this round
+#     (null-safe keep-one joins, ADVICE r08 medium), the d_* dedup
+#     family rows ride the same plans/llm.py + operators/dedup.py
+#     drift, and the a_dedup pair are the alphabetical-first fillers.
+# Next-stalest after this round: the remaining 41 round-6 rows
+# (listed by scripts/staleness.py). Round-10 window math, assuming
+# the six staged plans/roundnine.py queries get a cap ruling then:
+# 6 new + 41 round-6 + 3 stalest round-7 = 50.
 #
 GATED_QUERIES = [
-    # round-8 registrations, gated immediately (registry 182 -> 191,
-    # then frozen per the r07 cap ruling)
-    "m_gif_decode_features",
-    "m_g711_decode_features",
-    "m_flac_decode_features",
-    "m_tiff_decode_features",
-    "m_mixed_image_decode_features",
-    "s_snapshot_pruned_read",
-    "s_snapshot_changes",
-    "s_snapshot_incremental_agg",
-    "d_exact_substr_spans",
-    # all 32 round-4 rows (freshness floor -> round 5)
-    "c_snapshot_diff",
-    "e12_json_extract",
-    "e13_approx_aggs",
-    "e13_exact_percentiles",
-    "e13_outliers_iqr",
-    "e14_funnel_sequence",
-    "e14_peak_concurrency",
-    "e14_retention_cohorts",
-    "e1_pricing_summary",
-    "e2_rollup",
-    "e3_join_inner",
-    "e3_star_join_revenue",
-    "e4_spatial_grid_join",
-    "e5_window_ranks",
-    "e6_copurchase_pairs",
-    "e6_q13_customer_distribution",
-    "e6_q21_suppliers_kept_waiting",
-    "e6_q22_global_sales_opportunity",
-    "e6_q6_forecast_revenue",
-    "e6_topk_per_group",
-    "f_eq_predicate",
-    "o_sort_limit",
-    "p_rename_coalesce_reorder",
-    "q_sql_lateral_join",
-    "q_sql_recursive_cte",
-    "s_csv_roundtrip",
-    "st_session_window",
-    "st_stream_dedup_watermark",
-    "st_stream_stream_join",
-    "st_tumbling_window",
-    "u_union_by_name",
-    "x_string_functions",
-    # 9 round-5 rows with the most code drift since their row
-    "d_embedding_neardup",
-    "d_prefix_filter_jaccard",
-    "st_incremental_agg",
-    "s_knn_ivf",
-    "s_knn_pq",
-    "e12_from_json",
-    "e12_variant_extract",
-    "e13_bitmap_presence",
-    "e13_cms_heavy_hitters",
+    # all 41 remaining round-5 rows (freshness floor -> round 6)
+    "e13_corr_regression",
+    "e13_histogram",
+    "e14_gapfill_resample",
+    "e14_inactivity_gaps",
+    "e14_ohlc_bars",
+    "e3_join_salted_skew",
+    "e4_scd2_intervals",
+    "e5_window_range_frame",
+    "e6_q10_returned_items",
+    "e6_q11_important_stock",
+    "e6_q12_priority_by_returnflag",
+    "e6_q15_top_supplier",
+    "e6_q16_part_supplier_counts",
+    "e6_q17_small_qty_revenue",
+    "e6_q18_large_volume_customer",
+    "e6_q20_promotion_suppliers",
+    "e6_q2_min_cost_supplier",
+    "e6_q3_shipping_priority",
+    "e6_q4_order_priority",
+    "e6_q7_volume_shipping",
+    "e6_q8_market_share",
+    "e6_q9_product_profit",
+    "m_frame_sample",
+    "m_png_decode_features",
+    "m_wav_decode_features",
+    "s_compaction_roundtrip",
+    "s_orc_roundtrip",
+    "s_range_sorted_layout",
+    "s_schema_evolution_merge",
+    "s_xml_roundtrip",
+    "s_zorder_layout",
+    "st_sliding_window",
+    "st_stream_scd2_enrich",
+    "st_stream_stream_left_join",
+    "t_pretrain_pipeline",
+    "t_repetition_metrics",
+    "t_unigram_logprob",
+    "t_weighted_sample_es",
+    "x_hof_functions",
+    "x_try_functions",
+    "x_url_functions",
+    # 9 round-6 rows with the most code drift since their row
+    "d_rollhash_fingerprint",
+    "t_corpus_pipeline",
+    "s_warc_to_pretrain",
+    "d_simhash",
+    "d_simhash_neardup",
+    "d_levenshtein_blocked",
+    "d_phash_neardup",
+    "a_dedup_keep_latest",
+    "a_dedup_rows",
 ]
 
 registry.promote(GATED_QUERIES)
