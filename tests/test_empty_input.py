@@ -60,6 +60,7 @@ STAGED_R9 = [
     "s_snapshot_skipping",
     "st_snapshot_ivm",
     "s_odata_delta_sync",
+    "d_semantic_dedup",
 ]
 
 

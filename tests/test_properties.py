@@ -1051,3 +1051,67 @@ def test_fingerprint_dedup_null_safe_keeps_every_row(spark, texts):
     }
     assert got == want
     assert len(got) == len(texts)  # no silent row loss
+
+
+@SETTINGS
+@given(data=st.data())
+def test_semantic_dedup_matches_percluster_greedy_reference(spark, data):
+    """``semantic_dedup``'s keep set, GIVEN its own cluster
+    assignment, must equal an independent numpy greedy sweep per
+    cluster (ascending id; drop iff an earlier KEPT clustermate's
+    cosine > threshold). The reference takes the operator's (id,
+    cluster) output as input — clustering quality is not under test
+    here (any assignment is valid SemDeDup), the keep semantics are.
+    Also pins: every input row appears exactly once, and within a
+    cluster kept rows are pairwise ≤ threshold (the uniqueness
+    invariant)."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.operators.dedup import semantic_dedup
+
+    dim = data.draw(st.integers(2, 4), label="dim")
+    n = data.draw(st.integers(0, 14), label="n")
+    thr = data.draw(st.sampled_from([0.3, 0.7, 0.95]), label="thr")
+    k = data.draw(st.integers(1, 4), label="k")
+    # small integer grid → plenty of exact duplicates and near-dups
+    vecs = [
+        data.draw(
+            st.lists(
+                st.integers(-2, 2).map(float), min_size=dim, max_size=dim
+            ),
+            label=f"v{i}",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=k, threshold=thr
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(n))
+
+    by_cluster: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: r["vec_id"]):
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    got = {r["vec_id"]: r["keep"] for r in out}
+
+    V = np.array(vecs, dtype=np.float64) if n else np.zeros((0, dim))
+    norms = np.linalg.norm(V, axis=1) if n else np.array([])
+    Vn = V / np.where(norms == 0.0, 1.0, norms)[:, None] if n else V
+    want = {}
+    for ids in by_cluster.values():
+        kept: list[int] = []
+        for i in ids:  # ascending id (insertion order above)
+            if kept and (Vn[kept] @ Vn[i] > thr).any():
+                want[i] = False
+            else:
+                want[i] = True
+                kept.append(i)
+    assert got == want
+    for ids in by_cluster.values():  # kept pairwise <= thr
+        kept = [i for i in ids if got[i]]
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                assert Vn[kept[a]] @ Vn[kept[b]] <= thr + 1e-12

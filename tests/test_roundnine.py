@@ -165,3 +165,37 @@ def test_odata_delta_sync_matches_oracle(spark, sf_dir):
         "s_odata_delta_sync",
     )
     assert s_odata_delta_sync(spark, sf_dir).count() > 0
+
+
+def test_semantic_dedup_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        SEMANTIC_DEDUP_ORACLE,
+        d_semantic_dedup,
+    )
+
+    assert SEMANTIC_DEDUP_ORACLE
+    compare_spark_vs_oracle(
+        d_semantic_dedup(spark, sf_dir),
+        _con(sf_dir),
+        SEMANTIC_DEDUP_ORACLE,
+        "d_semantic_dedup",
+    )
+
+
+def test_semantic_dedup_actually_drops_near_duplicates(spark, sf_dir):
+    """The contract row alone can't show the operator DOES anything on
+    real data — pin that the fixture's near-dup pairs (the ones
+    d_embedding_neardup finds at the same 0.45 threshold) produce a
+    keep set strictly smaller than the corpus, and that re-running is
+    deterministic."""
+    from turnover_odata_etl_spark.operators.dedup import semantic_dedup
+    from turnover_odata_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out1 = semantic_dedup(emb, "vec_id", "embedding", 16, 0.45)
+    kept1 = sorted(r["vec_id"] for r in out1.filter("keep").collect())
+    assert 0 < len(kept1) < n  # dedup occurred, but not everything
+    out2 = semantic_dedup(emb, "vec_id", "embedding", 16, 0.45)
+    kept2 = sorted(r["vec_id"] for r in out2.filter("keep").collect())
+    assert kept1 == kept2  # deterministic (seeded, no RNG)

@@ -770,3 +770,83 @@ def remove_duplicate_spans(
         F.col("__spans").isNull(), F.col(tokens_col)
     ).otherwise(F.filter(tokens_col, lambda x, i: ~covered(x, i)))
     return joined.withColumn(out_col, cleaned).drop("__spans")
+
+
+# -- tier 6: semantic dedup (SemDeDup) --------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with seeded k-means, then within each cluster keep
+    ONE representative per cosine epsilon-ball — greedy in ascending
+    id order, so a document is dropped iff an earlier KEPT clustermate
+    has cosine > ``threshold``. Returns ``(id, cluster, keep)``.
+
+    This is the scale path past the exact pairwise tiers: the O(n²)
+    similarity matrix becomes Σ O(|cluster|²) — with n_clusters grown
+    ~√n (the paper runs 50k clusters on LAION), per-cluster work stays
+    bounded and embarrassingly parallel. Plan shape: one map-only GEMM
+    per Arrow batch for assignment (``similarity.kmeans_assign``), one
+    (cell, dim) agg for the Lloyd step, then ONE shuffle on the
+    cluster key into ``applyInPandas`` where the greedy sweep
+    vectorizes as kept-matrix @ candidate dot products. A pathological
+    cluster (everything in one cell) degrades to the exact tier's
+    cost, never worse; determinism is total (seeded centroids, id
+    order, no RNG).
+
+    Output contract (pinned by the property test against an
+    independent per-cluster numpy reference): within a cluster, kept
+    rows are pairwise ≤ threshold, and every dropped row has an
+    earlier kept witness > threshold — which uniquely determines the
+    keep set given the assignment.
+    """
+    from .similarity import kmeans_assign
+
+    vectors = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+    )
+    assigned, _ = kmeans_assign(vectors, n_clusters)
+    if assigned is None:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long, keep boolean"
+        )
+
+    thr = float(threshold)
+
+    def greedy(pdf):
+        # Self-contained closure (cloudpickle ships by value; workers
+        # cannot import this package — see minhash note above).
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("nid").reset_index(drop=True)
+        V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+        n = len(pdf)
+        norms = _np.linalg.norm(V, axis=1)
+        Vn = V / _np.where(norms == 0.0, 1.0, norms)[:, None]
+        keep = _np.zeros(n, dtype=bool)
+        kept: list[int] = []
+        for i in range(n):
+            if kept and (Vn[kept] @ Vn[i] > thr).any():
+                continue
+            keep[i] = True
+            kept.append(i)
+        return _pd.DataFrame(
+            {"nid": pdf["nid"], "cell": pdf["cell"], "keep": keep}
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(greedy, "nid long, cell long, keep boolean")
+        .select(
+            F.col("nid").alias(id_col),
+            F.col("cell").alias("cluster"),
+            "keep",
+        )
+    )

@@ -432,38 +432,40 @@ def cosine_neardup_pairs(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: partition the corpus into
-    ``n_cells`` Voronoi cells around centroids, probe only the
-    ``nprobe`` nearest cells per query, exact-re-rank the candidates.
 
-    Centroids: deterministic seeding (first ``n_cells`` vectors by id)
-    + one distributed Lloyd refinement (assign → per-cell mean via a
+def _safe_norm(m: np.ndarray) -> np.ndarray:
+    """Row norms with zeros mapped to 1 — a zero seed/mean vector must
+    not poison the centroid matrix with NaN (argmax over a NaN column
+    would absorb every assignment)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return np.where(n == 0.0, 1.0, n)
+
+
+def kmeans_assign(
+    vectors: DataFrame, n_cells: int
+) -> "tuple[DataFrame | None, np.ndarray | None]":
+    """Deterministic seeded k-means cell assignment — the shared
+    clustering kernel under :func:`ivf_topk` (IVF coarse quantizer)
+    and :func:`..dedup.semantic_dedup` (SemDeDup cluster stage).
+
+    ``vectors`` must carry ``(nid long, vec array<float>)``. Centroids:
+    first ``n_cells`` vectors by id (deterministic seeding, no RNG) +
+    ONE distributed Lloyd refinement (assign → per-cell mean via a
     (cell, dim) aggregation). Only the centroid matrix itself touches
     the driver — n_cells·dim floats, metadata-sized at any corpus
-    scale. Per-query candidate work is ~nprobe/n_cells of the corpus;
-    recall rises with nprobe (nprobe = n_cells ⇒ exact)."""
-    # Centroid assignment is a per-partition GEMM; fan a narrow scan out
-    # (no-op when the corpus scan is already wide).
-    c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"))
-    )
+    scale; assignment is a per-partition GEMM over Arrow batches
+    (map-only, no shuffle). Returns ``(assigned, centroids)`` where
+    ``assigned`` adds a ``cell`` column, or ``(None, None)`` on empty
+    input."""
+    c = ensure_parallelism(vectors)
 
     seed_rows = (
         c.orderBy("nid").limit(n_cells).select("vec").collect()
     )  # n_cells vectors — metadata-scale collect, not the data path
     if not seed_rows:
-        return _empty_topk(corpus)
+        return None, None
     cents = np.array([r.vec for r in seed_rows], dtype=np.float64)
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = cents / _safe_norm(cents)
 
     def assigner(cmat):
         def assign(batches):
@@ -472,7 +474,8 @@ def ivf_topk(
 
             for pdf in batches:
                 V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
-                Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+                nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+                Vn = V / _np.where(nrm == 0.0, 1.0, nrm)
                 cell = (Vn @ cmat.T).argmax(axis=1).astype(_np.int64)
                 yield _pd.DataFrame(
                     {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
@@ -494,11 +497,38 @@ def ivf_topk(
     cents2 = cents.copy()
     for r in means:
         cents2[r.cell][r.dim] = r.m
-    cents2 = cents2 / np.linalg.norm(cents2, axis=1, keepdims=True)
+    cents2 = cents2 / _safe_norm(cents2)
 
     assigned = c.mapInPandas(
         assigner(cents2), "nid long, vec array<float>, cell long"
     )
+    return assigned, cents2
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around centroids, probe only the
+    ``nprobe`` nearest cells per query, exact-re-rank the candidates.
+
+    Clustering is :func:`kmeans_assign` (deterministic seed + one
+    Lloyd step). Per-query candidate work is ~nprobe/n_cells of the
+    corpus; recall rises with nprobe (nprobe = n_cells ⇒ exact)."""
+    assigned, cents2 = kmeans_assign(
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")
+        ),
+        n_cells,
+    )
+    if assigned is None:
+        return _empty_topk(corpus)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
 

@@ -29,6 +29,11 @@ data skipping (``read_where``), and ``s_odata_delta_sync`` the only
 ORACLE-checkable exercise of the round-8 OData V4 delta-link sync
 (E104 — the wire tests in ``tests/test_odata_delta.py`` pin the
 protocol; this query pins the fixture-derived end state).
+``d_semantic_dedup`` (added in round 9) is the only end-to-end
+exercise of SemDeDup semantic dedup (E105,
+``operators/dedup.semantic_dedup`` — invariant-contract oracle, the
+recall-contract pattern; exact greedy semantics pinned by the
+hypothesis property test in ``tests/test_properties.py``).
 """
 
 from __future__ import annotations
@@ -636,4 +641,103 @@ def s_odata_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         "event_type",
         F.round(F.col("value").cast("double"), 2).alias("value"),
+    )
+
+
+# Contract oracle for SemDeDup (same class as s_knn_ivf's recall
+# contract): the keep SET depends on engine-side k-means centroids and
+# is not SQL-reproducible, so the query reduces the result to ONE row
+# of constants that only holds when the algorithm works — the two
+# invariants that UNIQUELY determine a greedy epsilon-ball keep set
+# given an assignment (no kept clustermate pair above threshold; every
+# dropped doc has an earlier kept witness above threshold), verified
+# exactly and distributed in Spark, plus the row-conservation count the
+# oracle recomputes from the fixture. A 1e-6 band around the threshold
+# absorbs numpy-GEMV vs JVM-fold cosine ulp differences (the same
+# cross-engine guard the block-GEMM re-score documents); the property
+# test in tests/test_properties.py pins the exact greedy semantics
+# against an independent per-cluster numpy reference.
+SEMANTIC_DEDUP_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(16 AS BIGINT) AS n_clusters,
+           CAST(45 AS BIGINT) AS threshold_pct,
+           CAST(1 AS BIGINT) AS invariants_ok
+    FROM embeddings
+"""
+
+
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.semantic_dedup —
+    Abbas et al. 2023): seeded k-means over the embedding space, then
+    one kept representative per within-cluster cosine epsilon-ball
+    (greedy by id). The scale path past the exact O(n²) pairwise
+    tiers: per-cluster quadratic work, embarrassingly parallel, one
+    shuffle on the cluster key.
+
+    Emits the invariant-contract row (see SEMANTIC_DEDUP_ORACLE):
+    n_docs row conservation + invariants_ok, which flips to 0 if any
+    kept clustermate pair exceeds the threshold or any dropped doc
+    lacks an earlier kept witness — i.e. exactly when the keep set is
+    NOT the greedy epsilon-ball solution for the assignment."""
+    from ..functions.vectors import cosine
+    from ..operators.dedup import semantic_dedup
+
+    thr, eps = 0.45, 1e-6
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(
+        emb, "vec_id", "embedding", n_clusters=16, threshold=thr
+    )
+    v = flags.join(emb.select("vec_id", "embedding"), "vec_id")
+    kept = v.filter(F.col("keep")).select(
+        F.col("vec_id").alias("kid"),
+        F.col("cluster").alias("kc"),
+        F.col("embedding").alias("kv"),
+    )
+    dropped = v.filter(~F.col("keep")).select(
+        F.col("vec_id").alias("did"),
+        F.col("cluster").alias("dc"),
+        F.col("embedding").alias("dv"),
+    )
+    # invariant A: kept clustermates are pairwise <= threshold
+    viol_a = (
+        kept.alias("a")
+        .join(
+            kept.select(
+                F.col("kid").alias("kid2"),
+                F.col("kc").alias("kc2"),
+                F.col("kv").alias("kv2"),
+            ),
+            (F.col("kc") == F.col("kc2")) & (F.col("kid") < F.col("kid2")),
+        )
+        .filter(cosine("kv", "kv2") > thr + eps)
+        .agg(F.count(F.lit(1)).alias("va"))
+    )
+    # invariant B: every dropped doc has an earlier kept witness
+    viol_b = (
+        dropped.join(
+            kept,
+            (F.col("dc") == F.col("kc"))
+            & (F.col("kid") < F.col("did"))
+            & (cosine("dv", "kv") > thr - eps),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("vb"))
+    )
+    conserved = flags.agg(
+        F.count(F.lit(1)).alias("n_flags"),
+    ).crossJoin(emb.agg(F.count(F.lit(1)).alias("n_emb")))
+    return (
+        viol_a.crossJoin(viol_b)
+        .crossJoin(conserved)
+        .select(
+            F.col("n_emb").cast("long").alias("n_docs"),
+            F.lit(16).cast("long").alias("n_clusters"),
+            F.lit(45).cast("long").alias("threshold_pct"),
+            (
+                (F.col("va") == 0)
+                & (F.col("vb") == 0)
+                & (F.col("n_flags") == F.col("n_emb"))
+            )
+            .cast("long")
+            .alias("invariants_ok"),
+        )
     )
