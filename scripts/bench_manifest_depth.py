@@ -20,7 +20,16 @@ What grows with commit depth D, and what doesn't:
 - expire_snapshots(keep_last=k): parses all, unlinks D-k manifests —
   the explicit bound; after it the directory scan is O(k).
 
-Run: python scripts/bench_manifest_depth.py [depth] [files_per_manifest]
+Round 9 adds ``format 2`` (delta manifests): a commit writes only the
+TOUCHED buckets' file lists (full manifest at the root, every 16th id,
+and the GC floor). The width term drops out of the per-commit cost —
+O(touched) instead of O(F) — which is what matters when F is 10^5-10^6
+(a 100 TB table), where a full list would be a multi-MB JSON write per
+micro-batch commit and depth x O(F) metadata storage. The cold read
+pays a <=16-step resolution walk instead of one parse; both are
+measured below.
+
+Run: python scripts/bench_manifest_depth.py [depth] [files_per_manifest] [format 1|2]
 """
 
 from __future__ import annotations
@@ -74,9 +83,70 @@ def build(table_dir: str, depth: int, n_files: int) -> None:
         fh.write(str(depth))
 
 
+def build_v2(table_dir: str, depth: int, n_files: int) -> None:
+    """Delta-manifest chain in the round-9 on-disk form: each commit
+    rewrites ONE bucket (n_files/8 entries), full manifests at sid 1
+    and every FULL_MANIFEST_EVERY-th id — the steady-state shape of a
+    keep-latest table under micro-batch merges."""
+    from turnover_odata_etl_spark.storage.snapshot import (
+        FULL_MANIFEST_EVERY,
+    )
+
+    mdir = os.path.join(table_dir, "manifests")
+    os.makedirs(mdir)
+
+    def entries(bucket: int, sid: int) -> list[dict]:
+        per = max(1, n_files // 8)
+        return [
+            {
+                "path": f"data/{uuid.uuid4().hex[:12]}-b{bucket}-{i}.parquet",
+                "bucket": bucket,
+                "rows": 12_345,
+                "order_min": 1,
+                "order_max": sid,
+            }
+            for i in range(per)
+        ]
+
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": c, "type": "long", "nullable": True, "metadata": {}}
+                for c in ("k", "grp", "val", "ver")
+            ],
+        }
+    )
+    state = {b: entries(b, 0) for b in range(8)}
+    for sid in range(1, depth + 1):
+        touched = sid % 8
+        state[touched] = entries(touched, sid)
+        manifest = {
+            "snapshot_id": sid,
+            "parent": sid - 1 or None,
+            "operation": "merge",
+            "key_cols": ["k"],
+            "order_col": "ver",
+            "n_buckets": 8,
+            "schema": schema,
+            "format": 2,
+            "properties": {"reflects_base": sid},
+        }
+        if sid == 1 or sid % FULL_MANIFEST_EVERY == 0:
+            manifest["full"] = True
+            manifest["buckets"] = {str(b): fs for b, fs in state.items()}
+        else:
+            manifest["buckets"] = {str(touched): state[touched]}
+        with open(os.path.join(mdir, f"manifest-{sid}.json"), "w") as fh:
+            json.dump(manifest, fh)
+    with open(os.path.join(table_dir, "_current"), "w") as fh:
+        fh.write(str(depth))
+
+
 def main() -> None:
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    fmt = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     # imported here so the script also documents the public surface
     sys.path.insert(
@@ -88,14 +158,23 @@ def main() -> None:
     table_dir = os.path.join(base, "t")
     try:
         t0 = time.perf_counter()
-        build(table_dir, depth, n_files)
+        (build if fmt == 1 else build_v2)(table_dir, depth, n_files)
         build_s = time.perf_counter() - t0
 
         t = SnapshotTable(
             None, table_dir, key_cols=["k"], order_col="ver", n_buckets=8
         )
+        mdir = os.path.join(table_dir, "manifests")
+        # depth may be a periodic FULL manifest in fmt 2 — report the
+        # steady-state DELTA size (depth-1) plus the true dir total.
         one_manifest_bytes = os.path.getsize(
-            os.path.join(table_dir, "manifests", f"manifest-{depth}.json")
+            os.path.join(mdir, f"manifest-{depth}.json")
+        )
+        delta_manifest_bytes = os.path.getsize(
+            os.path.join(mdir, f"manifest-{depth - 1}.json")
+        )
+        dir_bytes = sum(
+            os.path.getsize(os.path.join(mdir, n)) for n in os.listdir(mdir)
         )
 
         t0 = time.perf_counter()
@@ -104,9 +183,9 @@ def main() -> None:
         assert sid == depth
 
         t0 = time.perf_counter()
-        m = t._manifest(sid)
+        m = t._manifest(sid)  # fmt 2: cold resolution walk, <=16 reads
         parse_one_s = time.perf_counter() - t0
-        assert len(m["files"]) == n_files
+        assert len(m["files"]) >= (n_files if fmt == 1 else 8)
 
         t0 = time.perf_counter()
         assert t.latest_property("reflects_base") == depth
@@ -116,6 +195,62 @@ def main() -> None:
         h = t.history()
         history_s = time.perf_counter() - t0
         assert len(h) == depth
+
+        # REAL writer cost (fmt 2): _commit's grouping + parent diff is
+        # an O(F) in-memory pass even though the WRITE is O(touched) —
+        # measure it honestly with the real code path over 100 commits.
+        real_commit_avg_s = None
+        if fmt == 2:
+            rdir = os.path.join(base, "real")
+            rt = SnapshotTable(
+                None, rdir, key_cols=["k"], order_col="ver", n_buckets=8
+            )
+            per = max(1, n_files // 8)
+
+            def fentries(bucket, tag):
+                return [
+                    {
+                        "path": f"data/{tag}-b{bucket}-{i}.parquet",
+                        "bucket": bucket,
+                        "rows": 1,
+                        "order_min": 1,
+                        "order_max": 1,
+                    }
+                    for i in range(per)
+                ]
+
+            state = {b: fentries(b, f"seed{b}") for b in range(8)}
+            schema_json = json.loads(
+                open(
+                    os.path.join(
+                        table_dir, "manifests", "manifest-1.json"
+                    )
+                ).read()
+            )["schema"]
+            rt._commit(
+                schema_json,
+                [],
+                [f for fs in state.values() for f in fs],
+                "merge",
+                base_id=None,
+            )
+            t0 = time.perf_counter()
+            n_real = 100
+            for i in range(n_real):
+                touched = i % 8
+                new_entries = fentries(touched, f"c{i}")
+                carried = [
+                    f
+                    for b, fs in state.items()
+                    if b != touched
+                    for f in fs
+                ]
+                state[touched] = new_entries
+                rt._commit(
+                    schema_json, carried, new_entries, "merge",
+                    base_id=rt.current_id(),
+                )
+            real_commit_avg_s = (time.perf_counter() - t0) / n_real
 
         t0 = time.perf_counter()
         t.expire_snapshots(keep_last=8)
@@ -130,15 +265,20 @@ def main() -> None:
             json.dumps(
                 {
                     "depth": depth,
+                    "format": fmt,
                     "files_per_manifest": n_files,
                     "manifest_bytes": one_manifest_bytes,
-                    "dir_bytes_total": one_manifest_bytes * depth,
+                    "delta_manifest_bytes": delta_manifest_bytes,
+                    "dir_bytes_total": dir_bytes,
                     "per_commit_write_s": round(build_s / depth, 6),
                     "current_id_s": round(current_id_s, 4),
                     "parse_one_manifest_s": round(parse_one_s, 5),
                     "latest_property_s": round(latest_property_s, 4),
                     "history_s": round(history_s, 3),
                     "expire_to_8_s": round(expire_s, 3),
+                    "real_commit_avg_s": None
+                    if real_commit_avg_s is None
+                    else round(real_commit_avg_s, 6),
                     "current_id_after_expire_s": round(
                         current_id_after_expire_s, 5
                     ),

@@ -598,13 +598,19 @@ def test_read_range_without_stats_reads_everything(spark, tdir):
     t = make_table(spark, tdir, n_buckets=2)
     t.merge(batch(spark, [(i, "x", i) for i in range(10)]))
     mp = os.path.join(tdir, "manifests", "manifest-1.json")
-    m = _json.load(open(mp))
-    for f in m["files"]:
-        f.pop("order_min", None)
-        f.pop("order_max", None)
+    # rewrite as a v1-style FULL manifest (still a supported on-disk
+    # form) with the stats stripped
+    m = dict(t._manifest(1))
+    m.pop("buckets", None)
+    m.pop("full", None)
+    m["files"] = [
+        {k: v for k, v in f.items() if k not in ("order_min", "order_max")}
+        for f in m["files"]
+    ]
     _json.dump(m, open(mp, "w"))
-    assert rows(t.read_range(3, 5)) == [(3, "x", 3), (4, "x", 4),
-                                        (5, "x", 5)]
+    t2 = make_table(spark, tdir, n_buckets=2)  # fresh handle: no cache
+    assert rows(t2.read_range(3, 5)) == [(3, "x", 3), (4, "x", 4),
+                                         (5, "x", 5)]
 
 
 def test_old_writer_into_empty_bucket_does_not_narrow_schema(spark, tdir):
@@ -818,7 +824,11 @@ def test_nan_column_stats_are_skipped_not_serialized(spark, tdir):
     m = _json.loads(raw, parse_constant=lambda s: pytest.fail(
         f"non-RFC JSON constant {s!r} in manifest"
     ))
-    for f in m["files"]:
+    entries = m.get("files") or [
+        f for fs in (m.get("buckets") or {}).values() for f in fs
+    ]
+    assert entries
+    for f in entries:
         for col, (lo, hi) in (f.get("stats") or {}).items():
             for v in (lo, hi):
                 assert not (isinstance(v, float) and not _math.isfinite(v))
@@ -826,3 +836,93 @@ def test_nan_column_stats_are_skipped_not_serialized(spark, tdir):
         r["k"] for r in t.read_where("x", 0.0, 1.0).collect()
     )
     assert got == [2]
+
+
+def test_delta_manifests_are_o_touched_buckets(spark, tdir):
+    """Round 9: a commit's on-disk manifest must list ONLY the buckets
+    whose file lists changed — commit metadata is O(touched buckets),
+    never O(table files). A wide table (every bucket populated) then a
+    single-key merge: the delta manifest carries exactly that key's
+    bucket; resolution still returns the complete file list and the
+    read equals the expected state."""
+    import json as _json
+
+    t = make_table(spark, tdir, n_buckets=8)
+    t.merge(batch(spark, [(k, "v", 1) for k in range(64)]))  # all buckets
+    m1 = t._manifest(1)
+    assert len({f["bucket"] for f in m1["files"]}) == 8
+    t.merge(batch(spark, [(7, "UPD", 2)]))
+    raw2 = _json.load(
+        open(os.path.join(t._manifest_dir, "manifest-2.json"))
+    )
+    assert "files" not in raw2 and not raw2.get("full")
+    assert len(raw2["buckets"]) == 1  # exactly the touched bucket
+    m2 = t._manifest(2)
+    assert len(m2["files"]) >= len(m1["files"])  # resolution complete
+    got = {(r["k"], r["v"]) for r in t.read().select("k", "v").collect()}
+    assert got == {(k, "UPD" if k == 7 else "v") for k in range(64)}
+
+
+def test_delta_chain_resolves_through_many_commits(spark, tdir):
+    """A long chain of single-bucket deltas (crossing the periodic
+    full-manifest boundary) must resolve every snapshot to its exact
+    state — time travel included — from a FRESH handle (no warm
+    cache)."""
+    from turnover_odata_etl_spark.storage.snapshot import (
+        FULL_MANIFEST_EVERY,
+    )
+
+    t = make_table(spark, tdir, n_buckets=4)
+    n = FULL_MANIFEST_EVERY + 5
+    for ver in range(1, n + 1):
+        t.merge(batch(spark, [(ver % 3, f"v{ver}", ver)]))
+    t2 = make_table(spark, tdir, n_buckets=4)
+    for sid in (1, 2, FULL_MANIFEST_EVERY, FULL_MANIFEST_EVERY + 1, n):
+        state = {}
+        for ver in range(1, sid + 1):
+            state[ver % 3] = (f"v{ver}", ver)
+        got = {
+            r["k"]: (r["v"], r["ver"]) for r in t2.read(sid).collect()
+        }
+        assert got == state, f"snapshot {sid}"
+
+
+def test_expire_materializes_full_manifest_at_floor(spark, tdir):
+    """expire_snapshots across a delta chain: the oldest KEPT snapshot
+    becomes self-contained (its parents are gone), every kept snapshot
+    still reads correctly from a fresh handle, and dropped snapshots'
+    exclusive files are deleted."""
+    import json as _json
+
+    t = make_table(spark, tdir, n_buckets=4)
+    for ver in range(1, 7):
+        t.merge(batch(spark, [(ver % 3, f"v{ver}", ver)]))
+    expect5 = {ver % 3: (f"v{ver}", ver) for ver in range(1, 6)}
+    expect6 = {ver % 3: (f"v{ver}", ver) for ver in range(1, 7)}
+    t.expire_snapshots(keep_last=2)  # keep 5, 6
+    raw5 = _json.load(
+        open(os.path.join(t._manifest_dir, "manifest-5.json"))
+    )
+    assert raw5.get("full") or "files" in raw5  # self-contained floor
+    t2 = make_table(spark, tdir, n_buckets=4)
+    assert t2.snapshot_ids() == [5, 6]
+    got5 = {r["k"]: (r["v"], r["ver"]) for r in t2.read(5).collect()}
+    got6 = {r["k"]: (r["v"], r["ver"]) for r in t2.read(6).collect()}
+    assert got5 == expect5 and got6 == expect6
+
+
+def test_rebucket_writes_full_manifest(spark, tdir):
+    """Bucket numbers mean different things across a rebucket — the
+    rebucket commit must be a FULL manifest, never a delta against the
+    old layout."""
+    import json as _json
+
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(k, "v", 1) for k in range(16)]))
+    before = rows(t.read())
+    sid = t.rebucket(8)
+    raw = _json.load(
+        open(os.path.join(t._manifest_dir, f"manifest-{sid}.json"))
+    )
+    assert raw.get("full") or "files" in raw
+    assert rows(make_table(spark, tdir, n_buckets=8).read()) == before

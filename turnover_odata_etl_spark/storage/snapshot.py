@@ -10,7 +10,11 @@ pointer), sized down to stdlib + parquet:
 
     table_dir/
       data/<uuid>-b<bucket>-<n>.parquet   immutable data files
-      manifests/manifest-<N>.json         snapshot N: full file list
+      manifests/manifest-<N>.json         snapshot N: per-bucket DELTA
+                                          vs parent (round 9; full at
+                                          the root, every 16th id, on
+                                          rebucket, and at the GC
+                                          floor — see _manifest)
       _current                            pointer file (read hint)
 
 - **Commit point = manifest claim.** A writer stages new data files
@@ -64,6 +68,14 @@ class CommitConflict(RuntimeError):
     """Another writer claimed the target snapshot id (CAS lost)."""
 
 
+# Every Nth commit writes a FULL manifest (all buckets) instead of a
+# delta against its parent, bounding the resolution walk to < N raw
+# manifest reads on a cold open. 16 trades ~16× smaller steady-state
+# commit metadata against a ≤16-step (cached, metadata-sized) walk —
+# the same knob as Iceberg's manifest-list rewrite cadence.
+FULL_MANIFEST_EVERY = 16
+
+
 class SnapshotTable:
     """A keyed keep-latest table with snapshot-isolated commits.
 
@@ -92,6 +104,10 @@ class SnapshotTable:
         self._data_dir = os.path.join(self.table_dir, "data")
         self._manifest_dir = os.path.join(self.table_dir, "manifests")
         self._pointer = os.path.join(self.table_dir, "_current")
+        # Resolved-manifest cache: claimed manifests are immutable
+        # (expire_snapshots only ever replaces one with an equivalent
+        # resolved view), so caching by snapshot id is always safe.
+        self._mcache: dict[int, dict] = {}
 
     @classmethod
     def load(cls, spark: SparkSession, table_dir: str) -> "SnapshotTable":
@@ -185,11 +201,55 @@ class SnapshotTable:
             )
         return out
 
-    def _manifest(self, sid: int) -> dict:
+    def _manifest_raw(self, sid: int) -> dict:
         with open(
             os.path.join(self._manifest_dir, f"manifest-{sid}.json")
         ) as fh:
             return json.load(fh)
+
+    def _manifest(self, sid: int) -> dict:
+        """RESOLVED manifest view: always carries the complete
+        ``files`` list, whatever the on-disk form.
+
+        On-disk forms (back-compatible):
+
+        - **v1 / full**: ``files: [...]`` (pre-round-9 tables, or any
+          hand-written manifest) — self-contained.
+        - **v2 delta** (round 9): ``buckets: {bucket: [entries]}``
+          holding ONLY the buckets whose file lists differ from the
+          parent (a now-empty bucket appears as ``[]``); untouched
+          buckets resolve from the parent chain. ``full: true`` marks
+          a self-contained v2 manifest (root commits, every
+          ``FULL_MANIFEST_EVERY``-th commit, bucket-count changes,
+          and the expire_snapshots floor).
+
+        This is what makes commit metadata O(touched buckets) instead
+        of O(table files): a 100 TB table with 10⁶ files no longer
+        rewrites a multi-MB file list per micro-batch commit. The walk
+        is bounded by FULL_MANIFEST_EVERY raw reads and memoized per
+        handle; every consumer (reads, CDC diff, GC, history) sees the
+        identical resolved dict it always did."""
+        cached = self._mcache.get(sid)
+        if cached is not None:
+            return cached
+        m = self._manifest_raw(sid)
+        if "files" not in m:
+            by_bucket = {
+                int(b): fs for b, fs in (m.get("buckets") or {}).items()
+            }
+            if not m.get("full") and m.get("parent") is not None:
+                parent = self._manifest(m["parent"])
+                merged: dict[int, list[dict]] = {}
+                for f in parent["files"]:
+                    merged.setdefault(f["bucket"], []).append(f)
+                merged.update(by_bucket)
+                by_bucket = merged
+            m = dict(m)
+            m["files"] = [
+                f for b in sorted(by_bucket) for f in by_bucket[b]
+            ]
+        self._mcache[sid] = m
+        return m
 
     # ---------------------------------------------------------------- read
 
@@ -763,8 +823,21 @@ class SnapshotTable:
         that committed in between makes the claim fail (its manifest
         owns that id) and the whole merge retries on the new current.
         Recomputing current here instead would silently drop the
-        winner's files from the carried-forward list."""
+        winner's files from the carried-forward list.
+
+        On-disk form: a v2 DELTA manifest holding only the buckets
+        whose file lists changed vs the parent (see ``_manifest`` for
+        the resolution contract) — commit metadata is O(touched
+        buckets), not O(table files). Full manifests are written at
+        the root, every ``FULL_MANIFEST_EVERY``-th id (bounds the
+        resolution walk), and on any bucket-count change (bucket
+        numbers mean different things across a rebucket, so a delta
+        against the old layout would be incoherent)."""
         new_id = (base_id or 0) + 1
+        all_files = carried + new_files
+        by_bucket: dict[int, list[dict]] = {}
+        for f in all_files:
+            by_bucket.setdefault(f["bucket"], []).append(f)
         manifest = {
             "snapshot_id": new_id,
             "parent": base_id,
@@ -773,8 +846,28 @@ class SnapshotTable:
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
             "schema": schema_json,
-            "files": carried + new_files,
+            "format": 2,
         }
+        full = base_id is None or new_id % FULL_MANIFEST_EVERY == 0
+        if not full:
+            parent = self._manifest(base_id)
+            if parent["n_buckets"] != self.n_buckets:
+                full = True
+        if full:
+            manifest["full"] = True
+            manifest["buckets"] = {
+                str(b): fs for b, fs in by_bucket.items()
+            }
+        else:
+            p_by_bucket: dict[int, list[str]] = {}
+            for f in parent["files"]:
+                p_by_bucket.setdefault(f["bucket"], []).append(f["path"])
+            delta = {}
+            for b in set(p_by_bucket) | set(by_bucket):
+                cur = sorted(f["path"] for f in by_bucket.get(b, []))
+                if cur != sorted(p_by_bucket.get(b, [])):
+                    delta[str(b)] = by_bucket.get(b, [])
+            manifest["buckets"] = delta
         if properties:
             manifest["properties"] = properties
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -867,17 +960,51 @@ class SnapshotTable:
         if len(ids) <= keep_last:
             return []
         keep, drop = ids[-keep_last:], ids[:-keep_last]
-        live = {
-            f["path"] for sid in keep for f in self._manifest(sid)["files"]
-        }
-        removed = []
+        # Resolve EVERY manifest while the parent chains are intact —
+        # delta manifests (v2) resolve through ancestors that are
+        # about to be unlinked.
+        resolved = {sid: self._manifest(sid) for sid in ids}
+        # The oldest KEPT snapshot becomes the new resolution floor:
+        # materialize it as a FULL manifest if it is a delta, so every
+        # surviving walk (all kept parents descend through it) stops
+        # before the dropped ids. Content-equivalent replacement —
+        # readers see the same resolved view before and after.
+        floor = keep[0]
+        raw = self._manifest_raw(floor)
+        if "files" not in raw and not raw.get("full"):
+            full_m = {k: v for k, v in raw.items() if k != "buckets"}
+            full_m["full"] = True
+            by_bucket: dict[int, list[dict]] = {}
+            for f in resolved[floor]["files"]:
+                by_bucket.setdefault(f["bucket"], []).append(f)
+            full_m["buckets"] = {
+                str(b): fs for b, fs in by_bucket.items()
+            }
+            tmp = os.path.join(
+                self._manifest_dir, f".tmp-full-{uuid.uuid4().hex[:12]}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(full_m, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(
+                tmp,
+                os.path.join(self._manifest_dir, f"manifest-{floor}.json"),
+            )
+        live = {f["path"] for sid in keep for f in resolved[sid]["files"]}
+        removed: list[str] = []
+        removed_set: set[str] = set()  # list membership is O(n²) when
+        # every dropped snapshot contributes distinct files
         for sid in drop:
-            for f in self._manifest(sid)["files"]:
-                if f["path"] not in live and f["path"] not in removed:
-                    removed.append(f["path"])
+            for f in resolved[sid]["files"]:
+                p = f["path"]
+                if p not in live and p not in removed_set:
+                    removed_set.add(p)
+                    removed.append(p)
             os.unlink(
                 os.path.join(self._manifest_dir, f"manifest-{sid}.json")
             )
+            self._mcache.pop(sid, None)
         for rel in removed:
             try:
                 os.unlink(os.path.join(self.table_dir, rel))
