@@ -58,7 +58,10 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
     live_states: dict[int, dict] = {}  # sid -> model state
     ver_counter = 0
 
-    for step in range(10):
+    # 20 steps: random commit chains CROSS the FULL_MANIFEST_EVERY=16
+    # boundary, so delta-manifest resolution (round 9) is exercised
+    # across a periodic full anchor under every op mix.
+    for step in range(20):
         op = rng.choices(
             ["merge", "tomb_merge", "rebucket", "expire"],
             weights=[6, 3, 1, 1],
@@ -100,8 +103,18 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
         if t.current_id() is None:
             assert cur == {}
             continue
-        # invariant 1: current state == model
+        # invariant 1: current state == model — checked through BOTH
+        # the session handle and a FRESH handle (cold manifest cache:
+        # the delta chain must resolve from disk alone)
         assert table_state(t) == cur, f"seed={seed} step={step} op={op}"
+        if step % 5 == 4:
+            t_cold = SnapshotTable(
+                spark, t.table_dir, key_cols=["k"], order_col="ver",
+                n_buckets=t.n_buckets,
+            )
+            assert table_state(t_cold) == cur, (
+                f"seed={seed} step={step} cold-handle resolution"
+            )
         # invariant 2: every live snapshot time-travels to its model
         for sid_, want in live_states.items():
             assert table_state(t, sid_) == want, (
