@@ -542,11 +542,22 @@ ODATA_DELTA_SYNC_ORACLE = """
                   ELSE CAST(value AS DOUBLE) END AS value
       FROM latest
       WHERE user_id % 5 <> 0
+    ),
+    relocated AS (
+      -- phase 4: service relocation + blackout churn, recovered via
+      -- force_full rebootstrap (vanished keys must net-delete)
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'relocated'
+                  ELSE event_type END AS event_type,
+             CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS DOUBLE) + 0.5
+                  ELSE value END AS value
+      FROM churned
+      WHERE user_id % 11 <> 0
     )
     SELECT user_id,
            event_type,
            round(value, 2) AS value
-    FROM churned
+    FROM relocated
 """
 
 
@@ -634,8 +645,41 @@ def s_odata_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
         sync_entity(spark, client, "Events", tdir, "user_id", fields)
+        post_churn = [dict(r) for r in server.rows]
     finally:
         server.stop()
+
+    # Phase 4 (round 9): the service RELOCATES while further churn
+    # happens — users with user_id % 11 == 0 vanish, even-id users are
+    # rewritten — and the stored delta link now points at a dead
+    # host:port. force_full=True must rebootstrap: one fresh tracked
+    # read replaces cursor AND state atomically, net-deleting the
+    # vanished keys (sources/odata_sync.py ADVICE-r08 recovery path;
+    # the wire tests pin the protocol, this pins the fixture-derived
+    # end state through the full stack).
+    seed2 = []
+    for r in post_churn:
+        uid = int(r["user_id"])
+        if uid % 11 == 0:
+            continue  # deleted during the blackout
+        if uid % 2 == 0:
+            r = dict(
+                r, event_type="relocated", value=repr(uid + 0.5)
+            )
+        seed2.append(r)
+    server2 = MockOData(
+        seed2, fields, version=4, page_size=50, key_field="user_id",
+        entity_set="Events",
+    )
+    server2.start()
+    try:
+        client2 = ODataClient(base_url=server2.base_url, service_path="")
+        sync_entity(
+            spark, client2, "Events", tdir, "user_id", fields,
+            force_full=True,
+        )
+    finally:
+        server2.stop()
 
     return read_synced(spark, tdir).select(
         F.col("user_id").cast("long").alias("user_id"),
