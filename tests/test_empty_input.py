@@ -61,6 +61,7 @@ STAGED_R9 = [
     "st_snapshot_ivm",
     "s_odata_delta_sync",
     "d_semantic_dedup",
+    "t_byte_entropy",
 ]
 
 

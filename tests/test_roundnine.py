@@ -199,3 +199,46 @@ def test_semantic_dedup_actually_drops_near_duplicates(spark, sf_dir):
     out2 = semantic_dedup(emb, "vec_id", "embedding", 16, 0.45)
     kept2 = sorted(r["vec_id"] for r in out2.filter("keep").collect())
     assert kept1 == kept2  # deterministic (seeded, no RNG)
+
+
+def test_byte_entropy_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        BYTE_ENTROPY_ORACLE,
+        t_byte_entropy,
+    )
+
+    assert BYTE_ENTROPY_ORACLE
+    compare_spark_vs_oracle(
+        t_byte_entropy(spark, sf_dir),
+        _con(sf_dir),
+        BYTE_ENTROPY_ORACLE,
+        "t_byte_entropy",
+    )
+
+
+def test_byte_entropy_hand_cases(spark):
+    """Closed-form anchor points: uniform-2-symbol text has exactly
+    1 bit/byte, uniform-4-symbol exactly 2, constant text 0, empty 0
+    with zero distinct bytes."""
+    from turnover_odata_etl_spark.functions.multimodal import (
+        byte_entropy_features,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_distinct"], r["byte_entropy"])
+        for r in byte_entropy_features(
+            with_binary_payload(df, "text"), "doc_id"
+        ).collect()
+    }
+    assert got == {
+        1: (4, 2, 1.0),
+        2: (4, 4, 2.0),
+        3: (4, 1, 0.0),
+        4: (0, 0, 0.0),
+        5: (0, 0, 0.0),
+    }

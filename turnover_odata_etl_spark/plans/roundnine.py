@@ -34,6 +34,10 @@ exercise of SemDeDup semantic dedup (E105,
 ``operators/dedup.semantic_dedup`` — invariant-contract oracle, the
 recall-contract pattern; exact greedy semantics pinned by the
 hypothesis property test in ``tests/test_properties.py``).
+``t_byte_entropy`` (added in round 9) is the only exercise of the
+Shannon byte-entropy quality signal
+(``functions/multimodal.byte_entropy_features`` — exact closed-form
+SQL oracle plus hand-case anchors at 0/1/2 bits).
 """
 
 from __future__ import annotations
@@ -798,3 +802,48 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("invariants_ok"),
         )
     )
+
+
+# Byte-entropy quality signal: exact SQL oracle — DuckDB recomputes
+# the per-document histogram by character (byte == char on the pure-
+# ASCII fixture) and the same closed-form H = log2(n) - sum(c·log2 c)/n.
+# Integer columns are exact; the entropy column crosses engines at
+# 4 dp (ulp argument in the operator docstring).
+BYTE_ENTROPY_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, unnest(string_split(t, '')) AS ch
+      FROM d WHERE length(t) > 0
+    ),
+    c AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM b GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             sum(cnt * log2(cnt)) AS s,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n, 0) AS n_bytes,
+           coalesce(agg.k, 0) AS n_distinct,
+           round(coalesce(log2(agg.n) - agg.s / agg.n, 0.0), 4)
+             AS byte_entropy
+    FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def t_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte-entropy quality scoring over the corpus
+    (functions/multimodal.byte_entropy_features) — the compression-
+    style gibberish/filler gate of web-scale pipelines, next to the
+    length/punct/stopword heuristics (E10) and repetition metrics.
+    Map-only: one bincount per payload inside the Arrow batch; the
+    oracle recomputes the histogram and closed form in SQL."""
+    from ..functions.multimodal import byte_entropy_features, with_binary_payload
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return byte_entropy_features(with_binary_payload(docs, "text"), "doc_id")
