@@ -165,13 +165,26 @@ def main() -> None:
             None, table_dir, key_cols=["k"], order_col="ver", n_buckets=8
         )
         mdir = os.path.join(table_dir, "manifests")
-        # depth may be a periodic FULL manifest in fmt 2 — report the
-        # steady-state DELTA size (depth-1) plus the true dir total.
         one_manifest_bytes = os.path.getsize(
             os.path.join(mdir, f"manifest-{depth}.json")
         )
+        # Steady-state DELTA size: the newest sid that is NOT a
+        # periodic full anchor (sid 1 and multiples of
+        # FULL_MANIFEST_EVERY are full; fmt 1 has no deltas at all).
+        from turnover_odata_etl_spark.storage.snapshot import (
+            FULL_MANIFEST_EVERY,
+        )
+
+        delta_sid = next(
+            (
+                s
+                for s in range(depth, 0, -1)
+                if s != 1 and s % FULL_MANIFEST_EVERY != 0
+            ),
+            depth,
+        )
         delta_manifest_bytes = os.path.getsize(
-            os.path.join(mdir, f"manifest-{depth - 1}.json")
+            os.path.join(mdir, f"manifest-{delta_sid}.json")
         )
         dir_bytes = sum(
             os.path.getsize(os.path.join(mdir, n)) for n in os.listdir(mdir)

@@ -926,3 +926,42 @@ def test_rebucket_writes_full_manifest(spark, tdir):
     )
     assert raw.get("full") or "files" in raw
     assert rows(make_table(spark, tdir, n_buckets=8).read()) == before
+
+
+def test_crash_mid_expire_is_recoverable(spark, tdir, monkeypatch):
+    """expire_snapshots unlinks dropped manifests DESCENDING (children
+    before parents): a crash mid-loop leaves only orphaned ANCESTORS,
+    so every surviving snapshot still resolves, history() works, and a
+    re-run expire completes the GC. (Ascending order would strand
+    surviving delta manifests whose parents are gone — an
+    unrecoverable chain break.)"""
+    import turnover_odata_etl_spark.storage.snapshot as snap_mod
+
+    t = make_table(spark, tdir, n_buckets=4)
+    for ver in range(1, 8):
+        t.merge(batch(spark, [(ver % 3, f"v{ver}", ver)]))
+    want = rows(t.read())
+
+    real_unlink = os.unlink
+    state = {"manifest_unlinks": 0}
+
+    def crashing_unlink(path):
+        if "manifest-" in os.path.basename(path):
+            state["manifest_unlinks"] += 1
+            if state["manifest_unlinks"] == 3:
+                raise OSError("injected crash mid-expire")
+        return real_unlink(path)
+
+    monkeypatch.setattr(snap_mod.os, "unlink", crashing_unlink)
+    with pytest.raises(OSError, match="injected"):
+        t.expire_snapshots(keep_last=2)
+    monkeypatch.undo()
+
+    t2 = make_table(spark, tdir, n_buckets=4)  # cold handle, post-crash
+    assert rows(t2.read()) == want
+    assert t2.history()  # every surviving manifest resolves
+    removed = t2.expire_snapshots(keep_last=2)  # GC completes
+    assert t2.snapshot_ids() == [6, 7]
+    assert rows(t2.read()) == want
+    for rel in removed:
+        assert not os.path.exists(os.path.join(tdir, rel))

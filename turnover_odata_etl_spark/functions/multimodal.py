@@ -1478,7 +1478,7 @@ def byte_entropy_features(df: DataFrame, id_col: str) -> DataFrame:
             vals = [one(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": [v[0] for v in vals],
                     "n_distinct": [v[1] for v in vals],
                     "byte_entropy": [v[2] for v in vals],
@@ -1487,5 +1487,6 @@ def byte_entropy_features(df: DataFrame, id_col: str) -> DataFrame:
 
     return df.select(id_col, "payload").mapInPandas(
         features,
-        "doc_id long, n_bytes long, n_distinct long, byte_entropy double",
+        f"{id_col} long, n_bytes long, n_distinct long, "
+        "byte_entropy double",
     )

@@ -177,9 +177,12 @@ class SnapshotTable:
         (see ``merge(properties=...)``): walk snapshots newest→oldest,
         return the first hit, ``None`` if no commit carries it. The
         common case reads ONE manifest — the writer that stamps the
-        property stamps it on every commit."""
+        property stamps it on every commit. Reads the RAW manifest:
+        properties live on the commit itself, so the delta-chain
+        resolution (and its O(files) view materialization) must never
+        run on this hot path."""
         for sid in reversed(self.snapshot_ids()):
-            props = self._manifest(sid).get("properties") or {}
+            props = self._manifest_raw(sid).get("properties") or {}
             if key in props:
                 return props[key]
         return None
@@ -249,6 +252,12 @@ class SnapshotTable:
                 f for b in sorted(by_bucket) for f in by_bucket[b]
             ]
         self._mcache[sid] = m
+        # Bounded FIFO: a full-history walk (history(), GC) over a deep
+        # table must not pin depth × O(files) resolved views in RAM.
+        # 64 > FULL_MANIFEST_EVERY keeps the active chain hot; an
+        # evicted ancestor re-resolves from disk in ≤16 raw reads.
+        while len(self._mcache) > 64:
+            self._mcache.pop(next(iter(self._mcache)))
         return m
 
     # ---------------------------------------------------------------- read
@@ -871,13 +880,7 @@ class SnapshotTable:
         if properties:
             manifest["properties"] = properties
         os.makedirs(self._manifest_dir, exist_ok=True)
-        tmp = os.path.join(
-            self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
-        )
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        tmp = self._write_manifest_tmp(manifest)
         target = os.path.join(self._manifest_dir, f"manifest-{new_id}.json")
         try:
             os.link(tmp, target)  # atomic claim — fails if N is taken
@@ -889,6 +892,35 @@ class SnapshotTable:
                 os.unlink(tmp)
         self._write_pointer(new_id)
         return new_id
+
+    def _write_manifest_tmp(self, manifest: dict) -> str:
+        """Serialize a manifest to a durable temp file (write + flush +
+        fsync) and return its path — the ONE place the on-disk JSON is
+        produced, shared by the _commit CAS link and expire_snapshots'
+        floor materialization so the two can never drift."""
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return tmp
+
+    @staticmethod
+    def _as_full_manifest(raw: dict, resolved_files: list[dict]) -> dict:
+        """Rewrite a manifest dict as the self-contained v2 FULL form
+        carrying ``resolved_files``."""
+        full_m = {
+            k: v for k, v in raw.items() if k not in ("buckets", "files")
+        }
+        full_m["format"] = 2
+        full_m["full"] = True
+        by_bucket: dict[int, list[dict]] = {}
+        for f in resolved_files:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        full_m["buckets"] = {str(b): fs for b, fs in by_bucket.items()}
+        return full_m
 
     def _write_pointer(self, sid: int) -> None:
         """Advance the read hint (atomic replace; losing this to a
@@ -960,47 +992,48 @@ class SnapshotTable:
         if len(ids) <= keep_last:
             return []
         keep, drop = ids[-keep_last:], ids[:-keep_last]
-        # Resolve EVERY manifest while the parent chains are intact —
-        # delta manifests (v2) resolve through ancestors that are
-        # about to be unlinked.
-        resolved = {sid: self._manifest(sid) for sid in ids}
         # The oldest KEPT snapshot becomes the new resolution floor:
         # materialize it as a FULL manifest if it is a delta, so every
         # surviving walk (all kept parents descend through it) stops
         # before the dropped ids. Content-equivalent replacement —
-        # readers see the same resolved view before and after.
+        # readers see the same resolved view before and after. Must
+        # happen while the dropped ancestors are still on disk.
         floor = keep[0]
         raw = self._manifest_raw(floor)
         if "files" not in raw and not raw.get("full"):
-            full_m = {k: v for k, v in raw.items() if k != "buckets"}
-            full_m["full"] = True
-            by_bucket: dict[int, list[dict]] = {}
-            for f in resolved[floor]["files"]:
-                by_bucket.setdefault(f["bucket"], []).append(f)
-            full_m["buckets"] = {
-                str(b): fs for b, fs in by_bucket.items()
-            }
-            tmp = os.path.join(
-                self._manifest_dir, f".tmp-full-{uuid.uuid4().hex[:12]}"
+            full_m = self._as_full_manifest(
+                raw, self._manifest(floor)["files"]
             )
-            with open(tmp, "w") as fh:
-                json.dump(full_m, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
+            tmp = self._write_manifest_tmp(full_m)
             os.replace(
                 tmp,
                 os.path.join(self._manifest_dir, f"manifest-{floor}.json"),
             )
-        live = {f["path"] for sid in keep for f in resolved[sid]["files"]}
+        live = {
+            f["path"] for sid in keep for f in self._manifest(sid)["files"]
+        }
+        # Stream the dropped snapshots ASCENDING — each resolution's
+        # parents are either still cached (bounded FIFO, parent is the
+        # immediately previous resolution) or re-read from manifests
+        # still on disk (nothing is unlinked until every dropped id's
+        # paths are collected). Set membership, not list scan — every
+        # dropped snapshot can contribute distinct files (O(removed²)
+        # otherwise).
         removed: list[str] = []
-        removed_set: set[str] = set()  # list membership is O(n²) when
-        # every dropped snapshot contributes distinct files
+        removed_set: set[str] = set()
         for sid in drop:
-            for f in resolved[sid]["files"]:
+            for f in self._manifest(sid)["files"]:
                 p = f["path"]
                 if p not in live and p not in removed_set:
                     removed_set.add(p)
                     removed.append(p)
+        # Unlink DESCENDING — children before parents. A crash mid-loop
+        # then leaves only orphaned ANCESTORS (harmless: nothing
+        # resolves through a dropped child, and a re-run expire cleans
+        # them up). Ascending would do the opposite: surviving delta
+        # manifests whose parents are gone, an unrecoverable chain
+        # break for history()/GC.
+        for sid in reversed(drop):
             os.unlink(
                 os.path.join(self._manifest_dir, f"manifest-{sid}.json")
             )
