@@ -62,6 +62,7 @@ STAGED_R9 = [
     "s_odata_delta_sync",
     "d_semantic_dedup",
     "t_byte_entropy",
+    "d_incremental_neardup",
 ]
 
 

@@ -242,3 +242,36 @@ def test_byte_entropy_hand_cases(spark):
         4: (0, 0, 0.0),
         5: (0, 0, 0.0),
     }
+
+
+def test_incremental_neardup_matches_batch_oracle(spark, sf_dir):
+    """The three-wave incremental LSH protocol must converge to the
+    batch brute-force answer — same oracle as d_minhash_lsh_neardup."""
+    from turnover_odata_etl_spark.plans.roundnine import (
+        INCREMENTAL_NEARDUP_ORACLE,
+        d_incremental_neardup,
+    )
+
+    assert INCREMENTAL_NEARDUP_ORACLE
+    compare_spark_vs_oracle(
+        d_incremental_neardup(spark, sf_dir),
+        _con(sf_dir),
+        INCREMENTAL_NEARDUP_ORACLE,
+        "d_incremental_neardup",
+    )
+
+
+def test_incremental_neardup_never_reverifies_old_pairs(spark, sf_dir):
+    """Each pair must be emitted by exactly ONE wave (no duplicate
+    verification of pairs both of whose docs are already indexed):
+    the union of wave outputs is duplicate-free without any final
+    distinct."""
+    from turnover_odata_etl_spark.plans.roundnine import (
+        d_incremental_neardup,
+    )
+
+    rows = [
+        (r["a_id"], r["b_id"])
+        for r in d_incremental_neardup(spark, sf_dir).collect()
+    ]
+    assert len(rows) == len(set(rows))

@@ -45,9 +45,9 @@ from . import roundeight  # noqa: E402,F401
 #     drift, and the a_dedup pair are the alphabetical-first fillers.
 # Next-stalest after this round: the remaining 41 round-6 rows
 # (listed by scripts/staleness.py). Round-10 window math, assuming
-# the EIGHT staged plans/roundnine.py queries (six from round 8 +
-# d_semantic_dedup and t_byte_entropy added round 9) get a cap
-# ruling then: 8 new + 41 round-6 + 1 stalest round-7 = 50.
+# the NINE staged plans/roundnine.py queries (six from round 8 +
+# d_semantic_dedup, t_byte_entropy and d_incremental_neardup added
+# round 9) get a cap ruling then: 9 new + 41 round-6 = 50 exactly.
 #
 GATED_QUERIES = [
     # all 41 remaining round-5 rows (freshness floor -> round 6)

@@ -38,6 +38,11 @@ hypothesis property test in ``tests/test_properties.py``).
 Shannon byte-entropy quality signal
 (``functions/multimodal.byte_entropy_features`` — exact closed-form
 SQL oracle plus hand-case anchors at 0/1/2 bits).
+``d_incremental_neardup`` (added in round 9) is the only exercise of
+INCREMENTAL LSH dedup against a persistent snapshot-table index —
+batches dedup against everything seen so far instead of recomputing
+the corpus; converges exactly to the batch answer, so the oracle is
+verbatim ``d_minhash_lsh_neardup``'s brute force.
 """
 
 from __future__ import annotations
@@ -847,3 +852,127 @@ def t_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return byte_entropy_features(with_binary_payload(docs, "text"), "doc_id")
+
+
+# Oracle: identical to d_minhash_lsh_neardup's — the incremental
+# protocol CONVERGES to the batch answer (every true pair is found
+# exactly once, by whichever arrival round completes it), so the same
+# O(n²) brute-force Jaccard SQL verifies the whole multi-batch run.
+INCREMENTAL_NEARDUP_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [array_to_string(ws, ' ')]
+             END AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup — the production corpus-
+    curation pattern the batch query can't show: documents arrive in
+    batches and each batch dedups against a PERSISTENT index of
+    everything seen so far, instead of recomputing the corpus.
+
+    Protocol per batch (three deterministic arrival waves here,
+    ``doc_id % 3``):
+
+    1. signatures for the NEW docs only (``minhash_signatures`` —
+       map-only, O(batch));
+    2. candidates = new×new (the batch ``lsh_candidate_pairs``) ∪
+       new×index (band-bucket equi-join against the stored
+       signatures) — an old×old pair was already found by whichever
+       earlier wave completed it, so nothing is ever re-verified;
+    3. exact-Jaccard verify over new ∪ index shingle sets (same
+       ``exact_jaccard`` as batch);
+    4. MERGE the new signatures into the index — a round-7 snapshot
+       table (keyed on doc_id), so the index itself has commit
+       isolation, time travel, and O(touched buckets) appends, and a
+       crashed run resumes from the last committed wave.
+
+    Union of the three waves' pairs == the batch answer exactly (each
+    true pair is completed by exactly one wave), which is why the
+    oracle is verbatim ``d_minhash_lsh_neardup``'s brute force.
+
+    Scale: per-batch work is O(new docs) for signatures + one
+    band-keyed join whose index side prunes to matching buckets after
+    the exchange (band keys are uniform minhash values — skew-free).
+    The honest residual: this index is bucketed on doc_id (pruned
+    MERGES), so the candidate join shuffles the index's band keys per
+    batch; a production deployment would lay the index out bucketed
+    ON the band key to make that join co-located — the same
+    layout-vs-access-path trade the bucketed-join query
+    (e3_join_bucketed_colocated) demonstrates."""
+    import os
+    import shutil
+
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import (
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/incremental_neardup"
+    shutil.rmtree(base, ignore_errors=True)
+    index = SnapshotTable(
+        spark, os.path.join(base, "index"), key_cols=["doc_id"],
+        order_col="__ver", n_buckets=8,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = 0.6
+    wave_pairs = []
+    for ver in (1, 2, 3):
+        chunk = docs.filter(F.col("doc_id") % 3 == ver - 1)
+        sigs_new = minhash_signatures(
+            ensure_parallelism(chunk), "text", "doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if index.current_id() is not None:
+            old = index.read().select(
+                "doc_id", "shingles", "sig", "buckets"
+            )
+        else:
+            old = sigs_new.limit(0)
+        # new×new candidates: the batch path, restricted to the wave
+        cand_nn = lsh_candidate_pairs(sigs_new)
+        # new×index candidates: band-bucket equi-join, oriented a<b
+        bn = sigs_new.select(
+            F.col("doc_id").alias("n_id"),
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+        bo = old.select(
+            F.col("doc_id").alias("o_id"),
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+        cand_no = (
+            bn.join(bo, ["band", "bucket"])
+            .select(
+                F.least("n_id", "o_id").alias("a_id"),
+                F.greatest("n_id", "o_id").alias("b_id"),
+            )
+            .distinct()
+        )
+        cands = cand_nn.unionByName(cand_no).distinct()
+        both = sigs_new.unionByName(old)
+        wave_pairs.append(exact_jaccard(cands, both, threshold))
+        index.merge(sigs_new.withColumn("__ver", F.lit(ver)))
+
+    out = wave_pairs[0]
+    for p in wave_pairs[1:]:
+        out = out.unionByName(p)
+    return out
