@@ -275,3 +275,53 @@ def test_incremental_neardup_never_reverifies_old_pairs(spark, sf_dir):
         for r in d_incremental_neardup(spark, sf_dir).collect()
     ]
     assert len(rows) == len(set(rows))
+
+
+def test_incremental_neardup_resumes_from_committed_index(
+    spark, tmp_path
+):
+    """The resumability contract: a 'crashed' run (handles dropped
+    after two committed waves) resumes through a FRESH index handle,
+    and the union of all waves' pairs equals the batch answer on a
+    corpus with known near-dups spanning every wave combination."""
+    from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
+    from turnover_odata_etl_spark.plans.roundnine import neardup_wave
+    from turnover_odata_etl_spark.storage import SnapshotTable
+
+    base = "the quick brown fox jumps over the lazy dog and runs far"
+    docs = [
+        (0, base),                       # wave 1 (id % 3 == 0)
+        (3, base + " away"),             # wave 1 — near-dup of 0
+        (1, base + " today"),            # wave 2 — near-dup of 0, 3
+        (4, "completely different words about snapshot tables here"),
+        (2, base + " away"),             # wave 3 — exact dup of 3
+        (5, "completely different words about snapshot tables maybe"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def wave(index, n):
+        return neardup_wave(
+            index, df.filter(f"doc_id % 3 == {n - 1}"),
+            "text", "doc_id", 0.6, n,
+        )
+
+    tdir = str(tmp_path / "idx")
+    t1 = SnapshotTable(
+        spark, tdir, key_cols=["doc_id"], order_col="__ver", n_buckets=4
+    )
+    pairs = [r for r in wave(t1, 1).collect()]
+    pairs += [r for r in wave(t1, 2).collect()]
+    del t1  # "crash": nothing in memory survives
+
+    t2 = SnapshotTable(
+        spark, tdir, key_cols=["doc_id"], order_col="__ver", n_buckets=4
+    )
+    assert t2.current_id() == 2  # two committed waves found on disk
+    pairs += [r for r in wave(t2, 3).collect()]
+
+    got = {(r["a_id"], r["b_id"], r["jac"]) for r in pairs}
+    want = {
+        (r["a_id"], r["b_id"], r["jac"])
+        for r in near_dup_pairs(df, "text", "doc_id", 0.6).collect()
+    }
+    assert got == want and len(got) == len(pairs)  # converged, no dups

@@ -854,6 +854,57 @@ def t_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_entropy_features(with_binary_payload(docs, "text"), "doc_id")
 
 
+def neardup_wave(index, chunk, text_col: str, id_col: str,
+                 threshold: float, ver: int) -> DataFrame:
+    """ONE wave of the incremental near-dup protocol: signatures for
+    the new docs, new×new + new×index candidates, exact-Jaccard
+    verify, then MERGE the new signatures into the index as snapshot
+    ``ver``'s commit. Returns that wave's verified pairs. Extracted
+    from ``d_incremental_neardup`` so the resumability contract (a
+    fresh handle continues from the last committed wave) is testable
+    directly."""
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import (
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs_new = minhash_signatures(
+        ensure_parallelism(chunk), text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if index.current_id() is not None:
+        old = index.read().select("doc_id", "shingles", "sig", "buckets")
+    else:
+        old = sigs_new.limit(0)
+    # new×new candidates: the batch path, restricted to the wave
+    cand_nn = lsh_candidate_pairs(sigs_new)
+    # new×index candidates: band-bucket equi-join, oriented a<b
+    bn = sigs_new.select(
+        F.col("doc_id").alias("n_id"),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+    bo = old.select(
+        F.col("doc_id").alias("o_id"),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+    cand_no = (
+        bn.join(bo, ["band", "bucket"])
+        .select(
+            F.least("n_id", "o_id").alias("a_id"),
+            F.greatest("n_id", "o_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    cands = cand_nn.unionByName(cand_no).distinct()
+    both = sigs_new.unionByName(old)
+    pairs = exact_jaccard(cands, both, threshold)
+    index.merge(sigs_new.withColumn("__ver", F.lit(ver)))
+    return pairs
+
+
+
 # Oracle: identical to d_minhash_lsh_neardup's — the incremental
 # protocol CONVERGES to the batch answer (every true pair is found
 # exactly once, by whichever arrival round completes it), so the same
@@ -917,13 +968,6 @@ def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from pyspark import StorageLevel
-
-    from ..operators.dedup import (
-        exact_jaccard,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
     from ..storage import SnapshotTable
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -939,38 +983,9 @@ def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave_pairs = []
     for ver in (1, 2, 3):
         chunk = docs.filter(F.col("doc_id") % 3 == ver - 1)
-        sigs_new = minhash_signatures(
-            ensure_parallelism(chunk), "text", "doc_id"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        if index.current_id() is not None:
-            old = index.read().select(
-                "doc_id", "shingles", "sig", "buckets"
-            )
-        else:
-            old = sigs_new.limit(0)
-        # new×new candidates: the batch path, restricted to the wave
-        cand_nn = lsh_candidate_pairs(sigs_new)
-        # new×index candidates: band-bucket equi-join, oriented a<b
-        bn = sigs_new.select(
-            F.col("doc_id").alias("n_id"),
-            F.posexplode("buckets").alias("band", "bucket"),
+        wave_pairs.append(
+            neardup_wave(index, chunk, "text", "doc_id", threshold, ver)
         )
-        bo = old.select(
-            F.col("doc_id").alias("o_id"),
-            F.posexplode("buckets").alias("band", "bucket"),
-        )
-        cand_no = (
-            bn.join(bo, ["band", "bucket"])
-            .select(
-                F.least("n_id", "o_id").alias("a_id"),
-                F.greatest("n_id", "o_id").alias("b_id"),
-            )
-            .distinct()
-        )
-        cands = cand_nn.unionByName(cand_no).distinct()
-        both = sigs_new.unionByName(old)
-        wave_pairs.append(exact_jaccard(cands, both, threshold))
-        index.merge(sigs_new.withColumn("__ver", F.lit(ver)))
 
     out = wave_pairs[0]
     for p in wave_pairs[1:]:
