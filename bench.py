@@ -134,6 +134,7 @@ STAGED_R9 = [
     "d_semantic_dedup",
     "t_byte_entropy",
     "d_incremental_neardup",
+    "g_triangle_count",
 ]
 
 

@@ -325,3 +325,45 @@ def test_incremental_neardup_resumes_from_committed_index(
         for r in near_dup_pairs(df, "text", "doc_id", 0.6).collect()
     }
     assert got == want and len(got) == len(pairs)  # converged, no dups
+
+
+def test_triangle_count_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundnine import (
+        TRIANGLE_ORACLE,
+        g_triangle_count,
+    )
+
+    assert TRIANGLE_ORACLE
+    compare_spark_vs_oracle(
+        g_triangle_count(spark, sf_dir),
+        _con(sf_dir),
+        TRIANGLE_ORACLE,
+        "g_triangle_count",
+    )
+
+
+def test_triangle_count_hand_graph(spark, monkeypatch):
+    """Hand-checkable graph through the degree-ordered path: K4 on
+    parts {1,2,3,4} (4 triangles, each node in 3) plus a pendant node
+    5 (in none) and an isolated edge 6-7 — built as synthetic
+    lineitem orders."""
+    import turnover_odata_etl_spark.plans.roundnine as r9
+
+    # orders: one order per clique/edge realizes exactly those edges
+    rows = []
+    # order keys are multiples of 3: the query slices to
+    # l_orderkey % 3 == 0 (see its docstring)
+    rows += [(300, p) for p in (1, 2, 3, 4)]  # K4
+    rows += [(600, 4), (600, 5)]              # pendant 4-5
+    rows += [(900, 6), (900, 7)]              # isolated edge
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(
+        r9, "load_table", lambda _spark, _sf, _name: df
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in r9.g_triangle_count(spark, "unused").collect()
+    }
+    # K4 has C(4,3)=4 triangles; every node sits in C(3,2)=3 of them.
+    # Pendant and isolated-edge nodes (5, 6, 7) are in none.
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

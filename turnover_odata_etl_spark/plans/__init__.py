@@ -45,9 +45,10 @@ from . import roundeight  # noqa: E402,F401
 #     drift, and the a_dedup pair are the alphabetical-first fillers.
 # Next-stalest after this round: the remaining 41 round-6 rows
 # (listed by scripts/staleness.py). Round-10 window math, assuming
-# the NINE staged plans/roundnine.py queries (six from round 8 +
-# d_semantic_dedup, t_byte_entropy and d_incremental_neardup added
-# round 9) get a cap ruling then: 9 new + 41 round-6 = 50 exactly.
+# the TEN staged plans/roundnine.py queries (six from round 8 +
+# d_semantic_dedup, t_byte_entropy, d_incremental_neardup and
+# g_triangle_count added round 9) get a cap ruling then:
+# 10 new + the 40 stalest round-6 rows = 50.
 #
 GATED_QUERIES = [
     # all 41 remaining round-5 rows (freshness floor -> round 6)

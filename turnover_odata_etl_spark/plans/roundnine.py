@@ -43,6 +43,10 @@ INCREMENTAL LSH dedup against a persistent snapshot-table index —
 batches dedup against everything seen so far instead of recomputing
 the corpus; converges exactly to the batch answer, so the oracle is
 verbatim ``d_minhash_lsh_neardup``'s brute force.
+``g_triangle_count`` (added in round 9, E107) is the only exercise of
+degree-ordered triangle counting — the anti-"last reducer" wedge
+enumeration, pinned by a K4 hand graph and the order-based SQL
+enumeration as an independent second formulation.
 """
 
 from __future__ import annotations
@@ -991,3 +995,140 @@ def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in wave_pairs[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Oracle: exact per-node triangle counts over the undirected
+# co-purchase graph (parts sharing an order — the same edge derivation
+# as g_pagerank/g_connected). Canonical a<b<c enumeration counts each
+# triangle once; the UNION ALL explode credits each of its three
+# members.
+TRIANGLE_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 3 = 0
+    ),
+    pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    m AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY node
+"""
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph — the third
+    graph rung after connected components and PageRank, and a
+    different shuffle shape from both: two self-joins whose
+    intermediate (the wedge set) is the scale hazard.
+
+    Degree-ordered enumeration (Suri & Vassilvitskii 2011, "Counting
+    triangles and the curse of the last reducer"): every undirected
+    edge is ORIENTED from its lower-(degree, id) endpoint to the
+    higher one, wedges are built only at each edge's smaller endpoint,
+    and a wedge closes iff its two tips are an edge. Each triangle is
+    found exactly once (at its minimum-degree vertex), and — the scale
+    point — the wedge count drops from Σ deg(v)² (a celebrity node
+    with 10⁶ neighbors yields 10¹² wedges in the naive plan: the
+    "last reducer" that never finishes) to O(m^1.5) total, with no
+    single hot key: a high-degree vertex builds almost no wedges
+    because nearly all its edges orient TOWARD it. The closing-edge
+    probe is a join against the canonical (u < v) edge set.
+
+    Everything is DataFrame joins/aggregations — Catalyst plans plain
+    hash joins; the only extra pass vs naive is the degree
+    aggregation. The oracle enumerates a < b < c triples directly
+    (order-based, skew-irrelevant at fixture scale) — two
+    independent formulations agreeing on every count."""
+    # Deterministic 1/3-of-orders slice: the TPC-H co-purchase graph
+    # is unusually DENSE (every part triangulates at sf0.1 — ~40 M
+    # wedges), so the unsliced query is a memory/latency stress test,
+    # not a representative workload; the slice keeps the full pipeline
+    # (degree orientation, wedge join, closing probe) at ~1/9 the
+    # wedge volume. The OPERATOR has no such filter.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.t").alias("dst"))
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("t1"),
+        F.col("o2.dst").alias("t2"),
+    )
+    # close the wedge against the canonical u<v edge set (orientation
+    # of the closing edge is degree-dependent — canonical is not)
+    closing = edges.select(
+        F.least("u", "v").alias("t1"), F.greatest("u", "v").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"], "left_semi")
+    members = (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("t1").alias("node")))
+        .unionByName(tri.select(F.col("t2").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
