@@ -131,7 +131,7 @@ STAGED_R9 = [
     "s_snapshot_skipping",
     "st_snapshot_ivm",
     "s_odata_delta_sync",
-    "d_semantic_dedup",
+    "d_semdedup_kmeans",
     "t_byte_entropy",
     "d_incremental_neardup",
     "g_triangle_count",

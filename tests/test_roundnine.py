@@ -76,8 +76,21 @@ def test_roundnine_is_not_registered_yet():
     """The staging module must not leak into the driver contract while
     the registry freeze holds (191 after the round-8 activations)."""
     specs = all_specs()
-    assert "m_avi_decode_features" not in specs
-    assert "d_exact_substr_clean" not in specs
+    staged = (
+        "m_avi_decode_features",
+        "d_exact_substr_clean",
+        "s_snapshot_lifecycle",
+        "s_snapshot_skipping",
+        "st_snapshot_ivm",
+        "s_odata_delta_sync",
+        "d_semdedup_kmeans",
+        "t_byte_entropy",
+        "d_incremental_neardup",
+        "g_triangle_count",
+    )
+    for name in staged:
+        assert name not in specs, name
+    assert len(specs) == 191  # the frozen cap
 
 
 def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):
@@ -170,15 +183,15 @@ def test_odata_delta_sync_matches_oracle(spark, sf_dir):
 def test_semantic_dedup_matches_oracle(spark, sf_dir):
     from turnover_odata_etl_spark.plans.roundnine import (
         SEMANTIC_DEDUP_ORACLE,
-        d_semantic_dedup,
+        d_semdedup_kmeans,
     )
 
     assert SEMANTIC_DEDUP_ORACLE
     compare_spark_vs_oracle(
-        d_semantic_dedup(spark, sf_dir),
+        d_semdedup_kmeans(spark, sf_dir),
         _con(sf_dir),
         SEMANTIC_DEDUP_ORACLE,
-        "d_semantic_dedup",
+        "d_semdedup_kmeans",
     )
 
 

@@ -965,3 +965,44 @@ def test_crash_mid_expire_is_recoverable(spark, tdir, monkeypatch):
     assert rows(t2.read()) == want
     for rel in removed:
         assert not os.path.exists(os.path.join(tdir, rel))
+
+
+def test_v1_manifest_table_upgrades_in_place(spark, tdir):
+    """Back-compat: a table whose current manifest is the PRE-round-9
+    v1 form (flat `files` list, no `buckets`) must open, read, and
+    accept v2 delta commits on top — the mixed chain (v2 delta whose
+    parent is v1-full) resolves, time travel reaches the v1 snapshot,
+    and CDC diffs across the format boundary."""
+    import json as _json
+
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 2)]))
+    # Rewrite snapshot 1 on disk in the v1 format (resolved view,
+    # bucket keys stripped) — exactly what a pre-round-9 writer left.
+    m = dict(t._manifest(1))
+    m.pop("buckets", None)
+    m.pop("full", None)
+    m.pop("format", None)
+    with open(
+        os.path.join(t._manifest_dir, "manifest-1.json"), "w"
+    ) as fh:
+        _json.dump(m, fh)
+
+    t2 = make_table(spark, tdir, n_buckets=2)  # fresh handle
+    assert rows(t2.read()) == [(1, "a", 1), (2, "b", 2)]
+    raw1 = _json.load(
+        open(os.path.join(t2._manifest_dir, "manifest-1.json"))
+    )
+    assert "files" in raw1 and "buckets" not in raw1  # really v1
+    t2.merge(batch(spark, [(1, "A", 3)]))  # v2 delta on a v1 parent
+    raw2 = _json.load(
+        open(os.path.join(t2._manifest_dir, "manifest-2.json"))
+    )
+    assert "buckets" in raw2 and "files" not in raw2  # really v2 delta
+    t3 = make_table(spark, tdir, n_buckets=2)  # cold resolution
+    assert rows(t3.read()) == [(1, "A", 3), (2, "b", 2)]
+    assert rows(t3.read(1)) == [(1, "a", 1), (2, "b", 2)]  # time travel
+    ch = {
+        (r["k"], r["_change_type"]) for r in t3.changes(1, 2).collect()
+    }
+    assert ch == {(1, "update")}

@@ -46,7 +46,7 @@ from . import roundeight  # noqa: E402,F401
 # Next-stalest after this round: the remaining 41 round-6 rows
 # (listed by scripts/staleness.py). Round-10 window math, assuming
 # the TEN staged plans/roundnine.py queries (six from round 8 +
-# d_semantic_dedup, t_byte_entropy, d_incremental_neardup and
+# d_semdedup_kmeans, t_byte_entropy, d_incremental_neardup and
 # g_triangle_count added round 9) get a cap ruling then:
 # 10 new + the 40 stalest round-6 rows = 50.
 #

@@ -29,8 +29,10 @@ data skipping (``read_where``), and ``s_odata_delta_sync`` the only
 ORACLE-checkable exercise of the round-8 OData V4 delta-link sync
 (E104 — the wire tests in ``tests/test_odata_delta.py`` pin the
 protocol; this query pins the fixture-derived end state).
-``d_semantic_dedup`` (added in round 9) is the only end-to-end
-exercise of SemDeDup semantic dedup (E105,
+``d_semdedup_kmeans`` (added in round 9; named to avoid colliding
+with the REGISTERED connected-components ``d_semantic_dedup`` in
+plans/llm.py) is the only end-to-end exercise of SemDeDup
+cluster-then-epsilon-ball dedup (E105,
 ``operators/dedup.semantic_dedup`` — invariant-contract oracle, the
 recall-contract pattern; exact greedy semantics pinned by the
 hypothesis property test in ``tests/test_properties.py``).
@@ -723,7 +725,7 @@ SEMANTIC_DEDUP_ORACLE = """
 """
 
 
-def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup —
     Abbas et al. 2023): seeded k-means over the embedding space, then
     one kept representative per within-cluster cosine epsilon-ball
