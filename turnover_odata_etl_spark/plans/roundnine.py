@@ -9,7 +9,13 @@ them so the staged→registered delta series continues. To activate:
 1. wrap each query with ``@register(name, oracle=..., tags=...)``
    (oracle constants below are eager, never None) and add
    ``from . import roundnine`` to ``plans/__init__``;
-2. give each registered query a slot in the round-9 gate window.
+2. give each registered query a slot in that round's gate window
+   (window math for a round-10 activation is pre-computed in the
+   ``plans/__init__`` rotation comment: 10 new + 40 stalest round-6
+   rows = 50);
+3. move the ``STAGED_R9`` bench section to an ``ADDITIONS_R9`` list
+   and re-point ``tests/test_empty_input.py``'s staged block (the
+   registry sweep covers registered queries automatically).
 
 ``m_avi_decode_features`` is the only end-to-end exercise of the
 AVI/MJPEG video container path (``functions/video.py``, round 7 —
