@@ -380,3 +380,51 @@ def test_triangle_count_hand_graph(spark, monkeypatch):
     # K4 has C(4,3)=4 triangles; every node sits in C(3,2)=3 of them.
     # Pendant and isolated-edge nodes (5, 6, 7) are in none.
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_incremental_neardup_replayed_wave_is_idempotent(
+    spark, tmp_path
+):
+    """At-least-once recovery: re-running an ALREADY-COMMITTED wave
+    (crash after the index merge but before the wave's pairs were
+    secured) must emit exactly the original wave's pairs — no
+    self-pairs (a doc on both join sides scores jac=1.0 against
+    itself), no duplicate fan-out — and leave the final answer equal
+    to the batch brute force."""
+    from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
+    from turnover_odata_etl_spark.plans.roundnine import neardup_wave
+    from turnover_odata_etl_spark.storage import SnapshotTable
+
+    base = "the quick brown fox jumps over the lazy dog and runs far"
+    docs = [
+        (0, base),
+        (3, base + " away"),
+        (1, base + " today"),
+        (4, "completely different words about snapshot tables here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def wave(index, n):
+        return neardup_wave(
+            index, df.filter(f"doc_id % 3 == {n - 1}"),
+            "text", "doc_id", 0.6, n,
+        )
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "idx"), key_cols=["doc_id"],
+        order_col="__ver", n_buckets=4,
+    )
+    w1 = [tuple(r) for r in wave(t, 1).collect()]
+    # crash AFTER wave 2's commit, BEFORE its pairs were secured:
+    w2_original = [tuple(r) for r in wave(t, 2).collect()]
+    # recovery: replay the committed wave
+    w2_replay = [tuple(r) for r in wave(t, 2).collect()]
+    assert sorted(w2_replay) == sorted(w2_original)
+    assert not any(a == b for a, b, _ in w2_replay)  # no self-pairs
+    assert len(w2_replay) == len(set(w2_replay))     # no duplicates
+
+    got = sorted(w1 + w2_replay)
+    want = sorted(
+        tuple(r) for r in near_dup_pairs(df, "text", "doc_id", 0.6).collect()
+    )
+    assert got == want

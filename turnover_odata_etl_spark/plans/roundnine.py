@@ -871,10 +871,21 @@ def neardup_wave(index, chunk, text_col: str, id_col: str,
     """ONE wave of the incremental near-dup protocol: signatures for
     the new docs, new×new + new×index candidates, exact-Jaccard
     verify, then MERGE the new signatures into the index as snapshot
-    ``ver``'s commit. Returns that wave's verified pairs. Extracted
-    from ``d_incremental_neardup`` so the resumability contract (a
-    fresh handle continues from the last committed wave) is testable
-    directly."""
+    ``ver``'s commit. Returns that wave's verified pairs,
+    MATERIALIZED (persisted + forced) before return — the corpus-sized
+    signature cache is unpersisted here, so only the answer-sized pair
+    frame stays cached.
+
+    At-least-once recovery contract (foreachBatch semantics, pinned by
+    the resume/replay tests): the index commit is the wave's
+    checkpoint. If the wave's PAIRS were not made durable before a
+    crash, RE-RUN the wave for the index's current snapshot — the
+    ``old`` side anti-joins away any docs already in the index that
+    this wave re-presents, so a replayed wave emits exactly its
+    original pairs (no self-pairs, no duplicate fan-out) and the
+    keep-latest merge absorbs the re-commit. Resuming at the NEXT wave
+    without having secured the committed wave's pairs would lose them
+    (old×old pairs are by design never re-examined)."""
     from pyspark import StorageLevel
 
     from ..operators.dedup import (
@@ -887,7 +898,14 @@ def neardup_wave(index, chunk, text_col: str, id_col: str,
         ensure_parallelism(chunk), text_col, id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if index.current_id() is not None:
-        old = index.read().select("doc_id", "shingles", "sig", "buckets")
+        # anti-join on the wave's own keys: on a REPLAYED wave the
+        # docs are already indexed, and without this they would sit
+        # on BOTH join sides — self-pairs (jac=1.0) and doubled rows
+        old = (
+            index.read()
+            .select("doc_id", "shingles", "sig", "buckets")
+            .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
+        )
     else:
         old = sigs_new.limit(0)
     # new×new candidates: the batch path, restricted to the wave
@@ -911,8 +929,12 @@ def neardup_wave(index, chunk, text_col: str, id_col: str,
     )
     cands = cand_nn.unionByName(cand_no).distinct()
     both = sigs_new.unionByName(old)
-    pairs = exact_jaccard(cands, both, threshold)
+    pairs = exact_jaccard(cands, both, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs.count()  # force: pairs durable-in-session BEFORE the commit
     index.merge(sigs_new.withColumn("__ver", F.lit(ver)))
+    sigs_new.unpersist()  # corpus-sized; pairs are answer-sized
     return pairs
 
 
