@@ -121,10 +121,10 @@ ADDITIONS_R8 = [
     "d_exact_substr_spans",
 ]
 
-# Round-9 STAGED queries (plans/roundnine.py — oracle-green, not yet
-# registered; timed from the module directly so the next round's bench
-# series has a baseline for these paths the moment they register).
-STAGED_R9 = [
+# Round-9 registrations (plans/roundnine.py — registered round 10 per
+# the r09 cap ruling; benched as staged_r9 in BENCH_r08/r09 for the
+# staged→registered delta series, registry-backed from r10 on).
+ADDITIONS_R9 = [
     "m_avi_decode_features",
     "d_exact_substr_clean",
     "s_snapshot_lifecycle",
@@ -137,18 +137,6 @@ STAGED_R9 = [
     "g_triangle_count",
 ]
 
-
-def staged_specs():
-    """SimpleNamespace(.fn) wrappers for the staging module, shaped
-    like registry specs so ``time_queries`` runs them unchanged."""
-    from types import SimpleNamespace
-
-    from turnover_odata_etl_spark.plans import roundnine
-
-    return {
-        name: SimpleNamespace(fn=getattr(roundnine, name))
-        for name in STAGED_R9
-    }
 
 
 # The full TPC-H-shaped suite (Q1 is the headline's e1_pricing_summary).
@@ -244,9 +232,7 @@ def main() -> None:
     additions_r6 = time_queries(spark, specs, ADDITIONS_R6, sf_dir, reps, errors)
     additions_r7 = time_queries(spark, specs, ADDITIONS_R7, sf_dir, reps, errors)
     additions_r8 = time_queries(spark, specs, ADDITIONS_R8, sf_dir, reps, errors)
-    staged_r9 = time_queries(
-        spark, staged_specs(), STAGED_R9, sf_dir, reps, errors
-    )
+    additions_r9 = time_queries(spark, specs, ADDITIONS_R9, sf_dir, reps, errors)
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -275,7 +261,7 @@ def main() -> None:
     additions_r6_total = round(sum(additions_r6.values()), 3)
     additions_r7_total = round(sum(additions_r7.values()), 3)
     additions_r8_total = round(sum(additions_r8.values()), 3)
-    staged_r9_total = round(sum(staged_r9.values()), 3)
+    additions_r9_total = round(sum(additions_r9.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -309,8 +295,8 @@ def main() -> None:
         "additions_r7_total": additions_r7_total,
         "additions_r8": additions_r8,
         "additions_r8_total": additions_r8_total,
-        "staged_r9": staged_r9,
-        "staged_r9_total": staged_r9_total,
+        "additions_r9": additions_r9,
+        "additions_r9_total": additions_r9_total,
         "all_total": round(
             total
             + streaming_total
@@ -320,7 +306,7 @@ def main() -> None:
             + additions_r6_total
             + additions_r7_total
             + additions_r8_total
-            + staged_r9_total,
+            + additions_r9_total,
             3,
         ),
         "fixtures": fixtures,
@@ -358,7 +344,7 @@ def main() -> None:
         "additions_r6": additions_r6_total,
         "additions_r7": additions_r7_total,
         "additions_r8": additions_r8_total,
-        "staged_r9": staged_r9_total,
+        "additions_r9": additions_r9_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -370,7 +356,7 @@ def main() -> None:
         ("additions_r6", additions_r6),
         ("additions_r7", additions_r7),
         ("additions_r8", additions_r8),
-        ("staged_r9", staged_r9),
+        ("additions_r9", additions_r9),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

@@ -1,6 +1,6 @@
 """Round-8 queries (plans/roundeight.py) — oracle-tested every session.
 Staged through round 7; registered in round 8 per the r07 cap ruling
-(registry 191, frozen)."""
+(registry 201 from round 10, frozen)."""
 
 from __future__ import annotations
 
@@ -53,7 +53,8 @@ def test_snapshot_pruned_read_matches_oracle(spark, sf_dir):
 
 def test_roundeight_is_registered():
     """Round 8 activated the nine staged queries per the r07 cap
-    ruling; the registry is now frozen at 191."""
+    ruling; round 10 moved the cap to 201 per the r09 ruling
+    (roundnine activations) and froze it there."""
     specs = all_specs()
     for name in (
         "m_gif_decode_features",
@@ -68,7 +69,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 191
+    assert len(specs) == 201
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

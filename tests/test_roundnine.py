@@ -1,7 +1,8 @@
-"""Round-9 staging queries (plans/roundnine.py) — oracle-tested every
-session even though they are not registered (the registry is frozen at
-191 per the r07 cap ruling; see the module docstring's activation
-checklist)."""
+"""Round-9 queries (plans/roundnine.py) — registered in round 10 per
+the r09 cap ruling (registry 191 -> 201, then frozen). These tests
+predate registration and stay as the deep-dive suite (fixpoint,
+lifecycle-GC, invariant checks) on top of the registry-wide
+test_oracle_parity sweep that now also covers all ten."""
 
 from __future__ import annotations
 
@@ -72,11 +73,12 @@ def test_exact_substr_clean_is_a_fixpoint(spark, sf_dir):
     assert duplicate_spans(cleaned, "tk", "doc_id", k=8).count() == 0
 
 
-def test_roundnine_is_not_registered_yet():
-    """The staging module must not leak into the driver contract while
-    the registry freeze holds (191 after the round-8 activations)."""
+def test_roundnine_is_registered_with_eager_oracles():
+    """The r09 cap ruling executed in round 10: all ten round-9
+    queries are registered with eager (never-None) oracles, and the
+    registry is frozen at 201."""
     specs = all_specs()
-    staged = (
+    activated = (
         "m_avi_decode_features",
         "d_exact_substr_clean",
         "s_snapshot_lifecycle",
@@ -88,9 +90,10 @@ def test_roundnine_is_not_registered_yet():
         "d_incremental_neardup",
         "g_triangle_count",
     )
-    for name in staged:
-        assert name not in specs, name
-    assert len(specs) == 191  # the frozen cap
+    for name in activated:
+        assert name in specs, name
+        assert specs[name].oracle, f"{name}: oracle must be eager"
+    assert len(specs) == 201  # the frozen cap (r09 ruling)
 
 
 def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):

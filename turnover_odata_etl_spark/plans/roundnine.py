@@ -1,21 +1,12 @@
-"""Round-9 staging area — same lifecycle as ``roundsix``/``roundseven``/
-``roundeight`` (all since activated): this module is deliberately NOT
-imported by ``plans/__init__`` and adds zero registry entries (the
-round-7 verdict froze the cap at 191 after the round-8 activations);
-``tests/test_roundnine.py`` runs every staged query against its DuckDB
-oracle each session, and ``bench.py``'s ``STAGED_R9`` section times
-them so the staged→registered delta series continues. To activate:
-
-1. wrap each query with ``@register(name, oracle=..., tags=...)``
-   (oracle constants below are eager, never None) and add
-   ``from . import roundnine`` to ``plans/__init__``;
-2. give each registered query a slot in that round's gate window
-   (window math for a round-10 activation is pre-computed in the
-   ``plans/__init__`` rotation comment: 10 new + 40 stalest round-6
-   rows = 50);
-3. move the ``STAGED_R9`` bench section to an ``ADDITIONS_R9`` list
-   and re-point ``tests/test_empty_input.py``'s staged block (the
-   registry sweep covers registered queries automatically).
+"""Round-9 queries — REGISTERED in round 10 per the r09 verdict's cap
+ruling ("register all ten; the cap moves to 201 and freezes there").
+Staged through rounds 8-9 with the same lifecycle as ``roundsix``/
+``roundseven``/``roundeight``: two rounds of local DuckDB oracle runs
+(sf0.001 + sf0.01), bench history in the ``staged_r9`` sections of
+BENCH_r08/r09 (continued as ``additions_r9`` from round 10), and the
+empty-input sweep. All ten carry eager oracles in the registry, sit in
+the round-10 gate window, and are covered automatically by the
+registry empty sweep and ``tests/test_oracle_parity``.
 
 ``m_avi_decode_features`` is the only end-to-end exercise of the
 AVI/MJPEG video container path (``functions/video.py``, round 7 —
@@ -63,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import ensure_parallelism, load_table
+from .registry import register
 
 # Closed-form oracle for the VIDEO container over a LOSSY frame codec:
 # every frame is generated inside decode_jpeg's proven exactness
@@ -111,6 +103,11 @@ AVI_ORACLE = """
 """
 
 
+@register(
+    "m_avi_decode_features",
+    oracle=AVI_ORACLE,
+    tags=('llm', 'multimodal', 'video'),
+)
 def m_avi_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVI/MJPEG video decode → per-clip features through the REAL
     container + codec (``functions/video.py`` round 7: RIFF/AVI chunk
@@ -273,6 +270,11 @@ EXACT_SUBSTR_CLEAN_ORACLE = r"""
 """
 
 
+@register(
+    "d_exact_substr_clean",
+    oracle=EXACT_SUBSTR_CLEAN_ORACLE,
+    tags=('llm', 'dedup', 'exact-substr'),
+)
 def d_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL step of the ExactSubstr ladder as an end-to-end
     query (``operators/dedup.remove_duplicate_spans``, round 7 — until
@@ -339,6 +341,11 @@ SNAPSHOT_LIFECYCLE_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_lifecycle",
+    oracle=SNAPSHOT_LIFECYCLE_ORACLE,
+    tags=('storage', 'snapshot'),
+)
 def s_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-table LIFECYCLE end-to-end: three commits (upserts +
     tombstone APPLY), then ``rebucket(4)`` (bucket-count evolution —
@@ -396,6 +403,11 @@ SNAPSHOT_IVM_STREAM_ORACLE = """
 """
 
 
+@register(
+    "st_snapshot_ivm",
+    oracle=SNAPSHOT_IVM_STREAM_ORACLE,
+    tags=('streaming', 'snapshot', 'ivm'),
+)
 def st_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING materialized view end-to-end
     (``incremental.run_incremental_ivm`` — the round-7 capability the
@@ -506,6 +518,11 @@ SNAPSHOT_SKIPPING_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_skipping",
+    oracle=SNAPSHOT_SKIPPING_ORACLE,
+    tags=('storage', 'snapshot', 'skipping'),
+)
 def s_snapshot_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic DATA SKIPPING on a snapshot table (round 8,
     ``SnapshotTable.read_where``): the three-commit table's manifest
@@ -582,6 +599,11 @@ ODATA_DELTA_SYNC_ORACLE = """
 """
 
 
+@register(
+    "s_odata_delta_sync",
+    oracle=ODATA_DELTA_SYNC_ORACLE,
+    tags=('source', 'odata', 'delta-sync'),
+)
 def s_odata_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OData V4 delta-link incremental sync END-TO-END (round 8,
     E104): an in-process mock OData V4 service is seeded with the
@@ -731,6 +753,11 @@ SEMANTIC_DEDUP_ORACLE = """
 """
 
 
+@register(
+    "d_semdedup_kmeans",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    tags=('llm', 'dedup', 'semantic'),
+)
 def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/dedup.semantic_dedup —
     Abbas et al. 2023): seeded k-means over the embedding space, then
@@ -853,6 +880,11 @@ BYTE_ENTROPY_ORACLE = """
 """
 
 
+@register(
+    "t_byte_entropy",
+    oracle=BYTE_ENTROPY_ORACLE,
+    tags=('llm', 'text', 'quality'),
+)
 def t_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon byte-entropy quality scoring over the corpus
     (functions/multimodal.byte_entropy_features) — the compression-
@@ -964,6 +996,11 @@ INCREMENTAL_NEARDUP_ORACLE = r"""
 """
 
 
+@register(
+    "d_incremental_neardup",
+    oracle=INCREMENTAL_NEARDUP_ORACLE,
+    tags=('llm', 'dedup', 'incremental'),
+)
 def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MinHash-LSH near-dup — the production corpus-
     curation pattern the batch query can't show: documents arrive in
@@ -1059,6 +1096,11 @@ TRIANGLE_ORACLE = """
 """
 
 
+@register(
+    "g_triangle_count",
+    oracle=TRIANGLE_ORACLE,
+    tags=('graph',),
+)
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph — the third
     graph rung after connected components and PageRank, and a
