@@ -301,8 +301,10 @@ def test_incremental_neardup_resumes_from_committed_index(
     and the union of all waves' pairs equals the batch answer on a
     corpus with known near-dups spanning every wave combination."""
     from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
-    from turnover_odata_etl_spark.plans.roundnine import neardup_wave
-    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.plans.roundnine import (
+        NeardupIndex,
+        neardup_wave,
+    )
 
     base = "the quick brown fox jumps over the lazy dog and runs far"
     docs = [
@@ -322,17 +324,13 @@ def test_incremental_neardup_resumes_from_committed_index(
         )
 
     tdir = str(tmp_path / "idx")
-    t1 = SnapshotTable(
-        spark, tdir, key_cols=["doc_id"], order_col="__ver", n_buckets=4
-    )
+    t1 = NeardupIndex(spark, tdir, n_buckets=4)
     pairs = [r for r in wave(t1, 1).collect()]
     pairs += [r for r in wave(t1, 2).collect()]
     del t1  # "crash": nothing in memory survives
 
-    t2 = SnapshotTable(
-        spark, tdir, key_cols=["doc_id"], order_col="__ver", n_buckets=4
-    )
-    assert t2.current_id() == 2  # two committed waves found on disk
+    t2 = NeardupIndex(spark, tdir, n_buckets=4)
+    assert t2.current_wave() == 2  # two committed waves found on disk
     pairs += [r for r in wave(t2, 3).collect()]
 
     got = {(r["a_id"], r["b_id"], r["jac"]) for r in pairs}
@@ -395,8 +393,10 @@ def test_incremental_neardup_replayed_wave_is_idempotent(
     itself), no duplicate fan-out — and leave the final answer equal
     to the batch brute force."""
     from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
-    from turnover_odata_etl_spark.plans.roundnine import neardup_wave
-    from turnover_odata_etl_spark.storage import SnapshotTable
+    from turnover_odata_etl_spark.plans.roundnine import (
+        NeardupIndex,
+        neardup_wave,
+    )
 
     base = "the quick brown fox jumps over the lazy dog and runs far"
     docs = [
@@ -413,10 +413,7 @@ def test_incremental_neardup_replayed_wave_is_idempotent(
             "text", "doc_id", 0.6, n,
         )
 
-    t = SnapshotTable(
-        spark, str(tmp_path / "idx"), key_cols=["doc_id"],
-        order_col="__ver", n_buckets=4,
-    )
+    t = NeardupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
     w1 = [tuple(r) for r in wave(t, 1).collect()]
     # crash AFTER wave 2's commit, BEFORE its pairs were secured:
     w2_original = [tuple(r) for r in wave(t, 2).collect()]
@@ -431,3 +428,49 @@ def test_incremental_neardup_replayed_wave_is_idempotent(
         tuple(r) for r in near_dup_pairs(df, "text", "doc_id", 0.6).collect()
     )
     assert got == want
+
+
+def test_incremental_neardup_index_read_is_pruned(spark, tmp_path):
+    """Wave-level parquet spy (VERDICT r09 item 2): with the band
+    index laid out on (band, bucket) across 64 physical buckets, a
+    ONE-DOC wave's candidate probe carries at most 32 band keys, so
+    its index read must open at most 32 buckets' files — never the
+    whole corpus. Pinned through the pruned scan's inputFiles()."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.plans.roundnine import NeardupIndex
+    from turnover_odata_etl_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} talks about topic {i % 7} and "
+             f"subject {i % 11} in varying words {i * 37 % 101}")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = NeardupIndex(spark, str(tmp_path / "idx"), n_buckets=64)
+    sigs = minhash_signatures(corpus, "text", "doc_id")
+    bn_all = sigs.select(
+        "doc_id", F.posexplode("buckets").alias("band", "bucket")
+    )
+    idx.bands.merge(bn_all.withColumn("__ver", F.lit(1)))
+    idx.sigs.merge(
+        sigs.select("doc_id", "shingles").withColumn("__ver", F.lit(1))
+    )
+
+    m = idx.bands._manifest(idx.bands.current_id())
+    n_table_files = len(m["files"])
+    assert n_table_files > 32  # the corpus spans most physical buckets
+
+    probe_doc = spark.createDataFrame(
+        [(999, "document number 3 talks about topic 3 and subject 3 "
+               "in varying words 111")],
+        "doc_id long, text string",
+    )
+    probe = minhash_signatures(probe_doc, "text", "doc_id").select(
+        F.posexplode("buckets").alias("band", "bucket")
+    )
+    pruned = idx.bands.read_matching(probe)
+    opened = set(pruned.inputFiles())
+    assert 0 < len(opened) <= 32 < n_table_files

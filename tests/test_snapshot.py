@@ -1006,3 +1006,103 @@ def test_v1_manifest_table_upgrades_in_place(spark, tdir):
         (r["k"], r["_change_type"]) for r in t3.changes(1, 2).collect()
     }
     assert ch == {(1, "update")}
+
+
+# ------------------------------------------------------- bucket_cols layout
+
+
+def _prefix_table(spark, tdir, n_buckets=8):
+    """Keyed on (g, k) — many k per g — physically bucketed on g only:
+    the layout-vs-key split the incremental-LSH band index uses."""
+    return SnapshotTable(
+        spark, tdir, key_cols=["g", "k"], order_col="ver",
+        n_buckets=n_buckets, bucket_cols=["g"],
+    )
+
+
+def _gk_batch(spark, triples):
+    return spark.createDataFrame(
+        [(g, k, ver) for g, k, ver in triples],
+        "g long, k long, ver long",
+    )
+
+
+def test_bucket_cols_must_be_key_subset(spark, tdir):
+    with pytest.raises(ValueError, match="subset"):
+        SnapshotTable(
+            spark, tdir, key_cols=["k"], order_col="ver",
+            bucket_cols=["other"],
+        )
+
+
+def test_bucket_cols_merge_semantics_and_load(spark, tdir):
+    """Keep-latest still dedups on the FULL key while the layout
+    hashes only the prefix; a fresh load() restores bucket_cols from
+    the manifest (stale-handle adoption included)."""
+    t = _prefix_table(spark, tdir)
+    t.merge(_gk_batch(spark, [(1, 10, 1), (1, 11, 1), (2, 10, 1)]))
+    t.merge(_gk_batch(spark, [(1, 10, 2)]))  # update ONE (g,k) pair
+    got = sorted(
+        (r["g"], r["k"], r["ver"]) for r in t.read().collect()
+    )
+    assert got == [(1, 10, 2), (1, 11, 1), (2, 10, 1)]
+
+    t2 = SnapshotTable.load(spark, tdir)
+    assert t2.bucket_cols == ["g"]
+    assert t2.key_cols == ["g", "k"]
+
+    # A handle constructed WITHOUT bucket_cols adopts the manifest's
+    # on first merge (same rule as n_buckets adoption).
+    t3 = SnapshotTable(
+        spark, tdir, key_cols=["g", "k"], order_col="ver", n_buckets=8
+    )
+    t3.merge(_gk_batch(spark, [(2, 10, 3)]))
+    assert t3.bucket_cols == ["g"]
+    got = sorted(
+        (r["g"], r["k"], r["ver"]) for r in t3.read().collect()
+    )
+    assert got == [(1, 10, 2), (1, 11, 1), (2, 10, 3)]
+
+
+def test_read_matching_prunes_input_files(spark, tdir):
+    """The parquet-read spy (VERDICT r09 item 2): a read_matching
+    probe carrying FEW bucket-column values must physically open only
+    the files of the buckets those values hash into — asserted through
+    the scan's own inputFiles(), not the rows it returns."""
+    t = _prefix_table(spark, tdir, n_buckets=8)
+    # 64 groups spread over all 8 physical buckets
+    t.merge(_gk_batch(spark, [(g, k, 1) for g in range(64) for k in (0, 1)]))
+    m = t._manifest(t.current_id())
+    assert {f["bucket"] for f in m["files"]} == set(range(8))
+    all_files = {f["path"].split("/")[-1] for f in m["files"]}
+
+    probe = spark.createDataFrame([(7,)], "g long")
+    pruned = t.read_matching(probe)
+    opened = {p.split("/")[-1] for p in pruned.inputFiles()}
+    # exactly the files of g=7's bucket — a strict subset of the table
+    from pyspark.sql import functions as F
+
+    b7 = spark.range(1).select(
+        F.pmod(F.hash(F.lit(7).cast("long")), F.lit(8)).alias("b")
+    ).first()["b"]
+    want = {
+        f["path"].split("/")[-1] for f in m["files"] if f["bucket"] == b7
+    }
+    assert opened == want
+    assert opened < all_files  # strictly pruned
+    # and the opened subset contains every g=7 row (correctness: the
+    # prune may over-read co-hashed groups, never under-read)
+    got = sorted(
+        (r["g"], r["k"]) for r in pruned.filter("g = 7").collect()
+    )
+    assert got == [(7, 0), (7, 1)]
+
+
+def test_read_matching_full_probe_reads_everything(spark, tdir):
+    """A probe covering every bucket degrades to a full read — pruning
+    can only skip, never lose."""
+    t = _prefix_table(spark, tdir, n_buckets=4)
+    t.merge(_gk_batch(spark, [(g, 0, 1) for g in range(32)]))
+    probe = spark.createDataFrame([(g,) for g in range(32)], "g long")
+    got = sorted(r["g"] for r in t.read_matching(probe).collect())
+    assert got == list(range(32))

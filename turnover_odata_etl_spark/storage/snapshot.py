@@ -86,6 +86,19 @@ class SnapshotTable:
     physical layout for the table's lifetime (Murmur3 ``pmod`` — the
     same function Spark's bucketed tables use, stable across
     sessions).
+
+    ``bucket_cols`` (default: the full key) chooses WHICH key columns
+    the physical hash covers — Iceberg's partition-spec-vs-identifier
+    split in miniature. A strict prefix/subset lets an access path
+    that knows only those columns prune files (``read_matching``)
+    while MERGE still dedups on the full key: the layout serves the
+    hot join, the key serves correctness. The canonical user is the
+    incremental-LSH band index (keyed ``(band, bucket, doc_id)`` so
+    many docs share a band bucket, laid out on ``(band, bucket)`` so
+    a wave's candidate join opens only matching buckets — the r09
+    "index layout" fix). Must be a non-empty subset of ``key_cols``:
+    bucketing on a non-key column would scatter a key's versions
+    across buckets and break keep-latest merges.
     """
 
     def __init__(
@@ -95,12 +108,19 @@ class SnapshotTable:
         key_cols: list[str],
         order_col: str,
         n_buckets: int = 8,
+        bucket_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.table_dir = table_dir.rstrip("/")
         self.key_cols = list(key_cols)
         self.order_col = order_col
         self.n_buckets = n_buckets
+        self.bucket_cols = list(bucket_cols) if bucket_cols else list(key_cols)
+        if key_cols and not set(self.bucket_cols) <= set(self.key_cols):
+            raise ValueError(
+                f"bucket_cols {self.bucket_cols} must be a subset of "
+                f"key_cols {self.key_cols}"
+            )
         self._data_dir = os.path.join(self.table_dir, "data")
         self._manifest_dir = os.path.join(self.table_dir, "manifests")
         self._pointer = os.path.join(self.table_dir, "_current")
@@ -121,6 +141,7 @@ class SnapshotTable:
         t.key_cols = list(m["key_cols"])
         t.order_col = m["order_col"]
         t.n_buckets = m["n_buckets"]
+        t.bucket_cols = list(m.get("bucket_cols") or m["key_cols"])
         return t
 
     # ------------------------------------------------------------ metadata
@@ -350,6 +371,48 @@ class SnapshotTable:
             F.col(key).isin(key_values)
         )
 
+    def read_matching(
+        self, keys_df: DataFrame, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Bucket-PRUNED read for a JOIN probe side: open only the
+        data files whose physical bucket some row of ``keys_df``
+        (which must carry the table's bucket columns) hashes into.
+
+        The distributed-scale sibling of :meth:`read_keys`: only the
+        DISTINCT PHYSICAL BUCKET IDS cross to the driver (at most
+        ``n_buckets`` integers — metadata, never keys or rows), so the
+        prune works for arbitrarily large probe frames. The probe's
+        bucket ids are computed through Spark's own ``hash``/``pmod``
+        — the exact expression ``_with_bucket`` laid the files out
+        with — so pruning can never disagree with the layout.
+
+        The returned frame is NOT filtered to the exact probe keys:
+        callers join it (that join is what the prune serves), and rows
+        from co-hashed keys in opened files are extra join input the
+        join itself discards — never wrong output. At 100 TB this is
+        the difference between a micro-batch's index probe exchanging
+        the whole corpus and opening ~|probe buckets|/n_buckets of it
+        (the r09 E106 "index layout" fix)."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+        bcols = list(m.get("bucket_cols") or m["key_cols"])
+        # Prune with the TARGET snapshot's layout (count + columns),
+        # same rule as read_keys: time travel across a rebucket must
+        # use that snapshot's own bucket assignment.
+        buckets = {
+            r["b"]
+            for r in keys_df.select(
+                F.pmod(F.hash(*bcols), F.lit(m["n_buckets"])).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        files = [f for f in m["files"] if f["bucket"] in buckets]
+        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        return self._aligned_read(paths, self._schema_of(m))
+
     @staticmethod
     def _changed_buckets(
         files_from: list[dict], files_to: list[dict]
@@ -487,7 +550,8 @@ class SnapshotTable:
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "__bucket", F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+            "__bucket",
+            F.pmod(F.hash(*self.bucket_cols), F.lit(self.n_buckets)),
         )
 
     def merge(
@@ -544,6 +608,9 @@ class SnapshotTable:
             # stale value (or racing a rebucket — the CAS retry
             # re-enters here) can never mix layouts in one snapshot.
             self.n_buckets = base_m["n_buckets"]
+            self.bucket_cols = list(
+                base_m.get("bucket_cols") or base_m["key_cols"]
+            )
         else:
             base_files = []
 
@@ -854,6 +921,7 @@ class SnapshotTable:
             "key_cols": self.key_cols,
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
+            "bucket_cols": self.bucket_cols,
             "schema": schema_json,
             "format": 2,
         }
