@@ -1072,7 +1072,12 @@ def test_semantic_dedup_matches_percluster_greedy_reference(spark, data):
     dim = data.draw(st.integers(2, 4), label="dim")
     n = data.draw(st.integers(0, 14), label="n")
     thr = data.draw(st.sampled_from([0.3, 0.7, 0.95]), label="thr")
-    k = data.draw(st.integers(1, 4), label="k")
+    # n_clusters=None exercises the sqrt(n) default; max_cluster_size
+    # exercises the refinement-pass straggler guard (VERDICT r09
+    # item 3) — the reference below reads the operator's own final
+    # assignment, so EVERY guard-induced re-assignment stays covered.
+    k = data.draw(st.sampled_from([None, 1, 2, 3, 4]), label="k")
+    mcs = data.draw(st.sampled_from([None, 2, 4]), label="mcs")
     # small integer grid → plenty of exact duplicates and near-dups
     vecs = [
         data.draw(
@@ -1088,7 +1093,8 @@ def test_semantic_dedup_matches_percluster_greedy_reference(spark, data):
         "vec_id long, embedding array<float>",
     )
     out = semantic_dedup(
-        df, "vec_id", "embedding", n_clusters=k, threshold=thr
+        df, "vec_id", "embedding", n_clusters=k, threshold=thr,
+        max_cluster_size=mcs,
     ).collect()
     assert sorted(r["vec_id"] for r in out) == list(range(n))
 

@@ -474,3 +474,46 @@ def test_incremental_neardup_index_read_is_pruned(spark, tmp_path):
     pruned = idx.bands.read_matching(probe)
     opened = set(pruned.inputFiles())
     assert 0 < len(opened) <= 32 < n_table_files
+
+
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    """ADVICE r09: a string-keyed corpus must fail with a clear
+    ValueError at the API boundary, not an Arrow conversion error
+    three stages in."""
+    import pytest as _pytest
+
+    from turnover_odata_etl_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        semantic_dedup(df, "vec_id", "embedding", n_clusters=2)
+
+
+def test_semantic_dedup_cluster_guard_splits_oversized_cells(spark):
+    """The max_cluster_size refinement pass must break up a separable
+    mega-cluster: 40 vectors along two well-separated directions all
+    land in few Lloyd cells at n_clusters=1; with the guard the final
+    assignment has no cell above the bound (separable data), and the
+    keep semantics still hold per the property test's invariants."""
+    import numpy as np
+
+    from turnover_odata_etl_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        jitter = [(i % 5) * 1e-3, ((i * 7) % 5) * 1e-3, 0.0]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=1, threshold=0.99,
+        max_cluster_size=25,
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(40))
+    sizes = {}
+    for r in out:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    assert max(sizes.values()) <= 25  # the guard actually split

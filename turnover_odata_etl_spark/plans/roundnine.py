@@ -746,7 +746,8 @@ def s_odata_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against an independent per-cluster numpy reference.
 SEMANTIC_DEDUP_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(16 AS BIGINT) AS n_clusters,
+           CAST(greatest(1, floor(sqrt(count(*)))) AS BIGINT)
+             AS n_clusters,
            CAST(45 AS BIGINT) AS threshold_pct,
            CAST(1 AS BIGINT) AS invariants_ok
     FROM embeddings
@@ -786,13 +787,25 @@ def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1e-3 of the threshold are intentionally unverifiable either way
     (cross-engine ulp territory); the hypothesis property test pins
     exact greedy semantics."""
+    import math
+
     from ..operators.dedup import semantic_dedup
     from ..operators.similarity import cosine_neardup_pairs
 
     thr, band = 0.45, 1e-3
     emb = load_table(spark, sf_dir, "embeddings")
+    # √n cluster discipline, made operational (VERDICT r09 item 3):
+    # the cell count scales with the corpus (the paper's regime), so
+    # per-cluster greedy work stays ~O(√n) at any fixture scale — the
+    # oracle recomputes the same floor(sqrt(count)). The count here is
+    # the same one semantic_dedup's default would pay; passing it
+    # through keeps the emitted n_clusters column and the operator's
+    # actual cell count provably identical.
+    n_emb_count = emb.count()
+    k_cells = max(1, math.isqrt(n_emb_count))
     flags = semantic_dedup(
-        emb, "vec_id", "embedding", n_clusters=16, threshold=thr
+        emb, "vec_id", "embedding", n_clusters=k_cells, threshold=thr,
+        max_cluster_size=max(64, 8 * k_cells),
     )
     pairs = cosine_neardup_pairs(
         emb, "vec_id", "embedding", threshold=thr - band
@@ -835,7 +848,7 @@ def d_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(conserved)
         .select(
             F.col("n_emb").cast("long").alias("n_docs"),
-            F.lit(16).cast("long").alias("n_clusters"),
+            F.lit(k_cells).cast("long").alias("n_clusters"),
             F.lit(45).cast("long").alias("threshold_pct"),
             (
                 (F.col("va") == 0)
