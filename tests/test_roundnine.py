@@ -517,3 +517,51 @@ def test_semantic_dedup_cluster_guard_splits_oversized_cells(spark):
     for r in out:
         sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
     assert max(sizes.values()) <= 25  # the guard actually split
+
+
+def test_triangle_celebrity_node_wedge_volume(spark):
+    """The scale claim behind the degree orientation (VERDICT r09
+    item 4), pinned on the adversarial input: a celebrity hub joined
+    to 400 leaves that form a path. The naive per-node wedge volume is
+    sum C(deg, 2) ~ deg(hub)^2/2 (~80k — the 'last reducer'); the
+    degree-ORIENTED volume must stay O(m): every hub edge orients
+    leaf->hub, so the hub builds no wedges and each leaf builds at
+    most C(3, 2). Counts are asserted too (each path edge closes a
+    triangle with the hub)."""
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.plans.roundnine import (
+        oriented_wedges,
+        triangle_counts,
+    )
+
+    hub, n_leaves = 0, 401
+    rows = [(hub, i) for i in range(1, n_leaves + 1)]
+    rows += [(i, i + 1) for i in range(1, n_leaves)]  # leaf path
+    edges = spark.createDataFrame(rows, "u long, v long")
+    m = len(rows)
+
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    naive_wedges = deg.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("w")
+    ).first()["w"]
+    oriented = oriented_wedges(edges).count()
+
+    assert naive_wedges >= n_leaves * (n_leaves - 1) / 2  # ~80k
+    assert oriented <= 2 * m          # O(m), no celebrity blow-up
+    assert naive_wedges > 45 * oriented
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    # one triangle per path edge: (hub, i, i+1) for i in 1..400
+    assert got[hub] == n_leaves - 1
+    inner = {i: got[i] for i in range(1, n_leaves + 1)}
+    assert inner[1] == 1 and inner[n_leaves] == 1
+    assert all(inner[i] == 2 for i in range(2, n_leaves))

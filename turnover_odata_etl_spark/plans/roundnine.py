@@ -1253,20 +1253,26 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return triangle_counts(edges)
+
+
+def degree_orient(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge ``(u, v)`` from its
+    (degree, id)-smaller endpoint to the larger one → ``(src, dst)``.
+    The Suri–Vassilvitskii anti-straggler transform: a celebrity node
+    receives almost all its edges as ``dst``, so it builds almost no
+    wedges — total oriented wedge volume is O(m^1.5) regardless of the
+    degree distribution (pinned by the celebrity-graph wedge test),
+    vs Σ deg(v)² for the naive per-node form."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient each edge from the (deg, id)-smaller endpoint
-    du = deg.select(
-        F.col("node").alias("u"), F.col("deg").alias("du")
-    )
-    dv = deg.select(
-        F.col("node").alias("v"), F.col("deg").alias("dv")
-    )
-    oriented = (
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    return (
         edges.join(du, "u")
         .join(dv, "v")
         .select(
@@ -1282,9 +1288,17 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("src"), F.col("e.t").alias("dst"))
     )
+
+
+def oriented_wedges(edges: DataFrame) -> DataFrame:
+    """All wedges built at each oriented edge's smaller endpoint:
+    ``(apex, t1, t2)`` with ``t1 < t2`` — the O(m^1.5)-bounded
+    intermediate whose volume IS the operator's scale story (exposed
+    separately so the celebrity-graph test can measure it)."""
+    oriented = degree_orient(edges)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
-    wedges = o1.join(
+    return o1.join(
         o2,
         (F.col("o1.src") == F.col("o2.src"))
         & (F.col("o1.dst") < F.col("o2.dst")),
@@ -1293,8 +1307,15 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o1.dst").alias("t1"),
         F.col("o2.dst").alias("t2"),
     )
-    # close the wedge against the canonical u<v edge set (orientation
-    # of the closing edge is degree-dependent — canonical is not)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts ``(node, n_triangles)`` over an
+    undirected edge set ``(u, v)`` — degree-ordered wedge enumeration
+    closed against the canonical edge set (orientation of the closing
+    edge is degree-dependent — canonical is not); each triangle is
+    found exactly once, at its minimum-(degree, id) vertex."""
+    wedges = oriented_wedges(edges)
     closing = edges.select(
         F.least("u", "v").alias("t1"), F.greatest("u", "v").alias("t2")
     )
