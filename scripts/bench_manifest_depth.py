@@ -29,7 +29,15 @@ micro-batch commit and depth x O(F) metadata storage. The cold read
 pays a <=16-step resolution walk instead of one parse; both are
 measured below.
 
-Run: python scripts/bench_manifest_depth.py [depth] [files_per_manifest] [format 1|2]
+Round 10 re-points the "real writer" section at the ``_commit_delta``
+path ``_merge_once`` actually takes now: untouched buckets carried BY
+REFERENCE through the structurally-shared ``_by_bucket`` view, so the
+per-commit metadata cost is O(n_buckets + touched files) — flat in
+TABLE size when width grows as more buckets (the [n_buckets] arg; a
+bucket is the merge/commit granule, so "bigger table, same batch"
+means more buckets, not fatter ones).
+
+Run: python scripts/bench_manifest_depth.py [depth] [files_per_manifest] [format 1|2] [n_buckets]
 """
 
 from __future__ import annotations
@@ -43,13 +51,13 @@ import time
 import uuid
 
 
-def build(table_dir: str, depth: int, n_files: int) -> None:
+def build(table_dir: str, depth: int, n_files: int, n_buckets: int = 8) -> None:
     mdir = os.path.join(table_dir, "manifests")
     os.makedirs(mdir)
     files = [
         {
-            "path": f"data/{uuid.uuid4().hex[:12]}-b{i % 8}-0.parquet",
-            "bucket": i % 8,
+            "path": f"data/{uuid.uuid4().hex[:12]}-b{i % n_buckets}-0.parquet",
+            "bucket": i % n_buckets,
             "rows": 12_345,
             "order_min": 1,
             "order_max": 999_999,
@@ -72,7 +80,7 @@ def build(table_dir: str, depth: int, n_files: int) -> None:
             "operation": "merge",
             "key_cols": ["k"],
             "order_col": "ver",
-            "n_buckets": 8,
+            "n_buckets": n_buckets,
             "schema": schema,
             "files": files,
             "properties": {"reflects_base": sid},
@@ -83,7 +91,8 @@ def build(table_dir: str, depth: int, n_files: int) -> None:
         fh.write(str(depth))
 
 
-def build_v2(table_dir: str, depth: int, n_files: int) -> None:
+def build_v2(table_dir: str, depth: int, n_files: int,
+             n_buckets: int = 8) -> None:
     """Delta-manifest chain in the round-9 on-disk form: each commit
     rewrites ONE bucket (n_files/8 entries), full manifests at sid 1
     and every FULL_MANIFEST_EVERY-th id — the steady-state shape of a
@@ -96,7 +105,7 @@ def build_v2(table_dir: str, depth: int, n_files: int) -> None:
     os.makedirs(mdir)
 
     def entries(bucket: int, sid: int) -> list[dict]:
-        per = max(1, n_files // 8)
+        per = max(1, n_files // n_buckets)
         return [
             {
                 "path": f"data/{uuid.uuid4().hex[:12]}-b{bucket}-{i}.parquet",
@@ -117,9 +126,9 @@ def build_v2(table_dir: str, depth: int, n_files: int) -> None:
             ],
         }
     )
-    state = {b: entries(b, 0) for b in range(8)}
+    state = {b: entries(b, 0) for b in range(n_buckets)}
     for sid in range(1, depth + 1):
-        touched = sid % 8
+        touched = sid % n_buckets
         state[touched] = entries(touched, sid)
         manifest = {
             "snapshot_id": sid,
@@ -127,7 +136,7 @@ def build_v2(table_dir: str, depth: int, n_files: int) -> None:
             "operation": "merge",
             "key_cols": ["k"],
             "order_col": "ver",
-            "n_buckets": 8,
+            "n_buckets": n_buckets,
             "schema": schema,
             "format": 2,
             "properties": {"reflects_base": sid},
@@ -147,6 +156,7 @@ def main() -> None:
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     fmt = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     # imported here so the script also documents the public surface
     sys.path.insert(
@@ -158,11 +168,14 @@ def main() -> None:
     table_dir = os.path.join(base, "t")
     try:
         t0 = time.perf_counter()
-        (build if fmt == 1 else build_v2)(table_dir, depth, n_files)
+        (build if fmt == 1 else build_v2)(
+            table_dir, depth, n_files, n_buckets
+        )
         build_s = time.perf_counter() - t0
 
         t = SnapshotTable(
-            None, table_dir, key_cols=["k"], order_col="ver", n_buckets=8
+            None, table_dir, key_cols=["k"], order_col="ver",
+            n_buckets=n_buckets,
         )
         mdir = os.path.join(table_dir, "manifests")
         one_manifest_bytes = os.path.getsize(
@@ -175,16 +188,25 @@ def main() -> None:
             FULL_MANIFEST_EVERY,
         )
 
-        delta_sid = next(
-            (
-                s
-                for s in range(depth, 0, -1)
-                if s != 1 and s % FULL_MANIFEST_EVERY != 0
-            ),
-            depth,
+        delta_sid = (
+            next(
+                (
+                    s
+                    for s in range(depth, 0, -1)
+                    if s != 1 and s % FULL_MANIFEST_EVERY != 0
+                ),
+                None,
+            )
+            if fmt == 2
+            else None  # fmt 1 has no deltas — a size here would be a
+            # full manifest mislabeled (ADVICE r09)
         )
-        delta_manifest_bytes = os.path.getsize(
-            os.path.join(mdir, f"manifest-{delta_sid}.json")
+        delta_manifest_bytes = (
+            None
+            if delta_sid is None
+            else os.path.getsize(
+                os.path.join(mdir, f"manifest-{delta_sid}.json")
+            )
         )
         dir_bytes = sum(
             os.path.getsize(os.path.join(mdir, n)) for n in os.listdir(mdir)
@@ -198,7 +220,7 @@ def main() -> None:
         t0 = time.perf_counter()
         m = t._manifest(sid)  # fmt 2: cold resolution walk, <=16 reads
         parse_one_s = time.perf_counter() - t0
-        assert len(m["files"]) >= (n_files if fmt == 1 else 8)
+        assert len(m["files"]) >= (n_files if fmt == 1 else n_buckets)
 
         t0 = time.perf_counter()
         assert t.latest_property("reflects_base") == depth
@@ -209,16 +231,19 @@ def main() -> None:
         history_s = time.perf_counter() - t0
         assert len(h) == depth
 
-        # REAL writer cost (fmt 2): _commit's grouping + parent diff is
-        # an O(F) in-memory pass even though the WRITE is O(touched) —
-        # measure it honestly with the real code path over 100 commits.
+        # REAL writer cost (fmt 2): the _commit_delta path
+        # _merge_once takes since round 10 — untouched buckets carried
+        # by reference through _by_bucket, so the in-memory pass is
+        # O(n_buckets + touched files), not O(F). Measured with the
+        # real code over 100 commits.
         real_commit_avg_s = None
         if fmt == 2:
             rdir = os.path.join(base, "real")
             rt = SnapshotTable(
-                None, rdir, key_cols=["k"], order_col="ver", n_buckets=8
+                None, rdir, key_cols=["k"], order_col="ver",
+                n_buckets=n_buckets,
             )
-            per = max(1, n_files // 8)
+            per = max(1, n_files // n_buckets)
 
             def fentries(bucket, tag):
                 return [
@@ -232,7 +257,7 @@ def main() -> None:
                     for i in range(per)
                 ]
 
-            state = {b: fentries(b, f"seed{b}") for b in range(8)}
+            state = {b: fentries(b, f"seed{b}") for b in range(n_buckets)}
             schema_json = json.loads(
                 open(
                     os.path.join(
@@ -247,23 +272,42 @@ def main() -> None:
                 "merge",
                 base_id=None,
             )
-            t0 = time.perf_counter()
+            from turnover_odata_etl_spark.storage.snapshot import (
+                FULL_MANIFEST_EVERY as _FME,
+            )
+
             n_real = 100
+            # Warm the per-bucket view of the seed commit: a steady-
+            # state writer holds its (structurally-shared) cache; the
+            # one-time O(F) cold resolution is a reader-open cost
+            # (parse_one_manifest_s above), not a per-commit cost.
+            rt._by_bucket(rt.current_id())
+            delta_times, anchor_times = [], []
             for i in range(n_real):
-                touched = i % 8
+                touched = i % n_buckets
                 new_entries = fentries(touched, f"c{i}")
-                carried = [
-                    f
-                    for b, fs in state.items()
-                    if b != touched
-                    for f in fs
-                ]
                 state[touched] = new_entries
-                rt._commit(
-                    schema_json, carried, new_entries, "merge",
-                    base_id=rt.current_id(),
+                bid = rt.current_id()
+                t0 = time.perf_counter()
+                sid_new = rt._commit_delta(
+                    schema_json, rt._by_bucket(bid),
+                    {touched: new_entries}, "merge", base_id=bid,
                 )
-            real_commit_avg_s = (time.perf_counter() - t0) / n_real
+                dt = time.perf_counter() - t0
+                (anchor_times if sid_new % _FME == 0
+                 else delta_times).append(dt)
+            real_commit_avg_s = (
+                sum(delta_times) + sum(anchor_times)
+            ) / n_real
+            # The split that shows the round-10 claim: the DELTA hot
+            # path is flat in table size; the every-16th full anchor
+            # is the documented O(F)/16 amortized resolution-bound
+            # trade.
+            real_delta_commit_avg_s = sum(delta_times) / len(delta_times)
+            real_full_anchor_avg_s = (
+                sum(anchor_times) / len(anchor_times)
+                if anchor_times else None
+            )
 
         t0 = time.perf_counter()
         t.expire_snapshots(keep_last=8)
@@ -292,6 +336,12 @@ def main() -> None:
                     "real_commit_avg_s": None
                     if real_commit_avg_s is None
                     else round(real_commit_avg_s, 6),
+                    "real_delta_commit_avg_s": None
+                    if fmt != 2
+                    else round(real_delta_commit_avg_s, 6),
+                    "real_full_anchor_avg_s": None
+                    if fmt != 2 or real_full_anchor_avg_s is None
+                    else round(real_full_anchor_avg_s, 6),
                     "current_id_after_expire_s": round(
                         current_id_after_expire_s, 5
                     ),

@@ -74,6 +74,11 @@ NESTED_LOOP_OK = {
     "s_knn_ivf",
     "s_knn_lsh",
     "s_knn_pq",
+    # d_semdedup_kmeans: SIX Cross BuildRight BNLJs, all 1-row
+    # aggregate frames — the contract row's viol_a x viol_b x
+    # (n_flags x n_emb) scalar crossJoins (read from the formatted
+    # plan round 10; the data-bearing joins are all BHJ/SMJ on ids).
+    "d_semdedup_kmeans",
 }
 
 # Queries where > 6 shuffle exchanges is the algorithm, not an
@@ -111,6 +116,25 @@ MANY_SHUFFLES_OK = {
     "e14_funnel_sequence",  # (b) per-stage threshold subqueries
     "e14_retention_cohorts",  # (b) cohort-base subqueries per period
     "e6_copurchase_pairs",  # (b) pair support + order-count subqueries
+    "d_semdedup_kmeans",  # (a) k-means assign (count + Lloyd agg +
+    #     cluster-key shuffle into the greedy sweep) + the invariant
+    #     contract's independent GEMM-tile pair enumeration + two
+    #     flag-join verification passes — every exchanged frame is
+    #     centroid-, flag-, or near-threshold-pair-sized; the corpus
+    #     itself crosses the wire once (the cluster-key shuffle)
+    "d_incremental_neardup",  # (a) THREE full incremental waves in one
+    #     plan, each a real protocol round: signature build, band-
+    #     bucket candidate join against the (pruned) index read, exact
+    #     verify, and a bucket-repartitioned snapshot MERGE — ~5
+    #     exchanges per wave, all batch-/candidate-sized (the round-10
+    #     band-keyed layout is exactly what keeps the INDEX side out
+    #     of these exchanges; pinned by the inputFiles spy tests)
+    "g_triangle_count",  # (a) per-corner count union: the oriented
+    #     wedge-close lineage appears once per triangle corner and AQE
+    #     collapses the repeats (34 ReusedExchange in the final plan);
+    #     every exchanged frame is edge-set- or degree-table-sized —
+    #     the wedge intermediate never shuffles (closed by broadcast
+    #     semi-join against the canonical edge set at fixture scale)
 }
 
 

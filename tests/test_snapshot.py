@@ -111,7 +111,9 @@ def test_crash_before_manifest_claim_leaves_old_snapshot(
     def boom(*a, **kw):
         raise OSError("injected crash before commit point")
 
-    monkeypatch.setattr(t, "_commit", boom)
+    # _claim is the shared commit point of BOTH commit forms (the
+    # legacy full path and the round-10 delta path merges take).
+    monkeypatch.setattr(t, "_claim", boom)
     with pytest.raises(OSError, match="injected"):
         t.merge(batch(spark, [(2, "B", 2)]))
     monkeypatch.undo()
@@ -158,22 +160,17 @@ def test_concurrent_writers_cas_retry(spark, tdir, monkeypatch):
     t_b = make_table(spark, tdir)
     t_a.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
 
-    real_commit = t_a._commit
+    real_claim = t_a._claim
     state = {"raced": False}
 
-    def racing_commit(
-        batch_df, carried, new_files, operation, base_id, properties=None
-    ):
+    def racing_claim(manifest, new_id):
         if not state["raced"]:
             state["raced"] = True
             # B wins the race while A is between base read and claim.
             t_b.merge(batch(spark, [(3, "from_b", 2)]))
-        return real_commit(
-            batch_df, carried, new_files, operation, base_id,
-            properties=properties,
-        )
+        return real_claim(manifest, new_id)
 
-    monkeypatch.setattr(t_a, "_commit", racing_commit)
+    monkeypatch.setattr(t_a, "_claim", racing_claim)
     sid = t_a.merge(batch(spark, [(2, "from_a", 2)]))
     assert sid == 3  # first attempt lost the CAS on 2, retry claimed 3
     assert rows(t_a.read()) == [
@@ -1106,3 +1103,36 @@ def test_read_matching_full_probe_reads_everything(spark, tdir):
     probe = spark.createDataFrame([(g,) for g in range(32)], "g long")
     got = sorted(r["g"] for r in t.read_matching(probe).collect())
     assert got == list(range(32))
+
+
+def test_reader_racing_expire_retries_from_materialized_floor(
+    spark, tdir, monkeypatch
+):
+    """ADVICE r09: a reader that saw the floor's OLD delta form before
+    an expire_snapshots run must not die on the unlinked ancestors —
+    _manifest retries from the re-read raw floor, which expire
+    materialized as a self-contained full manifest BEFORE unlinking
+    anything."""
+    t = make_table(spark, tdir, n_buckets=2)
+    for ver in range(1, 6):
+        t.merge(batch(spark, [(ver, f"v{ver}", ver)]))
+    reader = make_table(spark, tdir, n_buckets=2)  # separate handle
+    stale_raw5 = dict(reader._manifest_raw(5))
+    assert "buckets" in stale_raw5 and not stale_raw5.get("full")
+
+    t.expire_snapshots(keep_last=1)  # floor=5 now full; 1-4 unlinked
+    assert t.snapshot_ids() == [5]
+
+    real_raw = reader._manifest_raw
+    state = {"first": True}
+
+    def stale_once(sid):
+        if sid == 5 and state["first"]:
+            state["first"] = False
+            return stale_raw5  # the pre-expire delta view
+        return real_raw(sid)
+
+    monkeypatch.setattr(reader, "_manifest_raw", stale_once)
+    got = rows(reader.read(5))  # walks stale delta -> FNF -> retries
+    assert got == [(v, f"v{v}", v) for v in range(1, 6)]
+    assert not state["first"]  # the stale path really was taken
