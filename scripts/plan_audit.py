@@ -125,10 +125,11 @@ MANY_SHUFFLES_OK = {
     "d_incremental_neardup",  # (a) THREE full incremental waves in one
     #     plan, each a real protocol round: signature build, band-
     #     bucket candidate join against the (pruned) index read, exact
-    #     verify, and a bucket-repartitioned snapshot MERGE — ~5
+    #     verify, and two bucket-repartitioned snapshot APPENDs — ~5
     #     exchanges per wave, all batch-/candidate-sized (the round-10
-    #     band-keyed layout is exactly what keeps the INDEX side out
-    #     of these exchanges; pinned by the inputFiles spy tests)
+    #     band-keyed layout keeps the INDEX side out of the exchanges,
+    #     and the append path keeps it out of the WRITES; pinned by
+    #     the inputFiles spy + append-never-reads-base tests)
     "g_triangle_count",  # (a) per-corner count union: the oriented
     #     wedge-close lineage appears once per triangle corner and AQE
     #     collapses the repeats (34 ReusedExchange in the final plan);

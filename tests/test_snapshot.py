@@ -1136,3 +1136,179 @@ def test_reader_racing_expire_retries_from_materialized_floor(
     got = rows(reader.read(5))  # walks stale delta -> FNF -> retries
     assert got == [(v, f"v{v}", v) for v in range(1, 6)]
     assert not state["first"]  # the stale path really was taken
+
+
+# ---------------------------------------------------------------- append
+
+
+def test_append_accumulates_rows_and_time_travels(spark, tdir):
+    t = make_table(spark, tdir)
+    s1 = t.append(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    s2 = t.append(batch(spark, [(3, "c", 2)]))
+    assert (s1, s2) == (1, 2)
+    assert rows(t.read()) == [(1, "a", 1), (2, "b", 1), (3, "c", 2)]
+    assert rows(t.read(snapshot_id=1)) == [(1, "a", 1), (2, "b", 1)]
+    assert [h["operation"] for h in t.history()] == ["append", "append"]
+
+
+def test_append_is_merge_on_read_duplicates_survive(spark, tdir):
+    """The documented contract: append NEVER collapses keys — a
+    re-appended key yields BOTH rows on read (at-least-once replay
+    semantics), and compact(dedup_keys=True) is the explicit fold."""
+    t = make_table(spark, tdir)
+    t.append(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.append(batch(spark, [(1, "A", 2)]))
+    assert rows(t.read()) == [(1, "A", 2), (1, "a", 1), (2, "b", 1)]
+    t.compact(dedup_keys=True)
+    assert rows(t.read()) == [(1, "A", 2), (2, "b", 1)]
+    assert t.history()[-1]["operation"] == "compact"
+
+
+def test_append_never_reads_base_data(spark, tdir, monkeypatch):
+    """The scale claim: an append's cost is O(batch) — it must not
+    open ANY existing data file (merge's read-back is exactly what it
+    exists to avoid). _aligned_read is the only file-read path."""
+    t = make_table(spark, tdir)
+    for ver in range(1, 4):
+        t.append(batch(spark, [(ver, f"v{ver}", ver)]))
+
+    def boom(*a, **kw):
+        raise AssertionError("append read base data files")
+
+    monkeypatch.setattr(t, "_aligned_read", boom)
+    t.append(batch(spark, [(99, "z", 9)]))
+    monkeypatch.undo()
+    assert (99, "z", 9) in rows(t.read())
+
+
+def test_append_empty_batch_leaves_history_clean(spark, tdir):
+    t = make_table(spark, tdir)
+    s1 = t.append(batch(spark, [(1, "a", 1)]))
+    assert t.append(batch(spark, [])) == s1
+    assert [h["snapshot_id"] for h in t.history()] == [1]
+    # ... but a properties-carrying empty append commits metadata-only
+    s2 = t.append(batch(spark, []), properties={"wm": 7})
+    assert s2 == 2
+    assert t.latest_property("wm") == 7
+    assert rows(t.read()) == [(1, "a", 1)]
+
+
+def test_append_additive_schema_evolution(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, [(1, "a", 1)]))
+    widened = spark.createDataFrame(
+        [(2, "b", 2, "extra")], "k long, v string, ver long, note string"
+    )
+    t.append(widened)
+    got = {
+        (r["k"], r["v"], r["ver"], r["note"])
+        for r in t.read().collect()
+    }
+    assert got == {(1, "a", 1, None), (2, "b", 2, "extra")}
+
+
+def test_append_interleaves_with_merge_and_adopts_layout(spark, tdir):
+    """Appends and merges share the CAS and the layout-adoption rule:
+    after a rebucket, a stale-handle append lands in the NEW layout
+    (read_keys pruning keeps working)."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.rebucket(8)
+    stale = make_table(spark, tdir, n_buckets=2)  # constructed stale
+    stale.append(batch(spark, [(3, "c", 2)]))
+    assert stale.n_buckets == 8
+    assert rows(t.read()) == [(1, "a", 1), (2, "b", 1), (3, "c", 2)]
+    assert rows(t.read_keys([3])) == [(3, "c", 2)]
+
+
+def test_append_crash_before_claim_leaves_old_snapshot(
+    spark, tdir, monkeypatch
+):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, [(1, "a", 1)]))
+
+    def boom(*a, **kw):
+        raise OSError("injected crash before commit point")
+
+    monkeypatch.setattr(t, "_claim", boom)
+    with pytest.raises(OSError, match="injected"):
+        t.append(batch(spark, [(2, "b", 2)]))
+    monkeypatch.undo()
+    assert t.current_id() == 1
+    assert rows(t.read()) == [(1, "a", 1)]
+
+
+# ---------------------------------------------------------------- compact
+
+
+def test_compact_binpacks_small_files_row_preserving(spark, tdir):
+    """Five appends leave ≥5 files in a hot bucket; compact folds each
+    qualifying bucket to ONE file with the row multiset EXACTLY
+    preserved (duplicates included — row-preserving is the default)."""
+    t = make_table(spark, tdir, n_buckets=2)
+    expected = []
+    for ver in range(1, 6):
+        t.append(batch(spark, [(1, f"x{ver}", ver), (2, f"y{ver}", ver)]))
+        expected += [(1, f"x{ver}", ver), (2, f"y{ver}", ver)]
+    pre = t._by_bucket(t.current_id())
+    assert any(len(fs) >= 5 for fs in pre.values())
+    pre_id = t.current_id()
+    t.compact(min_files=2)
+    post = t._by_bucket(t.current_id())
+    assert all(len(fs) <= 1 for fs in post.values())
+    assert rows(t.read()) == sorted(expected)
+    # time travel: the pre-compaction snapshot still reads its files
+    assert rows(t.read(snapshot_id=pre_id)) == sorted(expected)
+
+
+def test_compact_noop_below_threshold_returns_current(spark, tdir):
+    t = make_table(spark, tdir)
+    s1 = t.append(batch(spark, [(1, "a", 1)]))
+    assert t.compact(min_files=2) == s1
+    assert [h["snapshot_id"] for h in t.history()] == [1]
+
+
+def test_compact_carries_untouched_buckets_by_reference(spark, tdir):
+    """Only qualifying buckets are rewritten: the single-file bucket's
+    entry (path included) is IDENTICAL before and after."""
+    t = make_table(spark, tdir, n_buckets=32)
+    t.append(batch(spark, [(i, f"v{i}", 1) for i in range(20)]))
+    t.append(batch(spark, [(0, "w", 2)]))  # only key 0's bucket gains a file
+    pre = t._by_bucket(t.current_id())
+    multi = [b for b, fs in pre.items() if len(fs) > 1]
+    single = [b for b, fs in pre.items() if len(fs) == 1]
+    assert multi and single
+    t.compact(min_files=2)
+    post = t._by_bucket(t.current_id())
+    for b in single:
+        assert post[b] == pre[b]  # same entries, same paths
+    for b in multi:
+        assert len(post[b]) == 1 and post[b] != pre[b]
+
+
+def test_compact_restores_read_where_pruning(spark, tdir):
+    """Compaction recomputes per-file stats: a read_where range probe
+    on the compacted table still prunes (footer stats survived the
+    rewrite)."""
+    t = make_table(spark, tdir, n_buckets=1)
+    for ver in (1, 2, 3):
+        t.append(batch(spark, [(ver * 10, f"v{ver}", ver * 100)]))
+    t.compact(min_files=2)
+    m = t._manifest(t.current_id())
+    assert all("order_min" in f for f in m["files"])
+    assert rows(t.read_where("ver", 150, 250)) == [(20, "v2", 200)]
+
+
+def test_append_heavy_index_folds_after_expire(spark, tdir):
+    """The full append-table lifecycle: appends → dedup compact →
+    expire; GC reclaims every file the compaction replaced, and the
+    table still reads keep-latest-correct."""
+    t = make_table(spark, tdir, n_buckets=2)
+    for ver in range(1, 5):
+        t.append(batch(spark, [(ver % 2, f"v{ver}", ver)]))
+    t.compact(dedup_keys=True)
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed  # the replaced small files really were reclaimed
+    for p in removed:
+        assert not os.path.exists(os.path.join(t.table_dir, p))
+    assert rows(t.read()) == [(0, "v4", 4), (1, "v3", 3)]

@@ -929,10 +929,19 @@ class NeardupIndex:
       the candidate ids only (``read_matching`` again), so the verify
       join also never exchanges the corpus.
 
+    Both tables take the APPEND fast path (round 10): wave keys are
+    new by construction, so the keep-latest MERGE's copy-on-write
+    bucket rewrite — O(index) per wave once uniform band keys touch
+    every physical bucket — is replaced by an O(batch) staged write
+    plus an O(touched) delta commit. The write side now matches the
+    read side's scale shape: a micro-batch neither exchanges, re-reads,
+    NOR REWRITES the accumulated index.
+
     Commit order per wave is bands FIRST, sigs SECOND, and the SIGS
     commit is the wave checkpoint (``current_wave``): a crash between
     the two leaves a bands commit ahead of sigs, and the replayed
-    wave's anti-joins absorb it exactly like any other replay."""
+    wave's anti-joins + read-side dropDuplicates absorb it exactly
+    like any other replay."""
 
     def __init__(self, spark: SparkSession, base_dir: str,
                  n_buckets: int = 8) -> None:
@@ -976,8 +985,10 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     old side anti-joins away any docs already indexed that this wave
     re-presents (in BOTH the band probe and the verify payload), so a
     replayed wave emits exactly its original pairs (no self-pairs, no
-    duplicate fan-out) and the keep-latest merges absorb the
-    re-commits. Resuming at the NEXT wave without having secured the
+    duplicate fan-out); the re-APPENDED index rows are duplicate rows
+    by value, absorbed by the dropDuplicates read armor on both pruned
+    reads (and foldable any time via ``compact(dedup_keys=True)``).
+    Resuming at the NEXT wave without having secured the
     committed wave's pairs would lose them (old×old pairs are by
     design never re-examined)."""
     from pyspark import StorageLevel
@@ -1009,6 +1020,11 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
             index.bands.read_matching(bn.select("band", "bucket"))
             .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
             .select(F.col("doc_id").alias("o_id"), "band", "bucket")
+            # Replay armor for the APPEND index (round 10): a replayed
+            # wave re-appends its rows verbatim, so the pruned read
+            # may surface duplicates — collapse them here (pruned-
+            # bucket-sized frame, not the corpus).
+            .dropDuplicates(["o_id", "band", "bucket"])
         )
         cand_no = (
             bn.join(bo, ["band", "bucket"])
@@ -1040,6 +1056,9 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
             index.sigs.read_matching(old_ids)
             .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "shingles")
+            # Same replay armor: duplicate payload rows would fan out
+            # the verify join (candidate-sized frame).
+            .dropDuplicates(["doc_id"])
         )
         both = sigs_new.select("doc_id", "shingles").unionByName(old_sh)
     else:
@@ -1049,12 +1068,20 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
         StorageLevel.MEMORY_AND_DISK
     )
     pairs.count()  # force: pairs durable-in-session BEFORE the commits
-    index.bands.merge(
+    # APPEND, not MERGE (round 10): a wave's keys are new by
+    # construction (the anti-joins above are what ENFORCE that on
+    # replay), so the keep-latest copy-on-write rewrite is pure waste
+    # — and worse than waste at scale: uniform band keys touch every
+    # physical bucket, so each wave's MERGE rewrote O(index) data.
+    # append() stages only the wave's own rows (O(batch) however big
+    # the index grows); a replayed wave appends duplicate ROWS, which
+    # the dropDuplicates read armor above absorbs.
+    index.bands.append(
         bn.select(
             "band", "bucket", F.col("n_id").alias("doc_id")
         ).withColumn("__ver", F.lit(ver))
     )
-    index.sigs.merge(
+    index.sigs.append(
         sigs_new.select("doc_id", "shingles").withColumn(
             "__ver", F.lit(ver)
         )
@@ -1113,10 +1140,11 @@ def d_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
        earlier wave completed it, so nothing is ever re-verified;
     3. exact-Jaccard verify over new ∪ index shingle sets (same
        ``exact_jaccard`` as batch);
-    4. MERGE the new signatures into the index — a round-7 snapshot
-       table (keyed on doc_id), so the index itself has commit
-       isolation, time travel, and O(touched buckets) appends, and a
-       crashed run resumes from the last committed wave.
+    4. APPEND the new signatures to the index — snapshot-table commits
+       (isolation, time travel, crash resume from the last committed
+       wave) via the insert-only fast path: wave keys are new by
+       construction, so no keep-latest rewrite happens and the write
+       cost is O(batch), not O(touched index buckets).
 
     Union of the three waves' pairs == the batch answer exactly (each
     true pair is completed by exactly one wave), which is why the

@@ -673,6 +673,219 @@ class SnapshotTable:
             f"merge lost the commit race {max_retries} times"
         ) from last
 
+    def append(
+        self,
+        batch_df: DataFrame,
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> int:
+        """APPEND batch rows as one snapshot commit — the fact-table /
+        log-ingest fast path next to the keyed MERGE. No base
+        read-back, no keep-latest collapse: ONE Spark job (the
+        bucketed staged write) and an O(touched) delta commit, so
+        per-batch cost is O(batch) however large the table grows.
+        MERGE's copy-on-write rewrite of every touched bucket is the
+        right tool for UPSERTS; for insert-only arrivals it silently
+        becomes an O(table/n_buckets × touched) rewrite per batch —
+        at 100 TB, a micro-batch whose keys hash across all physical
+        buckets (uniform band keys, event ingest) would rewrite the
+        whole table every trigger.
+
+        Contract (merge-on-read): rows are appended VERBATIM. The
+        keep-latest invariant MERGE maintains does not hold across
+        appended duplicates of an existing key — ``read()`` returns
+        every appended row. Use append when keys are new by
+        construction (event logs, the incremental-LSH band index) or
+        when the read side dedups; ``compact(dedup_keys=True)`` is
+        the explicit maintenance commit that folds duplicates back to
+        keep-latest form. At-least-once callers that replay a batch
+        get duplicate ROWS, never corruption.
+
+        Everything else matches MERGE: additive schema evolution
+        (computed on empty frames — no data read), layout adoption
+        from the current manifest, optional commit ``properties``,
+        CAS retry on a lost race, and an empty batch leaving history
+        clean (metadata-only commit iff ``properties`` given)."""
+        missing = [
+            c
+            for c in (*self.key_cols, self.order_col)
+            if c not in batch_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"append: batch is missing key/order columns {missing}"
+            )
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._append_once(batch_df, properties)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"append lost the commit race {max_retries} times"
+        ) from last
+
+    def _append_once(
+        self, batch_df: DataFrame, properties: dict | None
+    ) -> int:
+        base_id = self.current_id()
+        if base_id:
+            base_raw = self._raw_meta(base_id)
+            self.n_buckets = base_raw["n_buckets"]
+            self.bucket_cols = list(
+                base_raw.get("bucket_cols") or base_raw["key_cols"]
+            )
+            base_bb = self._by_bucket(base_id)
+            # Additive evolution on EMPTY frames: the union computes
+            # base ∪ batch column sets without reading a single row
+            # (the data files align lazily via _aligned_read).
+            evolved_json = (
+                batch_df.sparkSession.createDataFrame(
+                    [], self._schema_of(base_raw)
+                )
+                .unionByName(batch_df.limit(0), allowMissingColumns=True)
+                .schema.json()
+            )
+        else:
+            base_bb = {}
+            evolved_json = batch_df.schema.json()
+
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            # Same physical discipline as MERGE's staged write: one
+            # file per bucket, rows sorted on the order column so
+            # row-group stats stay monotone for read_range/read_where.
+            self._with_bucket(batch_df)
+            .repartition(self.n_buckets, "__bucket")
+            .sortWithinPartitions("__bucket", self.order_col)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        new_files = self._promote_staged(staging, run)
+        if not new_files:
+            # Empty batch: identical contract to MERGE's empty path.
+            if base_id is not None and not properties:
+                return base_id
+            if base_id is None:
+                return self._commit(
+                    evolved_json, [], [], operation="append",
+                    base_id=None, properties=properties,
+                )
+            return self._commit_delta(
+                evolved_json, base_bb, {}, operation="append",
+                base_id=base_id, properties=properties,
+            )
+        # A touched bucket's new list = parent's list + the appended
+        # files; untouched buckets carry by reference through base_bb.
+        touched_new: dict[int, list[dict]] = {}
+        for f in new_files:
+            if f["bucket"] not in touched_new:
+                touched_new[f["bucket"]] = list(
+                    base_bb.get(f["bucket"], [])
+                )
+            touched_new[f["bucket"]].append(f)
+        return self._commit_delta(
+            evolved_json, base_bb, touched_new, operation="append",
+            base_id=base_id, properties=properties,
+        )
+
+    def compact(
+        self,
+        min_files: int = 2,
+        dedup_keys: bool = False,
+        max_retries: int = 5,
+    ) -> int:
+        """Bin-pack MAINTENANCE commit: rewrite every bucket holding
+        ≥ ``min_files`` data files into one file, carrying all other
+        buckets by reference — the small-file compaction an
+        append-heavy table needs (each append adds a file per touched
+        bucket, and scan cost degrades with FILE COUNT, not data
+        size). Row-preserving by default: a pure layout change — same
+        rows, same values, re-sorted on the order column within each
+        file so row-group pruning recovers its monotone stats.
+
+        ``dedup_keys=True`` ALSO folds duplicate keys to their
+        keep-latest row (the MERGE window) — the explicit op that
+        restores the keep-latest invariant after at-least-once append
+        replays. Duplicates can hide inside a single file (one append
+        of a dup-key batch), so this mode rewrites every non-empty
+        bucket regardless of ``min_files``.
+
+        Runs as an ordinary snapshot commit: concurrent readers and
+        time travel see pre-compaction snapshots untouched, a racing
+        writer wins or loses the same CAS every commit uses, and
+        ``expire_snapshots`` reclaims the replaced files once no kept
+        snapshot references them. Returns the committed id — or the
+        CURRENT id unchanged when nothing qualifies (no-op, no empty
+        commit)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._compact_once(min_files, dedup_keys)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"compact lost the commit race {max_retries} times"
+        ) from last
+
+    def _compact_once(self, min_files: int, dedup_keys: bool) -> int:
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self.n_buckets = base_raw["n_buckets"]
+        self.bucket_cols = list(
+            base_raw.get("bucket_cols") or base_raw["key_cols"]
+        )
+        base_bb = self._by_bucket(base_id)
+        touched = sorted(
+            bkt
+            for bkt, fs in base_bb.items()
+            if fs and (dedup_keys or len(fs) >= min_files)
+        )
+        if not touched:
+            return base_id
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for bkt in touched
+            for f in base_bb[bkt]
+        ]
+        cur = self._aligned_read(
+            paths, self._schema_of(base_raw),
+            spark=self.spark,
+        )
+        if dedup_keys:
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                F.col(self.order_col).desc()
+            )
+            cur = (
+                cur.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            self._with_bucket(cur)
+            .repartition(len(touched), "__bucket")
+            .sortWithinPartitions("__bucket", self.order_col)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        new_files = self._promote_staged(staging, run)
+        touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="compact", base_id=base_id,
+        )
+
     def _merge_once(
         self,
         batch_df: DataFrame,
