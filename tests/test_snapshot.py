@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from turnover_odata_etl_spark.storage import SnapshotTable
 
@@ -1312,3 +1313,59 @@ def test_append_heavy_index_folds_after_expire(spark, tdir):
     for p in removed:
         assert not os.path.exists(os.path.join(t.table_dir, p))
     assert rows(t.read()) == [(0, "v4", 4), (1, "v3", 3)]
+
+
+def test_read_matching_casts_probe_types_to_layout(spark, tdir):
+    """Spark's hash is TYPE-sensitive (hash(7 as int) != hash(7 as
+    long)): an int-typed probe against a long-keyed layout must still
+    prune to the RIGHT buckets — read_matching casts the probe's
+    bucket columns to the table schema's types before hashing."""
+    t = make_table(spark, tdir, n_buckets=16)
+    t.merge(batch(spark, [(k, f"v{k}", 1) for k in range(40)]))
+    probe = spark.createDataFrame([(7,), (23,)], "k int")  # INT probe
+    got = sorted(
+        r["k"] for r in t.read_matching(probe).filter(
+            "k in (7, 23)"
+        ).collect()
+    )
+    assert got == [7, 23]
+
+
+def test_rebucket_preserves_bucket_cols_split_on_stale_handle(spark, tdir):
+    """A stale handle (default bucket_cols = full key) rebucketing a
+    (g)-laid-out table must ADOPT the manifest's bucket columns — not
+    silently rewrite the layout split and break read_matching."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["g", "k"], order_col="ver",
+        n_buckets=4, bucket_cols=["g"],
+    )
+    df = spark.createDataFrame(
+        [(i % 3, i, 1) for i in range(30)], "g long, k long, ver long"
+    )
+    t.merge(df.withColumn("v", F.lit("x")).select("g", "k", "v", "ver"))
+    stale = SnapshotTable(  # no bucket_cols: defaults to (g, k)
+        spark, tdir, key_cols=["g", "k"], order_col="ver", n_buckets=4
+    )
+    stale.rebucket(8)
+    assert stale.bucket_cols == ["g"]
+    m = t._raw_meta(t.current_id())
+    assert m["bucket_cols"] == ["g"] and m["n_buckets"] == 8
+    # the layout still serves a g-only probe: all of g=1's rows found
+    probe = spark.createDataFrame([(1,)], "g long")
+    got = sorted(r["k"] for r in t.read_matching(probe).filter("g = 1").collect())
+    assert got == [i for i in range(30) if i % 3 == 1]
+
+
+def test_expire_invalidates_all_metadata_caches(spark, tdir):
+    """After GC, a dropped snapshot must be GONE through every cached
+    view (_mcache/_bcache/_metacache) — not a phantom with dangling
+    file paths."""
+    t = make_table(spark, tdir)
+    for ver in (1, 2, 3):
+        t.merge(batch(spark, [(ver, f"v{ver}", ver)]))
+    # warm all three caches for snapshot 1
+    t._manifest(1), t._by_bucket(1), t._raw_meta(1)
+    t.expire_snapshots(keep_last=1)
+    for probe in (t._manifest, t._by_bucket, t._raw_meta):
+        with pytest.raises(FileNotFoundError):
+            probe(1)

@@ -858,26 +858,41 @@ def semantic_dedup(
         )
 
     if max_cluster_size is not None:
-        sizes = assigned.groupBy("cell").count()
-        big = sorted(
-            r["cell"]
-            for r in sizes.filter(
-                F.col("count") > max_cluster_size
-            ).collect()  # ≤ n_clusters ids — metadata, never data
-        )
-        if big:
-            over = assigned.filter(F.col("cell").isin(big))
-            rest = assigned.filter(~F.col("cell").isin(big))
-            n_over = over.count()
-            k2 = 2 * math.ceil(n_over / max_cluster_size)
-            sub, _ = kmeans_assign(over.select("nid", "vec"), k2)
-            assigned = rest.unionByName(
-                sub.select(
-                    "nid",
-                    "vec",
-                    (F.lit(n_clusters) + F.col("cell")).alias("cell"),
-                )
+        # The guard's driver-side actions (sizes collect, the
+        # oversized count, the refinement's seed collect + Lloyd agg)
+        # would each replay the corpus-wide assignment GEMM — persist
+        # it for the guard's lifetime, release before returning (the
+        # final lazy plan recomputes the map stage once at action
+        # time; pinning it for the caller's whole session is the
+        # ADVICE-r09 cache-leak anti-pattern).
+        from pyspark import StorageLevel
+
+        pinned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            assigned = pinned
+            sizes = assigned.groupBy("cell").count()
+            big = sorted(
+                r["cell"]
+                for r in sizes.filter(
+                    F.col("count") > max_cluster_size
+                ).collect()  # ≤ n_clusters ids — metadata, never data
             )
+            if big:
+                over = assigned.filter(F.col("cell").isin(big))
+                rest = assigned.filter(~F.col("cell").isin(big))
+                n_over = over.count()
+                k2 = 2 * math.ceil(n_over / max_cluster_size)
+                sub, _ = kmeans_assign(over.select("nid", "vec"), k2)
+                assigned = rest.unionByName(
+                    sub.select(
+                        "nid",
+                        "vec",
+                        (F.lit(n_clusters) + F.col("cell")).alias("cell"),
+                    )
+                )
+        finally:
+            pinned.unpersist()
+
 
     thr = float(threshold)
 

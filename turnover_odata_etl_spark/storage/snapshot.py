@@ -247,14 +247,8 @@ class SnapshotTable:
         config field by construction."""
         cached = self._metacache.get(sid)
         if cached is None:
-            raw = self._manifest_raw(sid)
-            cached = {
-                k: v for k, v in raw.items()
-                if k not in ("files", "buckets")
-            }
-            self._metacache[sid] = cached
-            while len(self._metacache) > 256:
-                self._metacache.pop(next(iter(self._metacache)))
+            self._prime_meta(sid, self._manifest_raw(sid))
+            cached = self._metacache[sid]
         return cached
 
     def _manifest(self, sid: int) -> dict:
@@ -489,11 +483,24 @@ class SnapshotTable:
         bcols = list(m.get("bucket_cols") or m["key_cols"])
         # Prune with the TARGET snapshot's layout (count + columns),
         # same rule as read_keys: time travel across a rebucket must
-        # use that snapshot's own bucket assignment.
+        # use that snapshot's own bucket assignment. The probe columns
+        # are CAST to the table schema's types first — Spark's hash is
+        # type-sensitive (hash(7 as int) != hash(7 as long)), so an
+        # int-typed probe against a long-keyed table would otherwise
+        # prune the WRONG buckets and silently drop join rows (the
+        # same alignment read_keys does via its typed probe frame).
+        schema_types = {
+            f.name: f.dataType for f in self._schema_of(m).fields
+        }
+        hash_cols = [
+            F.col(c).cast(schema_types[c]) if c in schema_types
+            else F.col(c)
+            for c in bcols
+        ]
         buckets = {
             r["b"]
             for r in keys_df.select(
-                F.pmod(F.hash(*bcols), F.lit(m["n_buckets"])).alias("b")
+                F.pmod(F.hash(*hash_cols), F.lit(m["n_buckets"])).alias("b")
             )
             .distinct()
             .collect()
@@ -643,6 +650,28 @@ class SnapshotTable:
             F.pmod(F.hash(*self.bucket_cols), F.lit(self.n_buckets)),
         )
 
+    def _adopt_layout(self, base_raw: dict) -> None:
+        """Adopt the CURRENT manifest's physical layout (bucket count
+        + bucket columns) onto this handle. The on-disk layout is the
+        truth: every write path calls this so a handle constructed
+        with stale values (or racing a rebucket — the CAS retry
+        re-enters the write) can never mix layouts in one snapshot."""
+        self.n_buckets = base_raw["n_buckets"]
+        self.bucket_cols = list(
+            base_raw.get("bucket_cols") or base_raw["key_cols"]
+        )
+
+    def _prime_meta(self, sid: int, manifest: dict) -> None:
+        """Prime the payload-free config cache with a dict already in
+        hand (shared by _raw_meta's miss path and _claim's post-commit
+        prime), FIFO-bounded."""
+        self._metacache[sid] = {
+            k: v for k, v in manifest.items()
+            if k not in ("files", "buckets")
+        }
+        while len(self._metacache) > 256:
+            self._metacache.pop(next(iter(self._metacache)))
+
     def merge(
         self,
         batch_df: DataFrame,
@@ -731,10 +760,7 @@ class SnapshotTable:
         base_id = self.current_id()
         if base_id:
             base_raw = self._raw_meta(base_id)
-            self.n_buckets = base_raw["n_buckets"]
-            self.bucket_cols = list(
-                base_raw.get("bucket_cols") or base_raw["key_cols"]
-            )
+            self._adopt_layout(base_raw)
             base_bb = self._by_bucket(base_id)
             # Additive evolution on EMPTY frames: the union computes
             # base ∪ batch column sets without reading a single row
@@ -837,10 +863,7 @@ class SnapshotTable:
                 f"snapshot table {self.table_dir}: no commits"
             )
         base_raw = self._raw_meta(base_id)
-        self.n_buckets = base_raw["n_buckets"]
-        self.bucket_cols = list(
-            base_raw.get("bucket_cols") or base_raw["key_cols"]
-        )
+        self._adopt_layout(base_raw)
         base_bb = self._by_bucket(base_id)
         touched = sorted(
             bkt
@@ -912,10 +935,7 @@ class SnapshotTable:
             # racing a rebucket — the CAS retry re-enters here) can
             # never mix layouts in one snapshot.
             base_raw = self._raw_meta(base_id)
-            self.n_buckets = base_raw["n_buckets"]
-            self.bucket_cols = list(
-                base_raw.get("bucket_cols") or base_raw["key_cols"]
-            )
+            self._adopt_layout(base_raw)
             base_schema_json = base_raw["schema"]
             base_bb = self._by_bucket(base_id)
         else:
@@ -1325,6 +1345,9 @@ class SnapshotTable:
         merged_bb = dict(parent_by_bucket)
         merged_bb.update(touched_new)
         self._bcache[sid] = merged_bb
+        while len(self._bcache) > 64:  # same bound as the miss path —
+            # a long-lived foreachBatch writer commits unboundedly
+            self._bcache.pop(next(iter(self._bcache)))
         return sid
 
     def _claim(self, manifest: dict, new_id: int) -> int:
@@ -1347,12 +1370,7 @@ class SnapshotTable:
         # _raw_meta would be a guaranteed miss — re-parsing a full
         # anchor's O(F) payload just to read n_buckets (the measured
         # 9→20 ms delta-commit drift at 131k files).
-        self._metacache[new_id] = {
-            k: v for k, v in manifest.items()
-            if k not in ("files", "buckets")
-        }
-        while len(self._metacache) > 256:
-            self._metacache.pop(next(iter(self._metacache)))
+        self._prime_meta(new_id, manifest)
         return new_id
 
     def _write_manifest_tmp(self, manifest: dict) -> str:
@@ -1421,6 +1439,13 @@ class SnapshotTable:
                     f"snapshot table {self.table_dir}: no commits"
                 )
             cur = self.read(snapshot_id=base_id)
+            # Adopt the manifest's BUCKET COLUMNS before rewriting —
+            # a stale handle (default bucket_cols = full key) would
+            # otherwise silently destroy a (band, bucket)-style layout
+            # split and break every read_matching prune downstream.
+            # Only the COUNT changes here; the column split is part of
+            # the table's access-path contract.
+            self._adopt_layout(self._raw_meta(base_id))
             self.n_buckets = new_n_buckets
             b = self._with_bucket(cur)
             run = uuid.uuid4().hex[:12]
@@ -1500,6 +1525,8 @@ class SnapshotTable:
                 os.path.join(self._manifest_dir, f"manifest-{sid}.json")
             )
             self._mcache.pop(sid, None)
+            self._bcache.pop(sid, None)
+            self._metacache.pop(sid, None)
         for rel in removed:
             try:
                 os.unlink(os.path.join(self.table_dir, rel))
