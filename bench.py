@@ -121,6 +121,14 @@ ADDITIONS_R8 = [
     "d_exact_substr_spans",
 ]
 
+# Round-10 STAGED queries (plans/roundten.py — held for a cap ruling,
+# registry frozen at 201; timed here as staged_r10 so the
+# staged→registered delta series continues when they register).
+STAGED_R10 = [
+    "s_snapshot_append_compact",
+    "t_dsir_importance",
+]
+
 # Round-9 registrations (plans/roundnine.py — registered round 10 per
 # the r09 cap ruling; benched as staged_r9 in BENCH_r08/r09 for the
 # staged→registered delta series, registry-backed from r10 on).
@@ -233,6 +241,11 @@ def main() -> None:
     additions_r7 = time_queries(spark, specs, ADDITIONS_R7, sf_dir, reps, errors)
     additions_r8 = time_queries(spark, specs, ADDITIONS_R8, sf_dir, reps, errors)
     additions_r9 = time_queries(spark, specs, ADDITIONS_R9, sf_dir, reps, errors)
+    from turnover_odata_etl_spark.plans.roundten import STAGED as _R10
+    staged_specs = {**specs, **_R10}
+    staged_r10 = time_queries(
+        spark, staged_specs, STAGED_R10, sf_dir, reps, errors
+    )
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -262,6 +275,7 @@ def main() -> None:
     additions_r7_total = round(sum(additions_r7.values()), 3)
     additions_r8_total = round(sum(additions_r8.values()), 3)
     additions_r9_total = round(sum(additions_r9.values()), 3)
+    staged_r10_total = round(sum(staged_r10.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -297,6 +311,8 @@ def main() -> None:
         "additions_r8_total": additions_r8_total,
         "additions_r9": additions_r9,
         "additions_r9_total": additions_r9_total,
+        "staged_r10": staged_r10,
+        "staged_r10_total": staged_r10_total,
         "all_total": round(
             total
             + streaming_total
@@ -345,6 +361,7 @@ def main() -> None:
         "additions_r7": additions_r7_total,
         "additions_r8": additions_r8_total,
         "additions_r9": additions_r9_total,
+        "staged_r10": staged_r10_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -357,6 +374,7 @@ def main() -> None:
         ("additions_r7", additions_r7),
         ("additions_r8", additions_r8),
         ("additions_r9", additions_r9),
+        ("staged_r10", staged_r10),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],
