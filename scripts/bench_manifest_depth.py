@@ -300,9 +300,11 @@ def main() -> None:
                 sum(delta_times) + sum(anchor_times)
             ) / n_real
             # The split that shows the round-10 claim: the DELTA hot
-            # path is flat in table size; the every-16th full anchor
-            # is the documented O(F)/16 amortized resolution-bound
-            # trade.
+            # path is flat in table size, and since format 3 the full
+            # anchor is too — it carries untouched buckets as segment
+            # REFS (O(n_buckets) refs + only the since-touched
+            # buckets' segment bytes), so nothing on the commit path
+            # is O(F) anymore.
             real_delta_commit_avg_s = sum(delta_times) / len(delta_times)
             real_full_anchor_avg_s = (
                 sum(anchor_times) / len(anchor_times)

@@ -1369,3 +1369,179 @@ def test_expire_invalidates_all_metadata_caches(spark, tdir):
     for probe in (t._manifest, t._by_bucket, t._raw_meta):
         with pytest.raises(FileNotFoundError):
             probe(1)
+
+
+# ------------------------------------------------------- format-3 segments
+
+
+@pytest.fixture()
+def seg_mode(monkeypatch):
+    """Force EVERY bucket list through a segment file (format 3) —
+    fixture-scale tables would otherwise stay inline and never
+    exercise the segment read/write/GC paths."""
+    from turnover_odata_etl_spark.storage import snapshot as S
+
+    monkeypatch.setattr(S, "SEG_INLINE_MAX", 0)
+
+
+def _raw(t, sid):
+    return t._manifest_raw(sid)
+
+
+def test_segment_lifecycle_end_to_end(spark, tdir, seg_mode):
+    """merge + append + compact + reads + time travel, all through
+    segment locators."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.append(batch(spark, [(3, "c", 2)]))
+    t.merge(batch(spark, [(2, "B", 3)]))
+    raw = _raw(t, 3)
+    assert all(
+        isinstance(loc, dict) and "seg" in loc
+        for loc in raw["buckets"].values()
+    ), "delta locators must be segment refs in seg mode"
+    assert rows(t.read()) == [(1, "a", 1), (2, "B", 3), (3, "c", 2)]
+    assert rows(t.read(snapshot_id=1)) == [(1, "a", 1), (2, "b", 1)]
+    assert rows(t.read_keys([2])) == [(2, "B", 3)]
+    t.compact(dedup_keys=True)
+    assert rows(t.read()) == [(1, "a", 1), (2, "B", 3), (3, "c", 2)]
+    # cold handle resolves the same state from disk alone
+    cold = make_table(spark, tdir, n_buckets=2)
+    assert rows(cold.read()) == [(1, "a", 1), (2, "B", 3), (3, "c", 2)]
+
+
+def test_anchor_carries_untouched_segments_by_reference(
+    spark, tdir, seg_mode
+):
+    """THE format-3 claim: the periodic full anchor re-serializes only
+    buckets touched since their segment was written — an untouched
+    bucket's locator in the anchor is the SAME {"seg": ...} dict its
+    delta wrote (zero bytes rewritten)."""
+    from turnover_odata_etl_spark.storage.snapshot import (
+        FULL_MANIFEST_EVERY,
+    )
+
+    t = make_table(spark, tdir, n_buckets=4)
+    # keys chosen per-bucket: key k lands in bucket hash(k) % 4 — use
+    # enough distinct keys that every bucket fills, then stop touching
+    # bucket assignments of the early keys.
+    t.merge(batch(spark, [(k, f"v{k}", 1) for k in range(16)]))
+    sid = 1
+    while (sid + 1) % FULL_MANIFEST_EVERY != 0:
+        sid = t.merge(batch(spark, [(99, "w", sid + 1)]))
+    pre_anchor = dict(t._by_bucket(sid))
+    anchor_sid = t.merge(batch(spark, [(99, "w", sid + 1)]))
+    assert anchor_sid % FULL_MANIFEST_EVERY == 0
+    raw = _raw(t, anchor_sid)
+    assert raw.get("full") and raw["format"] == 3
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame([(99,)], "k long")
+        .selectExpr("pmod(hash(k), 4) as b")
+        .collect()
+    }
+    carried = 0
+    for b_str, loc in raw["buckets"].items():
+        if int(b_str) in touched:
+            continue
+        assert loc == pre_anchor[int(b_str)], "untouched ref rewritten"
+        carried += 1
+    assert carried >= 2  # the claim is about the carried majority
+
+
+def test_expire_sweeps_dead_segments_keeps_live(spark, tdir, seg_mode):
+    t = make_table(spark, tdir, n_buckets=2)
+    for ver in range(1, 7):
+        t.merge(batch(spark, [(ver % 3, f"v{ver}", ver)]))
+    mdir = os.path.join(tdir, "manifests")
+    pre_segs = {n for n in os.listdir(mdir) if n.startswith("seg-")}
+    assert pre_segs
+    t.expire_snapshots(keep_last=2)
+    post_segs = {n for n in os.listdir(mdir) if n.startswith("seg-")}
+    # every surviving locator's segment exists...
+    for sid in t.snapshot_ids():
+        for loc in t._by_bucket(sid).values():
+            if isinstance(loc, dict):
+                assert loc["seg"] in post_segs
+    # ...dropped-era segments are gone (floor is inline full, so only
+    # the newest kept delta's refs survive the horizon filter)
+    swept = pre_segs - post_segs
+    assert swept, "expire swept nothing despite dropped snapshots"
+    # table still reads correctly from a cold handle
+    cold = make_table(spark, tdir, n_buckets=2)
+    assert rows(cold.read()) == [(0, "v6", 6), (1, "v4", 4), (2, "v5", 5)]
+
+
+def test_read_matching_opens_only_probed_buckets_segments(
+    spark, tdir, seg_mode
+):
+    """Format-3 metadata prune: a cold probe materializes ONLY the
+    matching buckets' segment files — the unprobed majority of a
+    10⁶-file table's metadata is never read."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["g", "k"], order_col="ver",
+        n_buckets=16, bucket_cols=["g"],
+    )
+    df = spark.createDataFrame(
+        [(g, g * 100 + i, 1) for g in range(16) for i in range(3)],
+        "g long, k long, ver long",
+    ).withColumn("v", F.lit("x")).select("g", "k", "v", "ver")
+    t.merge(df)
+    cold = SnapshotTable(
+        spark, tdir, key_cols=["g", "k"], order_col="ver",
+        n_buckets=16, bucket_cols=["g"],
+    )
+    opened: list[str] = []
+    real = cold._entries
+
+    def spying(loc):
+        if isinstance(loc, dict):
+            opened.append(loc["seg"])
+        return real(loc)
+
+    cold._entries = spying
+    probe = spark.createDataFrame([(3,)], "g long")
+    got = sorted(
+        r["k"] for r in cold.read_matching(probe).filter("g = 3").collect()
+    )
+    assert got == [300, 301, 302]
+    n_probed = len(set(opened))
+    assert 1 <= n_probed <= 2, (
+        f"probe materialized {n_probed} bucket segments; expected ~1 "
+        f"of 16 ({sorted(set(opened))})"
+    )
+
+
+def test_segment_mode_random_ops_match_model(spark, tdir, seg_mode):
+    """Mini model test in seg mode: interleaved merge/append(+dedup
+    compact)/expire against an in-memory keep-latest dict."""
+    import random
+
+    rng = random.Random(20260815)
+    t = make_table(spark, tdir, n_buckets=4)
+    model: dict[int, tuple] = {}
+    ver = 0
+    for step in range(12):
+        ver += 1
+        op = rng.choice(["merge", "merge", "append", "compact", "expire"])
+        if op == "merge":
+            triples = [
+                (rng.randrange(8), f"m{ver}_{i}", ver) for i in range(3)
+            ]
+            dedup = {}
+            for k, v, w in triples:
+                dedup[k] = (k, v, w)
+            t.merge(batch(spark, list(dedup.values())))
+            model.update({k: r for k, r in dedup.items()})
+        elif op == "append":
+            k = 100 + ver  # append = new keys by construction
+            t.append(batch(spark, [(k, f"a{ver}", ver)]))
+            model[k] = (k, f"a{ver}", ver)
+        elif op == "compact":
+            if t.current_id():
+                t.compact(dedup_keys=True)
+        else:
+            if t.current_id() and len(t.snapshot_ids()) > 2:
+                t.expire_snapshots(keep_last=2)
+        if t.current_id():
+            assert rows(t.read()) == sorted(model.values()), f"step {step}"

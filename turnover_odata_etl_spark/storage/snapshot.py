@@ -75,6 +75,15 @@ class CommitConflict(RuntimeError):
 # the same knob as Iceberg's manifest-list rewrite cadence.
 FULL_MANIFEST_EVERY = 16
 
+# A committed bucket's file-entry list larger than this is written as
+# its own immutable SEGMENT file (manifests/seg-<sid>-<bucket>-<run>.
+# json) and referenced from the manifest as {"seg": name, "n": count}
+# — so a FULL ANCHOR carries untouched big buckets as O(1) references
+# instead of re-serializing their lists (the last O(F) write on the
+# commit path; see _commit_delta). Small lists stay inline: tiny
+# tables produce v2-identical manifests and pay zero extra file I/O.
+SEG_INLINE_MAX = 32
+
 
 class SnapshotTable:
     """A keyed keep-latest table with snapshot-isolated commits.
@@ -132,6 +141,8 @@ class SnapshotTable:
         self._bcache: dict[int, dict[int, list[dict]]] = {}
         # Config-only raw views (see _raw_meta) — small, FIFO-bounded.
         self._metacache: dict[int, dict] = {}
+        # Immutable segment payloads by file name (see _entries).
+        self._segcache: dict[str, list] = {}
 
     @classmethod
     def load(cls, spark: SparkSession, table_dir: str) -> "SnapshotTable":
@@ -267,6 +278,68 @@ class SnapshotTable:
         except FileNotFoundError:
             return self._resolve(sid)
 
+    # ------------------------------------------------------ locators
+    #
+    # A manifest's per-bucket value (its LOCATOR) has two on-disk
+    # forms: an inline entry list, or a segment reference
+    # {"seg": <file name>, "n": <entry count>} pointing at an
+    # immutable manifests/seg-*.json payload (format 3, round 10).
+    # The _by_bucket view carries locators VERBATIM — nothing
+    # materializes a big bucket's list until a consumer actually
+    # needs its entries.
+
+    @staticmethod
+    def _loc_n(loc) -> int:
+        """Entry count of a locator without materializing it."""
+        return loc["n"] if isinstance(loc, dict) else len(loc)
+
+    def _entries(self, loc) -> list[dict]:
+        """Materialize a locator to its entry list. Segment files
+        are immutable once referenced by a claimed manifest, so the
+        path-keyed cache is always safe; a FileNotFoundError here
+        means the owning snapshot was expired — a genuine error."""
+        if not isinstance(loc, dict):
+            return loc
+        name = loc["seg"]
+        cached = self._segcache.get(name)
+        if cached is None:
+            with open(
+                os.path.join(self._manifest_dir, name), encoding="utf-8"
+            ) as fh:
+                cached = json.load(fh)
+            self._segcache[name] = cached
+            while len(self._segcache) > 256:
+                self._segcache.pop(next(iter(self._segcache)))
+        return cached
+
+    def _write_segment(self, sid: int, bucket: int, entries: list) -> dict:
+        """Durably write one bucket's entry list as a segment file
+        and return its locator. The run suffix keeps racing writers'
+        attempts distinct (two writers both staging snapshot N must
+        not collide on a name the CAS winner's manifest references);
+        a loser's orphan segment is swept by a later expire."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        run = uuid.uuid4().hex[:8]
+        name = f"seg-{sid}-{bucket}-{run}.json"
+        tmp = os.path.join(self._manifest_dir, f".{name}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(entries, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self._manifest_dir, name))
+        return {"seg": name, "n": len(entries)}
+
+    def _maybe_segment(self, sid: int, bucket: int, loc):
+        """Locator to WRITE for a bucket: existing segment refs carry
+        verbatim (zero bytes rewritten — the anchor win); entry lists
+        above SEG_INLINE_MAX become new segments; small lists stay
+        inline (v2-identical manifests for small tables)."""
+        if isinstance(loc, dict):
+            return loc
+        if len(loc) > SEG_INLINE_MAX:
+            return self._write_segment(sid, bucket, loc)
+        return loc
+
     def _resolve(self, sid: int) -> dict:
         """RESOLVED manifest view: always carries the complete
         ``files`` list, whatever the on-disk form.
@@ -294,19 +367,10 @@ class SnapshotTable:
             return cached
         m = self._manifest_raw(sid)
         if "files" not in m:
-            by_bucket = {
-                int(b): fs for b, fs in (m.get("buckets") or {}).items()
-            }
-            if not m.get("full") and m.get("parent") is not None:
-                parent = self._manifest(m["parent"])
-                merged: dict[int, list[dict]] = {}
-                for f in parent["files"]:
-                    merged.setdefault(f["bucket"], []).append(f)
-                merged.update(by_bucket)
-                by_bucket = merged
+            bb = self._by_bucket(sid)
             m = dict(m)
             m["files"] = [
-                f for b in sorted(by_bucket) for f in by_bucket[b]
+                f for b in sorted(bb) for f in self._entries(bb[b])
             ]
         self._mcache[sid] = m
         # Bounded FIFO: a full-history walk (history(), GC) over a deep
@@ -351,6 +415,9 @@ class SnapshotTable:
             for f in raw["files"]:
                 bb.setdefault(f["bucket"], []).append(f)
         else:
+            # Values are LOCATORS (inline lists or v3 segment refs),
+            # carried verbatim — materialization is per-consumer via
+            # _entries, so a pruned read never pays untouched buckets.
             delta = {
                 int(b): fs for b, fs in (raw.get("buckets") or {}).items()
             }
@@ -426,7 +493,10 @@ class SnapshotTable:
         sid = self.current_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
-        m = self._manifest(sid)
+        # Config view only — resolving the flat file list here would
+        # materialize every bucket's entries and defeat the prune
+        # (format 3 reads only the matching buckets' segments).
+        m = self._raw_meta(sid)
         key = self.key_cols[0]
         key_type = next(
             f["type"]
@@ -448,8 +518,12 @@ class SnapshotTable:
             .distinct()
             .collect()
         }
-        files = [f for f in m["files"] if f["bucket"] in buckets]
-        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        bb = self._by_bucket(sid)
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for b in sorted(buckets)
+            for f in self._entries(bb.get(b, []))
+        ]
         return self._aligned_read(paths, self._schema_of(m)).filter(
             F.col(key).isin(key_values)
         )
@@ -479,7 +553,7 @@ class SnapshotTable:
         sid = self.current_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
-        m = self._manifest(sid)
+        m = self._raw_meta(sid)  # config only — see read_keys note
         bcols = list(m.get("bucket_cols") or m["key_cols"])
         # Prune with the TARGET snapshot's layout (count + columns),
         # same rule as read_keys: time travel across a rebucket must
@@ -505,8 +579,12 @@ class SnapshotTable:
             .distinct()
             .collect()
         }
-        files = [f for f in m["files"] if f["bucket"] in buckets]
-        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
+        bb = self._by_bucket(sid)
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for b in sorted(buckets)
+            for f in self._entries(bb.get(b, []))
+        ]
         return self._aligned_read(paths, self._schema_of(m))
 
     @staticmethod
@@ -809,7 +887,7 @@ class SnapshotTable:
         for f in new_files:
             if f["bucket"] not in touched_new:
                 touched_new[f["bucket"]] = list(
-                    base_bb.get(f["bucket"], [])
+                    self._entries(base_bb.get(f["bucket"], []))
                 )
             touched_new[f["bucket"]].append(f)
         return self._commit_delta(
@@ -867,15 +945,16 @@ class SnapshotTable:
         base_bb = self._by_bucket(base_id)
         touched = sorted(
             bkt
-            for bkt, fs in base_bb.items()
-            if fs and (dedup_keys or len(fs) >= min_files)
+            for bkt, loc in base_bb.items()
+            if self._loc_n(loc)
+            and (dedup_keys or self._loc_n(loc) >= min_files)
         )
         if not touched:
             return base_id
         paths = [
             os.path.join(self.table_dir, f["path"])
             for bkt in touched
-            for f in base_bb[bkt]
+            for f in self._entries(base_bb[bkt])
         ]
         cur = self._aligned_read(
             paths, self._schema_of(base_raw),
@@ -945,7 +1024,11 @@ class SnapshotTable:
         touched = sorted(
             r["__bucket"] for r in b.select("__bucket").distinct().collect()
         )
-        replaced = [f for bkt in touched for f in base_bb.get(bkt, [])]
+        replaced = [
+            f
+            for bkt in touched
+            for f in self._entries(base_bb.get(bkt, []))
+        ]
         if not touched:
             # Empty batch: leave history clean (the caller's run is
             # still checkpoint-tracked); first-ever commit records an
@@ -1262,7 +1345,7 @@ class SnapshotTable:
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
             "schema": schema_json,
-            "format": 2,
+            "format": 3,
         }
         full = base_id is None or new_id % FULL_MANIFEST_EVERY == 0
         if not full:
@@ -1272,7 +1355,8 @@ class SnapshotTable:
         if full:
             manifest["full"] = True
             manifest["buckets"] = {
-                str(b): fs for b, fs in by_bucket.items()
+                str(b): self._maybe_segment(new_id, b, fs)
+                for b, fs in by_bucket.items()
             }
         else:
             p_by_bucket: dict[int, list[str]] = {}
@@ -1318,7 +1402,7 @@ class SnapshotTable:
             "n_buckets": self.n_buckets,
             "bucket_cols": self.bucket_cols,
             "schema": schema_json,
-            "format": 2,
+            "format": 3,
         }
         full = (
             base_id is None
@@ -1328,22 +1412,39 @@ class SnapshotTable:
         if full:
             merged = dict(parent_by_bucket)
             merged.update(touched_new)
+            # The format-3 anchor win: an untouched bucket whose
+            # locator is already a segment ref carries as O(1) bytes —
+            # the anchor re-serializes only inline lists (buckets
+            # touched since they last went to a segment, or small
+            # ones). Segment writes happen BEFORE the claim, same
+            # durability order as data files.
+            written = {
+                b: self._maybe_segment(new_id, b, loc)
+                for b, loc in merged.items()
+                if self._loc_n(loc)
+            }
             manifest["full"] = True
             manifest["buckets"] = {
-                str(b): fs for b, fs in merged.items() if fs
+                str(b): loc for b, loc in written.items()
             }
+            merged_bb = written
         else:
-            manifest["buckets"] = {
-                str(b): fs for b, fs in touched_new.items()
+            written = {
+                b: self._maybe_segment(new_id, b, loc)
+                for b, loc in touched_new.items()
             }
+            manifest["buckets"] = {
+                str(b): loc for b, loc in written.items()
+            }
+            merged_bb = dict(parent_by_bucket)
+            merged_bb.update(written)
         if properties:
             manifest["properties"] = properties
         sid = self._claim(manifest, new_id)
-        # Prime the shared per-bucket cache: the next commit's parent
-        # view is this dict — built in O(n_buckets + touched), no
-        # resolution walk.
-        merged_bb = dict(parent_by_bucket)
-        merged_bb.update(touched_new)
+        # Prime the shared per-bucket cache with the ON-DISK locator
+        # forms (the next commit's parent view, and what a cold reader
+        # would reconstruct): O(n_buckets + touched), no resolution
+        # walk, and big buckets stay as refs — not pinned lists.
         self._bcache[sid] = merged_bb
         while len(self._bcache) > 64:  # same bound as the miss path —
             # a long-lived foreachBatch writer commits unboundedly
@@ -1496,8 +1597,26 @@ class SnapshotTable:
                 tmp,
                 os.path.join(self._manifest_dir, f"manifest-{floor}.json"),
             )
+            # The on-disk floor changed form (inline full): drop its
+            # cached views so this handle's later reads and the seg
+            # liveness scan below see the rewritten manifest, not a
+            # stale locator view referencing about-to-be-swept
+            # segments.
+            self._mcache.pop(floor, None)
+            self._bcache.pop(floor, None)
+            self._metacache.pop(floor, None)
         live = {
             f["path"] for sid in keep for f in self._manifest(sid)["files"]
+        }
+        # Segment liveness (format 3): every segment some KEPT
+        # snapshot's locator view references survives; a concurrent
+        # writer's new commit only carries refs from kept manifests,
+        # so its anchors can never reference a swept segment.
+        live_segs = {
+            loc["seg"]
+            for sid in keep
+            for loc in self._by_bucket(sid).values()
+            if isinstance(loc, dict)
         }
         # Stream the dropped snapshots ASCENDING — each resolution's
         # parents are either still cached (bounded FIFO, parent is the
@@ -1532,4 +1651,24 @@ class SnapshotTable:
                 os.unlink(os.path.join(self.table_dir, rel))
             except FileNotFoundError:
                 pass
+        # Sweep dropped-era segments LAST (after the dropped manifests
+        # are gone, so a crashed re-run never resolves a dropped id
+        # into a missing segment). The sid guard keeps any concurrent
+        # in-flight commit's fresh segments (its id > every dropped
+        # id); orphans from earlier crashes sweep here too once their
+        # id falls inside a dropped horizon.
+        horizon = drop[-1]
+        for name in os.listdir(self._manifest_dir):
+            if not (name.startswith("seg-") and name.endswith(".json")):
+                continue
+            try:
+                seg_sid = int(name.split("-")[1])
+            except ValueError:
+                continue
+            if seg_sid <= horizon and name not in live_segs:
+                try:
+                    os.unlink(os.path.join(self._manifest_dir, name))
+                except FileNotFoundError:
+                    pass
+                self._segcache.pop(name, None)
         return removed
