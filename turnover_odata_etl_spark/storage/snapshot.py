@@ -152,7 +152,8 @@ class SnapshotTable:
         sid = t.current_id()
         if sid is None:
             raise ValueError(f"snapshot table {table_dir}: no commits")
-        m = t._manifest(sid)
+        m = t._raw_meta(sid)  # config only — opening a 10⁶-file table
+        # must not materialize its flat file list just to read keys
         t.key_cols = list(m["key_cols"])
         t.order_col = m["order_col"]
         t.n_buckets = m["n_buckets"]
