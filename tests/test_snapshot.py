@@ -1545,3 +1545,32 @@ def test_segment_mode_random_ops_match_model(spark, tdir, seg_mode):
                 t.expire_snapshots(keep_last=2)
         if t.current_id():
             assert rows(t.read()) == sorted(model.values()), f"step {step}"
+
+
+def test_append_loses_cas_to_merge_and_retries(spark, tdir, monkeypatch):
+    """Two writers, APPEND vs MERGE, racing the same CAS: the append
+    that loses re-plans on the winner's state — no lost update on
+    either side (same interleaving as the merge/merge race test,
+    crossed commit forms)."""
+    t_a = make_table(spark, tdir)
+    t_b = make_table(spark, tdir)
+    t_a.merge(batch(spark, [(1, "a", 1)]))
+
+    real_claim = t_a._claim
+    state = {"raced": False}
+
+    def racing_claim(manifest, new_id):
+        if not state["raced"]:
+            state["raced"] = True
+            t_b.merge(batch(spark, [(2, "from_b", 2)]))  # B wins id 2
+        return real_claim(manifest, new_id)
+
+    monkeypatch.setattr(t_a, "_claim", racing_claim)
+    sid = t_a.append(batch(spark, [(3, "from_a", 2)]))
+    assert sid == 3  # lost the CAS on 2, retried, claimed 3
+    assert rows(t_a.read()) == [
+        (1, "a", 1), (2, "from_b", 2), (3, "from_a", 2),
+    ]
+    assert [h["operation"] for h in t_a.history()] == [
+        "merge", "merge", "append",
+    ]
