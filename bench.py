@@ -127,6 +127,7 @@ ADDITIONS_R8 = [
 STAGED_R10 = [
     "s_snapshot_append_compact",
     "t_dsir_importance",
+    "d_semdedup_incremental",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

@@ -467,25 +467,7 @@ def kmeans_assign(
     cents = np.array([r.vec for r in seed_rows], dtype=np.float64)
     cents = cents / _safe_norm(cents)
 
-    def assigner(cmat):
-        def assign(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            for pdf in batches:
-                V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
-                nrm = _np.linalg.norm(V, axis=1, keepdims=True)
-                Vn = V / _np.where(nrm == 0.0, 1.0, nrm)
-                cell = (Vn @ cmat.T).argmax(axis=1).astype(_np.int64)
-                yield _pd.DataFrame(
-                    {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
-                )
-
-        return assign
-
-    assigned0 = c.mapInPandas(
-        assigner(cents), "nid long, vec array<float>, cell long"
-    )
+    assigned0 = assign_to_centroids(c, cents)
     # One Lloyd iteration: per-cell mean, computed distributed as a
     # (cell, dim) aggregation; only the n_cells×dim result is collected.
     means = (
@@ -499,10 +481,35 @@ def kmeans_assign(
         cents2[r.cell][r.dim] = r.m
     cents2 = cents2 / _safe_norm(cents2)
 
-    assigned = c.mapInPandas(
-        assigner(cents2), "nid long, vec array<float>, cell long"
-    )
+    assigned = assign_to_centroids(c, cents2)
     return assigned, cents2
+
+
+def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
+    """Assign ``(nid, vec)`` rows to their nearest centroid by cosine
+    — the map-only GEMM kernel of :func:`kmeans_assign`, exposed for
+    FIXED-centroid consumers (IVF probes, incremental SemDeDup waves
+    assigning arrivals against a frozen wave-1 codebook). ``cents``
+    is the row-normalized numpy matrix kmeans_assign returns; only it
+    ships to executors (n_cells·dim floats — metadata-sized), the
+    assignment itself is a per-Arrow-batch matmul with no shuffle."""
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / _np.where(nrm == 0.0, 1.0, nrm)
+            cell = (Vn @ cents.T).argmax(axis=1).astype(_np.int64)
+            yield _pd.DataFrame(
+                {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
+            )
+
+    return vectors.mapInPandas(
+        assign, "nid long, vec array<float>, cell long"
+    )
 
 
 def ivf_topk(

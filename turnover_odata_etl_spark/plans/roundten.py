@@ -3,7 +3,7 @@ froze the registry at 201; precedent is the roundeight/roundnine
 lifecycle: stage with oracles + bench history + empty-sweep coverage,
 register when a verdict rules).
 
-Two queries, each the only end-to-end oracle exercise of a real
+Three queries, each the only end-to-end oracle exercise of a real
 capability added this round:
 
 ``s_snapshot_append_compact`` — the APPEND fast path + bin-pack
@@ -24,6 +24,12 @@ every raw document by its length-normalized importance log-ratio
 over the shared vocabulary, and select the top-k — the
 domain-adaptation data-selection step of published pretraining
 pipelines, next to quality filtering (E17/E78) and mixing (E73).
+
+``d_semdedup_incremental`` — the E105×E106 cross: incremental
+semantic dedup against a persistent cell-bucketed representatives
+index (frozen wave-1 codebook, bucket-pruned reps reads, append-path
+keeps; same invariant-contract oracle machinery as
+``d_semdedup_kmeans``).
 
 Activation checklist (mirror of roundnine's, executed at ruling):
 1. move the two specs into ``@register`` form (oracles are already
@@ -233,6 +239,245 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_wave(
+    reps, chunk: DataFrame, cents, threshold: float, ver: int
+) -> DataFrame:
+    """ONE wave of INCREMENTAL semantic dedup: assign the arrivals to
+    the FROZEN wave-1 centroids (map-only GEMM —
+    ``similarity.assign_to_centroids``), run the greedy epsilon-ball
+    sweep per cell against the PERSISTED kept representatives (read
+    bucket-pruned to the wave's cells via ``read_matching`` on the
+    cell-bucketed reps table), then APPEND the wave's new keeps to the
+    index. Returns the wave's ``(nid, cell, keep)`` flags.
+
+    Because waves arrive in ascending-id order (the query slices by
+    ntile) and the within-wave sweep is ascending-id, the union of
+    waves satisfies EXACTLY the batch greedy invariants for this
+    assignment: kept clustermates pairwise ≤ t, every dropped doc has
+    an earlier kept clustermate > t — which is what the contract
+    oracle verifies. Per-wave cost: O(batch) assignment + greedy work
+    O(Σ |wave ∩ cell| · |kept reps in cell|) — the index is READ only
+    in the wave's own cells and WRITTEN via the O(batch) append path,
+    never rewritten or exchanged."""
+    from pyspark import StorageLevel
+
+    from ..operators.similarity import assign_to_centroids
+    from ..tables import ensure_parallelism
+
+    thr = float(threshold)
+    assigned = assign_to_centroids(
+        ensure_parallelism(chunk), cents
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_tagged = assigned.select(
+        "nid", "vec", "cell", F.lit(True).alias("is_new")
+    )
+    if reps.current_id():
+        old_reps = (
+            reps.read_matching(assigned.select("cell"))
+            .select(
+                "nid", "vec", "cell", F.lit(False).alias("is_new")
+            )
+        )
+        both = new_tagged.unionByName(old_reps)
+    else:
+        both = new_tagged
+
+    def greedy(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("nid").reset_index(drop=True)
+        V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(V, axis=1)
+        Vn = V / _np.where(norms == 0.0, 1.0, norms)[:, None]
+        kept: list[int] = []
+        out_keep = []
+        for i in range(len(pdf)):
+            if not pdf["is_new"][i]:
+                kept.append(i)  # persisted rep: kept by definition
+                out_keep.append(True)
+                continue
+            dup = bool(kept) and bool(
+                (Vn[kept] @ Vn[i] > thr).any()
+            )
+            if not dup:
+                kept.append(i)
+            out_keep.append(not dup)
+        return _pd.DataFrame(
+            {
+                "nid": pdf["nid"],
+                "cell": pdf["cell"],
+                "keep": out_keep,
+                "is_new": pdf["is_new"],
+            }
+        )
+
+    flags = (
+        both.groupBy("cell")
+        .applyInPandas(
+            greedy, "nid long, cell long, keep boolean, is_new boolean"
+        )
+        .filter("is_new")
+        .drop("is_new")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    flags.count()  # force BEFORE the append commit (wave checkpoint)
+    keeps = (
+        flags.filter("keep")
+        .select("nid", "cell")
+        .join(assigned.select("nid", "vec"), "nid")
+        .select(
+            "nid", "cell", "vec", F.lit(ver).cast("long").alias("__ver")
+        )
+    )
+    reps.append(keeps)
+    assigned.unpersist()
+    return flags
+
+
+SEMDEDUP_INCREMENTAL_ORACLE = """
+    WITH w1 AS (
+      SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM embeddings
+    )
+    SELECT n AS n_docs,
+           CAST(greatest(1, floor(sqrt(n1))) AS BIGINT) AS n_clusters,
+           CAST(45 AS BIGINT) AS threshold_pct,
+           CAST(1 AS BIGINT) AS invariants_ok
+    FROM w1
+"""
+
+
+def d_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — SemDeDup's production arrival
+    pattern (the E105×E106 cross): embedding batches arrive in waves,
+    each wave assigns to the FROZEN wave-1 k-means codebook, greedy-
+    dedups against a PERSISTENT cell-bucketed index of kept
+    representatives, and appends its new keeps — the corpus is never
+    recomputed, re-read outside the wave's own cells, or rewritten
+    (the reps table takes the append fast path).
+
+    Waves are the three ntile(vec_id) ranges, so global arrival order
+    equals id order and the union of waves satisfies exactly the batch
+    greedy invariants for the (frozen-codebook) assignment — verified
+    distributed by the same invariant-contract machinery as
+    ``d_semdedup_kmeans``: over-threshold candidate pairs from the
+    independently-pinned GEMM tiles, kept-pair and dropped-witness
+    checks crossing engines only outside the ±1e-3 ulp band. The
+    centroid codebook is metadata-sized (k·dim floats) and frozen at
+    wave 1 — the documented SemDeDup-at-scale deployment shape (fit
+    once on a sample, stream the corpus through)."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.similarity import cosine_neardup_pairs, kmeans_assign
+    from ..storage import SnapshotTable
+
+    thr, band = 0.45, 1e-3
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_docs long, n_clusters long, threshold_pct long, "
+            "invariants_ok long",
+        )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/semdedup_incr"
+    shutil.rmtree(base, ignore_errors=True)
+    reps = SnapshotTable(
+        spark, os.path.join(base, "reps"),
+        key_cols=["cell", "nid"], order_col="__ver", n_buckets=8,
+        bucket_cols=["cell"],
+    )
+
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").alias("vec"),
+    )
+    # ntile(3) boundaries computed exactly: first tile gets the
+    # remainder rows, matching SQL ntile semantics. The global sort is
+    # fixture harness (production waves ARE arrival batches).
+    n1 = math.ceil(n / 3.0)
+    n2 = n1 + math.ceil((n - n1) / 2.0)
+    ids = [r["nid"] for r in vecs.select("nid").orderBy("nid").collect()]
+    cut1 = ids[n1 - 1]
+    cut2 = ids[n2 - 1] if n2 <= len(ids) else cut1
+
+    w1 = vecs.filter(F.col("nid") <= cut1)
+    k_cells = max(1, math.isqrt(n1))
+    assigned1, cents = kmeans_assign(w1, k_cells)
+    flag_frames = []
+    # wave 1 goes through the same wave function with the fitted
+    # codebook (assign_to_centroids(cents) reproduces assigned1's
+    # final assignment — kmeans_assign's own last step).
+    for lo, hi, ver in (
+        (None, cut1, 1),
+        (cut1, cut2, 2),
+        (cut2, None, 3),
+    ):
+        chunk = vecs
+        if lo is not None:
+            chunk = chunk.filter(F.col("nid") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("nid") <= hi)
+        flag_frames.append(
+            semdedup_wave(reps, chunk, cents, thr, ver)
+        )
+    flags = flag_frames[0]
+    for fr in flag_frames[1:]:
+        flags = flags.unionByName(fr)
+
+    pairs = cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=thr - band
+    )
+    fa = flags.select(
+        F.col("nid").alias("a_id"),
+        F.col("cell").alias("a_c"),
+        F.col("keep").alias("a_keep"),
+    )
+    fb = flags.select(
+        F.col("nid").alias("b_id"),
+        F.col("cell").alias("b_c"),
+        F.col("keep").alias("b_keep"),
+    )
+    scored = (
+        pairs.join(fa, "a_id")
+        .join(fb, "b_id")
+        .filter(F.col("a_c") == F.col("b_c"))
+    )
+    viol_a = scored.filter(
+        F.col("a_keep") & F.col("b_keep") & (F.col("cos") > thr + band)
+    ).agg(F.count(F.lit(1)).alias("va"))
+    witnesses = scored.filter(
+        F.col("a_keep") & ~F.col("b_keep")
+    ).select(F.col("b_id").alias("nid"))
+    viol_b = (
+        flags.filter(~F.col("keep"))
+        .join(witnesses, "nid", "left_anti")
+        .agg(F.count(F.lit(1)).alias("vb"))
+    )
+    conserved = flags.agg(F.count(F.lit(1)).alias("n_flags"))
+    # The contract row is 1×4 — materialize it EAGERLY so the three
+    # per-wave flag caches can be released here (cache discipline,
+    # ADVICE r09 pattern) instead of pinning for the caller's session.
+    row = (
+        viol_a.crossJoin(viol_b).crossJoin(conserved).collect()[0]
+    )
+    for fr in flag_frames:
+        fr.unpersist()
+    ok = (
+        row["va"] == 0 and row["vb"] == 0 and row["n_flags"] == n
+    )
+    return spark.createDataFrame(
+        [(n, k_cells, 45, 1 if ok else 0)],
+        "n_docs long, n_clusters long, threshold_pct long, "
+        "invariants_ok long",
+    )
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "s_snapshot_append_compact": QuerySpec(
@@ -246,5 +491,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=t_dsir_importance,
         oracle=DSIR_ORACLE,
         tags=("llm", "sampling", "importance"),
+    ),
+    "d_semdedup_incremental": QuerySpec(
+        name="d_semdedup_incremental",
+        fn=d_semdedup_incremental,
+        oracle=SEMDEDUP_INCREMENTAL_ORACLE,
+        tags=("llm", "dedup", "semantic", "incremental"),
     ),
 }
