@@ -121,10 +121,10 @@ ADDITIONS_R8 = [
     "d_exact_substr_spans",
 ]
 
-# Round-10 STAGED queries (plans/roundten.py — held for a cap ruling,
-# registry frozen at 201; timed here as staged_r10 so the
-# staged→registered delta series continues when they register).
-STAGED_R10 = [
+# Round-10 registrations (plans/roundten.py — registered round 11 per
+# the r10 cap ruling; benched as staged_r10 in BENCH_r10 for the
+# staged→registered delta series, registry-backed from r11 on).
+ADDITIONS_R10 = [
     "s_snapshot_append_compact",
     "t_dsir_importance",
     "d_semdedup_incremental",
@@ -242,10 +242,8 @@ def main() -> None:
     additions_r7 = time_queries(spark, specs, ADDITIONS_R7, sf_dir, reps, errors)
     additions_r8 = time_queries(spark, specs, ADDITIONS_R8, sf_dir, reps, errors)
     additions_r9 = time_queries(spark, specs, ADDITIONS_R9, sf_dir, reps, errors)
-    from turnover_odata_etl_spark.plans.roundten import STAGED as _R10
-    staged_specs = {**specs, **_R10}
-    staged_r10 = time_queries(
-        spark, staged_specs, STAGED_R10, sf_dir, reps, errors
+    additions_r10 = time_queries(
+        spark, specs, ADDITIONS_R10, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -276,7 +274,7 @@ def main() -> None:
     additions_r7_total = round(sum(additions_r7.values()), 3)
     additions_r8_total = round(sum(additions_r8.values()), 3)
     additions_r9_total = round(sum(additions_r9.values()), 3)
-    staged_r10_total = round(sum(staged_r10.values()), 3)
+    additions_r10_total = round(sum(additions_r10.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -312,8 +310,8 @@ def main() -> None:
         "additions_r8_total": additions_r8_total,
         "additions_r9": additions_r9,
         "additions_r9_total": additions_r9_total,
-        "staged_r10": staged_r10,
-        "staged_r10_total": staged_r10_total,
+        "additions_r10": additions_r10,
+        "additions_r10_total": additions_r10_total,
         "all_total": round(
             total
             + streaming_total
@@ -323,7 +321,8 @@ def main() -> None:
             + additions_r6_total
             + additions_r7_total
             + additions_r8_total
-            + additions_r9_total,
+            + additions_r9_total
+            + additions_r10_total,
             3,
         ),
         "fixtures": fixtures,
@@ -362,7 +361,7 @@ def main() -> None:
         "additions_r7": additions_r7_total,
         "additions_r8": additions_r8_total,
         "additions_r9": additions_r9_total,
-        "staged_r10": staged_r10_total,
+        "additions_r10": additions_r10_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -375,7 +374,7 @@ def main() -> None:
         ("additions_r7", additions_r7),
         ("additions_r8", additions_r8),
         ("additions_r9", additions_r9),
-        ("staged_r10", staged_r10),
+        ("additions_r10", additions_r10),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

@@ -79,6 +79,9 @@ NESTED_LOOP_OK = {
     # (n_flags x n_emb) scalar crossJoins (read from the formatted
     # plan round 10; the data-bearing joins are all BHJ/SMJ on ids).
     "d_semdedup_kmeans",
+    "t_dsir_importance",  # 1-row corpus-totals frame (tt, tr, v)
+    #     crossed into the vocab-sized λ table — the smoothing
+    #     denominators; the corpus-side scoring join is a BHJ on tok
 }
 
 # Queries where > 6 shuffle exchanges is the algorithm, not an
@@ -130,6 +133,12 @@ MANY_SHUFFLES_OK = {
     #     band-keyed layout keeps the INDEX side out of the exchanges,
     #     and the append path keeps it out of the WRITES; pinned by
     #     the inputFiles spy + append-never-reads-base tests)
+    "t_dsir_importance",  # (a) two-model fit + score + select as ONE
+    #     plan: tokenize-explode groupBy(tok) (vocab-sized output),
+    #     the 1-row totals agg, the per-doc score groupBy, the top-50
+    #     TakeOrdered, and the 50-row re-rank window — the corpus
+    #     crosses the wire once (the doc-grain score aggregation);
+    #     the λ model broadcasts, never shuffles the corpus on tok
     "g_triangle_count",  # (a) per-corner count union: the oriented
     #     wedge-close lineage appears once per triangle corner and AQE
     #     collapses the repeats (34 ReusedExchange in the final plan);

@@ -1064,13 +1064,20 @@ def test_semantic_dedup_matches_percluster_greedy_reference(spark, data):
     here (any assignment is valid SemDeDup), the keep semantics are.
     Also pins: every input row appears exactly once, and within a
     cluster kept rows are pairwise ≤ threshold (the uniqueness
-    invariant)."""
+    invariant).
+
+    r11: ids are drawn long OR string (the lifted restriction,
+    VERDICT r10 item 6) — unpadded string keys ("d0", "d1", … "d13")
+    deliberately make lexicographic order diverge from numeric order
+    past n=10, so the test pins that BOTH sides use the same
+    (lexicographic) greedy convention for string keys."""
     import numpy as np
 
     from turnover_odata_etl_spark.operators.dedup import semantic_dedup
 
     dim = data.draw(st.integers(2, 4), label="dim")
     n = data.draw(st.integers(0, 14), label="n")
+    str_keys = data.draw(st.booleans(), label="str_keys")
     thr = data.draw(st.sampled_from([0.3, 0.7, 0.95]), label="thr")
     # n_clusters=None exercises the sqrt(n) default; max_cluster_size
     # exercises the refinement-pass straggler guard (VERDICT r09
@@ -1088,20 +1095,31 @@ def test_semantic_dedup_matches_percluster_greedy_reference(spark, data):
         )
         for i in range(n)
     ]
+    if str_keys:
+        keys = [f"d{i}" for i in range(n)]
+        id_schema, to_idx = "vec_id string", lambda s: int(s[1:])
+    else:
+        keys = list(range(n))
+        id_schema, to_idx = "vec_id long", lambda i: i
     df = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(vecs)],
-        "vec_id long, embedding array<float>",
+        [(keys[i], v) for i, v in enumerate(vecs)],
+        f"{id_schema}, embedding array<float>",
     )
     out = semantic_dedup(
         df, "vec_id", "embedding", n_clusters=k, threshold=thr,
         max_cluster_size=mcs,
     ).collect()
-    assert sorted(r["vec_id"] for r in out) == list(range(n))
+    assert sorted(r["vec_id"] for r in out) == sorted(keys)
 
+    # reference iterates each cluster in the SAME ascending-key order
+    # the operator greedy uses (numeric for long, lexicographic for
+    # string), then maps keys back to vector rows
     by_cluster: dict[int, list[int]] = {}
     for r in sorted(out, key=lambda r: r["vec_id"]):
-        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
-    got = {r["vec_id"]: r["keep"] for r in out}
+        by_cluster.setdefault(r["cluster"], []).append(
+            to_idx(r["vec_id"])
+        )
+    got = {to_idx(r["vec_id"]): r["keep"] for r in out}
 
     V = np.array(vecs, dtype=np.float64) if n else np.zeros((0, dim))
     norms = np.linalg.norm(V, axis=1) if n else np.array([])

@@ -476,19 +476,34 @@ def test_incremental_neardup_index_read_is_pruned(spark, tmp_path):
     assert 0 < len(opened) <= 32 < n_table_files
 
 
-def test_semantic_dedup_rejects_non_integral_ids(spark):
-    """ADVICE r09: a string-keyed corpus must fail with a clear
+def test_semantic_dedup_id_type_boundary(spark):
+    """r11 (VERDICT r10 item 6): string keys are now ACCEPTED — the
+    Arrow schemas derive from the input id type — while genuinely
+    unorderable-as-key types (double) still fail with a clear
     ValueError at the API boundary, not an Arrow conversion error
-    three stages in."""
+    three stages in (ADVICE r09)."""
     import pytest as _pytest
 
     from turnover_odata_etl_spark.operators.dedup import semantic_dedup
 
     df = spark.createDataFrame(
-        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+        [("url-a", [1.0, 0.0]), ("url-b", [0.999, 0.01]),
+         ("url-c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
     )
-    with _pytest.raises(ValueError, match="integral"):
-        semantic_dedup(df, "vec_id", "embedding", n_clusters=2)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=1, threshold=0.45
+        ).collect()
+    }
+    assert out == {"url-a": True, "url-b": False, "url-c": True}
+
+    bad = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="integral or string"):
+        semantic_dedup(bad, "vec_id", "embedding", n_clusters=2)
 
 
 def test_semantic_dedup_cluster_guard_splits_oversized_cells(spark):

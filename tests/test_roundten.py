@@ -1,62 +1,13 @@
-"""Round-10 STAGED queries (plans/roundten.py) — oracle parity +
-mechanism deep-dives, run every session while the queries await a cap
-ruling (registry frozen at 201 by the r09 verdict)."""
+"""Round-10 queries (plans/roundten.py) — mechanism deep-dives.
+
+Registered in round 11 (r10 cap ruling), so per-query oracle parity
+now rides the registry-wide sweep in test_oracle_parity; what stays
+here is what the contract oracles cannot see: the DSIR score's
+directional math and the incremental-wave index consultation."""
 
 from __future__ import annotations
 
-import duckdb
-
-from .oracle_utils import compare_spark_vs_oracle
-from turnover_odata_etl_spark.plans.roundten import (
-    APPEND_COMPACT_ORACLE,
-    DSIR_ORACLE,
-    STAGED,
-    s_snapshot_append_compact,
-    t_dsir_importance,
-)
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def _con(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
-
-
-def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {
-        "s_snapshot_append_compact",
-        "t_dsir_importance",
-        "d_semdedup_incremental",
-    }
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
-
-
-def test_append_compact_lifecycle_matches_oracle(spark, sf_dir):
-    compare_spark_vs_oracle(
-        s_snapshot_append_compact(spark, sf_dir),
-        _con(sf_dir),
-        APPEND_COMPACT_ORACLE,
-        "s_snapshot_append_compact",
-    )
-
-
-def test_dsir_importance_matches_oracle(spark, sf_dir):
-    compare_spark_vs_oracle(
-        t_dsir_importance(spark, sf_dir),
-        _con(sf_dir),
-        DSIR_ORACLE,
-        "t_dsir_importance",
-    )
+from turnover_odata_etl_spark.plans.roundten import t_dsir_importance
 
 
 def test_dsir_scores_separate_target_lookalikes(spark, sf_dir):
@@ -73,20 +24,6 @@ def test_dsir_scores_separate_target_lookalikes(spark, sf_dir):
     all50 = sum(r["dsir_score"] for r in got) / len(got)
     assert top10 >= all50
     assert [r["sel_rank"] for r in got] == list(range(1, len(got) + 1))
-
-
-def test_semdedup_incremental_matches_oracle(spark, sf_dir):
-    from turnover_odata_etl_spark.plans.roundten import (
-        SEMDEDUP_INCREMENTAL_ORACLE,
-        d_semdedup_incremental,
-    )
-
-    compare_spark_vs_oracle(
-        d_semdedup_incremental(spark, sf_dir),
-        _con(sf_dir),
-        SEMDEDUP_INCREMENTAL_ORACLE,
-        "d_semdedup_incremental",
-    )
 
 
 def test_semdedup_wave_consults_persistent_index(spark, tmp_path):
@@ -129,3 +66,19 @@ def test_semdedup_wave_consults_persistent_index(spark, tmp_path):
     )
     assert kept_in_index == [1, 2, 4]
     assert reps.current_id() == 2  # one append commit per wave
+
+def test_exact_order_stats_distributed(spark):
+    """The activation fix (r10 verdict): tile cuts are exact order
+    statistics computed without collecting the id column. Sparse,
+    shuffled, negative ids — must equal the sorted-list answer."""
+    from turnover_odata_etl_spark.plans.roundten import _exact_order_stats
+
+    ids = [-7, 0, 3, 5, 11, 12, 40, 41, 42, 100, 1000, 10**12]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(ids)
+    df = spark.createDataFrame([(i,) for i in ids], "nid long").repartition(8)
+    got = _exact_order_stats(df, "nid", [1, 4, 12])
+    srt = sorted(ids)
+    assert got == {1: srt[0], 4: srt[3], 12: srt[11]}

@@ -817,11 +817,13 @@ def semantic_dedup(
     RNG — the refinement pass re-seeds by id within the oversized
     subset).
 
-    ``id_col`` must be an integral type: the assignment kernel and
-    the Arrow output schema carry it as ``long`` (a string-keyed
-    corpus should join a dense ``zipWithIndex``-style surrogate first)
-    — enforced here so the failure is a clear ValueError, not an Arrow
-    conversion error three stages in (ADVICE r09).
+    ``id_col`` may be integral (carried as ``long``, the original
+    contract) or string (carried natively — the Arrow schemas derive
+    from the input type, so web-crawl corpora keyed by URL/hash need
+    no surrogate join; VERDICT r10 item 6). Greedy order for string
+    keys is lexicographic ascending — deterministic, same convention.
+    Any other id type raises a clear ValueError up front rather than
+    an Arrow conversion error three stages in (ADVICE r09).
 
     Output contract (pinned by the property test against an
     independent per-cluster numpy reference): within a cluster, kept
@@ -837,24 +839,25 @@ def semantic_dedup(
     from .similarity import kmeans_assign
 
     id_type = df.schema[id_col].dataType
-    if not isinstance(
+    if isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
+        id_expr, id_sql = F.col(id_col).cast("long"), "long"
+    elif isinstance(id_type, T.StringType):
+        id_expr, id_sql = F.col(id_col), "string"
+    else:
         raise ValueError(
-            f"semantic_dedup: id_col {id_col!r} must be integral "
-            f"(got {id_type.simpleString()}); join a surrogate id first"
+            f"semantic_dedup: id_col {id_col!r} must be integral or "
+            f"string (got {id_type.simpleString()})"
         )
 
-    vectors = df.select(
-        F.col(id_col).cast("long").alias("nid"),
-        F.col(vec_col).alias("vec"),
-    )
+    vectors = df.select(id_expr.alias("nid"), F.col(vec_col).alias("vec"))
     if n_clusters is None:
         n_clusters = max(1, math.isqrt(vectors.count()))
     assigned, _ = kmeans_assign(vectors, n_clusters)
     if assigned is None:
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster long, keep boolean"
+            [], f"{id_col} {id_sql}, cluster long, keep boolean"
         )
 
     if max_cluster_size is not None:
@@ -920,7 +923,7 @@ def semantic_dedup(
 
     return (
         assigned.groupBy("cell")
-        .applyInPandas(greedy, "nid long, cell long, keep boolean")
+        .applyInPandas(greedy, f"nid {id_sql}, cell long, keep boolean")
         .select(
             F.col("nid").alias(id_col),
             F.col("cell").alias("cluster"),

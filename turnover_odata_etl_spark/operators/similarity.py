@@ -492,7 +492,13 @@ def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
     assigning arrivals against a frozen wave-1 codebook). ``cents``
     is the row-normalized numpy matrix kmeans_assign returns; only it
     ships to executors (n_cells·dim floats — metadata-sized), the
-    assignment itself is a per-Arrow-batch matmul with no shuffle."""
+    assignment itself is a per-Arrow-batch matmul with no shuffle.
+
+    ``nid`` passes through with its OWN type (long ids and string keys
+    both work — the Arrow schema is derived from the input, ADVICE
+    r09/VERDICT r10: string-keyed corpora are the common case in
+    web-crawl curation)."""
+    nid_t = vectors.schema["nid"].dataType.simpleString()
 
     def assign(batches):
         import numpy as _np
@@ -508,7 +514,7 @@ def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
             )
 
     return vectors.mapInPandas(
-        assign, "nid long, vec array<float>, cell long"
+        assign, f"nid {nid_t}, vec array<float>, cell long"
     )
 
 

@@ -17,6 +17,7 @@ from . import roundsix  # noqa: E402,F401
 from . import roundseven  # noqa: E402,F401
 from . import roundeight  # noqa: E402,F401
 from . import roundnine  # noqa: E402,F401
+from . import roundten  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -27,79 +28,82 @@ from . import roundnine  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 10 — the r09 verdict's cap ruling: "register all
-# ten; the cap moves to 201 and freezes there"). The ten
-# plans/roundnine.py queries are registered this round (two rounds of
-# staged oracle runs + bench history behind them) and gated
-# immediately, exactly as the r08 activation did for roundeight:
-#   - the 10 new round-9/10 registrations (gate-now-or-never: new
-#     registrations always take window slots in their first round);
-#   - the 40 stalest round-6 rows (scripts/staleness.py lists 41;
-#     after a green r09 gate the driver freshness floor moved to
-#     round 6). All 41 are equally old in the ledger; the one held
-#     back for the round-11 rotation is x_struct_functions — a pure
-#     plans/advanced.py SQL-function sweep whose code has not drifted
-#     since its round-6 row, while rows riding this round's edited
-#     files (operators/dedup.py, operators/similarity.py,
-#     storage/snapshot.py: s_knn_lsh, m_embed_quantize,
-#     c_merge_upsert) all keep their slots.
-# Next-stalest after this round: x_struct_functions + the 50 round-7
-# rows (scripts/staleness.py). Registry is FROZEN at 201 per the r09
-# ruling; future windows are pure freshness rotation.
+# ROTATION (round 11 — the r10 verdict's cap ruling: "register all
+# three staged round-10 queries; the cap moves to 204, then frozen
+# again"). The three plans/roundten.py queries are registered this
+# round and gated immediately, plus the ruling's named window:
+#   - the 3 new round-10 registrations (gate-now-or-never);
+#   - x_struct_functions (the round-6 freshness-floor straggler,
+#     explicitly named by the ruling);
+#   - 46 of the 50 round-7 rows (scripts/staleness.py). All 50 are
+#     equally old in the ledger; the four held back for the round-12
+#     rotation are pure SQL-function/UDTF sweeps whose code has not
+#     drifted since round 7 (x_datetime_functions,
+#     x_odata_date_roundtrip, e15_udtf_split_words, e7_intersect),
+#     while rows riding this round's edited files (operators/dedup.py,
+#     storage/snapshot.py, plans/roundnine.py: d_semantic_dedup,
+#     d_fingerprint_dedup, d_minhash_lsh_neardup, st_snapshot_merge,
+#     st_incremental_*) all keep their slots.
+# Next-stalest after this round: those 4 round-7 rows + the round-8
+# rows (scripts/staleness.py). Registry is FROZEN at 204 per the r10
+# ruling; future registrations only for queries that are the sole
+# oracle coverage of a new SURVEY row.
 #
 GATED_QUERIES = [
-    # the ten round-9 registrations (cap ruling executed round 10)
-    "m_avi_decode_features",
-    "d_exact_substr_clean",
-    "s_snapshot_lifecycle",
-    "s_snapshot_skipping",
-    "st_snapshot_ivm",
-    "s_odata_delta_sync",
-    "d_semdedup_kmeans",
-    "t_byte_entropy",
-    "d_incremental_neardup",
-    "g_triangle_count",
-    # the 40 stalest round-6 rows (all but x_struct_functions)
-    "c_merge_upsert",
-    "e13_exact_distinct",
-    "e13_percentiles",
-    "e14_sessionize_batch",
-    "e1_conditional_agg",
-    "e1_pivot",
-    "e1_salted_agg",
-    "e1_unpivot",
-    "e2_cube",
-    "e2_grouping_sets",
-    "e3_join_bucketed_colocated",
-    "e3_join_cross",
-    "e3_join_full_outer",
-    "e3_join_right",
-    "e5_window_distribution",
-    "e5_window_lag_lead",
-    "e5_window_ntile_nth",
-    "e5_window_running_sum",
-    "e7_except",
-    "m_embed_quantize",
-    "m_jpeg_decode_features",
-    "q_sql_exists_subquery",
-    "s_gzip_jsonl_roundtrip",
-    "s_jsonl_roundtrip",
-    "s_knn_lsh",
-    "s_partitioned_scan_prune",
-    "s_warc_ingest",
-    "st_stateful_user_agg",
-    "st_stream_dedup",
-    "t_bpe_apply",
-    "t_bpe_tokens",
-    "t_bpe_train",
-    "t_chunk_documents",
-    "t_hash_split",
-    "t_stratified_sample",
-    "x_array_functions",
-    "x_bitwise_functions",
-    "x_math_functions",
-    "x_null_conditional",
-    "x_regex_hash_functions",
+    # the three round-10 registrations (cap ruling executed round 11)
+    "s_snapshot_append_compact",
+    "t_dsir_importance",
+    "d_semdedup_incremental",
+    # the round-6 freshness-floor straggler
+    "x_struct_functions",
+    # 46 of the 50 stalest round-7 rows (held back: x_datetime_functions,
+    # x_odata_date_roundtrip, e15_udtf_split_words, e7_intersect)
+    "a_count_rows",
+    "a_distinct_sorted",
+    "c3_empty_relation",
+    "d_dedup_clusters",
+    "d_fingerprint_dedup",
+    "d_minhash_lsh_neardup",
+    "d_ngram_jaccard",
+    "d_semantic_dedup",
+    "e13_hll_sketch_rollup",
+    "e1_string_agg_ordered",
+    "e3_join_anti",
+    "e3_join_left",
+    "e4_asof_join",
+    "e4_range_join",
+    "e6_q14_promo_revenue",
+    "e6_q19_disjunctive_join",
+    "e6_q5_local_supplier_volume",
+    "f_notnull_nonempty",
+    "flagship_turnover",
+    "g_pagerank",
+    "m_adpcm_decode_features",
+    "m_binary_features",
+    "m_image_decode_features",
+    "m_png_adam7_decode_features",
+    "p_expectations",
+    "p_heavy_hitters",
+    "p_profile_table",
+    "p_stringify_nested",
+    "q_sql_correlated_subquery",
+    "s_knn_bruteforce",
+    "s_knn_tiled",
+    "semi_join_orchestration",
+    "st_incremental_cdc",
+    "st_incremental_upsert",
+    "st_snapshot_merge",
+    "st_stream_static_join",
+    "t_bpe_tokenize_ids",
+    "t_corpus_mixture",
+    "t_decontaminate",
+    "t_domain_balanced_sample",
+    "t_lang_quality",
+    "t_pii_redact",
+    "t_quality_filter_c4",
+    "t_sequence_pack",
+    "t_text_stats",
+    "t_tfidf_topterms",
 ]
 
 registry.promote(GATED_QUERIES)

@@ -1,10 +1,10 @@
-"""Round-10 STAGED queries — held for a cap ruling (the r09 verdict
-froze the registry at 201; precedent is the roundeight/roundnine
-lifecycle: stage with oracles + bench history + empty-sweep coverage,
-register when a verdict rules).
+"""Round-10 queries — REGISTERED in round 11 per the r10 verdict's cap
+ruling ("register all three; the cap moves to 204 and freezes there").
+Staged through round 10 with oracles + bench history + empty-sweep
+coverage, exactly the roundeight/roundnine lifecycle.
 
 Three queries, each the only end-to-end oracle exercise of a real
-capability added this round:
+capability added in round 10:
 
 ``s_snapshot_append_compact`` — the APPEND fast path + bin-pack
 compaction lifecycle (``SnapshotTable.append``/``compact``, round 10):
@@ -31,15 +31,11 @@ index (frozen wave-1 codebook, bucket-pruned reps reads, append-path
 keeps; same invariant-contract oracle machinery as
 ``d_semdedup_kmeans``).
 
-Activation checklist (mirror of roundnine's, executed at ruling):
-1. move the two specs into ``@register`` form (oracles are already
-   eager constants), import roundten in ``plans/__init__``,
-2. add both to the gate window for their first round,
-3. move STAGED_R10 → ADDITIONS_R10 in bench.py,
-4. re-point the empty-sweep staged block (tests/test_empty_input.py),
-5. adjudicate plan-audit entries if flagged (the DSIR model join is
-   vocab-sized broadcast; the lifecycle query is three appends + one
-   compact commit — protocol-sized).
+The round-11 activation also executed the verdict's at-activation fix:
+``d_semdedup_incremental``'s wave splitter no longer collects every
+embedding id to the driver — the two tile cuts are exact order
+statistics computed distributed (``_exact_order_stats``: range
+shuffle + per-partition rank + broadcast offsets, 2-row collect).
 """
 
 from __future__ import annotations
@@ -49,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TXT
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 
 APPEND_COMPACT_ORACLE = """
     SELECT event_type,
@@ -61,6 +57,11 @@ APPEND_COMPACT_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_append_compact",
+    oracle=APPEND_COMPACT_ORACLE,
+    tags=("storage", "snapshot", "append", "compact"),
+)
 def s_snapshot_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND → replay → dedup-COMPACT → GC lifecycle
     (``SnapshotTable.append``/``compact``, round 10) — the insert-only
@@ -172,6 +173,11 @@ DSIR_ORACLE = r"""
 """
 
 
+@register(
+    "t_dsir_importance",
+    oracle=DSIR_ORACLE,
+    tags=("llm", "sampling", "importance"),
+)
 def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (Xie et al. 2023): score every RAW
     document by how much more likely its tokens are under the TARGET
@@ -237,6 +243,54 @@ def t_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sel_rank"),
     )
+
+
+def _exact_order_stats(df: DataFrame, col: str, ks: list[int]) -> dict:
+    """Exact k-th-smallest values of ``col`` computed DISTRIBUTED (the
+    r10 verdict's activation fix — no O(n) driver collect): range-
+    shuffle the single column so partition i holds smaller values than
+    partition i+1, rank within each partition, add the broadcast
+    cumulative per-partition counts to get global ranks, and collect
+    only the ``len(ks)`` requested rows. Two scans of one column, every
+    step partition-parallel; the only windows run per range-partition
+    (32-way) and over the 32-row partition-size frame."""
+    from pyspark import StorageLevel
+
+    ids = (
+        df.select(col)
+        .repartitionByRange(32, col)
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)  # pin the range split
+    )
+    try:
+        ranked = ids.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("pid").orderBy(col))
+        )
+        offs = (
+            ids.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "pid",
+                F.coalesce(
+                    F.sum("cnt").over(
+                        Window.orderBy("pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+            )
+        )
+        rows = (
+            ranked.join(F.broadcast(offs), "pid")
+            .withColumn("grn", F.col("rn") + F.col("off"))
+            .filter(F.col("grn").isin([int(k) for k in ks]))
+            .select("grn", col)
+            .collect()
+        )
+    finally:
+        ids.unpersist()
+    return {int(r["grn"]): r[col] for r in rows}
 
 
 def semdedup_wave(
@@ -349,6 +403,11 @@ SEMDEDUP_INCREMENTAL_ORACLE = """
 """
 
 
+@register(
+    "d_semdedup_incremental",
+    oracle=SEMDEDUP_INCREMENTAL_ORACLE,
+    tags=("llm", "dedup", "semantic", "incremental"),
+)
 def d_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL semantic dedup — SemDeDup's production arrival
     pattern (the E105×E106 cross): embedding batches arrive in waves,
@@ -398,13 +457,15 @@ def d_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vec"),
     )
     # ntile(3) boundaries computed exactly: first tile gets the
-    # remainder rows, matching SQL ntile semantics. The global sort is
-    # fixture harness (production waves ARE arrival batches).
+    # remainder rows, matching SQL ntile semantics. The cut ids are
+    # exact order statistics computed distributed (no O(n) driver
+    # collect — the wave split is fixture harness; production waves
+    # ARE arrival batches, but the splitter must still scale).
     n1 = math.ceil(n / 3.0)
     n2 = n1 + math.ceil((n - n1) / 2.0)
-    ids = [r["nid"] for r in vecs.select("nid").orderBy("nid").collect()]
-    cut1 = ids[n1 - 1]
-    cut2 = ids[n2 - 1] if n2 <= len(ids) else cut1
+    cuts = _exact_order_stats(vecs, "nid", [n1, n2])
+    cut1 = cuts[n1]
+    cut2 = cuts.get(n2, cut1)
 
     w1 = vecs.filter(F.col("nid") <= cut1)
     k_cells = max(1, math.isqrt(n1))
@@ -476,26 +537,3 @@ def d_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_clusters long, threshold_pct long, "
         "invariants_ok long",
     )
-
-
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "s_snapshot_append_compact": QuerySpec(
-        name="s_snapshot_append_compact",
-        fn=s_snapshot_append_compact,
-        oracle=APPEND_COMPACT_ORACLE,
-        tags=("storage", "snapshot", "append", "compact"),
-    ),
-    "t_dsir_importance": QuerySpec(
-        name="t_dsir_importance",
-        fn=t_dsir_importance,
-        oracle=DSIR_ORACLE,
-        tags=("llm", "sampling", "importance"),
-    ),
-    "d_semdedup_incremental": QuerySpec(
-        name="d_semdedup_incremental",
-        fn=d_semdedup_incremental,
-        oracle=SEMDEDUP_INCREMENTAL_ORACLE,
-        tags=("llm", "dedup", "semantic", "incremental"),
-    ),
-}
