@@ -3,7 +3,7 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-rebucket / expire operations runs against both the real
+delete-where / rebucket / expire operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
 keep-latest semantics), and after EVERY step the table must agree with
 the model on the current state, on a time-travel read of every still-
@@ -63,8 +63,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
     # across a periodic full anchor under every op mix.
     for step in range(20):
         op = rng.choices(
-            ["merge", "tomb_merge", "rebucket", "expire"],
-            weights=[6, 3, 1, 1],
+            ["merge", "tomb_merge", "rebucket", "expire", "delete"],
+            weights=[6, 3, 1, 1, 2],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -86,6 +86,29 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                     cur[k] = (ver, v)
             cur = {k: kv for k, kv in cur.items() if kv[1] != "DEL"}
             live_states[sid] = dict(cur)
+        elif op == "delete":
+            if t.current_id() is None:
+                continue
+            # random ver range (exercises the stats prune) or a key
+            # equality (exercises the bucket-level stage-2 prune)
+            if rng.random() < 0.5:
+                lo = rng.randint(0, max(ver_counter, 1))
+                hi = lo + rng.randint(0, 5)
+                pred = f"ver BETWEEN {lo} AND {hi}"
+                new_cur = {
+                    k: kv for k, kv in cur.items()
+                    if not (lo <= kv[0] <= hi)
+                }
+            else:
+                kk = rng.randint(0, 9)
+                pred = f"k = {kk}"
+                new_cur = {k: kv for k, kv in cur.items() if k != kk}
+            sid = t.delete_where(pred)
+            if new_cur != cur:
+                cur = new_cur
+                live_states[sid] = dict(cur)
+            else:  # no-op contract: current id unchanged, no commit
+                assert sid == t.current_id()
         elif op == "rebucket":
             if t.current_id() is None:
                 continue

@@ -937,17 +937,19 @@ class NeardupIndex:
     read side's scale shape: a micro-batch neither exchanges, re-reads,
     NOR REWRITES the accumulated index.
 
-    Commit order per wave is bands FIRST, sigs SECOND, and the SIGS
-    commit is the wave checkpoint (``current_wave``): a crash between
-    the two leaves a bands commit ahead of sigs, and the replayed
-    wave's anti-joins + read-side dropDuplicates absorb it exactly
-    like any other replay."""
+    Round 11 (VERDICT r10 item 5): both appends land as ONE
+    :class:`..storage.SnapshotGroup` transaction — a single CAS is
+    the wave's commit point, so bands can never run ahead of sigs,
+    a wave replay is detected by ``current_wave() >= ver`` and skips
+    the (already-durable) appends entirely, and the read-side
+    dropDuplicates replay armor the two-commit window required is
+    GONE — two fewer exchanges per wave."""
 
     def __init__(self, spark: SparkSession, base_dir: str,
                  n_buckets: int = 8) -> None:
         import os
 
-        from ..storage import SnapshotTable
+        from ..storage import SnapshotGroup, SnapshotTable
 
         self.bands = SnapshotTable(
             spark, os.path.join(base_dir, "bands"),
@@ -959,10 +961,15 @@ class NeardupIndex:
             key_cols=["doc_id"], order_col="__ver",
             n_buckets=n_buckets,
         )
+        self.group = SnapshotGroup(
+            {"bands": self.bands, "sigs": self.sigs}, base_dir
+        )
 
     def current_wave(self) -> int | None:
-        """Last fully-committed wave (the sigs commit is the wave's
-        checkpoint — see commit-order contract above)."""
+        """Last fully-committed wave. Runs the group's recover() first
+        so a crash inside the roll-forward window can never be read as
+        a torn commit."""
+        self.group.recover()
         return self.sigs.current_id()
 
 
@@ -979,18 +986,19 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     cached.
 
     At-least-once recovery contract (foreachBatch semantics, pinned by
-    the resume/replay tests): the SIGS commit is the wave's
-    checkpoint. If the wave's PAIRS were not made durable before a
-    crash, RE-RUN the wave for ``index.current_wave() + 1`` — the
-    old side anti-joins away any docs already indexed that this wave
-    re-presents (in BOTH the band probe and the verify payload), so a
-    replayed wave emits exactly its original pairs (no self-pairs, no
-    duplicate fan-out); the re-APPENDED index rows are duplicate rows
-    by value, absorbed by the dropDuplicates read armor on both pruned
-    reads (and foldable any time via ``compact(dedup_keys=True)``).
-    Resuming at the NEXT wave without having secured the
-    committed wave's pairs would lose them (old×old pairs are by
-    design never re-examined)."""
+    the resume/replay tests): the GROUPED commit (round 11 — one CAS
+    covering bands + sigs) is the wave's checkpoint. If the wave's
+    PAIRS were not made durable before a crash, RE-RUN the wave at the
+    SAME ``ver`` — the old side anti-joins away any docs already
+    indexed that this wave re-presents (in BOTH the band probe and the
+    verify payload), so a replayed wave emits exactly its original
+    pairs (no self-pairs, no duplicate fan-out); and because
+    ``current_wave() >= ver`` detects the already-committed wave, the
+    replay SKIPS the appends — no duplicate rows ever land, which is
+    what retired the round-10 dropDuplicates read armor. Resuming at
+    the NEXT wave without having secured the committed wave's pairs
+    would lose them (old×old pairs are by design never
+    re-examined)."""
     from pyspark import StorageLevel
 
     from ..operators.dedup import (
@@ -999,6 +1007,13 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
         minhash_signatures,
     )
 
+    done_wave = index.current_wave() or 0  # runs group recover()
+    if not (done_wave >= ver or done_wave == ver - 1):
+        raise ValueError(
+            f"neardup_wave: wave {ver} cannot commit over checkpoint "
+            f"{done_wave} — waves are consecutive (replay the same "
+            "ver, or the next)"
+        )
     sigs_new = minhash_signatures(
         ensure_parallelism(chunk), text_col, id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1008,7 +1023,7 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     )
     # new×new candidates: the batch path, restricted to the wave
     cand_nn = lsh_candidate_pairs(sigs_new)
-    if index.current_wave() is not None:
+    if done_wave > 0:
         # new×index candidates: the index side opens ONLY the physical
         # buckets the wave's band keys hash into (read_matching on the
         # (band, bucket) layout) — never the whole corpus. The
@@ -1020,11 +1035,9 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
             index.bands.read_matching(bn.select("band", "bucket"))
             .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
             .select(F.col("doc_id").alias("o_id"), "band", "bucket")
-            # Replay armor for the APPEND index (round 10): a replayed
-            # wave re-appends its rows verbatim, so the pruned read
-            # may surface duplicates — collapse them here (pruned-
-            # bucket-sized frame, not the corpus).
-            .dropDuplicates(["o_id", "band", "bucket"])
+            # No dropDuplicates armor since round 11: the grouped
+            # commit + replay skip guarantee the index never holds
+            # duplicate rows (pinned by the replay test).
         )
         cand_no = (
             bn.join(bo, ["band", "bucket"])
@@ -1056,9 +1069,6 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
             index.sigs.read_matching(old_ids)
             .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "shingles")
-            # Same replay armor: duplicate payload rows would fan out
-            # the verify join (candidate-sized frame).
-            .dropDuplicates(["doc_id"])
         )
         both = sigs_new.select("doc_id", "shingles").unionByName(old_sh)
     else:
@@ -1067,25 +1077,28 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     pairs = exact_jaccard(cands, both, threshold).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pairs.count()  # force: pairs durable-in-session BEFORE the commits
+    pairs.count()  # force: pairs durable-in-session BEFORE the commit
     # APPEND, not MERGE (round 10): a wave's keys are new by
     # construction (the anti-joins above are what ENFORCE that on
     # replay), so the keep-latest copy-on-write rewrite is pure waste
     # — and worse than waste at scale: uniform band keys touch every
     # physical bucket, so each wave's MERGE rewrote O(index) data.
-    # append() stages only the wave's own rows (O(batch) however big
-    # the index grows); a replayed wave appends duplicate ROWS, which
-    # the dropDuplicates read armor above absorbs.
-    index.bands.append(
-        bn.select(
-            "band", "bucket", F.col("n_id").alias("doc_id")
-        ).withColumn("__ver", F.lit(ver))
-    )
-    index.sigs.append(
-        sigs_new.select("doc_id", "shingles").withColumn(
-            "__ver", F.lit(ver)
+    # append stages only the wave's own rows (O(batch) however big
+    # the index grows). Round 11: BOTH tables commit as ONE grouped
+    # transaction (a single CAS — no bands-ahead-of-sigs window), and
+    # a replayed already-committed wave skips the commit entirely, so
+    # duplicate index rows cannot exist.
+    if done_wave < ver:
+        index.group.append_all(
+            {
+                "bands": bn.select(
+                    "band", "bucket", F.col("n_id").alias("doc_id")
+                ).withColumn("__ver", F.lit(ver)),
+                "sigs": sigs_new.select("doc_id", "shingles").withColumn(
+                    "__ver", F.lit(ver)
+                ),
+            }
         )
-    )
     sigs_new.unpersist()  # corpus-sized; pairs are answer-sized
     if cands is not cand_nn:
         cands.unpersist()

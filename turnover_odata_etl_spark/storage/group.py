@@ -1,0 +1,220 @@
+"""Grouped multi-table transactions over :class:`SnapshotTable`
+(round 11, VERDICT r10 item 5).
+
+A wave of the incremental near-dup index commits rows to TWO tables
+(band index + signature payloads). With independent per-table commits
+there is a window where bands is one wave ahead of sigs — correct only
+because every read carries dropDuplicates replay armor and every wave
+re-runs its anti-joins. :class:`SnapshotGroup` removes the window: one
+``os.link`` CAS on a group TRANSACTION record is the single commit
+point for all member tables, after which per-member manifests are
+rolled forward deterministically (and idempotently, by any handle).
+
+Protocol — the same write-ahead shape Iceberg's REST catalog uses for
+multi-table transactions, sized down to the filesystem CAS this layer
+already trusts:
+
+1. **Prepare** each member: staged data files land under the member's
+   ``data/`` (durable, unreferenced — orphans on abort, exactly the
+   existing crash-before-claim contract), and the member's manifest
+   JSON is written to a durable temp file in its own manifest dir. No
+   member claim happens.
+2. **Claim** ``txns/txn-<K>.json`` via ``os.link`` — THE commit
+   point. The record lists every member's (new id, temp manifest
+   name, txn uuid). Losing the link = another group writer committed;
+   abort (unlink temps) and retry on the new state.
+3. **Roll forward**: link each member's temp manifest to its real
+   ``manifest-<id>.json``, advance pointers, prime caches. A crash
+   anywhere in step 3 is healed by :meth:`recover`, which any handle
+   runs before reading or writing — roll-forward is idempotent (an
+   already-linked manifest is verified by its embedded txn uuid).
+
+Induction keeps "recover the LATEST txn only" sound: txn K is claimed
+only after the claimant ran ``recover()``, which completed K-1 — so at
+most one txn is ever un-rolled.
+
+Constraint (checked, loudly): member tables of a group must be written
+ONLY through the group. A foreign direct commit that steals a member
+manifest id surfaces as a RuntimeError at roll-forward (txn uuid
+mismatch), never as silent divergence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame
+
+from .snapshot import SnapshotTable
+
+_TXN_RE = re.compile(r"^txn-(\d+)\.json$")
+
+
+class SnapshotGroup:
+    def __init__(
+        self, tables: dict[str, SnapshotTable], group_dir: str
+    ) -> None:
+        if not tables:
+            raise ValueError("SnapshotGroup needs at least one table")
+        self.tables = dict(tables)
+        self._txn_dir = os.path.join(group_dir, "txns")
+
+    # ------------------------------------------------------------ txn log
+
+    def last_txn(self) -> int:
+        """Highest claimed transaction number (0 = none)."""
+        try:
+            names = os.listdir(self._txn_dir)
+        except FileNotFoundError:
+            return 0
+        ids = [int(m.group(1)) for n in names if (m := _TXN_RE.match(n))]
+        return max(ids, default=0)
+
+    def _txn_path(self, k: int) -> str:
+        return os.path.join(self._txn_dir, f"txn-{k}.json")
+
+    def recover(self) -> None:
+        """Complete the latest transaction's roll-forward (idempotent;
+        safe to race — manifest links are CAS and verified by txn
+        uuid). Every group read/write path runs this first, so a
+        crash between the group claim and the member links can never
+        be observed as a torn commit by group users."""
+        k = self.last_txn()
+        if k == 0:
+            return
+        with open(self._txn_path(k)) as fh:
+            rec = json.load(fh)
+        self._roll_forward(rec)
+
+    def _roll_forward(self, rec: dict) -> None:
+        for name, m in rec["members"].items():
+            t = self.tables[name]
+            target = os.path.join(
+                t._manifest_dir, f"manifest-{m['id']}.json"
+            )
+            tmp = os.path.join(t._manifest_dir, m["tmp"])
+            if not os.path.exists(target):
+                try:
+                    os.link(tmp, target)
+                except FileExistsError:
+                    pass  # another handle's recover won the link race
+                except FileNotFoundError:
+                    # tmp gone AND target missing: impossible under the
+                    # protocol (tmps are durable before the claim and
+                    # removed only after linking) — surface it.
+                    raise RuntimeError(
+                        f"group txn {rec['txn']}: member {name!r} lost "
+                        f"both temp and target manifest for id {m['id']}"
+                    ) from None
+            with open(target) as fh:
+                committed = json.load(fh)
+            if committed.get("txn") != rec["txn"]:
+                raise RuntimeError(
+                    f"group member {name!r} manifest {m['id']} was "
+                    f"claimed by a foreign commit (txn "
+                    f"{committed.get('txn')!r} != {rec['txn']!r}); "
+                    "group members must be written only through the "
+                    "group"
+                )
+            t._write_pointer(m["id"])
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # ------------------------------------------------------------ commit
+
+    def append_all(
+        self,
+        batches: dict[str, DataFrame],
+        max_retries: int = 5,
+    ) -> dict[str, int]:
+        """APPEND every batch to its member table as ONE atomic
+        transaction: either every member's new snapshot becomes
+        visible (to group users — ``recover()`` heals the member-link
+        window) or none does. Returns ``{name: committed id}``.
+        Members whose batch is empty no-op at their current id, same
+        as :meth:`SnapshotTable.append`."""
+        unknown = set(batches) - set(self.tables)
+        if unknown:
+            raise ValueError(f"unknown group members: {sorted(unknown)}")
+        for _ in range(max_retries):
+            self.recover()
+            txn_uid = uuid.uuid4().hex
+            out: dict[str, int] = {}
+            prepared: dict[str, tuple] = {}
+            for name, df in batches.items():
+                t = self.tables[name]
+                prep = t._prepare_append(df, properties=None)
+                if isinstance(prep, int):
+                    out[name] = prep  # empty batch — no-op member
+                    continue
+                manifest, new_id, merged_bb = prep
+                manifest["txn"] = txn_uid
+                tmp = t._write_manifest_tmp(manifest)
+                prepared[name] = (t, manifest, new_id, merged_bb, tmp)
+            if not prepared:
+                return out
+            k = self.last_txn() + 1
+            rec = {
+                "txn": txn_uid,
+                "members": {
+                    name: {
+                        "id": new_id,
+                        "tmp": os.path.basename(tmp),
+                    }
+                    for name, (t, _m, new_id, _bb, tmp) in prepared.items()
+                },
+            }
+            os.makedirs(self._txn_dir, exist_ok=True)
+            rec_tmp = os.path.join(
+                self._txn_dir, f".tmp-{txn_uid[:12]}.json"
+            )
+            with open(rec_tmp, "w") as fh:
+                json.dump(rec, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(rec_tmp, self._txn_path(k))  # THE commit point
+            except FileExistsError:
+                # lost the group race: abort this attempt (staged data
+                # files stay as orphans, same as a lost member CAS) and
+                # re-plan against the winner's state
+                for _t, _m, _id, _bb, tmp in prepared.values():
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                continue
+            finally:
+                if os.path.exists(rec_tmp):
+                    os.unlink(rec_tmp)
+            # committed — roll forward (crash-safe: recover() replays)
+            self._roll_forward(rec)
+            for name, (t, manifest, new_id, merged_bb, _tmp) in (
+                prepared.items()
+            ):
+                t._prime_meta(new_id, manifest)
+                if merged_bb is not None:
+                    t._prime_bb(new_id, merged_bb)
+                out[name] = new_id
+            self._prune_txns(keep_last=4)
+            return out
+        raise RuntimeError(
+            f"group append lost the commit race {max_retries} times"
+        )
+
+    def _prune_txns(self, keep_last: int) -> None:
+        """Applied txn records are dead weight (recover() reads only
+        the latest); keep a short tail for forensics."""
+        k = self.last_txn()
+        try:
+            names = os.listdir(self._txn_dir)
+        except FileNotFoundError:
+            return
+        for n in names:
+            m = _TXN_RE.match(n)
+            if m and int(m.group(1)) <= k - keep_last:
+                try:
+                    os.unlink(os.path.join(self._txn_dir, n))
+                except OSError:
+                    pass

@@ -57,11 +57,71 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+_PRED_FORBIDDEN = re.compile(r"\bOR\b|\bNOT\b|\bIN\b|[()']", re.I)
+_PRED_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+_PRED_BETWEEN_AND = re.compile(
+    r"(\bBETWEEN\b\s+-?\d+(?:\.\d+)?\s+)\bAND\b", re.I
+)
+_PRED_CMP = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+    r"(-?\d+(?:\.\d+)?)\s*$"
+)
+_PRED_RANGE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
+    r"\s+__BAND__\s+(-?\d+(?:\.\d+)?)\s*$",
+    re.I,
+)
+
+
+def predicate_bounds(predicate: str) -> dict[str, tuple[float, float]]:
+    """Per-column ``[lo, hi]`` bounds IMPLIED by a SQL predicate, for
+    file-level stats pruning (Iceberg's inclusive-projection idea in
+    miniature) — deliberately conservative: bounds are extracted ONLY
+    when the predicate is provably a top-level AND-chain of simple
+    numeric comparisons (``col <op> literal`` / ``col BETWEEN a AND
+    b``). Anything structurally richer — OR / NOT / IN / parentheses —
+    returns ``{}`` and every file stays a candidate, because
+    mis-reading structure (e.g. deriving bounds from one arm of an OR)
+    would prune files that hold rows the delete MUST remove.
+    Within a verified AND-chain, skipping an unparsed conjunct is
+    sound (conjuncts only narrow), and ``<``/``>`` widen to closed
+    bounds — pruning may only ever skip files proven irrelevant."""
+    # Mask complete string literals FIRST ('' escapes handled) so a
+    # literal containing AND/OR can't be misread as structure; string
+    # conjuncts then simply fail to parse and are skipped. A quote
+    # surviving the mask is an unbalanced literal — no pruning.
+    masked = _PRED_STR_LIT.sub("__STR__", predicate)
+    if _PRED_FORBIDDEN.search(masked):
+        return {}
+    # protect BETWEEN's own AND before splitting the conjunction
+    guarded = _PRED_BETWEEN_AND.sub(r"\1__BAND__", masked)
+    out: dict[str, tuple[float, float]] = {}
+    for conj in re.split(r"\bAND\b", guarded, flags=re.I):
+        m = _PRED_RANGE.match(conj)
+        if m:
+            col, lo, hi = m.group(1), float(m.group(2)), float(m.group(3))
+        else:
+            m = _PRED_CMP.match(conj)
+            if not m:
+                continue  # unrecognized conjunct — sound to skip
+            col, op, lit = m.group(1), m.group(2), float(m.group(3))
+            if op in ("=", "=="):
+                lo, hi = lit, lit
+            elif op in ("<", "<="):
+                lo, hi = float("-inf"), lit
+            else:
+                lo, hi = lit, float("inf")
+        plo, phi = out.get(col, (float("-inf"), float("inf")))
+        out[col] = (max(plo, lo), min(phi, hi))
+    return out
 
 
 class CommitConflict(RuntimeError):
@@ -836,6 +896,27 @@ class SnapshotTable:
     def _append_once(
         self, batch_df: DataFrame, properties: dict | None
     ) -> int:
+        prep = self._prepare_append(batch_df, properties)
+        if isinstance(prep, int):
+            return prep  # no-op: empty batch on an existing snapshot
+        manifest, new_id, merged_bb = prep
+        sid = self._claim(manifest, new_id)
+        if merged_bb is not None:
+            self._prime_bb(sid, merged_bb)
+        return sid
+
+    def _prepare_append(
+        self, batch_df: DataFrame, properties: dict | None
+    ) -> "tuple[dict, int, dict | None] | int":
+        """Everything APPEND does up to — not including — the commit
+        claim: staged write, file promotion, manifest construction.
+        Returns the plain base id for the no-op case, else
+        ``(manifest, new_id, merged_bb-or-None)`` for the caller to
+        claim — directly (:meth:`_append_once`) or as one member of a
+        grouped transaction (:class:`SnapshotGroup`). Staged data
+        files are durable under ``data/`` when this returns; until a
+        claim lands they are unreferenced orphans, exactly the
+        existing crash-before-claim contract."""
         base_id = self.current_id()
         if base_id:
             base_raw = self._raw_meta(base_id)
@@ -874,11 +955,12 @@ class SnapshotTable:
             if base_id is not None and not properties:
                 return base_id
             if base_id is None:
-                return self._commit(
+                m, nid = self._build_commit(
                     evolved_json, [], [], operation="append",
                     base_id=None, properties=properties,
                 )
-            return self._commit_delta(
+                return m, nid, None
+            return self._build_delta(
                 evolved_json, base_bb, {}, operation="append",
                 base_id=base_id, properties=properties,
             )
@@ -891,7 +973,7 @@ class SnapshotTable:
                     self._entries(base_bb.get(f["bucket"], []))
                 )
             touched_new[f["bucket"]].append(f)
-        return self._commit_delta(
+        return self._build_delta(
             evolved_json, base_bb, touched_new, operation="append",
             base_id=base_id, properties=properties,
         )
@@ -987,6 +1069,132 @@ class SnapshotTable:
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="compact", base_id=base_id,
+        )
+
+    def delete_where(
+        self,
+        predicate: str,
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> int:
+        """Predicate DELETE as one copy-on-write snapshot commit — the
+        ``DELETE FROM t WHERE ...`` Iceberg/Delta users reach for
+        weekly (VERDICT r10 item 4), completing the DML triad next to
+        MERGE (upserts) and APPEND (insert-only). Rows where
+        ``predicate`` evaluates TRUE are removed; FALSE and NULL rows
+        survive (SQL DELETE semantics).
+
+        Cost discipline, in pruning order:
+
+        1. **File-level stats prune** — :func:`predicate_bounds`
+           extracts per-column ``[lo, hi]`` bounds implied by the
+           predicate; files whose footer stats can't overlap are not
+           even READ (same machinery as :meth:`read_where`; with
+           range-sorted or Z-ordered layout the prune skips most of
+           the table).
+        2. **File-level copy-on-write** — only files that (a) might
+           match by stats AND (b) live in a bucket where at least one
+           row ACTUALLY matched are rewritten; every other file —
+           including non-candidate files inside rewritten buckets —
+           carries by reference.
+        3. **O(touched) commit** — the delta-manifest path; a no-match
+           delete returns the current id with no empty commit.
+
+        Runs under the same optimistic-concurrency contract as every
+        commit: CAS retry on a lost race, time travel preserved
+        (deleted rows remain readable at pre-delete snapshots until
+        ``expire_snapshots``), and the predicate is recorded on the
+        manifest as the ``delete.predicate`` property for audit."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._delete_once(predicate, properties)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"delete_where lost the commit race {max_retries} times"
+        ) from last
+
+    def _delete_once(self, predicate: str, properties: dict | None) -> int:
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        base_bb = self._by_bucket(base_id)
+        bounds = predicate_bounds(predicate)
+
+        def may_match(f: dict) -> bool:
+            st = f.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                s = st.get(col)
+                if s is not None and (s[1] < lo or s[0] > hi):
+                    return False  # proven disjoint — skip the file
+            return True  # absent stats degrade to must-read
+
+        cand: dict[int, list[dict]] = {}
+        kept_files: dict[int, list[dict]] = {}
+        for bkt, loc in base_bb.items():
+            for f in self._entries(loc):
+                side = cand if may_match(f) else kept_files
+                side.setdefault(bkt, []).append(f)
+        if not cand:
+            return base_id  # stats prove nothing matches — no-op
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for fs in cand.values()
+            for f in fs
+        ]
+        cur = self._with_bucket(
+            self._aligned_read(
+                paths, self._schema_of(base_raw), spark=self.spark
+            )
+        ).withColumn(
+            # NULL predicate rows SURVIVE — SQL DELETE semantics
+            "__hit", F.coalesce(F.expr(predicate), F.lit(False))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r["__bucket"]
+                for r in cur.filter("__hit")
+                .select("__bucket")
+                .distinct()
+                .collect()  # ≤ n_buckets ids — metadata, never data
+            )
+            if not touched:
+                return base_id  # candidates held no actual match
+            survivors = cur.filter(
+                F.col("__bucket").isin(touched) & ~F.col("__hit")
+            ).drop("__hit")
+            run = uuid.uuid4().hex[:12]
+            staging = os.path.join(self._data_dir, f".staging-{run}")
+            (
+                survivors.repartition(len(touched), "__bucket")
+                .sortWithinPartitions("__bucket", self.order_col)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
+            new_files = self._promote_staged(staging, run)
+        finally:
+            cur.unpersist()
+        # Touched buckets: stats-pruned files carry by reference, the
+        # candidate files are replaced by the survivor rewrite.
+        # Unmatched candidate buckets keep their original lists.
+        touched_new: dict[int, list[dict]] = {
+            bkt: list(kept_files.get(bkt, [])) for bkt in touched
+        }
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        props = dict(properties or {})
+        props.setdefault("delete.predicate", predicate)
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="delete", base_id=base_id, properties=props,
         )
 
     def _merge_once(
@@ -1332,6 +1540,24 @@ class SnapshotTable:
         resolution walk), and on any bucket-count change (bucket
         numbers mean different things across a rebucket, so a delta
         against the old layout would be incoherent)."""
+        manifest, new_id = self._build_commit(
+            schema_json, carried, new_files, operation, base_id,
+            properties,
+        )
+        return self._claim(manifest, new_id)
+
+    def _build_commit(
+        self,
+        schema_json: str,
+        carried: list[dict],
+        new_files: list[dict],
+        operation: str,
+        base_id: int | None,
+        properties: dict | None = None,
+    ) -> tuple[dict, int]:
+        """Manifest construction half of :meth:`_commit`, separated so
+        a grouped transaction (:class:`SnapshotGroup`) can build every
+        member's manifest BEFORE the single group claim."""
         new_id = (base_id or 0) + 1
         all_files = carried + new_files
         by_bucket: dict[int, list[dict]] = {}
@@ -1371,7 +1597,7 @@ class SnapshotTable:
             manifest["buckets"] = delta
         if properties:
             manifest["properties"] = properties
-        return self._claim(manifest, new_id)
+        return manifest, new_id
 
     def _commit_delta(
         self,
@@ -1393,6 +1619,27 @@ class SnapshotTable:
         bucket-count change) materializes the merged view — O(F)
         amortized to O(F / 16) per commit, the documented resolution-
         bound trade."""
+        manifest, new_id, merged_bb = self._build_delta(
+            schema_json, parent_by_bucket, touched_new, operation,
+            base_id, properties,
+        )
+        sid = self._claim(manifest, new_id)
+        self._prime_bb(sid, merged_bb)
+        return sid
+
+    def _build_delta(
+        self,
+        schema_json: str,
+        parent_by_bucket: dict[int, list[dict]],
+        touched_new: dict[int, list[dict]],
+        operation: str,
+        base_id: int | None,
+        properties: dict | None = None,
+    ) -> tuple[dict, int, dict]:
+        """Manifest construction half of :meth:`_commit_delta` (see
+        :meth:`_build_commit` for why it is separable). Returns the
+        manifest, the id it claims, and the merged per-bucket view to
+        prime the cache with AFTER a successful claim."""
         new_id = (base_id or 0) + 1
         manifest = {
             "snapshot_id": new_id,
@@ -1441,16 +1688,17 @@ class SnapshotTable:
             merged_bb.update(written)
         if properties:
             manifest["properties"] = properties
-        sid = self._claim(manifest, new_id)
-        # Prime the shared per-bucket cache with the ON-DISK locator
-        # forms (the next commit's parent view, and what a cold reader
-        # would reconstruct): O(n_buckets + touched), no resolution
-        # walk, and big buckets stay as refs — not pinned lists.
+        return manifest, new_id, merged_bb
+
+    def _prime_bb(self, sid: int, merged_bb: dict) -> None:
+        """Prime the shared per-bucket cache with the ON-DISK locator
+        forms (the next commit's parent view, and what a cold reader
+        would reconstruct): O(n_buckets + touched), no resolution
+        walk, and big buckets stay as refs — not pinned lists."""
         self._bcache[sid] = merged_bb
         while len(self._bcache) > 64:  # same bound as the miss path —
             # a long-lived foreachBatch writer commits unboundedly
             self._bcache.pop(next(iter(self._bcache)))
-        return sid
 
     def _claim(self, manifest: dict, new_id: int) -> int:
         """Durable-write + os.link CAS + pointer advance — the shared
@@ -1480,6 +1728,7 @@ class SnapshotTable:
         fsync) and return its path — the ONE place the on-disk JSON is
         produced, shared by the _commit CAS link and expire_snapshots'
         floor materialization so the two can never drift."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
         tmp = os.path.join(
             self._manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json"
         )
