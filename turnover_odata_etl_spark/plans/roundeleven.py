@@ -1,0 +1,163 @@
+"""Round-11 STAGED queries — held for a cap ruling (the r10 verdict
+froze the registry at 204; precedent is the roundeight/roundnine/
+roundten lifecycle: stage with oracles + bench history + empty-sweep
+coverage, register when a verdict rules).
+
+``t_langid_confusion`` — the language-identification rung (VERDICT
+r10 item 3 / SURVEY E110): char-10-gram multinomial Naive Bayes
+(top-50k feature selection) fit
+IN-SPARK on the labeled documents corpus and used to classify the same
+corpus, emitting the (lang, pred_lang) confusion matrix. This
+completes the standard curation sequence CCNet/C4 pipelines run —
+langid → quality (E17/E78) → dedup (E8/E105) → decontaminate (E65) →
+select (E108) → mix (E73) → pack (E64). The DuckDB oracle recomputes
+the ENTIRE model (gram counts, smoothing, priors, argmax) in closed
+form — same exactness class as t_unigram_logprob/t_dsir_importance.
+
+Activation checklist (mirror of roundten's, executed at ruling):
+1. move the spec into ``@register`` form (oracle is already an eager
+   constant), import roundeleven in ``plans/__init__``,
+2. add it to the gate window for its first round,
+3. move STAGED_R11 → ADDITIONS_R11 in bench.py,
+4. re-point the empty-sweep staged block (tests/test_empty_input.py),
+5. adjudicate plan-audit entries if flagged (the model join is
+   vocab-sized broadcast; the per-language frames are 1-row-per-
+   language crossJoins — same class as t_dsir_importance's totals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import QuerySpec
+
+# Scoring determinism: the argmax compares LENGTH-NORMALIZED scores
+# rounded to the 4dp grid with language-ascending tie-break on BOTH
+# engines, so cross-engine sum-order ulps can never flip a decision
+# (the t_dsir_importance device). Only the argmax crosses engines —
+# scores never appear in the output.
+LANGID_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), d AS (
+      SELECT * FROM norm WHERE length(t) >= 10
+    ), grams AS (
+      SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 10) AS g
+      FROM d, unnest(range(1, length(t) - 8)) AS u(i)
+    ), cnt0 AS (
+      SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY lang, g
+    ), gsel AS (
+      -- top-50k feature selection: global count DESC, gram ASC — a
+      -- total order, deterministic on both engines
+      SELECT g FROM (
+        SELECT g, row_number() OVER (ORDER BY sum(c) DESC, g) AS rn
+        FROM cnt0 GROUP BY g
+      ) WHERE rn <= 50000
+    ), cnt AS (
+      SELECT * FROM cnt0 WHERE g IN (SELECT g FROM gsel)
+    ), tots AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY lang
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM cnt
+    ), prior AS (
+      SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM d))
+               AS lp_prior
+      FROM d GROUP BY lang
+    ), dg AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k
+      FROM grams WHERE g IN (SELECT g FROM gsel)
+      GROUP BY doc_id, g
+    ), nd AS (
+      -- n_d counts gram tokens in the SELECTED vocabulary; docs with
+      -- none are unclassifiable and drop out here
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_d FROM dg GROUP BY doc_id
+    ), present AS (
+      SELECT dg.doc_id, cnt.lang,
+             sum(dg.k * ln(cnt.c + 0.5)) AS ps,
+             CAST(sum(dg.k) AS BIGINT) AS np
+      FROM dg JOIN cnt USING (g)
+      GROUP BY dg.doc_id, cnt.lang
+    ), cand AS (
+      SELECT nd.doc_id, k.lang, nd.n_d,
+             coalesce(p.ps, 0)
+               + (nd.n_d - coalesce(p.np, 0)) * ln(0.5)
+               - nd.n_d * ln(k.tot + 0.5 * v.v)
+               + pr.lp_prior AS score
+      FROM nd
+      CROSS JOIN tots k
+      CROSS JOIN vocab v
+      JOIN prior pr ON pr.lang = k.lang
+      LEFT JOIN present p
+        ON p.doc_id = nd.doc_id AND p.lang = k.lang
+    ), ranked AS (
+      SELECT doc_id, lang AS pred_lang,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(score / n_d, 4) DESC, lang
+             ) AS rk
+      FROM cand
+    )
+    SELECT d.lang, r.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked r JOIN d ON d.doc_id = r.doc_id
+    WHERE r.rk = 1
+    GROUP BY d.lang, r.pred_lang
+"""
+
+
+def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-10-gram Naive-Bayes language ID (top-50k feature
+    selection), fit and applied in one
+    Catalyst plan (operators/langid.py): per-language gram counts with
+    add-0.5 smoothing over the joint vocabulary, document classified
+    to the argmax of the length-normalized log-posterior (4dp grid,
+    language-ascending tie-break), output folded to the (true lang ×
+    predicted lang) confusion matrix — the monitoring artifact a
+    curation pipeline actually keeps.
+
+    Plan shape: ONE corpus gram pass feeds both the model aggregation
+    (vocab-sized — Heaps' law) and the doc-gram frame; the model
+    broadcasts into the scoring join, so the corpus never shuffles on
+    gram — it crosses the wire once, at (doc, lang) score grain; the
+    per-language totals/priors/vocab frames are alphabet-sized
+    crossJoins. At 100 TB: a broadcast-sized model, one map-side gram
+    explode, one doc-grain aggregate, one 5-row-per-doc argmax
+    window.
+
+    Order/size choice: the synthetic fixture's languages share a
+    WORD vocabulary and differ in token SEQUENCE statistics, so
+    low-order char grams underperform (n=3 scores 58%, measured)
+    while n=10 — spanning a word boundary into the next word —
+    reaches 96%/93% accuracy at sf0.01/sf0.1; the same per-corpus
+    order selection a real deployment runs (langid.py/fastText tune
+    their n-gram ranges per training corpus). ``max_features=50000``
+    is what makes the broadcast-model claim TRUE at 100 TB: the raw
+    n-gram vocabulary grows with the corpus, the selected model is
+    K-sized forever."""
+    from ..operators.langid import fit_langid, score_langid
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_langid(
+        docs, "text", "lang", n=10, alpha=0.5, max_features=50000
+    )
+    pred = score_langid(docs, model, "text", "doc_id")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# Staged specs — same shape the registry holds, NOT registered (cap).
+STAGED: dict[str, QuerySpec] = {
+    "t_langid_confusion": QuerySpec(
+        name="t_langid_confusion",
+        fn=t_langid_confusion,
+        oracle=LANGID_ORACLE,
+        tags=("llm", "text", "langid"),
+    ),
+}
