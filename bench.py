@@ -130,11 +130,12 @@ ADDITIONS_R10 = [
     "d_semdedup_incremental",
 ]
 
-# Round-11 STAGED query (plans/roundeleven.py — held for a cap ruling,
-# registry frozen at 204; timed here as staged_r11 so the
-# staged→registered delta series continues when it registers).
+# Round-11 STAGED queries (plans/roundeleven.py — held for a cap
+# ruling, registry frozen at 204; timed here as staged_r11 so the
+# staged→registered delta series continues when they register).
 STAGED_R11 = [
     "t_langid_confusion",
+    "s_snapshot_delete_where",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

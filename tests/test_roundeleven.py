@@ -30,7 +30,7 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"t_langid_confusion"}
+    assert set(STAGED) == {"t_langid_confusion", "s_snapshot_delete_where"}
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -113,3 +113,17 @@ def test_langid_unseen_grams_are_ignored(spark):
     assert len(out) == 1 and out[0]["pred_lang"] == "xx"
     # n_grams counts only IN-VOCABULARY gram tokens
     assert out[0]["n_grams"] < 14
+
+
+def test_delete_where_lifecycle_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundeleven import (
+        DELETE_WHERE_ORACLE,
+        s_snapshot_delete_where,
+    )
+
+    compare_spark_vs_oracle(
+        s_snapshot_delete_where(spark, sf_dir),
+        _con(sf_dir),
+        DELETE_WHERE_ORACLE,
+        "s_snapshot_delete_where",
+    )

@@ -14,9 +14,18 @@ select (E108) → mix (E73) → pack (E64). The DuckDB oracle recomputes
 the ENTIRE model (gram counts, smoothing, priors, argmax) in closed
 form — same exactness class as t_unigram_logprob/t_dsir_importance.
 
+``s_snapshot_delete_where`` — the predicate-DELETE lifecycle (VERDICT
+r10 item 4's "oracle path" criterion): value-sliced appends for a
+stats-prunable layout, a numeric RANGE delete (bounds-parsed, file
+prune) plus a STRING-equality delete (no bounds — honest full
+candidate read, matched-bucket rewrite), compact + GC, final read ==
+the batch anti-filter. The unit/model tests pin each mechanism; this
+pins the composed lifecycle against a DuckDB oracle through the full
+stack, the s_snapshot_append_compact pattern.
+
 Activation checklist (mirror of roundten's, executed at ruling):
-1. move the spec into ``@register`` form (oracle is already an eager
-   constant), import roundeleven in ``plans/__init__``,
+1. move the specs into ``@register`` form (oracles are already eager
+   constants), import roundeleven in ``plans/__init__``,
 2. add it to the gate window for its first round,
 3. move STAGED_R11 → ADDITIONS_R11 in bench.py,
 4. re-point the empty-sweep staged block (tests/test_empty_input.py),
@@ -152,6 +161,75 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_WHERE_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE NOT (value BETWEEN 100 AND 250)
+      AND event_type <> 'click'
+    GROUP BY event_type
+"""
+
+
+def s_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-DELETE lifecycle through the full snapshot stack
+    (``SnapshotTable.delete_where``, round 11 — VERDICT r10 item 4's
+    oracle-path exercise): load the events table as three VALUE-SLICED
+    appends (so data files carry tight per-column footer stats — the
+    layout that makes the delete's stats prune selective), run the two
+    predicate shapes a user actually issues — a numeric RANGE delete
+    (``value BETWEEN 100 AND 250``: the bounds parser extracts
+    [100, 250] and the candidate read skips every non-overlapping
+    file) and a STRING-equality delete (``event_type = 'click'``:
+    unparseable bounds, every file a candidate, only matched buckets
+    rewrite) — then ``compact()`` and ``expire_snapshots`` reclaim the
+    copy-on-write debris, and the final read must equal the plain
+    batch anti-filter.
+
+    Scale: delete 1 reads only value-overlapping files; delete 2 is
+    the honest worst case (no bounds ⇒ full candidate read) but still
+    rewrites only matched buckets; compaction and GC are the
+    explicitly maintenance-bounded ops. Cost is protocol + touched
+    data, never O(table × deletes)."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/delete_where"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for w, (lo, hi) in enumerate(
+        [(None, 100.0), (100.0, 250.0), (250.0, None)], start=1
+    ):
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("value") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("value") < hi)
+        t.append(sl.withColumn("__ver", F.lit(w)))
+    t.delete_where("value BETWEEN 100 AND 250")
+    t.delete_where("event_type = 'click'")
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_langid_confusion": QuerySpec(
@@ -159,5 +237,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=t_langid_confusion,
         oracle=LANGID_ORACLE,
         tags=("llm", "text", "langid"),
+    ),
+    "s_snapshot_delete_where": QuerySpec(
+        name="s_snapshot_delete_where",
+        fn=s_snapshot_delete_where,
+        oracle=DELETE_WHERE_ORACLE,
+        tags=("storage", "snapshot", "delete"),
     ),
 }
