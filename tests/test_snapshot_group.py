@@ -198,17 +198,27 @@ def test_group_detects_foreign_member_commit(spark, gdir, monkeypatch):
         )
 
 
-def test_group_txn_log_is_pruned(spark, gdir):
+def test_group_txn_log_expiry_is_explicit(spark, gdir):
+    """Txn records are never auto-pruned (a writer stalled between its
+    number capture and its claim could re-claim a pruned number);
+    expire_txns is the explicit quiesced-writers maintenance op."""
     _, _, g = mk(spark, gdir)
     for i in range(1, 8):
         g.append_all(
             {"a": batch(spark, [(i, i)]), "b": batch(spark, [(i, i)])}
         )
-    names = sorted(os.listdir(g._txn_dir))
-    ids = [int(n.split("-")[1].split(".")[0]) for n in names
-           if n.startswith("txn-")]
-    assert max(ids) == 7 and min(ids) > 3  # old records reclaimed
-    # and the kept record is complete JSON (fsync'd before the link)
+    ids = sorted(
+        int(n.split("-")[1].split(".")[0])
+        for n in os.listdir(g._txn_dir) if n.startswith("txn-")
+    )
+    assert ids == list(range(1, 8))  # all records retained by default
+    g.expire_txns(keep_last=4)
+    ids = sorted(
+        int(n.split("-")[1].split(".")[0])
+        for n in os.listdir(g._txn_dir) if n.startswith("txn-")
+    )
+    assert ids == [4, 5, 6, 7]
+    # and the latest record is complete JSON (fsync'd before the link)
     with open(g._txn_path(7)) as fh:
         rec = json.load(fh)
     assert set(rec["members"]) == {"a", "b"}
@@ -251,3 +261,122 @@ def test_neardup_replayed_wave_appends_nothing(spark, tmp_path):
     # and a gap (skipping an uncommitted wave) is refused loudly
     with pytest.raises(ValueError, match="consecutive"):
         neardup_wave(t, df.limit(0), "text", "doc_id", 0.6, 9)
+
+
+def test_group_empty_batches_advance_with_properties(spark, gdir):
+    """Review r11: a zero-row transaction WITH properties must advance
+    every member (metadata-only commits) — the checkpoint contract an
+    empty micro-batch needs."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])},
+        properties={"wave": 1},
+    )
+    out = g.append_all(
+        {"a": batch(spark, []), "b": batch(spark, [])},
+        properties={"wave": 2},
+    )
+    assert out == {"a": 2, "b": 2}
+    assert a.current_id() == b.current_id() == 2
+    assert a.read().count() == 1 and b.read().count() == 1
+    assert a.latest_property("wave") == 2
+
+
+def test_group_stale_claim_race_retries_cleanly(spark, gdir, monkeypatch):
+    """Review r11 (the poisoned-record interleaving): writer B commits
+    BETWEEN A's recover() and A's claim. A's txn number was captured
+    before prepare, so A's claim on k+1 must FAIL (B holds it) and A
+    must retry on B's state — never claim a later number with stale
+    member manifests and never leave a latest txn record that wedges
+    recover()."""
+    import turnover_odata_etl_spark.storage.group as grp_mod
+
+    a, b, g1 = mk(spark, gdir)
+    _, _, g2 = mk(spark, gdir)
+    g1.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+
+    real_tmp = type(a)._write_manifest_tmp
+    state = {"raced": False}
+
+    def racing_tmp(table, manifest):
+        # fire when A prepares its FIRST member — after A's recover(),
+        # before A's claim
+        if not state["raced"]:
+            state["raced"] = True
+            g2.append_all(
+                {"a": batch(spark, [(7, 2)]), "b": batch(spark, [(6, 2)])}
+            )
+        return real_tmp(table, manifest)
+
+    monkeypatch.setattr(type(a), "_write_manifest_tmp", racing_tmp)
+    out = g1.append_all(
+        {"a": batch(spark, [(2, 3)]), "b": batch(spark, [(8, 3)])}
+    )
+    monkeypatch.undo()
+    assert out == {"a": 3, "b": 3}
+    # fresh handle: recover() must be clean (no poisoned latest txn)
+    a3, b3, g3 = mk(spark, gdir)
+    g3.recover()
+    assert sorted(r["k"] for r in a3.read().collect()) == [1, 2, 7]
+    assert sorted(r["k"] for r in b3.read().collect()) == [6, 8, 9]
+
+
+def test_neardup_empty_wave_advances_checkpoint(spark, tmp_path):
+    """Review r11: a zero-row trigger must advance the wave checkpoint
+    (metadata-only grouped commit), so later waves still commit."""
+    from turnover_odata_etl_spark.plans.roundnine import (
+        NeardupIndex,
+        neardup_wave,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    t = NeardupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    neardup_wave(t, df, "text", "doc_id", 0.6, 1).collect()
+    neardup_wave(t, df.limit(0), "text", "doc_id", 0.6, 2).collect()
+    assert t.current_wave() == 2
+    # wave 3 proceeds — the empty wave did not wedge the guard
+    neardup_wave(t, df.limit(0), "text", "doc_id", 0.6, 3).collect()
+    assert t.current_wave() == 3
+
+
+def test_neardup_cross_wave_redelivery_is_filtered(spark, tmp_path):
+    """Review r11: at-least-once ACROSS batch boundaries — a doc
+    redelivered in a LATER wave must not re-enter the index (no
+    duplicate rows) and must not re-emit its pairs; new docs in the
+    same wave still pair against it through the index."""
+    from turnover_odata_etl_spark.operators.dedup import near_dup_pairs
+    from turnover_odata_etl_spark.plans.roundnine import (
+        NeardupIndex,
+        neardup_wave,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far"
+    df = spark.createDataFrame(
+        [(0, base), (3, base + " away"), (1, base + " today")],
+        "doc_id long, text string",
+    )
+    t = NeardupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    w1 = [tuple(r) for r in neardup_wave(
+        t, df.filter("doc_id in (0, 3)"), "text", "doc_id", 0.6, 1
+    ).collect()]
+    sigs_rows = t.sigs.read().count()
+    # wave 2 REDELIVERS doc 0 alongside the genuinely new doc 1
+    w2 = [tuple(r) for r in neardup_wave(
+        t, df.filter("doc_id in (0, 1)"), "text", "doc_id", 0.6, 2
+    ).collect()]
+    # doc 0 contributed no new index rows...
+    assert t.sigs.read().count() == sigs_rows + 1
+    assert t.sigs.read().filter("doc_id = 0").count() == 1
+    # ...and no re-emitted pairs: union == batch answer exactly once
+    got = sorted(w1 + w2)
+    want = sorted(
+        tuple(r)
+        for r in near_dup_pairs(df, "text", "doc_id", 0.6).collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))

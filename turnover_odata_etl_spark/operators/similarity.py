@@ -448,7 +448,9 @@ def kmeans_assign(
     clustering kernel under :func:`ivf_topk` (IVF coarse quantizer)
     and :func:`..dedup.semantic_dedup` (SemDeDup cluster stage).
 
-    ``vectors`` must carry ``(nid long, vec array<float>)``. Centroids:
+    ``vectors`` must carry ``(nid, vec array<float>)`` — ``nid`` may
+    be long OR string (round 11: the id passes through with its own
+    type; see :func:`assign_to_centroids`). Centroids:
     first ``n_cells`` vectors by id (deterministic seeding, no RNG) +
     ONE distributed Lloyd refinement (assign → per-cell mean via a
     (cell, dim) aggregation). Only the centroid matrix itself touches

@@ -1021,26 +1021,64 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
         F.col("doc_id").alias("n_id"),
         F.posexplode("buckets").alias("band", "bucket"),
     )
-    # new×new candidates: the batch path, restricted to the wave
-    cand_nn = lsh_candidate_pairs(sigs_new)
+    bread = None
     if done_wave > 0:
-        # new×index candidates: the index side opens ONLY the physical
-        # buckets the wave's band keys hash into (read_matching on the
-        # (band, bucket) layout) — never the whole corpus. The
-        # anti-join on the wave's own keys is replay safety: on a
+        # The index side opens ONLY the physical buckets the wave's
+        # band keys hash into (read_matching on the (band, bucket)
+        # layout) — never the whole corpus. Persisted: it feeds BOTH
+        # the redelivery detection and the candidate join.
+        bread = index.bands.read_matching(
+            bn.select("band", "bucket")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if done_wave < ver:
+            # At-least-once ACROSS batch boundaries (review r11): a
+            # redelivered doc lands in the NEXT micro-batch, not the
+            # same one — Kafka-style. Already-indexed docs are dropped
+            # from the wave: their pairs were emitted by the wave that
+            # indexed them, so keeping them would both re-emit those
+            # pairs and append duplicate index rows. Detection is
+            # FREE: a redelivered doc's band keys are the wave's own
+            # keys, so its index rows are guaranteed inside the
+            # already-pruned bands read — no extra I/O. A same-ver
+            # REPLAY skips the filter (done_wave >= ver): it must
+            # re-emit its original pairs.
+            redelivered = (
+                bread.select("doc_id")
+                .join(sigs_new.select("doc_id"), "doc_id", "left_semi")
+                .distinct()
+            )
+            # persisted: the filtered wave feeds six downstream
+            # lineages (candidates, both probe anti-joins, the verify
+            # union, both appends) — without the pin each would re-run
+            # the anti-join
+            wave = sigs_new.join(
+                redelivered, "doc_id", "left_anti"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            wave = sigs_new
+        bn_w = wave.select(
+            F.col("doc_id").alias("n_id"),
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+        # new×new candidates: the batch path, restricted to the wave
+        cand_nn = lsh_candidate_pairs(wave)
+        # The anti-join on the wave's own keys is replay safety: on a
         # REPLAYED wave the docs are already indexed, and without it
         # they would sit on both join sides — self-pairs (jac=1.0)
-        # and doubled rows.
+        # and doubled rows. (Redelivered docs of a COMMITTING wave
+        # stay on the old side — new docs pair against them through
+        # the index, exactly once.)
         bo = (
-            index.bands.read_matching(bn.select("band", "bucket"))
-            .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
+            bread
+            .join(wave.select("doc_id"), "doc_id", "left_anti")
             .select(F.col("doc_id").alias("o_id"), "band", "bucket")
             # No dropDuplicates armor since round 11: the grouped
-            # commit + replay skip guarantee the index never holds
-            # duplicate rows (pinned by the replay test).
+            # commit + replay/redelivery skips guarantee the index
+            # never holds duplicate rows (pinned by the replay and
+            # redelivery tests).
         )
         cand_no = (
-            bn.join(bo, ["band", "bucket"])
+            bn_w.join(bo, ["band", "bucket"])
             .select(
                 F.least("n_id", "o_id").alias("a_id"),
                 F.greatest("n_id", "o_id").alias("b_id"),
@@ -1063,15 +1101,18 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
                 F.explode(F.array("a_id", "b_id")).alias("doc_id")
             )
             .distinct()
-            .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
+            .join(wave.select("doc_id"), "doc_id", "left_anti")
         )
         old_sh = (
             index.sigs.read_matching(old_ids)
-            .join(sigs_new.select("doc_id"), "doc_id", "left_anti")
+            .join(wave.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "shingles")
         )
-        both = sigs_new.select("doc_id", "shingles").unionByName(old_sh)
+        both = wave.select("doc_id", "shingles").unionByName(old_sh)
     else:
+        wave = sigs_new
+        bn_w = bn
+        cand_nn = lsh_candidate_pairs(sigs_new)
         cands = cand_nn
         both = sigs_new.select("doc_id", "shingles")
     pairs = exact_jaccard(cands, both, threshold).persist(
@@ -1089,17 +1130,25 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     # a replayed already-committed wave skips the commit entirely, so
     # duplicate index rows cannot exist.
     if done_wave < ver:
+        # properties force a metadata-only commit on zero-row waves —
+        # the checkpoint advances on EVERY trigger (review r11: an
+        # empty micro-batch must not wedge the consecutive-wave guard)
         index.group.append_all(
             {
-                "bands": bn.select(
+                "bands": bn_w.select(
                     "band", "bucket", F.col("n_id").alias("doc_id")
                 ).withColumn("__ver", F.lit(ver)),
-                "sigs": sigs_new.select("doc_id", "shingles").withColumn(
+                "sigs": wave.select("doc_id", "shingles").withColumn(
                     "__ver", F.lit(ver)
                 ),
-            }
+            },
+            properties={"wave": int(ver)},
         )
     sigs_new.unpersist()  # corpus-sized; pairs are answer-sized
+    if wave is not sigs_new:
+        wave.unpersist()
+    if bread is not None:
+        bread.unpersist()
     if cands is not cand_nn:
         cands.unpersist()
     return pairs

@@ -61,6 +61,7 @@ class SnapshotGroup:
             raise ValueError("SnapshotGroup needs at least one table")
         self.tables = dict(tables)
         self._txn_dir = os.path.join(group_dir, "txns")
+        self._applied = 0  # highest txn this handle knows is rolled
 
     # ------------------------------------------------------------ txn log
 
@@ -83,11 +84,12 @@ class SnapshotGroup:
         crash between the group claim and the member links can never
         be observed as a torn commit by group users."""
         k = self.last_txn()
-        if k == 0:
-            return
+        if k == 0 or k == self._applied:
+            return  # hot path: this handle already rolled k forward
         with open(self._txn_path(k)) as fh:
             rec = json.load(fh)
         self._roll_forward(rec)
+        self._applied = k
 
     def _roll_forward(self, rec: dict) -> None:
         for name, m in rec["members"].items():
@@ -129,24 +131,35 @@ class SnapshotGroup:
         self,
         batches: dict[str, DataFrame],
         max_retries: int = 5,
+        properties: dict | None = None,
     ) -> dict[str, int]:
         """APPEND every batch to its member table as ONE atomic
         transaction: either every member's new snapshot becomes
         visible (to group users — ``recover()`` heals the member-link
         window) or none does. Returns ``{name: committed id}``.
         Members whose batch is empty no-op at their current id, same
-        as :meth:`SnapshotTable.append`."""
+        as :meth:`SnapshotTable.append` — unless ``properties`` is
+        given, in which case every member advances with a
+        metadata-only commit (the empty-micro-batch watermark
+        contract: a checkpoint consumer like ``NeardupIndex`` needs
+        ids to advance even on zero-row triggers)."""
         unknown = set(batches) - set(self.tables)
         if unknown:
             raise ValueError(f"unknown group members: {sorted(unknown)}")
         for _ in range(max_retries):
+            # Capture the txn number BEFORE preparing members (review
+            # r11): the claim on k+1 then fails for ANY group commit
+            # that lands after this point, so member manifests can
+            # never be prepared against one state and claimed over
+            # another — the stale-claim/poisoned-record interleaving.
+            k = self.last_txn()
             self.recover()
             txn_uid = uuid.uuid4().hex
             out: dict[str, int] = {}
             prepared: dict[str, tuple] = {}
             for name, df in batches.items():
                 t = self.tables[name]
-                prep = t._prepare_append(df, properties=None)
+                prep = t._prepare_append(df, properties=properties)
                 if isinstance(prep, int):
                     out[name] = prep  # empty batch — no-op member
                     continue
@@ -156,7 +169,6 @@ class SnapshotGroup:
                 prepared[name] = (t, manifest, new_id, merged_bb, tmp)
             if not prepared:
                 return out
-            k = self.last_txn() + 1
             rec = {
                 "txn": txn_uid,
                 "members": {
@@ -176,7 +188,7 @@ class SnapshotGroup:
                 fh.flush()
                 os.fsync(fh.fileno())
             try:
-                os.link(rec_tmp, self._txn_path(k))  # THE commit point
+                os.link(rec_tmp, self._txn_path(k + 1))  # commit point
             except FileExistsError:
                 # lost the group race: abort this attempt (staged data
                 # files stay as orphans, same as a lost member CAS) and
@@ -190,6 +202,7 @@ class SnapshotGroup:
                     os.unlink(rec_tmp)
             # committed — roll forward (crash-safe: recover() replays)
             self._roll_forward(rec)
+            self._applied = k + 1
             for name, (t, manifest, new_id, merged_bb, _tmp) in (
                 prepared.items()
             ):
@@ -197,15 +210,19 @@ class SnapshotGroup:
                 if merged_bb is not None:
                     t._prime_bb(new_id, merged_bb)
                 out[name] = new_id
-            self._prune_txns(keep_last=4)
             return out
         raise RuntimeError(
             f"group append lost the commit race {max_retries} times"
         )
 
-    def _prune_txns(self, keep_last: int) -> None:
-        """Applied txn records are dead weight (recover() reads only
-        the latest); keep a short tail for forensics."""
+    def expire_txns(self, keep_last: int = 8) -> None:
+        """MAINTENANCE: reclaim applied txn records (recover() reads
+        only the latest). Requires NO concurrent group writers — a
+        writer stalled between its txn-number capture and its claim
+        could otherwise re-claim a pruned number (the same quiesced-
+        writers retention contract as ``expire_snapshots``); records
+        are ~200 bytes each, so routine operation can simply keep
+        them."""
         k = self.last_txn()
         try:
             names = os.listdir(self._txn_dir)
