@@ -54,7 +54,8 @@ def test_snapshot_pruned_read_matches_oracle(spark, sf_dir):
 def test_roundeight_is_registered():
     """Round 8 activated the nine staged queries per the r07 cap
     ruling; round 10 moved the cap to 201 per the r09 ruling
-    (roundnine activations) and froze it there."""
+    (roundnine activations); round 11 moved it to 204 per the r10
+    ruling (roundten activations) and froze it there."""
     specs = all_specs()
     for name in (
         "m_gif_decode_features",
@@ -69,7 +70,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 201
+    assert len(specs) == 204
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

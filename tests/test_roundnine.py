@@ -75,8 +75,8 @@ def test_exact_substr_clean_is_a_fixpoint(spark, sf_dir):
 
 def test_roundnine_is_registered_with_eager_oracles():
     """The r09 cap ruling executed in round 10: all ten round-9
-    queries are registered with eager (never-None) oracles, and the
-    registry is frozen at 201."""
+    queries are registered with eager (never-None) oracles; the cap
+    moved to 204 in round 11 (r10 ruling) and is frozen there."""
     specs = all_specs()
     activated = (
         "m_avi_decode_features",
@@ -93,7 +93,7 @@ def test_roundnine_is_registered_with_eager_oracles():
     for name in activated:
         assert name in specs, name
         assert specs[name].oracle, f"{name}: oracle must be eager"
-    assert len(specs) == 201  # the frozen cap (r09 ruling)
+    assert len(specs) == 204  # the frozen cap (r10 ruling)
 
 
 def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):
