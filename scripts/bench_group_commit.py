@@ -71,6 +71,12 @@ def main() -> None:
             F.col("id").alias("k"), F.lit(w).alias("ver")
         )
 
+    # warm-up: pay JIT/codegen/parquet-writer init OUTSIDE the timed
+    # sections so ordering doesn't bias the comparison
+    wa, wb = mk("warm")
+    wa.append(batch(0))
+    wb.append(batch(0))
+
     # -- sequential per-table appends (the round-10 shape) ------------
     a, b = mk("seq")
     t0 = time.perf_counter()
