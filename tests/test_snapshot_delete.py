@@ -291,3 +291,147 @@ def test_delete_where_expire_reclaims_rewritten_files(spark, tdir):
     gone = [p for p in old_paths if not os.path.exists(p)]
     assert gone  # superseded pre-delete files physically reclaimed
     assert rows(t.read()) == [(i, "x", i) for i in range(5)]
+
+
+# ------------------------------------------------------------- update
+
+
+def test_update_where_basic(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]))
+    sid = t.update_where("ver >= 2", {"v": "upper(v) || '!'"})
+    assert rows(t.read()) == [(1, "a", 1), (2, "B!", 2), (3, "C!", 3)]
+    # pre-update snapshot is time-travel stable
+    assert rows(t.read(snapshot_id=1)) == [
+        (1, "a", 1), (2, "b", 2), (3, "c", 3),
+    ]
+    m = t._manifest(sid)
+    assert m["operation"] == "update"
+    assert m["properties"]["update.predicate"] == "ver >= 2"
+    assert m["properties"]["update.columns"] == ["v"]
+
+
+def test_update_where_rejects_frozen_and_unknown_columns(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="key/order/bucket"):
+        t.update_where("ver = 1", {"k": "k + 1"})
+    with pytest.raises(ValueError, match="key/order/bucket"):
+        t.update_where("ver = 1", {"ver": "ver + 1"})
+    with pytest.raises(ValueError, match="unknown"):
+        t.update_where("ver = 1", {"nope": "1"})
+
+
+def test_update_where_prunes_and_carries_by_reference(spark, tdir):
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(i, "lo", i) for i in range(0, 20)]))
+    t.merge(batch(spark, [(i, "hi", i) for i in range(200, 220)]))
+    before = {f["path"]: f for f in t._manifest(t.current_id())["files"]}
+    sid = t.update_where("ver BETWEEN 200 AND 299", {"v": "'HI'"})
+    after = {f["path"]: f for f in t._manifest(sid)["files"]}
+    for p, f in before.items():
+        s = f["stats"]["ver"]
+        if s[1] < 200:
+            assert after[p] == f  # lo files untouched, same entries
+        else:
+            assert p not in after  # hi files rewritten
+    assert rows(t.read()) == sorted(
+        [(i, "lo", i) for i in range(0, 20)]
+        + [(i, "HI", i) for i in range(200, 220)]
+    )
+    # no-match update is a no-op commit-wise
+    assert t.update_where("ver > 10000", {"v": "'X'"}) == sid
+
+
+def test_update_where_null_predicate_rows_pass_through(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(
+        spark.createDataFrame(
+            [(1, None, 1), (2, "x", 2)], "k long, v string, ver long"
+        )
+    )
+    t.update_where("v = 'x'", {"v": "'y'"})
+    assert rows(t.read()) == [(1, None, 1), (2, "y", 2)]
+
+
+def test_update_where_cast_keeps_schema_stable(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    t.update_where("ver = 1", {"v": "ver * 10"})  # long expr -> string col
+    [r] = t.read().collect()
+    assert r["v"] == "10" and isinstance(r["v"], str)
+    assert t.read().schema["v"].dataType.simpleString() == "string"
+
+
+# --------------------------------------------------------- delete_keys
+
+
+def test_delete_keys_basic_and_nullsafe(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 2), (None, "n", 3), (4, "d", 4)],
+            "k long, v string, ver long",
+        )
+    )
+    keys = spark.createDataFrame([(2,), (None,), (99,)], "k long")
+    sid = t.delete_keys(keys)
+    assert rows(t.read()) == [(1, "a", 1), (4, "d", 4)]
+    pre = {
+        (r["k"], r["v"], r["ver"])
+        for r in t.read(snapshot_id=1).collect()
+    }
+    assert pre == {
+        (1, "a", 1), (2, "b", 2), (4, "d", 4), (None, "n", 3),
+    }
+    assert t._manifest(sid)["operation"] == "delete"
+
+
+def test_delete_keys_prunes_to_key_buckets(spark, tdir, monkeypatch):
+    """Only the requested keys' physical buckets may be read, and only
+    buckets with an actual match may be rewritten."""
+    t = make_table(spark, tdir, n_buckets=8)
+    t.merge(batch(spark, [(i, "x", 1) for i in range(80)]))
+    before = {f["path"]: f for f in t._manifest(t.current_id())["files"]}
+    target_bucket = (
+        batch(spark, [(7, "x", 1)])
+        .select(F.pmod(F.hash("k"), F.lit(8)).alias("b"))
+        .first()["b"]
+    )
+    opened = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        opened.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    sid = t.delete_keys(spark.createDataFrame([(7,)], "k long"))
+    monkeypatch.undo()
+    data_opened = [p for p in opened if p.endswith(".parquet")]
+    for p in data_opened:
+        entry = next(f for f in before.values() if p.endswith(f["path"]))
+        assert entry["bucket"] == target_bucket, f"wrong bucket read: {p}"
+    after = {f["path"]: f for f in t._manifest(sid)["files"]}
+    for p, f in before.items():
+        if f["bucket"] == target_bucket:
+            assert p not in after
+        else:
+            assert after[p] == f
+    assert t.read().count() == 79
+
+
+def test_delete_keys_no_match_is_noop(spark, tdir):
+    t = make_table(spark, tdir)
+    sid = t.merge(batch(spark, [(1, "a", 1)]))
+    assert t.delete_keys(
+        spark.createDataFrame([(42,)], "k long")
+    ) == sid
+    assert t.snapshot_ids() == [sid]
+
+
+def test_delete_keys_requires_key_columns(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="missing key columns"):
+        t.delete_keys(spark.createDataFrame([("x",)], "other string"))

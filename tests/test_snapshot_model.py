@@ -3,7 +3,8 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-delete-where / rebucket / expire operations runs against both the real
+delete-where / delete-keys / update-where / rebucket / expire
+operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
 keep-latest semantics), and after EVERY step the table must agree with
 the model on the current state, on a time-travel read of every still-
@@ -63,8 +64,11 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
     # across a periodic full anchor under every op mix.
     for step in range(20):
         op = rng.choices(
-            ["merge", "tomb_merge", "rebucket", "expire", "delete"],
-            weights=[6, 3, 1, 1, 2],
+            [
+                "merge", "tomb_merge", "rebucket", "expire", "delete",
+                "delete_keys", "update",
+            ],
+            weights=[6, 3, 1, 1, 2, 1, 2],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -108,6 +112,36 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 cur = new_cur
                 live_states[sid] = dict(cur)
             else:  # no-op contract: current id unchanged, no commit
+                assert sid == t.current_id()
+        elif op == "delete_keys":
+            if t.current_id() is None:
+                continue
+            kk = rng.sample(range(10), rng.randint(1, 3))
+            sid = t.delete_keys(
+                spark.createDataFrame([(k,) for k in kk], "k long")
+            )
+            new_cur = {k: kv for k, kv in cur.items() if k not in kk}
+            if new_cur != cur:
+                cur = new_cur
+                live_states[sid] = dict(cur)
+            else:
+                assert sid == t.current_id()
+        elif op == "update":
+            if t.current_id() is None:
+                continue
+            lo = rng.randint(0, max(ver_counter, 1))
+            hi = lo + rng.randint(0, 5)
+            sid = t.update_where(
+                f"ver BETWEEN {lo} AND {hi}", {"v": "v || '+'"}
+            )
+            new_cur = {
+                k: (ver, v + "+" if lo <= ver <= hi else v)
+                for k, (ver, v) in cur.items()
+            }
+            if new_cur != cur:
+                cur = new_cur
+                live_states[sid] = dict(cur)
+            else:
                 assert sid == t.current_id()
         elif op == "rebucket":
             if t.current_id() is None:

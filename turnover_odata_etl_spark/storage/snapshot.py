@@ -1197,6 +1197,264 @@ class SnapshotTable:
             operation="delete", base_id=base_id, properties=props,
         )
 
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> int:
+        """Predicate UPDATE as one copy-on-write snapshot commit —
+        ``UPDATE t SET col = expr WHERE ...``, completing the DML
+        quartet (MERGE / APPEND / DELETE / UPDATE). Rows where
+        ``predicate`` is TRUE get each ``assignments[col]`` SQL
+        expression applied (cast back to the column's type — the
+        schema never drifts through an update); FALSE/NULL rows pass
+        through byte-identical.
+
+        Same cost discipline as :meth:`delete_where`: predicate-bound
+        stats prune at FILE level, rewrite only buckets holding an
+        actual match, carry everything else by reference, O(touched)
+        delta commit, no-match no-op, CAS retry, predicate recorded as
+        a manifest property.
+
+        Key, order, and bucket columns cannot be assigned (a key/
+        bucket rewrite is a MERGE with a tombstone, not an update —
+        the row would change identity and physical placement);
+        unknown columns raise up front."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._update_once(predicate, assignments, properties)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"update_where lost the commit race {max_retries} times"
+        ) from last
+
+    def _update_once(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        properties: dict | None,
+    ) -> int:
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        schema = self._schema_of(base_raw)
+        frozen = set(self.key_cols) | {self.order_col} | set(self.bucket_cols)
+        bad = sorted(set(assignments) & frozen)
+        if bad:
+            raise ValueError(
+                f"update_where: cannot assign key/order/bucket "
+                f"columns {bad} (use merge with a new row instead)"
+            )
+        unknown = sorted(set(assignments) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown columns {unknown}"
+            )
+        base_bb = self._by_bucket(base_id)
+        bounds = predicate_bounds(predicate)
+
+        def may_match(f: dict) -> bool:
+            st = f.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                s = st.get(col)
+                if s is not None and (s[1] < lo or s[0] > hi):
+                    return False
+            return True
+
+        cand: dict[int, list[dict]] = {}
+        kept_files: dict[int, list[dict]] = {}
+        for bkt, loc in base_bb.items():
+            for f in self._entries(loc):
+                side = cand if may_match(f) else kept_files
+                side.setdefault(bkt, []).append(f)
+        if not cand:
+            return base_id
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for fs in cand.values()
+            for f in fs
+        ]
+        cur = self._with_bucket(
+            self._aligned_read(paths, schema, spark=self.spark)
+        ).withColumn(
+            "__hit", F.coalesce(F.expr(predicate), F.lit(False))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r["__bucket"]
+                for r in cur.filter("__hit")
+                .select("__bucket")
+                .distinct()
+                .collect()  # ≤ n_buckets ids — metadata, never data
+            )
+            if not touched:
+                return base_id
+            rows = cur.filter(F.col("__bucket").isin(touched))
+            for col, expr in assignments.items():
+                rows = rows.withColumn(
+                    col,
+                    F.when(
+                        F.col("__hit"),
+                        F.expr(expr).cast(schema[col].dataType),
+                    ).otherwise(F.col(col)),
+                )
+            rows = rows.drop("__hit")
+            run = uuid.uuid4().hex[:12]
+            staging = os.path.join(self._data_dir, f".staging-{run}")
+            (
+                rows.repartition(len(touched), "__bucket")
+                .sortWithinPartitions("__bucket", self.order_col)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
+            new_files = self._promote_staged(staging, run)
+        finally:
+            cur.unpersist()
+        touched_new: dict[int, list[dict]] = {
+            bkt: list(kept_files.get(bkt, [])) for bkt in touched
+        }
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        props = dict(properties or {})
+        props.setdefault("update.predicate", predicate)
+        props.setdefault("update.columns", sorted(assignments))
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="update", base_id=base_id, properties=props,
+        )
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> int:
+        """Keyed COW delete: remove every row whose full key tuple
+        appears in ``keys_df`` — the GDPR/right-to-be-forgotten
+        primitive a corpus table runs in batches (a keys frame, not a
+        key LIST: the deletion set can be millions of ids and never
+        touches the driver).
+
+        Pruning is by LAYOUT, not stats: the keys hash to their
+        physical buckets through Spark's own hash (bucket ids — at
+        most ``n_buckets`` integers — are the only thing collected),
+        so only those buckets' files are read; buckets where no key
+        actually matched carry by reference; matches are NULL-SAFE on
+        every key column (a NULL key component deletes rows with the
+        same NULL — the eqNullSafe lesson from the dedup family)."""
+        missing = [c for c in self.key_cols if c not in keys_df.columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys: keys frame is missing key columns "
+                f"{missing}"
+            )
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._delete_keys_once(keys_df, properties)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"delete_keys lost the commit race {max_retries} times"
+        ) from last
+
+    def _delete_keys_once(
+        self, keys_df: DataFrame, properties: dict | None
+    ) -> int:
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        base_bb = self._by_bucket(base_id)
+        keys = keys_df.select(*self.key_cols).dropDuplicates(
+            self.key_cols
+        )
+        target = sorted(
+            r["__bucket"]
+            for r in self._with_bucket(keys)
+            .select("__bucket")
+            .distinct()
+            .collect()  # ≤ n_buckets ids — metadata, never data
+        )
+        cand = {
+            b: self._entries(base_bb[b])
+            for b in target
+            if self._loc_n(base_bb.get(b, []))
+        }
+        if not cand:
+            return base_id
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for fs in cand.values()
+            for f in fs
+        ]
+        marked = keys.select(
+            *[F.col(k).alias(f"__k_{k}") for k in self.key_cols]
+        ).withColumn("__hit", F.lit(True))
+        cond = None
+        for k in self.key_cols:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        cur = (
+            self._with_bucket(
+                self._aligned_read(
+                    paths, self._schema_of(base_raw), spark=self.spark
+                )
+            )
+            .join(marked, cond, "left")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            touched = sorted(
+                r["__bucket"]
+                for r in cur.filter("__hit")
+                .select("__bucket")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return base_id
+            survivors = cur.filter(
+                F.col("__bucket").isin(touched) & F.col("__hit").isNull()
+            ).drop("__hit", *[f"__k_{k}" for k in self.key_cols])
+            run = uuid.uuid4().hex[:12]
+            staging = os.path.join(self._data_dir, f".staging-{run}")
+            (
+                survivors.repartition(len(touched), "__bucket")
+                .sortWithinPartitions("__bucket", self.order_col)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
+            new_files = self._promote_staged(staging, run)
+        finally:
+            cur.unpersist()
+        touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        props = dict(properties or {})
+        props.setdefault("delete.keys.buckets", len(touched))
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="delete", base_id=base_id, properties=props,
+        )
+
     def _merge_once(
         self,
         batch_df: DataFrame,
