@@ -135,7 +135,7 @@ ADDITIONS_R10 = [
 # staged→registered delta series continues when they register).
 STAGED_R11 = [
     "t_langid_confusion",
-    "s_snapshot_delete_where",
+    "s_snapshot_dml_lifecycle",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

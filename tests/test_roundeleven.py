@@ -30,7 +30,7 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"t_langid_confusion", "s_snapshot_delete_where"}
+    assert set(STAGED) == {"t_langid_confusion", "s_snapshot_dml_lifecycle"}
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -115,15 +115,15 @@ def test_langid_unseen_grams_are_ignored(spark):
     assert out[0]["n_grams"] < 14
 
 
-def test_delete_where_lifecycle_matches_oracle(spark, sf_dir):
+def test_dml_lifecycle_matches_oracle(spark, sf_dir):
     from turnover_odata_etl_spark.plans.roundeleven import (
-        DELETE_WHERE_ORACLE,
-        s_snapshot_delete_where,
+        DML_LIFECYCLE_ORACLE,
+        s_snapshot_dml_lifecycle,
     )
 
     compare_spark_vs_oracle(
-        s_snapshot_delete_where(spark, sf_dir),
+        s_snapshot_dml_lifecycle(spark, sf_dir),
         _con(sf_dir),
-        DELETE_WHERE_ORACLE,
-        "s_snapshot_delete_where",
+        DML_LIFECYCLE_ORACLE,
+        "s_snapshot_dml_lifecycle",
     )

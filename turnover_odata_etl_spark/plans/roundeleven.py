@@ -14,14 +14,16 @@ select (E108) → mix (E73) → pack (E64). The DuckDB oracle recomputes
 the ENTIRE model (gram counts, smoothing, priors, argmax) in closed
 form — same exactness class as t_unigram_logprob/t_dsir_importance.
 
-``s_snapshot_delete_where`` — the predicate-DELETE lifecycle (VERDICT
-r10 item 4's "oracle path" criterion): value-sliced appends for a
-stats-prunable layout, a numeric RANGE delete (bounds-parsed, file
-prune) plus a STRING-equality delete (no bounds — honest full
-candidate read, matched-bucket rewrite), compact + GC, final read ==
-the batch anti-filter. The unit/model tests pin each mechanism; this
-pins the composed lifecycle against a DuckDB oracle through the full
-stack, the s_snapshot_append_compact pattern.
+``s_snapshot_dml_lifecycle`` — the full DML-verb lifecycle (VERDICT
+r10 item 4's "oracle path" criterion, widened to all round-11 verbs):
+value-sliced appends for a stats-prunable layout, a numeric RANGE
+delete (bounds-parsed, file prune), a STRING-equality delete (no
+bounds — honest full candidate read, matched-bucket rewrite), a COW
+``update_where`` (schema-stable cast), a ``delete_keys`` batch
+(layout-hash bucket prune), compact + GC, final read == the batch
+composition of all four edits. The unit/model tests pin each
+mechanism; this pins the composed lifecycle against a DuckDB oracle
+through the full stack, the s_snapshot_append_compact pattern.
 
 Activation checklist (mirror of roundten's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are already eager
@@ -161,44 +163,59 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DELETE_WHERE_ORACLE = """
+DML_LIFECYCLE_ORACLE = """
+    WITH kept AS (
+      SELECT event_id, event_type,
+             CASE WHEN value < 50 THEN value + 1000
+                  ELSE value END AS value2
+      FROM events
+      WHERE NOT (value BETWEEN 100 AND 250)
+        AND event_type <> 'click'
+        AND event_id % 10 <> 3
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    WHERE NOT (value BETWEEN 100 AND 250)
-      AND event_type <> 'click'
+           round(sum(value2), 2) AS sum_value
+    FROM kept
     GROUP BY event_type
 """
 
 
-def s_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate-DELETE lifecycle through the full snapshot stack
-    (``SnapshotTable.delete_where``, round 11 — VERDICT r10 item 4's
-    oracle-path exercise): load the events table as three VALUE-SLICED
-    appends (so data files carry tight per-column footer stats — the
-    layout that makes the delete's stats prune selective), run the two
-    predicate shapes a user actually issues — a numeric RANGE delete
-    (``value BETWEEN 100 AND 250``: the bounds parser extracts
-    [100, 250] and the candidate read skips every non-overlapping
-    file) and a STRING-equality delete (``event_type = 'click'``:
-    unparseable bounds, every file a candidate, only matched buckets
-    rewrite) — then ``compact()`` and ``expire_snapshots`` reclaim the
-    copy-on-write debris, and the final read must equal the plain
-    batch anti-filter.
+def s_snapshot_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DML-verb lifecycle through the snapshot stack
+    (round 11 — VERDICT r10 item 4's oracle-path exercise, widened to
+    every new verb): load the events table as three VALUE-SLICED
+    appends (data files carry tight per-column footer stats — the
+    layout that makes predicate pruning selective), then run each DML
+    shape a user actually issues:
 
-    Scale: delete 1 reads only value-overlapping files; delete 2 is
-    the honest worst case (no bounds ⇒ full candidate read) but still
-    rewrites only matched buckets; compaction and GC are the
-    explicitly maintenance-bounded ops. Cost is protocol + touched
-    data, never O(table × deletes)."""
+    1. RANGE ``delete_where`` (``value BETWEEN 100 AND 250``): the
+       bounds parser extracts [100, 250] and the candidate read skips
+       every non-overlapping file;
+    2. STRING-equality ``delete_where`` (``event_type = 'click'``):
+       unparseable bounds — honest full candidate read, but only
+       matched buckets rewrite;
+    3. ``update_where`` (``value < 50`` → ``value + 1000``): COW
+       update, schema-stable cast, stats-pruned like the range delete;
+    4. ``delete_keys`` (every ``event_id % 10 = 3`` as a keys FRAME):
+       the GDPR batch-deletion primitive — layout-hash bucket prune,
+       null-safe key match;
+
+    then ``compact()`` + ``expire_snapshots`` reclaim the
+    copy-on-write debris and the final read must equal the plain batch
+    composition of all four edits.
+
+    Scale: each verb reads only its pruned candidates and rewrites
+    only matched buckets; compaction and GC are the explicitly
+    maintenance-bounded ops. Cost is protocol + touched data, never
+    O(table × edits)."""
     import os
     import shutil
 
     from ..storage import SnapshotTable
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/spark_graft_layout/{tag}/delete_where"
+    base = f"/tmp/spark_graft_layout/{tag}/dml_lifecycle"
     shutil.rmtree(base, ignore_errors=True)
     t = SnapshotTable(
         spark, os.path.join(base, "events"),
@@ -218,6 +235,8 @@ def s_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(sl.withColumn("__ver", F.lit(w)))
     t.delete_where("value BETWEEN 100 AND 250")
     t.delete_where("event_type = 'click'")
+    t.update_where("value < 50", {"value": "value + 1000"})
+    t.delete_keys(ev.filter("event_id % 10 = 3").select("event_id"))
     t.compact()
     t.expire_snapshots(keep_last=1)
     return (
@@ -238,10 +257,10 @@ STAGED: dict[str, QuerySpec] = {
         oracle=LANGID_ORACLE,
         tags=("llm", "text", "langid"),
     ),
-    "s_snapshot_delete_where": QuerySpec(
-        name="s_snapshot_delete_where",
-        fn=s_snapshot_delete_where,
-        oracle=DELETE_WHERE_ORACLE,
-        tags=("storage", "snapshot", "delete"),
+    "s_snapshot_dml_lifecycle": QuerySpec(
+        name="s_snapshot_dml_lifecycle",
+        fn=s_snapshot_dml_lifecycle,
+        oracle=DML_LIFECYCLE_ORACLE,
+        tags=("storage", "snapshot", "delete", "update"),
     ),
 }
