@@ -380,3 +380,63 @@ def test_neardup_cross_wave_redelivery_is_filtered(spark, tmp_path):
     )
     assert got == want
     assert len(got) == len(set(got))
+
+
+def test_group_merge_all_keeps_latest_atomically(spark, gdir):
+    """merge_all: keep-latest semantics per member, one transaction —
+    the base+derived-view commit pattern."""
+    a, b, g = mk(spark, gdir)
+    g.merge_all(
+        {"a": batch(spark, [(1, 1), (2, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    out = g.merge_all(
+        {"a": batch(spark, [(2, 5), (3, 2)]), "b": batch(spark, [(9, 7)])}
+    )
+    assert out == {"a": 2, "b": 2}
+    assert {(r["k"], r["ver"]) for r in a.read().collect()} == {
+        (1, 1), (2, 5), (3, 2),
+    }
+    assert {(r["k"], r["ver"]) for r in b.read().collect()} == {(9, 7)}
+    # tombstone filter applies per member
+    g.merge_all(
+        {"a": batch(spark, [(2, 9)]), "b": batch(spark, [(9, 9)])},
+        tombstone_filters={"a": "ver = 9"},
+    )
+    assert {(r["k"], r["ver"]) for r in a.read().collect()} == {
+        (1, 1), (3, 2),
+    }
+    assert {(r["k"], r["ver"]) for r in b.read().collect()} == {(9, 9)}
+
+
+def test_group_merge_all_crash_mid_rollforward_heals(
+    spark, gdir, monkeypatch
+):
+    """The same torn-window healing contract as append_all, through
+    the merge prepare path."""
+    import turnover_odata_etl_spark.storage.group as grp_mod
+
+    a, b, g = mk(spark, gdir)
+    g.merge_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    real_link = grp_mod.os.link
+    state = {"links": 0}
+
+    def boom(src, dst):
+        if "/manifests/" in dst.replace(os.sep, "/"):
+            state["links"] += 1
+            if state["links"] == 2:
+                raise OSError("injected crash mid roll-forward")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(grp_mod.os, "link", boom)
+    with pytest.raises(OSError):
+        g.merge_all(
+            {"a": batch(spark, [(1, 2)]), "b": batch(spark, [(9, 2)])}
+        )
+    monkeypatch.undo()
+    a2, b2, g2 = mk(spark, gdir)
+    g2.recover()
+    assert a2.current_id() == 2 and b2.current_id() == 2
+    assert {(r["k"], r["ver"]) for r in a2.read().collect()} == {(1, 2)}
+    assert {(r["k"], r["ver"]) for r in b2.read().collect()} == {(9, 2)}

@@ -143,6 +143,43 @@ class SnapshotGroup:
         metadata-only commit (the empty-micro-batch watermark
         contract: a checkpoint consumer like ``NeardupIndex`` needs
         ids to advance even on zero-row triggers)."""
+        return self._txn_all(
+            batches,
+            max_retries,
+            lambda name, t, df: t._prepare_append(
+                df, properties=properties
+            ),
+        )
+
+    def merge_all(
+        self,
+        batches: dict[str, DataFrame],
+        tombstone_filters: dict[str, str] | None = None,
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> dict[str, int]:
+        """Keep-latest MERGE every batch into its member table as ONE
+        atomic transaction — the base-table + derived-view pattern
+        (e.g. an incrementally-maintained aggregate committed in the
+        same instant as the base it reflects), with the same empty-
+        batch/properties contract as :meth:`append_all`. Per-member
+        ``tombstone_filters`` give CDC APPLY semantics, same as
+        :meth:`SnapshotTable.merge`."""
+        tf = tombstone_filters or {}
+        bad = set(tf) - set(self.tables)
+        if bad:
+            raise ValueError(
+                f"unknown tombstone_filters members: {sorted(bad)}"
+            )
+        return self._txn_all(
+            batches,
+            max_retries,
+            lambda name, t, df: t._prepare_merge(
+                df, tf.get(name), properties=properties
+            ),
+        )
+
+    def _txn_all(self, batches, max_retries, prepare) -> dict[str, int]:
         unknown = set(batches) - set(self.tables)
         if unknown:
             raise ValueError(f"unknown group members: {sorted(unknown)}")
@@ -159,7 +196,7 @@ class SnapshotGroup:
             prepared: dict[str, tuple] = {}
             for name, df in batches.items():
                 t = self.tables[name]
-                prep = t._prepare_append(df, properties=properties)
+                prep = prepare(name, t, df)
                 if isinstance(prep, int):
                     out[name] = prep  # empty batch — no-op member
                     continue

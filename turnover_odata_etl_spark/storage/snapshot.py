@@ -1461,6 +1461,25 @@ class SnapshotTable:
         tombstone_filter: str | None,
         properties: dict | None = None,
     ) -> int:
+        prep = self._prepare_merge(batch_df, tombstone_filter, properties)
+        if isinstance(prep, int):
+            return prep  # no-op: empty batch on an existing snapshot
+        manifest, new_id, merged_bb = prep
+        sid = self._claim(manifest, new_id)
+        if merged_bb is not None:
+            self._prime_bb(sid, merged_bb)
+        return sid
+
+    def _prepare_merge(
+        self,
+        batch_df: DataFrame,
+        tombstone_filter: str | None,
+        properties: dict | None = None,
+    ) -> "tuple[dict, int, dict | None] | int":
+        """Everything MERGE does up to — not including — the commit
+        claim (see :meth:`_prepare_append` for the contract); used
+        directly by :meth:`_merge_once` and as one member of a
+        grouped transaction (:meth:`SnapshotGroup.merge_all`)."""
         missing = [
             c
             for c in (*self.key_cols, self.order_col)
@@ -1511,14 +1530,15 @@ class SnapshotTable:
             if base_id is not None and not properties:
                 return base_id
             if base_id is None:
-                return self._commit(
+                m, nid = self._build_commit(
                     batch_df.schema.json(), [], [],
                     operation="merge", base_id=None,
                     properties=properties,
                 )
+                return m, nid, None
             # Metadata-only commit: every bucket carried by reference
             # — an O(1)-manifest delta with zero bucket entries.
-            return self._commit_delta(
+            return self._build_delta(
                 base_schema_json, base_bb, {}, operation="merge",
                 base_id=base_id, properties=properties,
             )
@@ -1598,7 +1618,7 @@ class SnapshotTable:
         touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
         for f in new_files:
             touched_new[f["bucket"]].append(f)
-        return self._commit_delta(
+        return self._build_delta(
             evolved_json, base_bb, touched_new, operation="merge",
             base_id=base_id, properties=properties,
         )
