@@ -435,3 +435,83 @@ def test_delete_keys_requires_key_columns(spark, tdir):
     t.merge(batch(spark, [(1, "a", 1)]))
     with pytest.raises(ValueError, match="missing key columns"):
         t.delete_keys(spark.createDataFrame([("x",)], "other string"))
+
+
+def test_predicate_bounds_soundness_fuzz():
+    """Soundness is the delete-correctness property: for ANY predicate
+    the parser accepts, every row satisfying the predicate must fall
+    inside the derived bounds (bounds are a RELAXATION — pruning a
+    file whose stats sit outside them can never skip a matching row).
+    Structured fuzz: random AND-chains of comparisons/BETWEENs/noise
+    conjuncts (string equalities with AND/OR inside literals), random
+    rows, an independent Python evaluator as ground truth."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cols = ["a", "b", "c"]
+
+    def evaluate(conj, row):
+        kind = conj[0]
+        if kind == "cmp":
+            _, col, op, lit = conj
+            v = row[col]
+            return {
+                "<": v < lit, "<=": v <= lit, ">": v > lit,
+                ">=": v >= lit, "=": v == lit,
+            }[op]
+        if kind == "between":
+            _, col, lo, hi = conj
+            return lo <= row[col] <= hi
+        _, col, s = conj  # ("str", col, literal) on the string col
+        return row["s"] == s
+
+    def render(conj):
+        kind = conj[0]
+        if kind == "cmp":
+            _, col, op, lit = conj
+            return f"{col} {op} {lit}"
+        if kind == "between":
+            _, col, lo, hi = conj
+            return f"{col} BETWEEN {lo} AND {hi}"
+        _, col, s = conj
+        esc = s.replace("'", "''")
+        return f"s = '{esc}'"
+
+    conj_st = st.one_of(
+        st.tuples(
+            st.just("cmp"), st.sampled_from(cols),
+            st.sampled_from(["<", "<=", ">", ">=", "="]),
+            st.integers(-5, 5),
+        ),
+        st.tuples(
+            st.just("between"), st.sampled_from(cols),
+            st.integers(-5, 2), st.integers(-1, 5),
+        ),
+        st.tuples(
+            st.just("str"), st.just("s"),
+            st.sampled_from(["x", "a AND b", "a OR b", "it''s"]),
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        conjs=st.lists(conj_st, min_size=1, max_size=4),
+        seed=st.integers(0, 10**6),
+    )
+    def check(conjs, seed):
+        pred = " AND ".join(render(c) for c in conjs)
+        bounds = predicate_bounds(pred)
+        rng = random.Random(seed)
+        for _ in range(20):
+            row = {c: rng.randint(-6, 6) for c in cols}
+            row["s"] = rng.choice(["x", "a AND b", "a OR b", "it''s", "y"])
+            if all(evaluate(c, row) for c in conjs):
+                for col, (lo, hi) in bounds.items():
+                    assert lo <= row[col] <= hi, (
+                        f"UNSOUND: {pred!r} bounds={bounds} row={row}"
+                    )
+
+    check()
