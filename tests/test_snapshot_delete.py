@@ -515,3 +515,38 @@ def test_predicate_bounds_soundness_fuzz():
                     )
 
     check()
+
+
+def test_delete_keys_casts_probe_to_table_key_type(spark, tdir):
+    """Review r11: Spark's hash is type-sensitive — an int-typed keys
+    frame against a long-keyed table must still hash to the RIGHT
+    buckets and delete (previously: silent non-deletion)."""
+    t = make_table(spark, tdir, n_buckets=8)
+    t.merge(batch(spark, [(i, "x", 1) for i in range(40)]))
+    t.delete_keys(spark.createDataFrame([(7,), (11,)], "k int"))
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        i for i in range(40) if i not in (7, 11)
+    ]
+
+
+def test_update_where_set_is_simultaneous(spark, tdir):
+    """Review r11: SQL SET semantics — every assignment expression
+    evaluates against the PRE-update row, so a swap swaps."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=2,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "A", "B", 1)], "k long, x string, y string, ver long"
+        )
+    )
+    t.update_where("ver = 1", {"x": "y", "y": "x"})
+    [r] = t.read().collect()
+    assert (r["x"], r["y"]) == ("B", "A")
+
+
+def test_update_where_rejects_empty_assignments(spark, tdir):
+    t = make_table(spark, tdir)
+    t.merge(batch(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="empty assignments"):
+        t.update_where("ver = 1", {})

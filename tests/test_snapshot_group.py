@@ -440,3 +440,27 @@ def test_group_merge_all_crash_mid_rollforward_heals(
     assert a2.current_id() == 2 and b2.current_id() == 2
     assert {(r["k"], r["ver"]) for r in a2.read().collect()} == {(1, 2)}
     assert {(r["k"], r["ver"]) for r in b2.read().collect()} == {(9, 2)}
+
+
+def test_group_prepare_failure_cleans_temp_manifests(spark, gdir):
+    """Review r11: a later member's prepare failure must not leak the
+    earlier members' durable temp manifests (nothing else ever sweeps
+    .tmp-*.json)."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    bad = spark.createDataFrame([(1,)], "k long")  # missing 'ver'
+    with pytest.raises(ValueError, match="missing key/order"):
+        g.merge_all({"a": batch(spark, [(2, 2)]), "b": bad})
+    for t in (a, b):
+        tmps = [
+            n for n in os.listdir(t._manifest_dir)
+            if n.startswith(".tmp-")
+        ]
+        assert tmps == [], tmps
+    # and the group still commits cleanly afterwards
+    out = g.merge_all(
+        {"a": batch(spark, [(2, 2)]), "b": batch(spark, [(8, 2)])}
+    )
+    assert out == {"a": 2, "b": 2}

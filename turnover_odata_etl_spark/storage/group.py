@@ -149,6 +149,7 @@ class SnapshotGroup:
             lambda name, t, df: t._prepare_append(
                 df, properties=properties
             ),
+            op="append",
         )
 
     def merge_all(
@@ -177,9 +178,12 @@ class SnapshotGroup:
             lambda name, t, df: t._prepare_merge(
                 df, tf.get(name), properties=properties
             ),
+            op="merge",
         )
 
-    def _txn_all(self, batches, max_retries, prepare) -> dict[str, int]:
+    def _txn_all(
+        self, batches, max_retries, prepare, op: str
+    ) -> dict[str, int]:
         unknown = set(batches) - set(self.tables)
         if unknown:
             raise ValueError(f"unknown group members: {sorted(unknown)}")
@@ -194,16 +198,27 @@ class SnapshotGroup:
             txn_uid = uuid.uuid4().hex
             out: dict[str, int] = {}
             prepared: dict[str, tuple] = {}
-            for name, df in batches.items():
-                t = self.tables[name]
-                prep = prepare(name, t, df)
-                if isinstance(prep, int):
-                    out[name] = prep  # empty batch — no-op member
-                    continue
-                manifest, new_id, merged_bb = prep
-                manifest["txn"] = txn_uid
-                tmp = t._write_manifest_tmp(manifest)
-                prepared[name] = (t, manifest, new_id, merged_bb, tmp)
+            try:
+                for name, df in batches.items():
+                    t = self.tables[name]
+                    prep = prepare(name, t, df)
+                    if isinstance(prep, int):
+                        out[name] = prep  # empty batch — no-op member
+                        continue
+                    manifest, new_id, merged_bb = prep
+                    manifest["txn"] = txn_uid
+                    tmp = t._write_manifest_tmp(manifest)
+                    prepared[name] = (t, manifest, new_id, merged_bb, tmp)
+            except BaseException:
+                # A later member's prepare failed (bad batch, lost
+                # resources): earlier members' durable TEMP manifests
+                # must not leak — staged data files are swept by the
+                # normal orphan contract, but nothing else ever
+                # removes .tmp-*.json (review r11).
+                for _t, _m, _id, _bb, tmp in prepared.values():
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                raise
             if not prepared:
                 return out
             rec = {
@@ -249,7 +264,7 @@ class SnapshotGroup:
                 out[name] = new_id
             return out
         raise RuntimeError(
-            f"group append lost the commit race {max_retries} times"
+            f"group {op} lost the commit race {max_retries} times"
         )
 
     def expire_txns(self, keep_last: int = 8) -> None:

@@ -1126,22 +1126,9 @@ class SnapshotTable:
         base_raw = self._raw_meta(base_id)
         self._adopt_layout(base_raw)
         base_bb = self._by_bucket(base_id)
-        bounds = predicate_bounds(predicate)
-
-        def may_match(f: dict) -> bool:
-            st = f.get("stats") or {}
-            for col, (lo, hi) in bounds.items():
-                s = st.get(col)
-                if s is not None and (s[1] < lo or s[0] > hi):
-                    return False  # proven disjoint — skip the file
-            return True  # absent stats degrade to must-read
-
-        cand: dict[int, list[dict]] = {}
-        kept_files: dict[int, list[dict]] = {}
-        for bkt, loc in base_bb.items():
-            for f in self._entries(loc):
-                side = cand if may_match(f) else kept_files
-                side.setdefault(bkt, []).append(f)
+        cand, kept_files = self._split_candidates(
+            base_bb, predicate_bounds(predicate)
+        )
         if not cand:
             return base_id  # stats prove nothing matches — no-op
         paths = [
@@ -1170,16 +1157,7 @@ class SnapshotTable:
             survivors = cur.filter(
                 F.col("__bucket").isin(touched) & ~F.col("__hit")
             ).drop("__hit")
-            run = uuid.uuid4().hex[:12]
-            staging = os.path.join(self._data_dir, f".staging-{run}")
-            (
-                survivors.repartition(len(touched), "__bucket")
-                .sortWithinPartitions("__bucket", self.order_col)
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(staging)
-            )
-            new_files = self._promote_staged(staging, run)
+            new_files = self._stage_rewrite(survivors, touched)
         finally:
             cur.unpersist()
         # Touched buckets: stats-pruned files carry by reference, the
@@ -1196,6 +1174,46 @@ class SnapshotTable:
             base_raw["schema"], base_bb, touched_new,
             operation="delete", base_id=base_id, properties=props,
         )
+
+    def _split_candidates(
+        self, base_bb: dict, bounds: dict
+    ) -> "tuple[dict[int, list[dict]], dict[int, list[dict]]]":
+        """Stats-prune split shared by the predicate verbs: per
+        bucket, files whose footer stats could overlap the bounds
+        (candidates — must be read) vs files proven disjoint (carried
+        by reference). Absent stats degrade to must-read."""
+
+        def may_match(f: dict) -> bool:
+            st = f.get("stats") or {}
+            for col, (lo, hi) in bounds.items():
+                s = st.get(col)
+                if s is not None and (s[1] < lo or s[0] > hi):
+                    return False
+            return True
+
+        cand: dict[int, list[dict]] = {}
+        kept: dict[int, list[dict]] = {}
+        for bkt, loc in base_bb.items():
+            for f in self._entries(loc):
+                side = cand if may_match(f) else kept
+                side.setdefault(bkt, []).append(f)
+        return cand, kept
+
+    def _stage_rewrite(self, rows: DataFrame, touched: list) -> list:
+        """Staged COW write of the touched buckets' replacement rows
+        — the shared tail of delete_where/update_where/delete_keys
+        (one file per bucket, order-sorted for monotone row-group
+        stats, promoted to immutable names)."""
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            rows.repartition(len(touched), "__bucket")
+            .sortWithinPartitions("__bucket", self.order_col)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        return self._promote_staged(staging, run)
 
     def update_where(
         self,
@@ -1245,6 +1263,11 @@ class SnapshotTable:
             raise ValueError(
                 f"snapshot table {self.table_dir}: no commits"
             )
+        if not assignments:
+            raise ValueError(
+                "update_where: empty assignments (a no-op rewrite "
+                "would still burn I/O and a history entry)"
+            )
         base_raw = self._raw_meta(base_id)
         self._adopt_layout(base_raw)
         schema = self._schema_of(base_raw)
@@ -1261,22 +1284,9 @@ class SnapshotTable:
                 f"update_where: unknown columns {unknown}"
             )
         base_bb = self._by_bucket(base_id)
-        bounds = predicate_bounds(predicate)
-
-        def may_match(f: dict) -> bool:
-            st = f.get("stats") or {}
-            for col, (lo, hi) in bounds.items():
-                s = st.get(col)
-                if s is not None and (s[1] < lo or s[0] > hi):
-                    return False
-            return True
-
-        cand: dict[int, list[dict]] = {}
-        kept_files: dict[int, list[dict]] = {}
-        for bkt, loc in base_bb.items():
-            for f in self._entries(loc):
-                side = cand if may_match(f) else kept_files
-                side.setdefault(bkt, []).append(f)
+        cand, kept_files = self._split_candidates(
+            base_bb, predicate_bounds(predicate)
+        )
         if not cand:
             return base_id
         paths = [
@@ -1299,26 +1309,24 @@ class SnapshotTable:
             )
             if not touched:
                 return base_id
-            rows = cur.filter(F.col("__bucket").isin(touched))
-            for col, expr in assignments.items():
-                rows = rows.withColumn(
-                    col,
-                    F.when(
-                        F.col("__hit"),
-                        F.expr(expr).cast(schema[col].dataType),
-                    ).otherwise(F.col(col)),
+            # SQL UPDATE semantics: every SET expression evaluates
+            # against the PRE-update row — withColumns applies all
+            # assignments in ONE projection, so {'a': 'b', 'b': 'a'}
+            # is a swap, not dict-order-dependent (review r11).
+            rows = (
+                cur.filter(F.col("__bucket").isin(touched))
+                .withColumns(
+                    {
+                        col: F.when(
+                            F.col("__hit"),
+                            F.expr(expr).cast(schema[col].dataType),
+                        ).otherwise(F.col(col))
+                        for col, expr in assignments.items()
+                    }
                 )
-            rows = rows.drop("__hit")
-            run = uuid.uuid4().hex[:12]
-            staging = os.path.join(self._data_dir, f".staging-{run}")
-            (
-                rows.repartition(len(touched), "__bucket")
-                .sortWithinPartitions("__bucket", self.order_col)
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(staging)
+                .drop("__hit")
             )
-            new_files = self._promote_staged(staging, run)
+            new_files = self._stage_rewrite(rows, touched)
         finally:
             cur.unpersist()
         touched_new: dict[int, list[dict]] = {
@@ -1382,69 +1390,88 @@ class SnapshotTable:
         base_raw = self._raw_meta(base_id)
         self._adopt_layout(base_raw)
         base_bb = self._by_bucket(base_id)
-        keys = keys_df.select(*self.key_cols).dropDuplicates(
-            self.key_cols
-        )
-        target = sorted(
-            r["__bucket"]
-            for r in self._with_bucket(keys)
-            .select("__bucket")
-            .distinct()
-            .collect()  # ≤ n_buckets ids — metadata, never data
-        )
-        cand = {
-            b: self._entries(base_bb[b])
-            for b in target
-            if self._loc_n(base_bb.get(b, []))
-        }
-        if not cand:
-            return base_id
-        paths = [
-            os.path.join(self.table_dir, f["path"])
-            for fs in cand.values()
-            for f in fs
-        ]
-        marked = keys.select(
-            *[F.col(k).alias(f"__k_{k}") for k in self.key_cols]
-        ).withColumn("__hit", F.lit(True))
-        cond = None
-        for k in self.key_cols:
-            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
-            cond = c if cond is None else (cond & c)
-        cur = (
-            self._with_bucket(
-                self._aligned_read(
-                    paths, self._schema_of(base_raw), spark=self.spark
-                )
+        schema = self._schema_of(base_raw)
+        # CAST the keys to the TABLE's key types before hashing AND
+        # matching: Spark's hash is type-sensitive (hash(7 as int) !=
+        # hash(7 as long)), so an int-typed keys frame against a
+        # long-keyed table would prune the wrong buckets and SILENTLY
+        # DELETE NOTHING — the same alignment read_matching applies
+        # (review r11). Persisted: the deduped deletion set feeds the
+        # bucket-target collect AND the match join; without the pin a
+        # nondeterministic keys lineage could hash one version and
+        # join another.
+        from pyspark import StorageLevel as _SL
+
+        keys = (
+            keys_df.select(
+                *[
+                    F.col(k).cast(schema[k].dataType).alias(k)
+                    for k in self.key_cols
+                ]
             )
-            .join(marked, cond, "left")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .dropDuplicates(self.key_cols)
+            .persist(_SL.MEMORY_AND_DISK)
         )
         try:
-            touched = sorted(
+            target = sorted(
                 r["__bucket"]
-                for r in cur.filter("__hit")
+                for r in self._with_bucket(keys)
                 .select("__bucket")
                 .distinct()
-                .collect()
+                .collect()  # ≤ n_buckets ids — metadata, never data
             )
-            if not touched:
+            cand = {
+                b: self._entries(base_bb[b])
+                for b in target
+                if self._loc_n(base_bb.get(b, []))
+            }
+            if not cand:
                 return base_id
-            survivors = cur.filter(
-                F.col("__bucket").isin(touched) & F.col("__hit").isNull()
-            ).drop("__hit", *[f"__k_{k}" for k in self.key_cols])
-            run = uuid.uuid4().hex[:12]
-            staging = os.path.join(self._data_dir, f".staging-{run}")
-            (
-                survivors.repartition(len(touched), "__bucket")
-                .sortWithinPartitions("__bucket", self.order_col)
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(staging)
+            paths = [
+                os.path.join(self.table_dir, f["path"])
+                for fs in cand.values()
+                for f in fs
+            ]
+            marked = keys.select(
+                *[F.col(k).alias(f"__k_{k}") for k in self.key_cols]
+            ).withColumn("__hit", F.lit(True))
+            cond = None
+            for k in self.key_cols:
+                c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+                cond = c if cond is None else (cond & c)
+            cur = (
+                self._with_bucket(
+                    self._aligned_read(
+                        paths, schema,
+                        # the keys frame's own session — inside
+                        # foreachBatch the micro-batch belongs to a
+                        # cloned session and a join must not cross
+                        # sessions (the _prepare_merge rule)
+                        spark=keys_df.sparkSession,
+                    )
+                )
+                .join(marked, cond, "left")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            new_files = self._promote_staged(staging, run)
+            try:
+                touched = sorted(
+                    r["__bucket"]
+                    for r in cur.filter("__hit")
+                    .select("__bucket")
+                    .distinct()
+                    .collect()
+                )
+                if not touched:
+                    return base_id
+                survivors = cur.filter(
+                    F.col("__bucket").isin(touched)
+                    & F.col("__hit").isNull()
+                ).drop("__hit", *[f"__k_{k}" for k in self.key_cols])
+                new_files = self._stage_rewrite(survivors, touched)
+            finally:
+                cur.unpersist()
         finally:
-            cur.unpersist()
+            keys.unpersist()
         touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
         for f in new_files:
             touched_new[f["bucket"]].append(f)
