@@ -77,6 +77,24 @@ def test_predicate_bounds_refuses_unsafe_structure():
     assert predicate_bounds("NOT a = 1") == {}
     assert predicate_bounds("(a = 1) AND b = 2") == {}
     assert predicate_bounds("a IN 1") == {}
+    # ADVICE r11 (high): CASE..END nests AND without parentheses — the
+    # AND-split would mine x=(5,5) from a predicate that is TRUE for
+    # every row (ELSE 1 = 1). Any CASE keyword refuses the predicate.
+    assert (
+        predicate_bounds(
+            "CASE WHEN a AND x = 5 AND b THEN 1 ELSE 1 END = 1"
+        )
+        == {}
+    )
+    assert predicate_bounds("case when x = 5 then 1 else 1 end = 1") == {}
+    assert predicate_bounds("a = 1 AND CASE WHEN x = 5 THEN 1 END = 1") == {}
+    # bare keyword fragments refuse too (conservative over clever)
+    assert predicate_bounds("x = 5 AND WHEN = 1") == {}
+    # ...but columns merely CONTAINING a keyword are unaffected
+    assert predicate_bounds("end_time <= 5") == {
+        "end_time": (float("-inf"), 5.0)
+    }
+    assert predicate_bounds("weekend = 3") == {"weekend": (3.0, 3.0)}
     # AND/OR INSIDE a string literal is data, not structure
     assert predicate_bounds("v = 'x AND y' AND ver <= 5") == {
         "ver": (-float("inf"), 5.0)
@@ -464,6 +482,10 @@ def test_predicate_bounds_soundness_fuzz():
         if kind == "between":
             _, col, lo, hi = conj
             return lo <= row[col] <= hi
+        if kind == "case":
+            # CASE WHEN ... THEN 1 ELSE 1 END = 1 — TRUE for every row
+            # regardless of the embedded comparison (ADVICE r11 shape)
+            return True
         _, col, s = conj  # ("str", col, literal) on the string col
         return row["s"] == s
 
@@ -475,6 +497,12 @@ def test_predicate_bounds_soundness_fuzz():
         if kind == "between":
             _, col, lo, hi = conj
             return f"{col} BETWEEN {lo} AND {hi}"
+        if kind == "case":
+            _, col, lit = conj
+            return (
+                f"CASE WHEN a AND {col} = {lit} AND b "
+                f"THEN 1 ELSE 1 END = 1"
+            )
         _, col, s = conj
         esc = s.replace("'", "''")
         return f"s = '{esc}'"
@@ -492,6 +520,10 @@ def test_predicate_bounds_soundness_fuzz():
         st.tuples(
             st.just("str"), st.just("s"),
             st.sampled_from(["x", "a AND b", "a OR b", "it''s"]),
+        ),
+        st.tuples(
+            st.just("case"), st.sampled_from(cols),
+            st.integers(-5, 5),
         ),
     )
 

@@ -65,7 +65,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-_PRED_FORBIDDEN = re.compile(r"\bOR\b|\bNOT\b|\bIN\b|[()']", re.I)
+# CASE..END is the one parenthesis-free construct that nests AND, so
+# the naive AND-split would slice through its body and mine bounds
+# from an arm that doesn't constrain the row (ADVICE r11: CASE WHEN a
+# AND x = 5 AND b THEN 1 ELSE 1 END = 1 is TRUE for every row). Any of
+# its keywords anywhere => refuse the whole predicate.
+_PRED_FORBIDDEN = re.compile(
+    r"\bOR\b|\bNOT\b|\bIN\b|\bCASE\b|\bWHEN\b|\bTHEN\b|\bELSE\b|\bEND\b|[()']",
+    re.I,
+)
 _PRED_STR_LIT = re.compile(r"'(?:[^']|'')*'")
 _PRED_BETWEEN_AND = re.compile(
     r"(\bBETWEEN\b\s+-?\d+(?:\.\d+)?\s+)\bAND\b", re.I
@@ -87,10 +95,12 @@ def predicate_bounds(predicate: str) -> dict[str, tuple[float, float]]:
     miniature) — deliberately conservative: bounds are extracted ONLY
     when the predicate is provably a top-level AND-chain of simple
     numeric comparisons (``col <op> literal`` / ``col BETWEEN a AND
-    b``). Anything structurally richer — OR / NOT / IN / parentheses —
-    returns ``{}`` and every file stays a candidate, because
-    mis-reading structure (e.g. deriving bounds from one arm of an OR)
-    would prune files that hold rows the delete MUST remove.
+    b``). Anything structurally richer — OR / NOT / IN / CASE (the
+    parenthesis-free construct that nests AND) / parentheses — returns
+    ``{}`` and every file stays a candidate, because mis-reading
+    structure (e.g. deriving bounds from one arm of an OR, or from a
+    comparison inside a CASE branch) would prune files that hold rows
+    the delete MUST remove.
     Within a verified AND-chain, skipping an unparsed conjunct is
     sound (conjuncts only narrow), and ``<``/``>`` widen to closed
     bounds — pruning may only ever skip files proven irrelevant."""
