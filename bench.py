@@ -130,10 +130,10 @@ ADDITIONS_R10 = [
     "d_semdedup_incremental",
 ]
 
-# Round-11 STAGED queries (plans/roundeleven.py — held for a cap
-# ruling, registry frozen at 204; timed here as staged_r11 so the
-# staged→registered delta series continues when they register).
-STAGED_R11 = [
+# Round-11 registrations (plans/roundeleven.py — registered round 12
+# per the r11 cap ruling; benched as staged_r11 in BENCH_r11 for the
+# staged→registered delta series, registry-backed from r12 on).
+ADDITIONS_R11 = [
     "t_langid_confusion",
     "s_snapshot_dml_lifecycle",
 ]
@@ -253,10 +253,8 @@ def main() -> None:
     additions_r10 = time_queries(
         spark, specs, ADDITIONS_R10, sf_dir, reps, errors
     )
-    from turnover_odata_etl_spark.plans.roundeleven import STAGED as _R11
-    staged_specs = {**specs, **_R11}
-    staged_r11 = time_queries(
-        spark, staged_specs, STAGED_R11, sf_dir, reps, errors
+    additions_r11 = time_queries(
+        spark, specs, ADDITIONS_R11, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -288,7 +286,7 @@ def main() -> None:
     additions_r8_total = round(sum(additions_r8.values()), 3)
     additions_r9_total = round(sum(additions_r9.values()), 3)
     additions_r10_total = round(sum(additions_r10.values()), 3)
-    staged_r11_total = round(sum(staged_r11.values()), 3)
+    additions_r11_total = round(sum(additions_r11.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -326,8 +324,8 @@ def main() -> None:
         "additions_r9_total": additions_r9_total,
         "additions_r10": additions_r10,
         "additions_r10_total": additions_r10_total,
-        "staged_r11": staged_r11,
-        "staged_r11_total": staged_r11_total,
+        "additions_r11": additions_r11,
+        "additions_r11_total": additions_r11_total,
         "all_total": round(
             total
             + streaming_total
@@ -338,7 +336,8 @@ def main() -> None:
             + additions_r7_total
             + additions_r8_total
             + additions_r9_total
-            + additions_r10_total,
+            + additions_r10_total
+            + additions_r11_total,
             3,
         ),
         "fixtures": fixtures,
@@ -378,7 +377,7 @@ def main() -> None:
         "additions_r8": additions_r8_total,
         "additions_r9": additions_r9_total,
         "additions_r10": additions_r10_total,
-        "staged_r11": staged_r11_total,
+        "additions_r11": additions_r11_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -392,7 +391,7 @@ def main() -> None:
         ("additions_r8", additions_r8),
         ("additions_r9", additions_r9),
         ("additions_r10", additions_r10),
-        ("staged_r11", staged_r11),
+        ("additions_r11", additions_r11),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

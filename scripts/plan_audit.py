@@ -82,6 +82,11 @@ NESTED_LOOP_OK = {
     "t_dsir_importance",  # 1-row corpus-totals frame (tt, tr, v)
     #     crossed into the vocab-sized λ table — the smoothing
     #     denominators; the corpus-side scoring join is a BHJ on tok
+    "t_langid_confusion",  # klass × vocab is alphabet-rows × 1-row;
+    #     the doc-side crossJoin broadcasts that ≤|langs|-row model
+    #     frame into nd — O(docs · |langs|) candidate grain, the NB
+    #     scoring lattice itself; every data-bearing join is a BHJ
+    #     on g/doc_id (read from the formatted plan, round 12)
 }
 
 # Queries where > 6 shuffle exchanges is the algorithm, not an
@@ -145,6 +150,15 @@ MANY_SHUFFLES_OK = {
     #     every exchanged frame is edge-set- or degree-table-sized —
     #     the wedge intermediate never shuffles (closed by broadcast
     #     semi-join against the canonical edge set at fixture scale)
+    "t_langid_confusion",  # (a) fit + score + confusion as ONE plan:
+    #     gram-count groupBy(lang, g) (vocab-sized, map-side
+    #     combined), the top-K selection TakeOrdered, priors/totals
+    #     aggs (alphabet- or 1-row-sized), the doc-gram groupBy, the
+    #     (doc, lang) score agg, the per-doc argmax window, and the
+    #     confusion fold — the corpus crosses the wire once at
+    #     (doc, g) grain and once at (doc, lang) grain; the model
+    #     side broadcasts (K-capped by feature selection), never
+    #     shuffling the corpus on gram
 }
 
 

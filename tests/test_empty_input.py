@@ -53,16 +53,5 @@ def test_query_survives_empty_input(spark, empty_dir, name):
     df.collect()  # must execute, not just plan
 
 
-# The round-10 queries registered in round 11 (r10 cap ruling) ride
-# the registry sweep above automatically. Round-11 STAGED queries
-# (plans/roundeleven.py — held for a cap ruling) get the same
-# treatment below until registration folds them into the sweep.
-from turnover_odata_etl_spark.plans.roundeleven import STAGED as STAGED_R11
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R11))
-def test_staged_query_survives_empty_input(spark, empty_dir, name):
-    spec = STAGED_R11[name]
-    df = spec.fn(spark, empty_dir)
-    assert df.columns, f"{name}: no columns on empty input"
-    df.collect()
+# The round-11 queries registered in round 12 (r11 cap ruling) ride
+# the registry sweep above automatically — no staged block remains.

@@ -1,6 +1,5 @@
-"""Round-11 STAGED queries (plans/roundeleven.py) — oracle parity +
-mechanism deep-dives, run every session while the queries await a cap
-ruling (registry frozen at 204 by the r10 verdict)."""
+"""Round-11 queries (plans/roundeleven.py, REGISTERED round 12 per
+the r11 cap ruling) — oracle parity + mechanism deep-dives."""
 
 from __future__ import annotations
 
@@ -9,7 +8,6 @@ import duckdb
 from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.plans.roundeleven import (
     LANGID_ORACLE,
-    STAGED,
     t_langid_confusion,
 )
 
@@ -29,10 +27,13 @@ def _con(sf_dir):
     return con
 
 
-def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"t_langid_confusion", "s_snapshot_dml_lifecycle"}
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
+def test_roundeleven_specs_registered_with_oracles():
+    from turnover_odata_etl_spark.plans import registry
+
+    specs = registry.all_specs()
+    for name in ("t_langid_confusion", "s_snapshot_dml_lifecycle"):
+        assert name in specs
+        assert specs[name].oracle and specs[name].oracle.strip()
 
 
 def test_langid_confusion_matches_oracle(spark, sf_dir):
@@ -90,6 +91,49 @@ def test_langid_hand_corpus(spark):
         for r in score_langid(probes, model, "text", "doc_id").collect()
     }
     assert got == {10: "xx", 11: "yy"}  # sub-n doc is unclassifiable
+
+
+def test_langid_shared_gram_pass_is_equivalent(spark):
+    """The activation optimization (VERDICT r11 item 2): one persisted
+    doc_gram_counts frame fed to BOTH fit and score must produce
+    byte-identical predictions to the two-independent-passes form —
+    including under max_features selection."""
+    from turnover_odata_etl_spark.operators.langid import (
+        doc_gram_counts,
+        fit_langid,
+        score_langid,
+    )
+
+    rows = [
+        (1, "aaa aab aba aaa baa aab", "xx"),
+        (2, "aab aaa aba baa aaa aaa", "xx"),
+        (3, "zzz zzy zyz zzz yzz zzy", "yy"),
+        (4, "zzy zzz zyz yzz zzz zzz", "yy"),
+        (5, "ab", "xx"),  # sub-n — must drop from BOTH forms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def run(shared, max_features):
+        if shared:
+            g = doc_gram_counts(df, "text", 3, ["doc_id", "lang"])
+            model = fit_langid(
+                df, "text", "lang", n=3, alpha=0.5,
+                max_features=max_features, grams=g,
+            )
+            pred = score_langid(df, model, "text", "doc_id", grams=g)
+        else:
+            model = fit_langid(
+                df, "text", "lang", n=3, alpha=0.5,
+                max_features=max_features,
+            )
+            pred = score_langid(df, model, "text", "doc_id")
+        return sorted(
+            (r["doc_id"], r["pred_lang"], r["n_grams"])
+            for r in pred.collect()
+        )
+
+    for mf in (None, 5):
+        assert run(True, mf) == run(False, mf), f"max_features={mf}"
 
 
 def test_langid_unseen_grams_are_ignored(spark):

@@ -68,6 +68,34 @@ def _char_grams(df: DataFrame, text_col: str, n: int, keep: list[str]) -> DataFr
     )
 
 
+def doc_gram_counts(
+    df: DataFrame, text_col: str, n: int, keep: list[str]
+) -> DataFrame:
+    """(keep..., g, k): per-document char-n-gram multiplicities — the
+    ONE corpus gram pass both :func:`fit_langid` and
+    :func:`score_langid` accept precomputed (VERDICT r11 item 2), so
+    fit + score over the same corpus can explode/shuffle grams once.
+
+    When it pays (MEASURED, sf0.1, warm A/B — BASELINE.md round 12):
+    only when gram multiplicity collapses this frame well below token
+    grain (small ``n``, repetitive text). At n=10 grams are nearly
+    all unique (k≈1), the frame is token-sized, and sharing is
+    1.3–1.9× SLOWER than two independent passes: it converts the
+    fit's map-side-combined (lang, g) aggregation — which never
+    exchanges token-grain data — into a write + double-read of a
+    token-grain exchange. Measure per shape before wiring it in.
+
+    Contract: ``keep`` must lead with a column that functionally
+    determines the rest (the document id determines its label), so
+    ``(keep[0], g)`` is already unique and the scorer can reuse the
+    frame without re-aggregating."""
+    return (
+        _char_grams(df, text_col, n, keep)
+        .groupBy(*keep, "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
 @dataclass
 class LangidModel:
     """Lazy model frames (the fit is declared, not materialized —
@@ -93,6 +121,7 @@ def fit_langid(
     n: int = 3,
     alpha: float = 0.5,
     max_features: int | None = None,
+    grams: DataFrame | None = None,
 ) -> LangidModel:
     """Fit the char-n-gram NB model from labeled documents. One
     corpus pass feeding two conditional aggregations; every output
@@ -108,13 +137,25 @@ def fit_langid(
     the model is K-sized forever. Grams outside the selection carry
     no signal at scoring time — documents none of whose grams
     survived selection are unclassifiable and drop out, same rule as
-    sub-``n`` documents."""
-    grams = _char_grams(df, text_col, n, [label_col]).select(
-        F.col(label_col).alias("lang"), "g"
-    )
-    counts = grams.groupBy("lang", "g").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    sub-``n`` documents.
+
+    ``grams`` (optional): a precomputed :func:`doc_gram_counts` frame
+    whose keep columns include ``label_col`` and that was built with
+    the SAME ``text_col``/``n`` — when fit and score run over the same
+    corpus, computing it once (persisted) halves the corpus gram
+    scans. When omitted the pass is computed here."""
+    if grams is not None:
+        counts = (
+            grams.groupBy(F.col(label_col).alias("lang"), "g")
+            .agg(F.sum("k").cast("long").alias("c"))
+        )
+    else:
+        tok = _char_grams(df, text_col, n, [label_col]).select(
+            F.col(label_col).alias("lang"), "g"
+        )
+        counts = tok.groupBy("lang", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     if max_features is not None:
         # vocab-sized input, K-sized output: a distributed TakeOrdered
         # over the global gram counts, never over the corpus
@@ -159,17 +200,26 @@ def score_langid(
     model: LangidModel,
     text_col: str,
     id_col: str,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Classify every document: (id_col, pred_lang, n_grams). Docs
     shorter than ``n`` normalized chars are unclassifiable and drop
     out (same population rule as the fit). The model frames broadcast;
-    the corpus shuffles once, on the document id."""
+    the corpus shuffles once, on the document id.
+
+    ``grams`` (optional): a precomputed :func:`doc_gram_counts` frame
+    led by ``id_col`` (same ``text_col``/``n`` as the model) — its
+    ``(id, g)`` rows are already unique per that function's contract,
+    so it is consumed by projection, no re-aggregation shuffle."""
     a = float(model.alpha)
-    dg = (
-        _char_grams(df, text_col, model.n, [id_col])
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
+    if grams is not None:
+        dg = grams.select(id_col, "g", "k")
+    else:
+        dg = (
+            _char_grams(df, text_col, model.n, [id_col])
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
     # grams outside the training vocabulary carry no signal — the
     # inner join drops them on both engines identically
     hits = dg.join(F.broadcast(model.counts), "g").select(

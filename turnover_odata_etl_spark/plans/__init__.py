@@ -18,6 +18,7 @@ from . import roundseven  # noqa: E402,F401
 from . import roundeight  # noqa: E402,F401
 from . import roundnine  # noqa: E402,F401
 from . import roundten  # noqa: E402,F401
+from . import roundeleven  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -28,82 +29,84 @@ from . import roundten  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 11 — the r10 verdict's cap ruling: "register all
-# three staged round-10 queries; the cap moves to 204, then frozen
-# again"). The three plans/roundten.py queries are registered this
-# round and gated immediately, plus the ruling's named window:
-#   - the 3 new round-10 registrations (gate-now-or-never);
-#   - x_struct_functions (the round-6 freshness-floor straggler,
-#     explicitly named by the ruling);
-#   - 46 of the 50 round-7 rows (scripts/staleness.py). All 50 are
-#     equally old in the ledger; the four held back for the round-12
-#     rotation are pure SQL-function/UDTF sweeps whose code has not
-#     drifted since round 7 (x_datetime_functions,
-#     x_odata_date_roundtrip, e15_udtf_split_words, e7_intersect),
-#     while rows riding this round's edited files (operators/dedup.py,
-#     storage/snapshot.py, plans/roundnine.py: d_semantic_dedup,
-#     d_fingerprint_dedup, d_minhash_lsh_neardup, st_snapshot_merge,
-#     st_incremental_*) all keep their slots.
-# Next-stalest after this round: those 4 round-7 rows + the round-8
-# rows (scripts/staleness.py). Registry is FROZEN at 204 per the r10
+# ROTATION (round 12 — the r11 verdict's cap ruling: "register both
+# staged round-11 queries; cap moves 204 → 206, then frozen again").
+# The ruling's named window:
+#   - the 2 new round-11 registrations (gate-now-or-never:
+#     t_langid_confusion, s_snapshot_dml_lifecycle);
+#   - the 4 round-7 freshness-floor rows held back last round
+#     (x_datetime_functions, x_odata_date_roundtrip,
+#     e15_udtf_split_words, e7_intersect) — the oldest evidence in
+#     the ledger, two of which guard the date-decode divergence story;
+#   - 44 of the 50 round-8 rows (scripts/staleness.py). All 50 are
+#     equally old in the ledger; the six held back for the round-13
+#     rotation are pure JSON/sketch SQL sweeps whose code has not
+#     drifted since round 8 (e12_from_json, e12_json_extract,
+#     e12_variant_extract, e13_approx_aggs, e13_bitmap_presence,
+#     e13_exact_percentiles), while rows riding this round's edited
+#     files (storage/snapshot.py: c_snapshot_diff, s_snapshot_*,
+#     st_incremental_agg) all keep their slots.
+# Next-stalest after this round: those 6 round-8 rows + the round-9
+# rows (scripts/staleness.py). Registry is FROZEN at 206 per the r11
 # ruling; future registrations only for queries that are the sole
 # oracle coverage of a new SURVEY row.
 #
 GATED_QUERIES = [
-    # the three round-10 registrations (cap ruling executed round 11)
-    "s_snapshot_append_compact",
-    "t_dsir_importance",
-    "d_semdedup_incremental",
-    # the round-6 freshness-floor straggler
-    "x_struct_functions",
-    # 46 of the 50 stalest round-7 rows (held back: x_datetime_functions,
-    # x_odata_date_roundtrip, e15_udtf_split_words, e7_intersect)
-    "a_count_rows",
-    "a_distinct_sorted",
-    "c3_empty_relation",
-    "d_dedup_clusters",
-    "d_fingerprint_dedup",
-    "d_minhash_lsh_neardup",
-    "d_ngram_jaccard",
-    "d_semantic_dedup",
-    "e13_hll_sketch_rollup",
-    "e1_string_agg_ordered",
-    "e3_join_anti",
-    "e3_join_left",
-    "e4_asof_join",
-    "e4_range_join",
-    "e6_q14_promo_revenue",
-    "e6_q19_disjunctive_join",
-    "e6_q5_local_supplier_volume",
-    "f_notnull_nonempty",
-    "flagship_turnover",
-    "g_pagerank",
-    "m_adpcm_decode_features",
-    "m_binary_features",
-    "m_image_decode_features",
-    "m_png_adam7_decode_features",
-    "p_expectations",
-    "p_heavy_hitters",
-    "p_profile_table",
-    "p_stringify_nested",
-    "q_sql_correlated_subquery",
-    "s_knn_bruteforce",
-    "s_knn_tiled",
-    "semi_join_orchestration",
-    "st_incremental_cdc",
-    "st_incremental_upsert",
-    "st_snapshot_merge",
-    "st_stream_static_join",
-    "t_bpe_tokenize_ids",
-    "t_corpus_mixture",
-    "t_decontaminate",
-    "t_domain_balanced_sample",
-    "t_lang_quality",
-    "t_pii_redact",
-    "t_quality_filter_c4",
-    "t_sequence_pack",
-    "t_text_stats",
-    "t_tfidf_topterms",
+    # the two round-11 registrations (cap ruling executed round 12)
+    "t_langid_confusion",
+    "s_snapshot_dml_lifecycle",
+    # the four round-7 freshness-floor rows
+    "x_datetime_functions",
+    "x_odata_date_roundtrip",
+    "e15_udtf_split_words",
+    "e7_intersect",
+    # 44 of the 50 stalest round-8 rows (held back for r13:
+    # e12_from_json, e12_json_extract, e12_variant_extract,
+    # e13_approx_aggs, e13_bitmap_presence, e13_exact_percentiles)
+    "c_snapshot_diff",
+    "d_embedding_neardup",
+    "d_exact_substr_spans",
+    "d_prefix_filter_jaccard",
+    "e13_cms_heavy_hitters",
+    "e13_outliers_iqr",
+    "e14_funnel_sequence",
+    "e14_peak_concurrency",
+    "e14_retention_cohorts",
+    "e1_pricing_summary",
+    "e2_rollup",
+    "e3_join_inner",
+    "e3_star_join_revenue",
+    "e4_spatial_grid_join",
+    "e5_window_ranks",
+    "e6_copurchase_pairs",
+    "e6_q13_customer_distribution",
+    "e6_q21_suppliers_kept_waiting",
+    "e6_q22_global_sales_opportunity",
+    "e6_q6_forecast_revenue",
+    "e6_topk_per_group",
+    "f_eq_predicate",
+    "m_flac_decode_features",
+    "m_g711_decode_features",
+    "m_gif_decode_features",
+    "m_mixed_image_decode_features",
+    "m_tiff_decode_features",
+    "o_sort_limit",
+    "p_rename_coalesce_reorder",
+    "q_sql_lateral_join",
+    "q_sql_recursive_cte",
+    "s_csv_roundtrip",
+    "s_knn_ivf",
+    "s_knn_pq",
+    "s_snapshot_changes",
+    "s_snapshot_incremental_agg",
+    "s_snapshot_pruned_read",
+    "st_incremental_agg",
+    "st_session_window",
+    "st_stream_dedup_watermark",
+    "st_stream_stream_join",
+    "st_tumbling_window",
+    "u_union_by_name",
+    "x_string_functions",
 ]
 
 registry.promote(GATED_QUERIES)

@@ -1,7 +1,8 @@
-"""Round-11 STAGED queries — held for a cap ruling (the r10 verdict
-froze the registry at 204; precedent is the roundeight/roundnine/
-roundten lifecycle: stage with oracles + bench history + empty-sweep
-coverage, register when a verdict rules).
+"""Round-11 queries — REGISTERED in round 12 per the r11 verdict's
+cap ruling ("register both staged round-11 queries; cap moves
+204 → 206, then frozen again"). Staged through round 11 with oracles
++ bench history + empty-sweep coverage, the roundeight/roundnine/
+roundten lifecycle.
 
 ``t_langid_confusion`` — the language-identification rung (VERDICT
 r10 item 3 / SURVEY E110): char-10-gram multinomial Naive Bayes
@@ -25,15 +26,20 @@ composition of all four edits. The unit/model tests pin each
 mechanism; this pins the composed lifecycle against a DuckDB oracle
 through the full stack, the s_snapshot_append_compact pattern.
 
-Activation checklist (mirror of roundten's, executed at ruling):
-1. move the specs into ``@register`` form (oracles are already eager
-   constants), import roundeleven in ``plans/__init__``,
-2. add it to the gate window for its first round,
-3. move STAGED_R11 → ADDITIONS_R11 in bench.py,
-4. re-point the empty-sweep staged block (tests/test_empty_input.py),
-5. adjudicate plan-audit entries if flagged (the model join is
-   vocab-sized broadcast; the per-language frames are 1-row-per-
-   language crossJoins — same class as t_dsir_importance's totals).
+Activation checklist (mirror of roundten's) — EXECUTED round 12:
+1. specs moved into ``@register`` form, roundeleven imported in
+   ``plans/__init__``,
+2. both queries in the round-12 gate window,
+3. bench.py STAGED_R11 → ADDITIONS_R11,
+4. empty-sweep staged block removed (registry sweep covers them),
+5. plan-audit adjudications: the model join is vocab-sized broadcast;
+   the per-language frames are 1-row-per-language crossJoins — same
+   class as t_dsir_importance's totals.
+At activation, the shared gram pass (VERDICT r11 item 2) was built
+as an API (``operators.langid.doc_gram_counts`` + ``grams=`` on fit
+and score), measured at sf0.1, and REJECTED for this query: at n=10
+the doc-gram frame is token-grain and sharing is 1.3–1.9× slower
+than the two-pass form (A/B in the query docstring + BASELINE.md).
 """
 
 from __future__ import annotations
@@ -42,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 
 # Scoring determinism: the argmax compares LENGTH-NORMALIZED scores
 # rounded to the 4dp grid with language-ascending tie-break on BOTH
@@ -120,6 +126,11 @@ LANGID_ORACLE = r"""
 """
 
 
+@register(
+    "t_langid_confusion",
+    oracle=LANGID_ORACLE,
+    tags=("llm", "text", "langid"),
+)
 def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-10-gram Naive-Bayes language ID (top-50k feature
     selection), fit and applied in one
@@ -148,7 +159,23 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     their n-gram ranges per training corpus). ``max_features=50000``
     is what makes the broadcast-model claim TRUE at 100 TB: the raw
     n-gram vocabulary grows with the corpus, the selected model is
-    K-sized forever."""
+    is K-sized forever.
+
+    Shared-gram-pass decision (activation, VERDICT r11 item 2 —
+    MEASURED, then rejected for THIS query): the suggested shared
+    :func:`doc_gram_counts` subplan was built (optional ``grams=``
+    on both fit and score, equivalence pinned by
+    ``test_langid_shared_gram_pass_is_equivalent``) and A/B'd at
+    sf0.1 in one warm session: two-pass 6.15 s, shared+persist
+    11.7 s, shared+ReusedExchange 8.1 s. At n=10 grams are nearly
+    all unique (k≈1), so the shared frame is TOKEN-grain: sharing
+    converts the fit's cheap map-side-combined (lang, g) aggregation
+    into a write+double-read of a token-grain exchange, strictly
+    worse. The second explode is map-side CPU; the fit path never
+    exchanges token-grain data at all. Sharing wins only when gram
+    multiplicity collapses the doc-gram frame (small n) — the API
+    supports it; this query keeps the measured-faster two-pass
+    form (numbers in BASELINE.md round 12)."""
     from ..operators.langid import fit_langid, score_langid
 
     docs = load_table(spark, sf_dir, "documents")
@@ -163,15 +190,22 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DELETE/UPDATE semantics in the oracle (ADVICE r11): the engine's
+# delete_where removes rows where the predicate IS TRUE — a row where
+# it evaluates NULL survives — so the oracle keeps rows where each
+# delete predicate IS NOT TRUE (plain NOT(...)/<> would also drop the
+# NULL-predicate rows). The UPDATE's CASE already matches engine
+# semantics: a NULL `value < 50` falls to ELSE and the row is
+# untouched on both sides.
 DML_LIFECYCLE_ORACLE = """
     WITH kept AS (
       SELECT event_id, event_type,
              CASE WHEN value < 50 THEN value + 1000
                   ELSE value END AS value2
       FROM events
-      WHERE NOT (value BETWEEN 100 AND 250)
-        AND event_type <> 'click'
-        AND event_id % 10 <> 3
+      WHERE (value BETWEEN 100 AND 250) IS NOT TRUE
+        AND (event_type = 'click') IS NOT TRUE
+        AND (event_id % 10 = 3) IS NOT TRUE
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -181,6 +215,11 @@ DML_LIFECYCLE_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_dml_lifecycle",
+    oracle=DML_LIFECYCLE_ORACLE,
+    tags=("storage", "snapshot", "delete", "update"),
+)
 def s_snapshot_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full DML-verb lifecycle through the snapshot stack
     (round 11 — VERDICT r10 item 4's oracle-path exercise, widened to
@@ -224,15 +263,18 @@ def s_snapshot_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    for w, (lo, hi) in enumerate(
-        [(None, 100.0), (100.0, 250.0), (250.0, None)], start=1
-    ):
-        sl = ev
-        if lo is not None:
-            sl = sl.filter(F.col("value") >= lo)
-        if hi is not None:
-            sl = sl.filter(F.col("value") < hi)
-        t.append(sl.withColumn("__ver", F.lit(w)))
+    # a TOTAL partition of the input: NULL value falls through both
+    # WHENs into slice 3 (range filters would silently drop it and
+    # diverge from the oracle, which keeps NULL-predicate rows)
+    slice_id = (
+        F.when(F.col("value") < 100.0, 1)
+        .when(F.col("value") < 250.0, 2)
+        .otherwise(3)
+    )
+    for w in (1, 2, 3):
+        t.append(
+            ev.filter(slice_id == F.lit(w)).withColumn("__ver", F.lit(w))
+        )
     t.delete_where("value BETWEEN 100 AND 250")
     t.delete_where("event_type = 'click'")
     t.update_where("value < 50", {"value": "value + 1000"})
@@ -247,20 +289,3 @@ def s_snapshot_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-
-
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "t_langid_confusion": QuerySpec(
-        name="t_langid_confusion",
-        fn=t_langid_confusion,
-        oracle=LANGID_ORACLE,
-        tags=("llm", "text", "langid"),
-    ),
-    "s_snapshot_dml_lifecycle": QuerySpec(
-        name="s_snapshot_dml_lifecycle",
-        fn=s_snapshot_dml_lifecycle,
-        oracle=DML_LIFECYCLE_ORACLE,
-        tags=("storage", "snapshot", "delete", "update"),
-    ),
-}
