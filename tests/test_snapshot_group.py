@@ -464,3 +464,109 @@ def test_group_prepare_failure_cleans_temp_manifests(spark, gdir):
         {"a": batch(spark, [(2, 2)]), "b": batch(spark, [(8, 2)])}
     )
     assert out == {"a": 2, "b": 2}
+
+
+def test_group_foreign_steal_abort_txn_repairs(spark, gdir, monkeypatch):
+    """ADVICE r11: the foreign-steal wedge must have a repair path.
+    Two-phase roll-forward leaves every member POINTER unmoved when a
+    steal is detected; recover() keeps failing loudly (wedged);
+    abort_txn() voids the txn with a torn-state report, after which
+    the group accepts commits again and the lost member batches can be
+    re-planned."""
+    import turnover_odata_etl_spark.storage.group as grp_mod
+
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    b_id_before = b.current_id()
+
+    real_link = grp_mod.os.link
+    state = {"stolen": False}
+
+    def stealing_link(src, dst):
+        if "/txns/" in dst.replace(os.sep, "/") and not state["stolen"]:
+            state["stolen"] = True
+            a.append(batch(spark, [(99, 2)]))  # foreign direct commit
+        return real_link(src, dst)
+
+    monkeypatch.setattr(grp_mod.os, "link", stealing_link)
+    with pytest.raises(RuntimeError, match="abort_txn"):
+        g.append_all(
+            {"a": batch(spark, [(2, 2)]), "b": batch(spark, [(8, 2)])}
+        )
+    monkeypatch.setattr(grp_mod.os, "link", real_link)
+
+    # no member pointer moved for the wedged txn
+    assert b.current_id() == b_id_before
+    assert sorted(r["k"] for r in b.read().collect()) == [9]
+    # still wedged: a fresh handle's recover() fails loudly too
+    g2 = SnapshotGroup({"a": a, "b": b}, gdir)
+    with pytest.raises(RuntimeError, match="foreign"):
+        g2.recover()
+
+    status = g.abort_txn()
+    assert status == {"a": "stolen", "b": "unapplied"}
+    # non-applied members' temp manifests were reclaimed
+    assert not [
+        n for n in os.listdir(b._manifest_dir) if n.startswith(".tmp-")
+    ]
+    # both handles (and fresh ones) read/write through the group again
+    g2.recover()
+    g.append_all(
+        {"a": batch(spark, [(2, 3)]), "b": batch(spark, [(8, 3)])}
+    )
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 2, 99]
+    assert sorted(r["k"] for r in b.read().collect()) == [8, 9]
+
+
+def test_group_abort_txn_guards(spark, gdir):
+    _, _, g = mk(spark, gdir)
+    with pytest.raises(ValueError, match="no transactions"):
+        g.abort_txn()
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    g.append_all(
+        {"a": batch(spark, [(2, 2)]), "b": batch(spark, [(8, 2)])}
+    )
+    with pytest.raises(ValueError, match="latest"):
+        g.abort_txn(1)
+    # aborting a HEALTHY latest txn is permitted (status: all applied)
+    assert g.abort_txn() == {"a": "applied", "b": "applied"}
+    # applied members keep their rows; the group keeps committing
+    g.append_all(
+        {"a": batch(spark, [(3, 3)]), "b": batch(spark, [(7, 3)])}
+    )
+    assert sorted(r["k"] for r in a_rows(g)) == [1, 2, 3]
+
+
+def a_rows(g):
+    return g.tables["a"].read().collect()
+
+
+def test_group_expire_sweeps_aborted_markers(spark, gdir):
+    _, _, g = mk(spark, gdir)
+    for i in range(1, 4):
+        g.append_all(
+            {"a": batch(spark, [(i, i)]), "b": batch(spark, [(i, i)])}
+        )
+    g.abort_txn()  # healthy abort of txn 3 — marker written
+    assert os.path.exists(g._abort_path(3))
+    for i in range(4, 8):
+        g.append_all(
+            {"a": batch(spark, [(i, i)]), "b": batch(spark, [(i, i)])}
+        )
+    g.expire_txns(keep_last=2)
+    assert not os.path.exists(g._abort_path(3))
+    names = os.listdir(g._txn_dir)
+    assert sorted(
+        int(n.split("-")[1].split(".")[0])
+        for n in names if _re_txn(n)
+    ) == [6, 7]
+
+
+def _re_txn(n):
+    import re
+
+    return re.match(r"^txn-\d+\.json$", n)

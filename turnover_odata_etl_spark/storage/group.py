@@ -82,17 +82,51 @@ class SnapshotGroup:
         safe to race — manifest links are CAS and verified by txn
         uuid). Every group read/write path runs this first, so a
         crash between the group claim and the member links can never
-        be observed as a torn commit by group users."""
+        be observed as a torn commit by group users. A transaction
+        explicitly voided by :meth:`abort_txn` is skipped — that is
+        the documented repair path for the foreign-steal wedge."""
         k = self.last_txn()
         if k == 0 or k == self._applied:
             return  # hot path: this handle already rolled k forward
+        if os.path.exists(self._abort_path(k)):
+            self._applied = k
+            return
         with open(self._txn_path(k)) as fh:
             rec = json.load(fh)
         self._roll_forward(rec)
         self._applied = k
 
+    def _abort_path(self, k: int) -> str:
+        # deliberately NOT matching _TXN_RE: markers never count as
+        # transactions for last_txn()/claim numbering
+        return os.path.join(self._txn_dir, f"txn-{k}.json.aborted")
+
+    def _member_state(self, name: str, m: dict) -> str:
+        """'applied' (target linked with our txn uuid), 'stolen'
+        (target exists but belongs to a foreign commit), or
+        'unapplied' (target missing)."""
+        t = self.tables[name]
+        target = os.path.join(t._manifest_dir, f"manifest-{m['id']}.json")
+        if not os.path.exists(target):
+            return "unapplied"
+        with open(target) as fh:
+            committed = json.load(fh)
+        return "applied" if committed.get("txn") == m["txn"] else "stolen"
+
     def _roll_forward(self, rec: dict) -> None:
-        for name, m in rec["members"].items():
+        """Two-phase (ADVICE r11): phase 1 links and VERIFIES every
+        member's target manifest; only when all members check out does
+        phase 2 advance pointers and reclaim temps. A foreign steal is
+        therefore detected before ANY pointer moves — the failure is
+        loud and the group's pointers stay where they were (a member's
+        linked-but-unpointed manifest is still reader-visible through
+        the table's roll-past-the-hint rule; the manifests are the
+        truth and cannot be unpublished). Repair: :meth:`abort_txn`."""
+        members = {
+            name: {**m, "txn": rec["txn"]}
+            for name, m in rec["members"].items()
+        }
+        for name, m in members.items():
             t = self.tables[name]
             target = os.path.join(
                 t._manifest_dir, f"manifest-{m['id']}.json"
@@ -111,19 +145,73 @@ class SnapshotGroup:
                         f"group txn {rec['txn']}: member {name!r} lost "
                         f"both temp and target manifest for id {m['id']}"
                     ) from None
-            with open(target) as fh:
-                committed = json.load(fh)
-            if committed.get("txn") != rec["txn"]:
+            if self._member_state(name, m) == "stolen":
                 raise RuntimeError(
                     f"group member {name!r} manifest {m['id']} was "
-                    f"claimed by a foreign commit (txn "
-                    f"{committed.get('txn')!r} != {rec['txn']!r}); "
-                    "group members must be written only through the "
-                    "group"
+                    f"claimed by a foreign commit; group members must "
+                    "be written only through the group. No member "
+                    "pointer has been advanced for this txn; run "
+                    "abort_txn() to void it and re-plan, see its "
+                    "docstring"
                 )
+        for name, m in members.items():
+            t = self.tables[name]
             t._write_pointer(m["id"])
+            tmp = os.path.join(t._manifest_dir, m["tmp"])
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def abort_txn(self, k: int | None = None) -> dict[str, str]:
+        """REPAIR (requires no concurrent group writers): void the
+        latest transaction when roll-forward is permanently wedged —
+        the one reachable wedge is a FOREIGN direct member commit
+        stealing a member's manifest id between the group claim and
+        that member's link (every other interruption heals through
+        :meth:`recover`). Writes a durable ``.aborted`` marker next to
+        the txn record; ``recover()`` thereafter skips the txn and the
+        group accepts new commits again.
+
+        Returns ``{member: 'applied' | 'stolen' | 'unapplied'}`` — the
+        torn-state report. 'applied' members carry the txn's rows
+        (their manifests are published and may already have readers or
+        successor commits; they are NOT rolled back); 'stolen' and
+        'unapplied' members do not. The caller owns re-planning:
+        re-issue the lost members' batches through a fresh group
+        commit (appends are safe to re-issue verbatim; keep-latest
+        merges converge by construction). Leftover temp manifests of
+        non-applied members are reclaimed here."""
+        latest = self.last_txn()
+        if k is None:
+            k = latest
+        if k == 0:
+            raise ValueError("no transactions to abort")
+        if k != latest:
+            raise ValueError(
+                f"only the latest txn can be wedged (induction: {k} < "
+                f"{latest} means txn {k} completed before {latest} was "
+                "claimed); nothing to repair"
+            )
+        with open(self._txn_path(k)) as fh:
+            rec = json.load(fh)
+        status: dict[str, str] = {}
+        for name, m in rec["members"].items():
+            st = self._member_state(name, {**m, "txn": rec["txn"]})
+            status[name] = st
+            if st != "applied":
+                tmp = os.path.join(
+                    self.tables[name]._manifest_dir, m["tmp"]
+                )
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        marker = self._abort_path(k)
+        marker_tmp = marker + ".tmp"
+        with open(marker_tmp, "w") as fh:
+            json.dump({"txn": rec["txn"], "members": status}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(marker_tmp, marker)
+        self._applied = k
+        return status
 
     # ------------------------------------------------------------ commit
 
@@ -281,7 +369,9 @@ class SnapshotGroup:
         except FileNotFoundError:
             return
         for n in names:
-            m = _TXN_RE.match(n)
+            m = _TXN_RE.match(n) or re.match(
+                r"^txn-(\d+)\.json\.aborted$", n
+            )
             if m and int(m.group(1)) <= k - keep_last:
                 try:
                     os.unlink(os.path.join(self._txn_dir, n))
