@@ -100,22 +100,41 @@ def main() -> None:
     out["commits_grp_txn"] = waves
 
     # -- delete_where prune shape --------------------------------------
-    t = SnapshotTable(
-        spark, os.path.join(base, "del"),
-        key_cols=["k"], order_col="ver", n_buckets=8,
-    )
+    # Each delete shape measures against its OWN fresh table: deletes
+    # rewrite the layout, so chaining them would measure each shape
+    # against a different file population (round-12 fix — the first
+    # string-prune run measured 0 files because the preceding range
+    # delete had already removed exactly those rows).
     n = rows * 3
-    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
-        t.append(
-            spark.range(lo, hi).select(
-                F.col("id").alias("k"),
-                F.col("id").alias("ver"),
-                (F.col("id") % 97).cast("double").alias("val"),
-            )
-        )
-    m = t._manifest(t.current_id())
-    out["delete_table_files"] = len(m["files"])
 
+    def del_table(name):
+        t = SnapshotTable(
+            spark, os.path.join(base, name),
+            key_cols=["k"], order_col="ver", n_buckets=8,
+        )
+        for tag, (lo, hi) in zip(
+            "abc", ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n))
+        ):
+            t.append(
+                spark.range(lo, hi).select(
+                    F.col("id").alias("k"),
+                    F.col("id").alias("ver"),
+                    (F.col("id") % 97).cast("double").alias("val"),
+                    # constant per append slice -> tight string stats
+                    F.lit(f"source-{tag}").alias("src"),
+                )
+            )
+        return t
+
+    shapes = [
+        # (key, predicate) — range prunes by numeric bounds; string
+        # (round 12, truncation-aware stats) prunes by string bounds
+        # (was 16/16 full candidates in the round-11 SCALE.md
+        # measurement); the unparseable modulus reads full candidates
+        ("range", f"ver BETWEEN {n // 3} AND {2 * n // 3 - 1}"),
+        ("string", "src = 'source-b'"),
+        ("unparsed", "k % 1000 = 7"),
+    ]
     opened: list = []
     real_parquet = type(spark.read).parquet
 
@@ -125,19 +144,18 @@ def main() -> None:
 
     type(spark.read).parquet = spy
     try:
-        t0 = time.perf_counter()
-        t.delete_where(f"ver BETWEEN {n // 3} AND {2 * n // 3 - 1}")
-        out["delete_range_s"] = round(time.perf_counter() - t0, 3)
-        out["delete_range_files_opened"] = len(
-            [p for p in opened if p.endswith(".parquet")]
-        )
-        opened.clear()
-        t0 = time.perf_counter()
-        t.delete_where("k % 1000 = 7")  # unparseable — full candidates
-        out["delete_unparsed_s"] = round(time.perf_counter() - t0, 3)
-        out["delete_unparsed_files_opened"] = len(
-            [p for p in opened if p.endswith(".parquet")]
-        )
+        for key, pred in shapes:
+            t = del_table(f"del_{key}")
+            out["delete_table_files"] = len(
+                t._manifest(t.current_id())["files"]
+            )
+            opened.clear()
+            t0 = time.perf_counter()
+            t.delete_where(pred)
+            out[f"delete_{key}_s"] = round(time.perf_counter() - t0, 3)
+            out[f"delete_{key}_files_opened"] = len(
+                [p for p in opened if p.endswith(".parquet")]
+            )
     finally:
         type(spark.read).parquet = real_parquet
 

@@ -58,9 +58,10 @@ def test_predicate_bounds_simple_forms():
 
 
 def test_predicate_bounds_skips_unparsed_conjuncts_soundly():
-    # string conjunct is skipped; numeric one still narrows
+    # string conjunct yields string bounds (round 12); numeric narrows
     assert predicate_bounds("ver <= 5 AND v = 'click'") == {
-        "ver": (-float("inf"), 5.0)
+        "ver": (-float("inf"), 5.0),
+        "v": ("click", "click"),
     }
     # != / <> / col-vs-col conjuncts skip, never misread
     assert predicate_bounds("a != 3 AND b <= 2") == {
@@ -97,13 +98,38 @@ def test_predicate_bounds_refuses_unsafe_structure():
     assert predicate_bounds("weekend = 3") == {"weekend": (3.0, 3.0)}
     # AND/OR INSIDE a string literal is data, not structure
     assert predicate_bounds("v = 'x AND y' AND ver <= 5") == {
-        "ver": (-float("inf"), 5.0)
+        "ver": (-float("inf"), 5.0),
+        "v": ("x AND y", "x AND y"),
     }
     assert predicate_bounds("v = 'x OR y' AND ver <= 5") == {
-        "ver": (-float("inf"), 5.0)
+        "ver": (-float("inf"), 5.0),
+        "v": ("x OR y", "x OR y"),
     }
     # unbalanced quote — no pruning at all
     assert predicate_bounds("v = 'x AND ver <= 5") == {}
+
+
+def test_predicate_bounds_string_forms():
+    """Round 12 (VERDICT r11 item 3): string comparisons yield bounds
+    too — '' is the bottom sentinel, None means unbounded above."""
+    assert predicate_bounds("v = 'click'") == {"v": ("click", "click")}
+    assert predicate_bounds("v == 'x'") == {"v": ("x", "x")}
+    assert predicate_bounds("v <= 'm'") == {"v": ("", "m")}
+    assert predicate_bounds("v < 'm'") == {"v": ("", "m")}
+    assert predicate_bounds("v > 'm'") == {"v": ("m", None)}
+    assert predicate_bounds("v >= 'a' AND v < 'f'") == {"v": ("a", "f")}
+    # '' escapes resolve to the raw literal
+    assert predicate_bounds("v = 'it''s'") == {"v": ("it's", "it's")}
+    # mixed numeric + string conjuncts each narrow their own column
+    assert predicate_bounds("a <= 5 AND v = 'x'") == {
+        "a": (-float("inf"), 5.0),
+        "v": ("x", "x"),
+    }
+    # cross-domain conflict on a column drops THAT column only
+    assert predicate_bounds("v = 'x' AND v = 5 AND a > 1") == {
+        "a": (1.0, float("inf"))
+    }
+    assert predicate_bounds("v = 5 AND v = 'x'") == {}
 
 
 # ---------------------------------------------------------------- delete
@@ -582,3 +608,139 @@ def test_update_where_rejects_empty_assignments(spark, tdir):
     t.merge(batch(spark, [(1, "a", 1)]))
     with pytest.raises(ValueError, match="empty assignments"):
         t.update_where("ver = 1", {})
+
+
+# ------------------------------------------------- string stats (r12)
+
+
+def test_truncate_upper_forms():
+    from turnover_odata_etl_spark.storage.snapshot import _truncate_upper
+
+    MAX = chr(0x10FFFF)
+    assert _truncate_upper("short") == "short"
+    assert _truncate_upper("a" * 16) == "a" * 16  # exact at the edge
+    assert _truncate_upper("a" * 17) == "a" * 15 + "b"
+    assert _truncate_upper("abcdefghijklmnop" + "zzz") == "abcdefghijklmnoq"
+    # positions at U+10FFFF are dropped, an earlier one increments
+    assert _truncate_upper("ab" + MAX * 14 + "x") == "ac"
+    # every kept position at the max: no finite upper bound
+    assert _truncate_upper(MAX * 17) is None
+    # the increment skips the surrogate block (not UTF-8-encodable)
+    assert (
+        _truncate_upper("a" * 15 + chr(0xD7FF) + "tail")
+        == "a" * 15 + chr(0xE000)
+    )
+
+
+def test_string_stats_truncation_soundness_fuzz():
+    """A pruned file can NEVER contain a match (VERDICT r11 item 3's
+    Done criterion): for random file contents and random predicate
+    intervals, if the truncated manifest stats report no overlap,
+    brute force must confirm no file value lies in the interval."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from turnover_odata_etl_spark.storage.snapshot import (
+        _stats_overlap,
+        _truncate_upper,
+    )
+
+    # alphabet stresses every edge: '' ordering, multi-byte code
+    # points, the maximum code point, surrogate-adjacent increments
+    char = st.sampled_from(["a", "b", "z", "é", chr(0xD7FF), chr(0x10FFFF)])
+    word = st.text(alphabet=char, min_size=0, max_size=24)
+
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(values=st.lists(word, min_size=1, max_size=8),
+           lo=word, hi=word)
+    def check(values, lo, hi):
+        stats = [min(values)[:16], _truncate_upper(max(values))]
+        if not _stats_overlap(stats, lo, hi):
+            for v in values:
+                assert not (lo <= v <= hi), (
+                    f"UNSOUND prune: stats={stats!r} bounds=({lo!r}, "
+                    f"{hi!r}) hides match {v!r}"
+                )
+        # equality probe: every stored value must survive its own
+        # point lookup through the truncated stats
+        for v in values:
+            assert _stats_overlap(stats, v, v), (
+                f"UNSOUND: {v!r} invisible through stats={stats!r}"
+            )
+
+    check()
+
+
+def test_delete_where_prunes_files_by_string_stats(
+    spark, tdir, monkeypatch
+):
+    """The round-11 SCALE.md measurement to beat: a string-equality
+    delete opened 16/16 candidates. With truncation-aware string
+    stats the prune must keep non-overlapping files CLOSED (spy) and
+    carried BY REFERENCE, while the delete stays exact."""
+    t = make_table(spark, tdir, n_buckets=2)
+    t.merge(batch(spark, [(i, "apple", i) for i in range(0, 20)]))
+    t.merge(batch(spark, [(i, "click", i) for i in range(100, 120)]))
+    t.merge(batch(spark, [(i, "zebra", i) for i in range(200, 220)]))
+    base = t.current_id()
+    before = {f["path"]: f for f in t._manifest(base)["files"]}
+    assert all("v" in (f.get("stats") or {}) for f in before.values())
+
+    opened: list[str] = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        opened.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    sid = t.delete_where("v = 'click'")
+    monkeypatch.undo()
+
+    assert rows(t.read()) == sorted(
+        [(i, "apple", i) for i in range(0, 20)]
+        + [(i, "zebra", i) for i in range(200, 220)]
+    )
+    # only click-range files were opened by the candidate read
+    for p in [p for p in opened if p.endswith(".parquet")]:
+        entry = next(f for f in before.values() if p.endswith(f["path"]))
+        s = entry["stats"]["v"]
+        assert not (s[1] < "click" or s[0] > "click"), (
+            f"pruned file opened: {p}"
+        )
+    # apple/zebra files carried by reference
+    after = {f["path"]: f for f in t._manifest(sid)["files"]}
+    for p, f in before.items():
+        s = f["stats"]["v"]
+        if s[1] < "click" or s[0] > "click":
+            assert after[p] == f
+        else:
+            assert p not in after  # rewritten away
+
+
+def test_string_stats_truncated_in_manifest_and_delete_exact(
+    spark, tdir
+):
+    """Long strings store 16-code-point truncated bounds (lower =
+    prefix, upper = incremented prefix) and predicate deletes through
+    them stay exact."""
+    long_lo = "aaaaaaaaaaaaaaaaZZZ"  # 16 a's + tail
+    long_hi = "zzzzzzzzzzzzzzzzAAA"
+    t = make_table(spark, tdir, n_buckets=1)
+    t.merge(
+        spark.createDataFrame(
+            [(1, long_lo, 1), (2, long_hi, 2), (3, "mid", 3)],
+            "k long, v string, ver long",
+        )
+    )
+    (f,) = t._manifest(t.current_id())["files"]
+    s = f["stats"]["v"]
+    assert s[0] == "a" * 16  # truncated prefix lower
+    assert s[1] == "z" * 15 + "{"  # incremented truncated upper
+    # a no-overlap point predicate proves a no-op WITHOUT reading
+    sid = t.current_id()
+    assert t.delete_where("v = '" + chr(0x10FFFF) + "'") == sid
+    # deleting a long value through truncated stats stays exact
+    t.delete_where(f"v = '{long_lo}'")
+    assert [r["k"] for r in t.read().orderBy("k").collect()] == [2, 3]
