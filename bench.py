@@ -138,6 +138,13 @@ ADDITIONS_R11 = [
     "s_snapshot_dml_lifecycle",
 ]
 
+# Round-12 STAGED queries (plans/roundtwelve.py — held for a cap
+# ruling, registry frozen at 206; timed here as staged_r12 so the
+# staged→registered delta series continues when they register).
+STAGED_R12 = [
+    "t_bm25_topk",
+]
+
 # Round-9 registrations (plans/roundnine.py — registered round 10 per
 # the r09 cap ruling; benched as staged_r9 in BENCH_r08/r09 for the
 # staged→registered delta series, registry-backed from r10 on).
@@ -256,6 +263,11 @@ def main() -> None:
     additions_r11 = time_queries(
         spark, specs, ADDITIONS_R11, sf_dir, reps, errors
     )
+    from turnover_odata_etl_spark.plans.roundtwelve import STAGED as _R12
+    staged_specs = {**specs, **_R12}
+    staged_r12 = time_queries(
+        spark, staged_specs, STAGED_R12, sf_dir, reps, errors
+    )
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -287,6 +299,7 @@ def main() -> None:
     additions_r9_total = round(sum(additions_r9.values()), 3)
     additions_r10_total = round(sum(additions_r10.values()), 3)
     additions_r11_total = round(sum(additions_r11.values()), 3)
+    staged_r12_total = round(sum(staged_r12.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -326,6 +339,8 @@ def main() -> None:
         "additions_r10_total": additions_r10_total,
         "additions_r11": additions_r11,
         "additions_r11_total": additions_r11_total,
+        "staged_r12": staged_r12,
+        "staged_r12_total": staged_r12_total,
         "all_total": round(
             total
             + streaming_total
@@ -378,6 +393,7 @@ def main() -> None:
         "additions_r9": additions_r9_total,
         "additions_r10": additions_r10_total,
         "additions_r11": additions_r11_total,
+        "staged_r12": staged_r12_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -392,6 +408,7 @@ def main() -> None:
         ("additions_r9", additions_r9),
         ("additions_r10", additions_r10),
         ("additions_r11", additions_r11),
+        ("staged_r12", staged_r12),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

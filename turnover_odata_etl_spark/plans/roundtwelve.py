@@ -1,0 +1,132 @@
+"""Round-12 STAGED queries — held for a cap ruling (the r11 verdict
+froze the registry at 206; precedent is the roundeight→roundeleven
+lifecycle: stage with oracles + bench history + empty-sweep coverage,
+register when a verdict rules).
+
+``t_bm25_topk`` — the BM25 retrieval rung (VERDICT r11 item 4 /
+SURVEY E111): corpus-scale inverted-index top-k retrieval. The query
+set is derived deterministically FROM the corpus (global term ranks
+5–10 by frequency, paired into three 2-term queries), so the whole
+thing — tokenize, postings, document lengths, idf, score, rank — is
+closed-form and the DuckDB oracle replays it exactly (the
+t_unigram_logprob exactness class).
+
+Activation checklist (mirror of roundeleven's, executed at ruling):
+1. move the specs into ``@register`` form (oracles are eager
+   constants), import roundtwelve in ``plans/__init__``,
+2. add them to the gate window for their first round,
+3. move STAGED_R12 → ADDITIONS_R12 in bench.py,
+4. remove the staged empty-sweep block (tests/test_empty_input.py),
+5. adjudicate plan-audit entries if flagged (the corpus-stats frame
+   is 1 row; the query frame is 6 rows — broadcast by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..tables import load_table
+from .registry import QuerySpec
+
+BM25_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ), rk AS (
+      SELECT term,
+             row_number() OVER (ORDER BY sum(tf) DESC, term) AS rk
+      FROM tf GROUP BY term
+    ), q AS (
+      SELECT CAST((rk - 5) // 2 AS BIGINT) AS query_id, term
+      FROM rk WHERE rk BETWEEN 5 AND 10
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tf WHERE term IN (SELECT term FROM q)
+      GROUP BY term
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             ), 4) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN dfq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+"""
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/retrieval.bm25_topk) for
+    three 2-term queries derived from the corpus itself: global term
+    ranks 5–10 by (total count desc, term asc — a total order), rank
+    r pairing into query ``(r-5) div 2``. Skipping the top-4 terms
+    keeps df below N so every idf is comfortably positive and the
+    posting lists stay selective — the realistic query regime.
+
+    Plan shape: the rank pick is a distributed TakeOrdered over the
+    vocab-sized global counts (never a single-partition window over
+    the vocabulary — the t_dsir device: limit first, re-rank the
+    10-row result); the retrieval itself broadcasts the 6-row query
+    frame into the postings scan, so per-query cost is the posting
+    lists of its terms, never the corpus (full shape in the operator
+    docstring).
+
+    Determinism: ranking compares 4dp-rounded scores with doc-id
+    tie-break on both engines; the score sums ≤ 2 terms, and IEEE
+    addition of two doubles is order-insensitive."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term")
+    )
+    top10 = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("term"))
+        .limit(10)
+    )
+    ranked = top10.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("gc"), F.asc("term"))
+        ),  # 10-row frame — the post-limit re-rank is metadata-sized
+    )
+    qterms = ranked.filter(F.col("rk") >= 5).select(
+        ((F.col("rk") - 5) / 2).cast("long").alias("query_id"),
+        "term",
+    )
+    return bm25_topk(docs, qterms, "doc_id", "text", k=10)
+
+
+# Staged specs — same shape the registry holds, NOT registered (cap).
+STAGED: dict[str, QuerySpec] = {
+    "t_bm25_topk": QuerySpec(
+        name="t_bm25_topk",
+        fn=t_bm25_topk,
+        oracle=BM25_ORACLE,
+        tags=("llm", "text", "retrieval"),
+    ),
+}
