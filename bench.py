@@ -143,6 +143,7 @@ ADDITIONS_R11 = [
 # staged→registered delta series continues when they register).
 STAGED_R12 = [
     "t_bm25_topk",
+    "s_knn_ivf_persistent",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

@@ -33,7 +33,7 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"t_bm25_topk"}
+    assert set(STAGED) == {"t_bm25_topk", "s_knn_ivf_persistent"}
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -123,3 +123,134 @@ def test_bm25_repeat_call_deterministic(spark, sf_dir):
     a = sorted(map(tuple, t_bm25_topk(spark, sf_dir).collect()))
     b = sorted(map(tuple, t_bm25_topk(spark, sf_dir).collect()))
     assert a == b
+
+
+# ------------------------------------------------ persistent IVF ANN
+
+
+def test_ivf_persistent_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        IVF_PERSISTENT_ORACLE,
+        s_knn_ivf_persistent,
+    )
+
+    compare_spark_vs_oracle(
+        s_knn_ivf_persistent(spark, sf_dir),
+        _con(sf_dir),
+        IVF_PERSISTENT_ORACLE,
+        "s_knn_ivf_persistent",
+    )
+
+
+def _axis_vec(axis, dim=8, wobble=0.0, wobble_axis=None):
+    v = [0.0] * dim
+    v[axis] = 1.0
+    if wobble and wobble_axis is not None:
+        v[wobble_axis] = wobble
+    return v
+
+
+def test_ivf_persistent_cross_wave_mechanism(spark, tmp_path):
+    """The MECHANISM pin (the E109 synthetic-test pattern): a wave-3
+    query must retrieve neighbors appended in EVERY earlier wave
+    through the persistent index — the codebook froze at wave 1, the
+    postings accumulated across appends, and the search never read a
+    cell it didn't probe (inputFiles spy)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_probe_cells,
+        kmeans_assign,
+        topk_from_cells,
+    )
+    from turnover_odata_etl_spark.storage import SnapshotTable
+
+    # three tight clusters on axes 0/1/2, ids interleaved so every
+    # WAVE contributes a member of cluster 0
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        rows.append((i, _axis_vec(axis, wobble=0.01 * (i % 5), wobble_axis=(axis + 3))))
+    vecs = spark.createDataFrame(rows, "nid long, vec array<float>")
+
+    index = SnapshotTable(
+        spark, str(tmp_path / "postings"),
+        key_cols=["cell", "nid"], order_col="__ver", n_buckets=8,
+        bucket_cols=["cell"],
+    )
+    w1 = vecs.filter(F.col("nid") < 10)
+    _, cents = kmeans_assign(w1, 3)
+    for ver, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30)), 1):
+        index.append(
+            assign_to_centroids(
+                vecs.filter((F.col("nid") >= lo) & (F.col("nid") < hi)),
+                cents,
+            )
+            .select("cell", "nid", "vec")
+            .withColumn("__ver", F.lit(ver))
+        )
+
+    q = spark.createDataFrame(
+        [(1000, _axis_vec(0))], "query_id long, vec array<float>"
+    )
+    probes = ivf_probe_cells(q, cents, nprobe=1)
+    pruned = index.read_matching(probes.select("cell"))
+    got = topk_from_cells(probes, pruned, k=10).collect()
+    hit_ids = {r["neighbor_id"] for r in got}
+    # every axis-0 member, from all three waves
+    assert hit_ids == {i for i in range(30) if i % 3 == 0}
+    waves_hit = {i // 10 for i in hit_ids}
+    assert waves_hit == {0, 1, 2}
+
+    # prune: the single probed cell's bucket only — strictly fewer
+    # files than the whole 3-wave index
+    all_files = {
+        f["path"] for f in index._manifest(index.current_id())["files"]
+    }
+    opened = {p.rsplit("/", 2)[-1] for p in pruned.inputFiles()}
+    assert 0 < len(opened) < len(all_files)
+    # and the opened files' vectors all share the probed cell's bucket
+    probe_cell = probes.collect()[0]["cell"]
+    cells_opened = {
+        r["cell"] for r in pruned.select("cell").distinct().collect()
+    }
+    bucket_of = {
+        r["cell"]: r["b"]
+        for r in index.read()
+        .select("cell")
+        .distinct()
+        .select(
+            "cell", F.pmod(F.hash("cell"), F.lit(8)).alias("b")
+        )
+        .collect()
+    }
+    assert all(
+        bucket_of[c] == bucket_of[probe_cell] for c in cells_opened
+    )
+
+
+def test_ivf_persistent_empty_input(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        s_knn_ivf_persistent,
+    )
+
+    # zero-row real-schema embeddings table
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = s_knn_ivf_persistent(spark, str(d))
+    assert out.columns == ["k", "floor_pct", "n_true", "meets_floor"]
+    assert out.collect() == []

@@ -520,6 +520,76 @@ def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame, cents, nprobe: int
+) -> DataFrame:
+    """(query_id, q_vec, cell): each query's ``nprobe`` nearest
+    centroid cells — the IVF probe kernel, extracted from
+    :func:`ivf_topk` (round 12) for FIXED-codebook consumers (the
+    persistent IVF index searches a frozen wave-1 codebook). A
+    map-only GEMM per Arrow batch; only the centroid matrix ships."""
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            order = _np.argsort(-(Vn @ cents.T), axis=1)[:, :nprobe]
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"]
+                    .repeat(nprobe)
+                    .reset_index(drop=True),
+                    "q_vec": pdf["vec"]
+                    .repeat(nprobe)
+                    .reset_index(drop=True),
+                    "cell": order.reshape(-1).astype(_np.int64),
+                }
+            )
+
+    return queries.select("query_id", "vec").mapInPandas(
+        probe, "query_id long, q_vec array<float>, cell long"
+    )
+
+
+def topk_from_cells(
+    q_probes: DataFrame, cells: DataFrame, k: int
+) -> DataFrame:
+    """Exact re-rank of per-cell candidates: join the probe frame to
+    a ``(cell, nid, vec)`` candidate source on the cell key, cosine,
+    top-``k`` per query (score desc, neighbor asc — deterministic).
+    Shared tail of :func:`ivf_topk` and the persistent-index search;
+    extra rows from co-hashed cells in a bucket-pruned source are
+    discarded by the cell equi-join, never wrong output."""
+    cands = (
+        q_probes.join(
+            cells.select(
+                "cell",
+                F.col("nid").alias("neighbor_id"),
+                F.col("vec").alias("c_vec"),
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -545,46 +615,11 @@ def ivf_topk(
     if assigned is None:
         return _empty_topk(corpus)
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
-
-    def probe(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        for pdf in batches:
-            V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
-            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
-            order = _np.argsort(-(Vn @ cents2.T), axis=1)[:, :nprobe]
-            yield _pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].repeat(nprobe).reset_index(drop=True),
-                    "q_vec": pdf["vec"].repeat(nprobe).reset_index(drop=True),
-                    "cell": order.reshape(-1).astype(_np.int64),
-                }
-            )
-
-    q_probes = q.mapInPandas(probe, "query_id long, q_vec array<float>, cell long")
-    cands = (
-        q_probes.join(
-            assigned.select(
-                "cell", F.col("nid").alias("neighbor_id"), F.col("vec").alias("c_vec")
-            ),
-            "cell",
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("q_vec", "c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        cands.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 4).alias("cos"),
-            F.col("rn").cast("long").alias("rn"),
-        )
-    )
+    q_probes = ivf_probe_cells(q, cents2, nprobe)
+    return topk_from_cells(q_probes, assigned, k)
 
 
 def srp_lsh_topk(
