@@ -254,3 +254,60 @@ def test_ivf_persistent_empty_input(spark, tmp_path):
     out = s_knn_ivf_persistent(spark, str(d))
     assert out.columns == ["k", "floor_pct", "n_true", "meets_floor"]
     assert out.collect() == []
+
+
+def test_ivf_probe_tiny_codebook_and_zero_norm_query(spark):
+    """Review r12: (a) a codebook smaller than nprobe must clamp the
+    probe fan-out (argsort's silent cap used to disagree with the
+    pandas repeat count — a ValueError inside mapInPandas for any
+    1–9 row corpus); (b) a zero-norm query must not poison its GEMM
+    row with NaN."""
+    from turnover_odata_etl_spark.operators.similarity import (
+        ivf_probe_cells,
+        kmeans_assign,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "nid long, vec array<float>"
+    )
+    _, cents = kmeans_assign(vecs, 16)  # only 2 centroids exist
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "query_id long, vec array<float>",
+    )
+    probes = ivf_probe_cells(q, cents, nprobe=4).collect()
+    per_q = {}
+    for r in probes:
+        per_q.setdefault(r["query_id"], set()).add(r["cell"])
+    # fan-out clamped to the codebook size, for BOTH queries —
+    # including the zero-norm one (no NaN loss)
+    assert per_q == {10: {0, 1}, 11: {0, 1}}
+
+
+def test_ivf_persistent_tiny_corpus_no_crash(spark, tmp_path):
+    """Review r12 repro: a 6-row embeddings corpus seeds a 2-centroid
+    wave-1 codebook (< nprobe=4); the full staged query must still
+    run end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        s_knn_ivf_persistent,
+    )
+
+    d = tmp_path / "tiny_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(6), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i % 3 == a) for a in range(4)] for i in range(6)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    (row,) = s_knn_ivf_persistent(spark, str(d)).collect()
+    assert row["k"] == 5 and row["n_true"] == 30  # 6 queries x 5

@@ -30,8 +30,12 @@ build offline what this declares as one plan):
   term), so only the query terms' postings survive — per-query work
   is O(Σ posting lists), never O(corpus); df for those terms is
   derived from the restricted postings (K-sized) and broadcast back;
-- document lengths join the RESTRICTED candidates on doc_id
-  (candidate-sized exchange), the corpus-stats frame is 1 row;
+- document lengths join the RESTRICTED candidates on doc_id — the
+  candidate side of that exchange is candidate-sized, the dl side is
+  one row per corpus document (doc-grain, the honest cost of exact
+  length normalization; a scale deployment amortizes it by
+  materializing dl once per corpus version, not per query batch);
+  the corpus-stats frame is 1 row;
 - top-k is a per-query window over each query's own candidate set —
   bounded by its posting lists, no global sort.
 

@@ -527,23 +527,32 @@ def ivf_probe_cells(
     centroid cells — the IVF probe kernel, extracted from
     :func:`ivf_topk` (round 12) for FIXED-codebook consumers (the
     persistent IVF index searches a frozen wave-1 codebook). A
-    map-only GEMM per Arrow batch; only the centroid matrix ships."""
+    map-only GEMM per Arrow batch; only the centroid matrix ships.
+
+    ``nprobe`` clamps to the codebook size (review r12: a tiny corpus
+    seeds fewer centroids than nprobe, and argsort's silent cap then
+    disagreed with the repeat count — a pandas length crash); a
+    zero-norm query keeps its raw dot products (all zero — cells in
+    positional order) instead of poisoning the GEMM row with NaN,
+    the same guard its sibling :func:`assign_to_centroids` uses."""
 
     def probe(batches):
         import numpy as _np
         import pandas as _pd
 
+        p = min(int(nprobe), int(cents.shape[0]))
         for pdf in batches:
             V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
-            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
-            order = _np.argsort(-(Vn @ cents.T), axis=1)[:, :nprobe]
+            nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / _np.where(nrm == 0.0, 1.0, nrm)
+            order = _np.argsort(-(Vn @ cents.T), axis=1)[:, :p]
             yield _pd.DataFrame(
                 {
                     "query_id": pdf["query_id"]
-                    .repeat(nprobe)
+                    .repeat(p)
                     .reset_index(drop=True),
                     "q_vec": pdf["vec"]
-                    .repeat(nprobe)
+                    .repeat(p)
                     .reset_index(drop=True),
                     "cell": order.reshape(-1).astype(_np.int64),
                 }

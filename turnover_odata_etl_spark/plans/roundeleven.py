@@ -18,8 +18,9 @@ form — same exactness class as t_unigram_logprob/t_dsir_importance.
 ``s_snapshot_dml_lifecycle`` — the full DML-verb lifecycle (VERDICT
 r10 item 4's "oracle path" criterion, widened to all round-11 verbs):
 value-sliced appends for a stats-prunable layout, a numeric RANGE
-delete (bounds-parsed, file prune), a STRING-equality delete (no
-bounds — honest full candidate read, matched-bucket rewrite), a COW
+delete (bounds-parsed, file prune), a STRING-equality delete (since
+round 12 pruned by truncation-aware string stats; matched-bucket
+rewrite), a COW
 ``update_where`` (schema-stable cast), a ``delete_keys`` batch
 (layout-hash bucket prune), compact + GC, final read == the batch
 composition of all four edits. The unit/model tests pin each
@@ -141,14 +142,15 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted lang) confusion matrix — the monitoring artifact a
     curation pipeline actually keeps.
 
-    Plan shape: ONE corpus gram pass feeds both the model aggregation
-    (vocab-sized — Heaps' law) and the doc-gram frame; the model
-    broadcasts into the scoring join, so the corpus never shuffles on
-    gram — it crosses the wire once, at (doc, lang) score grain; the
-    per-language totals/priors/vocab frames are alphabet-sized
-    crossJoins. At 100 TB: a broadcast-sized model, one map-side gram
-    explode, one doc-grain aggregate, one 5-row-per-doc argmax
-    window.
+    Plan shape: TWO independent map-side gram passes — one feeding
+    the model aggregation (map-side-combined straight to vocab grain
+    — Heaps' law), one feeding the doc-gram frame (measured faster
+    than sharing one pass; see below); the model broadcasts into the
+    scoring join, so the corpus never shuffles on gram beyond the
+    doc-gram aggregation; the per-language totals/priors/vocab frames
+    are alphabet-sized crossJoins. At 100 TB: a broadcast-sized
+    model, map-side gram explodes, one doc-grain aggregate, one
+    5-row-per-doc argmax window.
 
     Order/size choice: the synthetic fixture's languages share a
     WORD vocabulary and differ in token SEQUENCE statistics, so
@@ -159,7 +161,7 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     their n-gram ranges per training corpus). ``max_features=50000``
     is what makes the broadcast-model claim TRUE at 100 TB: the raw
     n-gram vocabulary grows with the corpus, the selected model is
-    is K-sized forever.
+    K-sized forever.
 
     Shared-gram-pass decision (activation, VERDICT r11 item 2 —
     MEASURED, then rejected for THIS query): the suggested shared
@@ -232,7 +234,10 @@ def s_snapshot_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
        bounds parser extracts [100, 250] and the candidate read skips
        every non-overlapping file;
     2. STRING-equality ``delete_where`` (``event_type = 'click'``):
-       unparseable bounds — honest full candidate read, but only
+       string bounds since round 12 — the truncation-aware string
+       stats prune the candidate read too (it was an honest full
+       candidate read when this staged in round 11; SCALE.md round
+       12 measures the 16/16 → 8/24-shape improvement), and only
        matched buckets rewrite;
     3. ``update_where`` (``value < 50`` → ``value + 1000``): COW
        update, schema-stable cast, stats-pruned like the range delete;

@@ -167,6 +167,7 @@ def s_knn_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..operators.similarity import (
+        assign_to_centroids,
         cosine_topk,
         ivf_probe_cells,
         kmeans_assign,
@@ -200,8 +201,6 @@ def s_knn_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = _exact_order_stats(vecs, "nid", [n1, n2])
     cut1 = cuts[n1]
     cut2 = cuts.get(n2, cut1)
-
-    from ..operators.similarity import assign_to_centroids
 
     w1 = vecs.filter(F.col("nid") <= cut1)
     _, cents = kmeans_assign(w1, 16)  # wave-1 codebook, then FROZEN

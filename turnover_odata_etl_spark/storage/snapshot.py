@@ -104,10 +104,17 @@ def _truncate_upper(s: str, length: int = _STATS_TRUNC):
     ``None`` when every kept position is U+10FFFF (no finite upper —
     callers must treat that as unbounded-above).
 
-    This correction is ALSO what makes the scheme robust to a parquet
-    writer that silently prefix-truncates its footer max: any string
-    with footer-max as a prefix still compares below the incremented
-    prefix, so pruning can never skip a file holding a match."""
+    When the footer max is itself a silent prefix truncation LONGER
+    than ``length``, the correction still covers it: any string
+    prefixed by the footer max compares below the incremented
+    16-point prefix. The guarantee does NOT extend to a writer that
+    prefix-truncates to ``length`` or shorter without incrementing —
+    the short value is stored verbatim as an exact inclusive upper
+    (review r12). Our own write path is Spark/parquet-mr, whose
+    binary stats are exact-or-omitted (and whose truncator
+    increments), so that case is unreachable here; an external
+    consumer adopting this manifest format with a laxer writer must
+    apply its own correction before storing."""
     if len(s) <= length:
         return s
     prefix = s[:length]
@@ -1799,8 +1806,9 @@ class SnapshotTable:
         valid, merely weaker, lower bound), upper =
         :func:`_truncate_upper` of the footer max (exact when short;
         the increment-last-code-point correction when truncated —
-        which also makes the bound robust to a writer that silently
-        prefix-truncated its footer max; ``None`` = unbounded when
+        which also covers a writer that silently prefix-truncated its
+        footer max to LONGER than 16 points (see _truncate_upper's
+        scope note); ``None`` = unbounded when
         every kept position is U+10FFFF). bool/binary/nested skip. A
         column missing anywhere in the file contributes nothing —
         absent stats degrade to must-read, never to wrong-prune."""
