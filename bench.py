@@ -144,6 +144,7 @@ ADDITIONS_R11 = [
 STAGED_R12 = [
     "t_bm25_topk",
     "s_knn_ivf_persistent",
+    "s_bm25_incremental",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

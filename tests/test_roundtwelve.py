@@ -33,7 +33,9 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"t_bm25_topk", "s_knn_ivf_persistent"}
+    assert set(STAGED) == {
+        "t_bm25_topk", "s_knn_ivf_persistent", "s_bm25_incremental",
+    }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -311,3 +313,89 @@ def test_ivf_persistent_tiny_corpus_no_crash(spark, tmp_path):
     )
     (row,) = s_knn_ivf_persistent(spark, str(d)).collect()
     assert row["k"] == 5 and row["n_true"] == 30  # 6 queries x 5
+
+
+# ------------------------------------------------ incremental BM25
+
+
+def test_bm25_incremental_matches_oracle_and_batch(spark, sf_dir):
+    """EXACT convergence: the incremental index answers the batch
+    oracle verbatim AND equals the batch operator row-for-row."""
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        s_bm25_incremental,
+    )
+
+    compare_spark_vs_oracle(
+        s_bm25_incremental(spark, sf_dir),
+        _con(sf_dir),
+        BM25_ORACLE,
+        "s_bm25_incremental",
+    )
+    inc = sorted(map(tuple, s_bm25_incremental(spark, sf_dir).collect()))
+    bat = sorted(map(tuple, t_bm25_topk(spark, sf_dir).collect()))
+    assert inc == bat
+
+
+def test_bm25_index_wave_protocol(spark, tmp_path):
+    """The NeardupIndex wave discipline on the BM25 index: replayed
+    waves skip (no duplicate postings, stats unchanged), gaps refuse
+    loudly, empty waves advance the checkpoint, and the search read
+    opens only the query terms' buckets (inputFiles spy)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from turnover_odata_etl_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "bm25"), n_buckets=16)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx.wave(docs([(1, "alpha beta"), (2, "alpha gamma")]), 1)
+    assert idx.current_wave() == 1
+    assert idx.stats() == (2, 4)
+
+    # gap refused
+    with _pytest.raises(ValueError, match="consecutive"):
+        idx.wave(docs([(9, "zeta")]), 3)
+
+    # replay skips: same rows, same stats, no duplicate postings
+    before = idx.postings.read().count()
+    idx.wave(docs([(1, "alpha beta"), (2, "alpha gamma")]), 1)
+    assert idx.postings.read().count() == before
+    assert idx.stats() == (2, 4)
+
+    # wave 2 from a DIFFERENT doc population; empty wave 3 advances
+    idx.wave(docs([(3, "alpha delta epsilon")]), 2)
+    idx.wave(docs([]), 3)
+    assert idx.current_wave() == 3
+    assert idx.stats() == (3, 7)
+
+    # cross-wave retrieval: 'alpha' hits docs from both real waves
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, term string"
+    )
+    got = idx.topk(q, k=10).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3}
+
+    # prune: the postings read for one term opens fewer files than
+    # the whole index holds (term-bucketed layout)
+    pruned = idx.postings.read_matching(q.select("term"))
+    all_files = {
+        f["path"]
+        for f in idx.postings._manifest(idx.postings.current_id())[
+            "files"
+        ]
+    }
+    opened = set(pruned.inputFiles())
+    assert 0 < len(opened) < len(all_files)
+
+
+def test_bm25_index_empty_before_first_wave(spark, tmp_path):
+    from turnover_odata_etl_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "bm25e"))
+    q = spark.createDataFrame([(0, "x")], "query_id long, term string")
+    out = idx.topk(q)
+    assert out.columns == ["query_id", "doc_id", "score", "rn"]
+    assert out.collect() == []

@@ -99,6 +99,16 @@ def bm25_topk(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    return _rank_scored(part, k, k1, b)
+
+
+def _rank_scored(part: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """Shared BM25 scoring + ranking tail (batch :func:`bm25_topk`
+    and the incremental :class:`BM25Index` build the same
+    ``(query_id, doc_id, tf, df, dl, n, avgdl)`` candidate frame, so
+    convergence of the two paths is arithmetic identity, not luck).
+    Per-(query, doc) scores sum on the 4dp grid; ranking ties break
+    on doc_id."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n") - F.col("df") + F.lit(0.5))
@@ -125,3 +135,155 @@ def bm25_topk(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+class BM25Index:
+    """PERSISTENT incremental BM25 index (round 12, SURVEY E113) —
+    the retrieval sibling of the incremental LSH / SemDeDup / IVF
+    indexes, with one property they don't have: nothing here is
+    approximate, so the union of waves converges EXACTLY to
+    :func:`bm25_topk` over the accumulated corpus and the batch
+    oracle applies verbatim (the d_incremental_neardup convergence
+    device, without even an epsilon).
+
+    Layout: ``postings`` keyed (term, doc_id), PHYSICALLY BUCKETED on
+    term — a search probes terms, so :meth:`SnapshotTable.read_matching`
+    opens only the query terms' buckets; ``doclen`` keyed doc_id for
+    the length-normalization join. Both tables commit per wave as ONE
+    :class:`SnapshotGroup` transaction (postings can never run ahead
+    of lengths), and the corpus stats (N, Σdl — the exact integers
+    behind idf and avgdl) ride that same commit as ADDITIVE manifest
+    properties: search reads them O(1) from the latest commit instead
+    of re-aggregating the corpus.
+
+    Wave contract (the NeardupIndex discipline): waves carry NEW
+    documents only, consecutive ``ver``; a same-``ver`` replay is
+    detected via :meth:`current_wave` and skips the append (no
+    duplicate postings can land), wave-number gaps refuse loudly."""
+
+    def __init__(self, spark, base_dir: str, n_buckets: int = 16):
+        import os
+
+        from ..storage import SnapshotGroup, SnapshotTable
+
+        self.spark = spark
+        self.postings = SnapshotTable(
+            spark, os.path.join(base_dir, "postings"),
+            key_cols=["term", "doc_id"], order_col="__ver",
+            n_buckets=n_buckets, bucket_cols=["term"],
+        )
+        self.doclen = SnapshotTable(
+            spark, os.path.join(base_dir, "doclen"),
+            key_cols=["doc_id"], order_col="__ver",
+            n_buckets=n_buckets,
+        )
+        self.group = SnapshotGroup(
+            {"postings": self.postings, "doclen": self.doclen},
+            base_dir,
+        )
+
+    def current_wave(self) -> int:
+        """Last fully-committed wave (0 = none). Runs the group's
+        recover() first so a crash inside the roll-forward window is
+        healed, never read as a torn commit."""
+        self.group.recover()
+        return int(self.postings.latest_property("bm25.wave") or 0)
+
+    def stats(self) -> tuple[int, int]:
+        """(n_docs, total_len) — exact integer accumulators from the
+        latest commit's properties; (0, 0) before the first wave."""
+        self.group.recover()
+        n = self.postings.latest_property("bm25.n_docs")
+        tl = self.postings.latest_property("bm25.total_len")
+        return int(n or 0), int(tl or 0)
+
+    def wave(
+        self,
+        docs: DataFrame,
+        ver: int,
+        doc_id: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index one wave of NEW documents: O(batch) tokenize +
+        aggregate, ONE atomic two-table append, stats accumulated as
+        properties. Only the 1-row batch-stat frame touches the
+        driver."""
+        done = self.current_wave()
+        if done >= ver:
+            return  # replayed wave — already committed, idempotent
+        if done != ver - 1:
+            raise ValueError(
+                f"BM25Index: wave {ver} cannot commit over checkpoint "
+                f"{done} — waves are consecutive (replay the same ver,"
+                " or the next)"
+            )
+        tok = docs.select(
+            F.col(doc_id).alias("doc_id"),
+            F.explode(TXT.tokens(text_col)).alias("term"),
+        )
+        tf = tok.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        row = dl.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tl"),
+        ).first()  # 1 row — metadata, never data
+        n0, tl0 = self.stats()
+        self.group.append_all(
+            {
+                "postings": tf.withColumn("__ver", F.lit(ver)),
+                "doclen": dl.withColumn("__ver", F.lit(ver)),
+            },
+            properties={
+                "bm25.wave": ver,
+                "bm25.n_docs": n0 + int(row["nd"]),
+                "bm25.total_len": tl0 + int(row["tl"]),
+            },
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` docs per query over everything indexed so far —
+        same contract as :func:`bm25_topk`. The postings read opens
+        only the query terms' physical buckets (``read_matching``;
+        co-hashed terms' rows are discarded by the term equi-join);
+        df comes from those pruned postings (exact — a term's whole
+        posting list lives in its bucket), N/avgdl from the O(1)
+        property accumulators; the doclen join reads only the
+        candidate docs' buckets."""
+        n_docs, total_len = self.stats()
+        if n_docs == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rn long"
+            )
+        q = queries.select(
+            F.col("query_id").cast("long").alias("query_id"), "term"
+        )
+        pruned = self.postings.read_matching(q.select("term"))
+        tfq = pruned.select("term", "doc_id", "tf").join(
+            F.broadcast(q), "term"
+        )
+        dfq = (
+            tfq.select("term", "doc_id")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+        dl = self.doclen.read_matching(
+            tfq.select("doc_id")
+        ).select("doc_id", "dl")
+        # exact integers divided in IEEE double — bit-identical to
+        # the batch path's avg(dl) over the same corpus
+        part = (
+            tfq.join(F.broadcast(dfq), "term")
+            .join(dl, "doc_id")
+            .withColumn("n", F.lit(float(n_docs)))
+            .withColumn("avgdl", F.lit(total_len / n_docs))
+        )
+        return _rank_scored(part, k, k1, b)

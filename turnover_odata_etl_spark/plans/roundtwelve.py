@@ -17,6 +17,12 @@ per wave to a cell-bucketed ``SnapshotTable``, search reads only the
 probed cells through ``read_matching``; correctness is the
 ``s_knn_ivf`` recall contract over the accumulated corpus.
 
+``s_bm25_incremental`` — the persistent BM25 index (SURVEY E113,
+``operators/retrieval.BM25Index``): term-bucketed postings + doc
+lengths committed per wave as ONE SnapshotGroup transaction, exact
+corpus integers as additive commit properties; converges EXACTLY to
+``t_bm25_topk`` so the batch oracle applies verbatim.
+
 Activation checklist (mirror of roundeleven's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundtwelve in ``plans/__init__``,
@@ -83,6 +89,35 @@ BM25_ORACLE = r"""
 """
 
 
+def _corpus_query_terms(docs: DataFrame) -> DataFrame:
+    """(query_id, term): the deterministic corpus-derived query set
+    shared by the batch and incremental BM25 queries — global term
+    ranks 5–10 by (total count desc, term asc — a total order),
+    rank r pairing into query ``(r-5) div 2``. A distributed
+    TakeOrdered over the vocab-sized counts, then a 10-row re-rank
+    (the t_dsir device: limit first, window the metadata-sized
+    result)."""
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("term")
+    )
+    top10 = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("term"))
+        .limit(10)
+    )
+    ranked = top10.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("gc"), F.asc("term"))
+        ),
+    )
+    return ranked.filter(F.col("rk") >= 5).select(
+        ((F.col("rk") - 5) / 2).cast("long").alias("query_id"),
+        "term",
+    )
+
+
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (operators/retrieval.bm25_topk) for
     three 2-term queries derived from the corpus itself: global term
@@ -105,26 +140,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(TXT.tokens("text")).alias("term")
-    )
-    top10 = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("gc"))
-        .orderBy(F.desc("gc"), F.asc("term"))
-        .limit(10)
-    )
-    ranked = top10.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.desc("gc"), F.asc("term"))
-        ),  # 10-row frame — the post-limit re-rank is metadata-sized
-    )
-    qterms = ranked.filter(F.col("rk") >= 5).select(
-        ((F.col("rk") - 5) / 2).cast("long").alias("query_id"),
-        "term",
-    )
-    return bm25_topk(docs, qterms, "doc_id", "text", k=10)
+    return bm25_topk(docs, _corpus_query_terms(docs), "doc_id", "text", k=10)
 
 
 # Approximate neighbor lists aren't SQL-reproducible (the candidate
@@ -232,6 +248,60 @@ def s_knn_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_contract(approx, exact, k=5, floor_pct=50)
 
 
+
+def s_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BM25 over a persistent two-table index
+    (operators/retrieval.BM25Index — SURVEY E113): the documents
+    table arrives as three exact-order-statistic id waves, each wave
+    tokenizes O(batch), appends postings (term-bucketed) + doc
+    lengths as ONE SnapshotGroup transaction, and accumulates the
+    exact corpus integers (N, Σdl) as commit properties; the search
+    then answers the SAME three corpus-derived queries as
+    ``t_bm25_topk`` reading only the query terms' physical buckets.
+
+    Unlike the ANN rungs, nothing here is approximate: per-document
+    term counts are wave-local by construction, df/N/avgdl are exact
+    over the union, and the scoring tail is literally shared code
+    (``_rank_scored``) — so the incremental result converges EXACTLY
+    to the batch answer and the batch oracle applies VERBATIM (the
+    d_incremental_neardup device, without even an epsilon)."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.retrieval import BM25Index
+    from .roundten import _exact_order_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rn long"
+        )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/bm25_incr"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = BM25Index(spark, base, n_buckets=16)
+
+    n1 = math.ceil(n / 3.0)
+    n2 = n1 + math.ceil((n - n1) / 2.0)
+    cuts = _exact_order_stats(docs, "doc_id", [n1, n2])
+    cut1 = cuts[n1]
+    cut2 = cuts.get(n2, cut1)
+    for lo, hi, ver in (
+        (None, cut1, 1),
+        (cut1, cut2, 2),
+        (cut2, None, 3),
+    ):
+        chunk = docs
+        if lo is not None:
+            chunk = chunk.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("doc_id") <= hi)
+        idx.wave(chunk, ver)
+    return idx.topk(_corpus_query_terms(docs), k=10)
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_bm25_topk": QuerySpec(
@@ -245,5 +315,13 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_knn_ivf_persistent,
         oracle=IVF_PERSISTENT_ORACLE,
         tags=("llm", "similarity", "storage", "incremental"),
+    ),
+    "s_bm25_incremental": QuerySpec(
+        name="s_bm25_incremental",
+        fn=s_bm25_incremental,
+        # EXACT convergence to the batch answer: the batch oracle
+        # applies verbatim (see the query docstring).
+        oracle=BM25_ORACLE,
+        tags=("llm", "text", "retrieval", "storage", "incremental"),
     ),
 }
