@@ -145,6 +145,7 @@ STAGED_R12 = [
     "t_bm25_topk",
     "s_knn_ivf_persistent",
     "s_bm25_incremental",
+    "s_snapshot_zorder_skipping",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

@@ -70,7 +70,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 204
+    assert len(specs) == 206  # the frozen cap (r11 ruling)
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

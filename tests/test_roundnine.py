@@ -93,7 +93,7 @@ def test_roundnine_is_registered_with_eager_oracles():
     for name in activated:
         assert name in specs, name
         assert specs[name].oracle, f"{name}: oracle must be eager"
-    assert len(specs) == 204  # the frozen cap (r10 ruling)
+    assert len(specs) == 206  # the frozen cap (r11 ruling)
 
 
 def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):

@@ -35,6 +35,7 @@ def _con(sf_dir):
 def test_staged_specs_have_eager_oracles():
     assert set(STAGED) == {
         "t_bm25_topk", "s_knn_ivf_persistent", "s_bm25_incremental",
+        "s_snapshot_zorder_skipping",
     }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
@@ -399,3 +400,17 @@ def test_bm25_index_empty_before_first_wave(spark, tmp_path):
     out = idx.topk(q)
     assert out.columns == ["query_id", "doc_id", "score", "rn"]
     assert out.collect() == []
+
+
+def test_zorder_skipping_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        ZORDER_ORACLE,
+        s_snapshot_zorder_skipping,
+    )
+
+    compare_spark_vs_oracle(
+        s_snapshot_zorder_skipping(spark, sf_dir),
+        _con(sf_dir),
+        ZORDER_ORACLE,
+        "s_snapshot_zorder_skipping",
+    )

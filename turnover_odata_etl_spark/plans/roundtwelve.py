@@ -302,6 +302,89 @@ def s_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(_corpus_query_terms(docs), k=10)
 
 
+
+ZORDER_ORACLE = """
+    WITH b AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS mn,
+             CAST(max(event_id) AS BIGINT) AS mx
+      FROM events
+    )
+    SELECT 'value_window' AS win,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE value BETWEEN 100 AND 250
+    UNION ALL
+    SELECT 'id_window' AS win,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM events, b
+    WHERE event_id BETWEEN b.mn AND b.mn + (b.mx - b.mn) // 8
+"""
+
+
+def s_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout lifecycle (SURVEY E114,
+    ``SnapshotTable.rewrite_zorder`` + ``functions/zorder``): load
+    events as four id-ordered appends — the layout where NO
+    single-column window prunes (every file spans the full value
+    range) — then rewrite in Morton order along (value, event_id) and
+    answer a window on EACH column through ``read_where``. The
+    multi-dimensional clustering is what makes both windows' file
+    prunes selective at once (the OPTIMIZE ZORDER BY capability);
+    values must stay exact regardless of layout, which is what the
+    oracle pins. The id window derives from the table's own id
+    bounds (1-row aggregate — metadata), exact integer arithmetic on
+    both engines; prune FILE COUNTS are pinned by the spy tests in
+    tests/test_snapshot_zorder.py and measured in SCALE.md round 12.
+    NULL values: BETWEEN excludes them identically on both sides."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/zorder_skip"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=4,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return spark.createDataFrame(
+            [], "win string, n_rows long, sum_value double"
+        )
+    span = max(1, (mx - mn + 1) // 4)
+    for w in range(4):  # id-ordered slices: the anti-clustered layout
+        lo = mn + w * span
+        hi = mx if w == 3 else mn + (w + 1) * span - 1
+        t.append(
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+            ).withColumn("__ver", F.lit(w + 1))
+        )
+    t.rewrite_zorder(["value", "event_id"], rows_per_file=1024)
+
+    def agg(df, label):
+        return df.agg(
+            F.lit(label).alias("win"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    a = agg(t.read_where("value", 100.0, 250.0), "value_window")
+    b = agg(
+        t.read_where("event_id", mn, mn + (mx - mn) // 8), "id_window"
+    )
+    return a.unionByName(b)
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_bm25_topk": QuerySpec(
@@ -315,6 +398,12 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_knn_ivf_persistent,
         oracle=IVF_PERSISTENT_ORACLE,
         tags=("llm", "similarity", "storage", "incremental"),
+    ),
+    "s_snapshot_zorder_skipping": QuerySpec(
+        name="s_snapshot_zorder_skipping",
+        fn=s_snapshot_zorder_skipping,
+        oracle=ZORDER_ORACLE,
+        tags=("storage", "snapshot", "zorder", "skipping"),
     ),
     "s_bm25_incremental": QuerySpec(
         name="s_bm25_incremental",

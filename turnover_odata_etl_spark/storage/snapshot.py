@@ -1178,6 +1178,132 @@ class SnapshotTable:
             operation="compact", base_id=base_id,
         )
 
+    def rewrite_zorder(
+        self,
+        cols: list[str],
+        rows_per_file: int = 65536,
+        bits: int = 8,
+        max_retries: int = 5,
+    ) -> int:
+        """MAINTENANCE: rewrite every non-empty bucket's files in
+        Morton (Z-order) along ``cols`` — multi-dimensional data
+        skipping (the public Delta/Iceberg ``OPTIMIZE ZORDER BY``):
+        after the rewrite each file covers a tight z-range, so its
+        per-column footer [min, max] box is tight on EVERY
+        participating column at once and :meth:`read_where` prunes
+        well on any of them (a range-sorted layout only ever serves
+        one column). ``rows_per_file`` splits each bucket's sorted
+        stream into z-contiguous files — the knob that trades file
+        count against prune granularity.
+
+        Row-preserving pure layout change, same discipline as
+        :meth:`compact`: the key-hash bucket assignment is untouched
+        (``read_keys``/``read_matching`` unaffected), concurrent
+        readers and time travel see pre-rewrite snapshots, the same
+        commit CAS applies, ``expire_snapshots`` reclaims replaced
+        files. Trade-off recorded: within-file rows are z-sorted, not
+        order-column-sorted, so order-column ROW-GROUP pruning inside
+        a file degrades while file-level stats stay exact — z-order a
+        table whose scans are multi-column windows, range-sort one
+        whose scans are order-column ranges.
+
+        Quantization is RANK-based (``2^bits`` approximate quantiles
+        per column, one ``approxQuantile`` pass): a linear min-max
+        grid collapses a skewed column into its lowest cells and the
+        interleave degenerates to the other columns — measured on
+        the events fixture's long-tailed ``value`` (SCALE.md round
+        12: linear = zero prune, rank = selective on every column).
+        The z-value is pure codegen (``functions.zorder``, no UDF)
+        and never stored: pruning correctness depends only on the
+        exact footer stats, the z-code only decides CLUSTERING."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._zorder_once(cols, rows_per_file, bits)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"rewrite_zorder lost the commit race {max_retries} times"
+        ) from last
+
+    def _zorder_once(
+        self, cols: list[str], rows_per_file: int, bits: int
+    ) -> int:
+        from ..functions.zorder import (
+            morton_code,
+            quantize_by_boundaries,
+        )
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        schema = self._schema_of(base_raw)
+        missing = [c for c in cols if c not in schema.names]
+        if not cols or missing:
+            raise ValueError(
+                f"rewrite_zorder: unknown columns {missing or cols}"
+            )
+        non_numeric = [
+            c
+            for c in cols
+            if not isinstance(schema[c].dataType, T.NumericType)
+        ]
+        if non_numeric:
+            raise ValueError(
+                "rewrite_zorder: z-order columns must be numeric "
+                f"(got {non_numeric}); cast timestamps to epoch "
+                "numbers or dictionary-encode strings upstream"
+            )
+        base_bb = self._by_bucket(base_id)
+        touched = sorted(
+            bkt for bkt, loc in base_bb.items() if self._loc_n(loc)
+        )
+        if not touched:
+            return base_id
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for bkt in touched
+            for f in self._entries(base_bb[bkt])
+        ]
+        cur = self._aligned_read(paths, schema, spark=self.spark)
+        # rank quantization: 2^bits - 1 approximate quantile cuts per
+        # column in ONE pass; only (cols × 2^bits) doubles reach the
+        # driver — metadata at any table size
+        n_cells = 1 << bits
+        probs = [i / n_cells for i in range(1, n_cells)]
+        cuts = cur.approxQuantile(
+            list(cols), probs, 1.0 / (4 * n_cells)
+        )
+        qs = [
+            quantize_by_boundaries(c, b) for c, b in zip(cols, cuts)
+        ]
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            self._with_bucket(cur)
+            .withColumn("__z", morton_code(qs, bits))
+            .repartition(len(touched), "__bucket")
+            .sortWithinPartitions("__bucket", "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", int(rows_per_file))
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        new_files = self._promote_staged(staging, run)
+        touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="zorder", base_id=base_id,
+            properties={"zorder.cols": ",".join(cols)},
+        )
+
     def delete_where(
         self,
         predicate: str,
