@@ -146,6 +146,7 @@ STAGED_R12 = [
     "s_knn_ivf_persistent",
     "s_bm25_incremental",
     "s_snapshot_zorder_skipping",
+    "s_snapshot_merge_into",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

@@ -35,7 +35,7 @@ def _con(sf_dir):
 def test_staged_specs_have_eager_oracles():
     assert set(STAGED) == {
         "t_bm25_topk", "s_knn_ivf_persistent", "s_bm25_incremental",
-        "s_snapshot_zorder_skipping",
+        "s_snapshot_zorder_skipping", "s_snapshot_merge_into",
     }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
@@ -413,4 +413,18 @@ def test_zorder_skipping_matches_oracle(spark, sf_dir):
         _con(sf_dir),
         ZORDER_ORACLE,
         "s_snapshot_zorder_skipping",
+    )
+
+
+def test_merge_into_query_matches_oracle(spark, sf_dir):
+    from turnover_odata_etl_spark.plans.roundtwelve import (
+        MERGE_INTO_ORACLE,
+        s_snapshot_merge_into,
+    )
+
+    compare_spark_vs_oracle(
+        s_snapshot_merge_into(spark, sf_dir),
+        _con(sf_dir),
+        MERGE_INTO_ORACLE,
+        "s_snapshot_merge_into",
     )

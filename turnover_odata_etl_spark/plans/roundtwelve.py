@@ -17,6 +17,13 @@ per wave to a cell-bucketed ``SnapshotTable``, search reads only the
 probed cells through ``read_matching``; correctness is the
 ``s_knn_ivf`` recall contract over the accumulated corpus.
 
+``s_snapshot_merge_into`` — SQL MERGE INTO
+(``SnapshotTable.merge_into``): conditional UPDATE SET * / DELETE on
+match (t_/s_-prefixed condition), INSERT * on no-match, source
+cardinality rule, delete_keys-style layout prune; lifecycle query
+composes a conditional upsert and a conditional purge against an
+exact oracle.
+
 ``s_bm25_incremental`` — the persistent BM25 index (SURVEY E113,
 ``operators/retrieval.BM25Index``): term-bucketed postings + doc
 lengths committed per wave as ONE SnapshotGroup transaction, exact
@@ -385,6 +392,114 @@ def s_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+
+MERGE_INTO_ORACLE = """
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+    ), s1 AS (
+      SELECT event_id, value + 1000 AS s_value
+      FROM events WHERE event_id % 3 = 0
+    ), m1 AS (
+      -- WHEN MATCHED AND s_value > t_value THEN UPDATE SET *
+      -- (NULL condition = not fired, SQL semantics)
+      SELECT b.event_id, b.event_type,
+             CASE WHEN s1.event_id IS NOT NULL
+                       AND s1.s_value > b.value
+                  THEN s1.s_value ELSE b.value END AS value
+      FROM base b LEFT JOIN s1 ON b.event_id = s1.event_id
+    ), ins AS (
+      -- WHEN NOT MATCHED THEN INSERT *
+      SELECT event_id + 1000000000 AS event_id,
+             'synthetic' AS event_type,
+             CAST(event_id % 7 AS DOUBLE) AS value
+      FROM events WHERE event_id % 3 = 0
+    ), t1 AS (
+      SELECT * FROM m1 UNION ALL SELECT * FROM ins
+    ), t2 AS (
+      -- second merge: WHEN MATCHED AND t_value >= 500 THEN DELETE
+      -- (IS TRUE guards keep NULL ids/values on the survivor side,
+      -- mirroring engine semantics)
+      SELECT * FROM t1
+      WHERE NOT (
+        (event_id IN (
+           SELECT event_id FROM events WHERE event_id % 5 = 0
+        )) IS TRUE
+        AND (value >= 500) IS TRUE
+      )
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM t2 GROUP BY event_type
+"""
+
+
+def s_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO lifecycle (``SnapshotTable.merge_into``, round 12)
+    — the canonical conditional-DML verb exercised end-to-end against
+    an exact oracle: bootstrap the events table, then
+
+    1. a conditional UPSERT — ``WHEN MATCHED AND s_value > t_value
+       THEN UPDATE SET *`` (only-newer update; a NULL comparison
+       leaves the row untouched on both engines) + ``WHEN NOT MATCHED
+       THEN INSERT *`` (synthetic high-id rows), one source frame,
+       one commit;
+    2. a conditional DELETE — ``WHEN MATCHED AND t_value >= 500 THEN
+       DELETE`` with inserts ignored (the purge-matched shape).
+
+    Cost discipline is the delete_keys layout prune (only source-key
+    buckets read, only fired buckets rewritten — spy-pinned in
+    tests/test_merge_into.py); this query pins the composed SEMANTICS
+    through the full stack."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/merge_into"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t.merge(ev.withColumn("__ver", F.lit(1)))
+
+    third = ev.filter(F.col("event_id") % 3 == 0)
+    updates = third.select(
+        "event_id", "event_type",
+        (F.col("value") + 1000).alias("value"),
+        F.lit(2).cast("long").alias("__ver"),
+    )
+    inserts = third.select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        F.lit("synthetic").alias("event_type"),
+        (F.col("event_id") % 7).cast("double").alias("value"),
+        F.lit(2).cast("long").alias("__ver"),
+    )
+    t.merge_into(
+        updates.unionByName(inserts),
+        matched_condition="s_value > t_value",
+    )
+    t.merge_into(
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("__ver", F.lit(3)),
+        when_matched="delete",
+        matched_condition="t_value >= 500",
+        when_not_matched="ignore",
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_bm25_topk": QuerySpec(
@@ -404,6 +519,12 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_snapshot_zorder_skipping,
         oracle=ZORDER_ORACLE,
         tags=("storage", "snapshot", "zorder", "skipping"),
+    ),
+    "s_snapshot_merge_into": QuerySpec(
+        name="s_snapshot_merge_into",
+        fn=s_snapshot_merge_into,
+        oracle=MERGE_INTO_ORACLE,
+        tags=("storage", "snapshot", "merge", "dml"),
     ),
     "s_bm25_incremental": QuerySpec(
         name="s_bm25_incremental",

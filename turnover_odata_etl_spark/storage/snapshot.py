@@ -1715,6 +1715,262 @@ class SnapshotTable:
             operation="delete", base_id=base_id, properties=props,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        matched_condition: str | None = None,
+        when_not_matched: str = "insert",
+        max_retries: int = 5,
+        properties: dict | None = None,
+    ) -> int:
+        """SQL ``MERGE INTO`` with the canonical clause set (round 12
+        — the conditional-DML verb next to the unconditional
+        keep-latest :meth:`merge`):
+
+        - ``WHEN MATCHED [AND matched_condition] THEN UPDATE SET *``
+          (``when_matched="update"``: the target row is REPLACED by
+          the source row — Delta's upsert-by-star shape) or
+          ``THEN DELETE`` (``when_matched="delete"``) or ``"ignore"``;
+        - ``WHEN NOT MATCHED THEN INSERT *``
+          (``when_not_matched="insert"``) or ``"ignore"``.
+
+        ``matched_condition`` is a SQL boolean over BOTH sides,
+        target columns prefixed ``t_`` and source columns ``s_``
+        (e.g. ``"s_value > t_value"`` — only update when newer); the
+        action fires only where it evaluates TRUE (NULL = not fired,
+        SQL semantics). ``source`` must carry every table column
+        (keys, order, data — replacements and inserts are full rows;
+        a delete-only keyed workload wants :meth:`delete_keys`).
+        Duplicate SOURCE keys are refused loudly — the SQL MERGE
+        cardinality rule (one source row per target key); target rows
+        with duplicate keys (merge-on-read appends) each receive the
+        action.
+
+        Cost discipline (the :meth:`delete_keys` layout prune): every
+        source row — matched or inserted — hashes to a source-key
+        bucket, so only those buckets' files are read, only buckets
+        with an actual action rewrite, everything else carries by
+        reference; matching is NULL-SAFE on every key column."""
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(
+                f"merge_into: when_matched={when_matched!r} not in "
+                "('update', 'delete', 'ignore')"
+            )
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"merge_into: when_not_matched={when_not_matched!r} "
+                "not in ('insert', 'ignore')"
+            )
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._merge_into_once(
+                    source, when_matched, matched_condition,
+                    when_not_matched, properties,
+                )
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"merge_into lost the commit race {max_retries} times"
+        ) from last
+
+    def _merge_into_once(
+        self,
+        source: DataFrame,
+        when_matched: str,
+        matched_condition: str | None,
+        when_not_matched: str,
+        properties: dict | None,
+    ) -> int:
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits — "
+                "bootstrap with append()/merge(), then MERGE INTO"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        base_bb = self._by_bucket(base_id)
+        schema = self._schema_of(base_raw)
+        missing = [c for c in schema.names if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge_into: source is missing table columns "
+                f"{missing} (full rows required — see docstring)"
+            )
+        # align to the table schema (types cast — the type-sensitive
+        # hash lesson) and pin: the source feeds the cardinality
+        # check, the bucket-target collect, the match join, and the
+        # insert anti-join
+        src = source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            dup = (
+                src.groupBy(*self.key_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge_into: source has duplicate keys — SQL "
+                    "MERGE requires at most one source row per "
+                    "target key"
+                )
+            target = sorted(
+                r["__bucket"]
+                for r in self._with_bucket(src)
+                .select("__bucket")
+                .distinct()
+                .collect()  # ≤ n_buckets ids — metadata, never data
+            )
+            cand_paths = [
+                os.path.join(self.table_dir, f["path"])
+                for b in target
+                for f in self._entries(base_bb.get(b, []))
+            ]
+            base_rows = self._with_bucket(
+                self._aligned_read(
+                    cand_paths, schema, spark=source.sparkSession
+                )
+            )
+            s_pref = src.select(
+                *[F.col(c).alias(f"__s_{c}") for c in schema.names],
+                F.lit(True).alias("__s_present"),
+            )
+            joined = base_rows.join(
+                s_pref, self._null_safe_keys("__s_"), "left"
+            )
+            if matched_condition is not None:
+                # user condition over t_/s_ prefixed views of the row
+                cview = joined.select(
+                    "*",
+                    *[
+                        F.col(c).alias(f"t_{c}")
+                        for c in schema.names
+                    ],
+                    *[
+                        F.col(f"__s_{c}").alias(f"s_{c}")
+                        for c in schema.names
+                    ],
+                )
+                fired = F.coalesce(
+                    F.expr(matched_condition), F.lit(False)
+                )
+                joined = cview.withColumn(
+                    "__act",
+                    F.coalesce(F.col("__s_present"), F.lit(False))
+                    & fired,
+                ).drop(
+                    *[f"t_{c}" for c in schema.names],
+                    *[f"s_{c}" for c in schema.names],
+                )
+            else:
+                joined = joined.withColumn(
+                    "__act",
+                    F.coalesce(F.col("__s_present"), F.lit(False)),
+                )
+            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                if when_matched == "ignore":
+                    # matched rows pass through untouched — a match
+                    # alone must not force a bucket rewrite
+                    act_buckets: set = set()
+                else:
+                    act_buckets = {
+                        r["__bucket"]
+                        for r in joined.filter("__act")
+                        .select("__bucket")
+                        .distinct()
+                        .collect()
+                    }
+                if when_not_matched == "insert":
+                    inserts = src.join(
+                        joined.select(
+                            *[
+                                F.col(k).alias(f"__b_{k}")
+                                for k in self.key_cols
+                            ]
+                        ).dropDuplicates(),
+                        self._null_safe_keys("__b_"),
+                        "left_anti",
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    ins_buckets = {
+                        r["__bucket"]
+                        for r in self._with_bucket(inserts)
+                        .select("__bucket")
+                        .distinct()
+                        .collect()
+                    }
+                else:
+                    inserts = None
+                    ins_buckets = set()
+                touched = sorted(act_buckets | ins_buckets)
+                if not touched:
+                    return base_id  # nothing fired anywhere — no-op
+                if when_matched == "update":
+                    kept = joined.select(
+                        "__bucket",
+                        *[
+                            F.when(
+                                F.col("__act"), F.col(f"__s_{c}")
+                            )
+                            .otherwise(F.col(c))
+                            .alias(c)
+                            for c in schema.names
+                        ],
+                    )
+                elif when_matched == "delete":
+                    kept = joined.filter(~F.col("__act")).select(
+                        "__bucket", *schema.names
+                    )
+                else:  # ignore — matched rows pass through untouched
+                    kept = joined.select("__bucket", *schema.names)
+                rows = kept.filter(F.col("__bucket").isin(touched))
+                if inserts is not None:
+                    rows = rows.unionByName(
+                        self._with_bucket(inserts).filter(
+                            F.col("__bucket").isin(touched)
+                        )
+                    )
+                new_files = self._stage_rewrite(rows, touched)
+            finally:
+                joined.unpersist()
+                if inserts is not None:
+                    inserts.unpersist()
+        finally:
+            src.unpersist()
+        touched_new: dict[int, list[dict]] = {bkt: [] for bkt in touched}
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        props = dict(properties or {})
+        props.setdefault("merge_into.when_matched", when_matched)
+        props.setdefault("merge_into.when_not_matched", when_not_matched)
+        if matched_condition is not None:
+            props.setdefault(
+                "merge_into.matched_condition", matched_condition
+            )
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="merge_into", base_id=base_id, properties=props,
+        )
+
+    def _null_safe_keys(self, pref: str):
+        """eqNullSafe join condition src.key <=> <pref>key."""
+        cond = None
+        for k in self.key_cols:
+            c = F.col(k).eqNullSafe(F.col(f"{pref}{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
     def _merge_once(
         self,
         batch_df: DataFrame,
