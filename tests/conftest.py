@@ -39,3 +39,21 @@ def oracle_con():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture()
+def parquet_spy(spark, monkeypatch):
+    """Record every parquet path spark.read.parquet opens — the
+    shared prune-assertion spy (review r12: previously copy-pasted
+    per test module). Yields the live list; paths accumulate until
+    the test ends, ``opened.clear()`` between probes."""
+    opened: list[str] = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        opened.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    yield opened
+    monkeypatch.undo()

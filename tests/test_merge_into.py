@@ -109,7 +109,7 @@ def test_merge_into_insert_only_does_not_rewrite_matched(spark, tdir):
             assert after[p] == f
 
 
-def test_merge_into_prunes_to_source_buckets(spark, tdir, monkeypatch):
+def test_merge_into_prunes_to_source_buckets(spark, tdir, parquet_spy):
     """Layout prune (the delete_keys discipline): only the source
     keys' buckets' files are READ."""
     t = make_table(spark, tdir, n_buckets=8)
@@ -120,17 +120,9 @@ def test_merge_into_prunes_to_source_buckets(spark, tdir, monkeypatch):
     src = batch(spark, [(7, "S", 2)])
     src_bucket = t._with_bucket(src).collect()[0]["__bucket"]
 
-    opened: list[str] = []
-    real_parquet = type(spark.read).parquet
-
-    def spy(reader, *paths):
-        opened.extend(paths)
-        return real_parquet(reader, *paths)
-
-    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    parquet_spy.clear()
     t.merge_into(src)
-    monkeypatch.undo()
-    for p in [p for p in opened if p.endswith(".parquet")]:
+    for p in [p for p in parquet_spy if p.endswith(".parquet")]:
         rel = next(k for k in by_path if p.endswith(k))
         assert by_path[rel] == src_bucket, f"non-source bucket read: {p}"
 
@@ -217,3 +209,35 @@ def test_merge_into_source_type_alignment(spark, tdir):
     )
     t.merge_into(src, when_not_matched="ignore")
     assert (7, "SEVEN", 2) in rows(t.read())
+
+
+def test_merge_into_condition_on_table_with_prefixed_columns(spark, tmp_path):
+    """Review r12: a table whose own columns are literally named
+    s_<x>/t_<x> must not make the documented t_/s_ condition syntax
+    ambiguous — the condition resolves against a view exposing ONLY
+    the prefixed names."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "pfx"),
+        key_cols=["k"], order_col="ver", n_buckets=2,
+    )
+    df = spark.createDataFrame(
+        [(1, 10, 99, 1), (2, 20, 99, 1)],
+        "k long, s_value long, t_value long, ver long",
+    )
+    t.merge(df)
+    src = spark.createDataFrame(
+        [(1, 11, 0, 2), (2, 5, 0, 2)],
+        "k long, s_value long, t_value long, ver long",
+    )
+    # condition references the TARGET's real s_value column via the
+    # t_ prefix (t_s_value) and the SOURCE's via s_ (s_s_value)
+    t.merge_into(
+        src,
+        matched_condition="s_s_value > t_s_value",
+        when_not_matched="ignore",
+    )
+    got = {
+        r["k"]: (r["s_value"], r["t_value"], r["ver"])
+        for r in t.read().collect()
+    }
+    assert got == {1: (11, 0, 2), 2: (20, 99, 1)}

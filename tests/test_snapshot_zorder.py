@@ -100,22 +100,14 @@ def _grid_table(spark, zdir, n=4096, side=64, n_buckets=2):
     return t
 
 
-def _opened_counts(spark, t, col, lo, hi, monkeypatch):
-    opened: list[str] = []
-    real_parquet = type(spark.read).parquet
-
-    def spy(reader, *paths):
-        opened.extend(paths)
-        return real_parquet(reader, *paths)
-
-    monkeypatch.setattr(type(spark.read), "parquet", spy)
+def _opened_counts(t, col, lo, hi, opened):
+    opened.clear()
     n_rows = t.read_where(col, lo, hi).count()
-    monkeypatch.undo()
     return n_rows, len([p for p in opened if p.endswith(".parquet")])
 
 
 def test_rewrite_zorder_enables_multi_column_pruning(
-    spark, zdir, monkeypatch
+    spark, zdir, parquet_spy
 ):
     t = _grid_table(spark, zdir)
     before_rows = sorted(
@@ -126,7 +118,7 @@ def test_rewrite_zorder_enables_multi_column_pruning(
 
     # BEFORE: id-ordered appends — x/y boxes are wall-to-wall, the
     # window read must open every file
-    rows_x, opened = _opened_counts(spark, t, "x", 0, 7, monkeypatch)
+    rows_x, opened = _opened_counts(t, "x", 0, 7, parquet_spy)
     assert rows_x == 4096 // 8
     assert opened == n_files_pre
 
@@ -147,7 +139,7 @@ def test_rewrite_zorder_enables_multi_column_pruning(
     # each z-contiguous file's box is at most half the square per
     # axis, so at least the opposite half prunes
     for col in ("x", "y"):
-        n_rows, opened = _opened_counts(spark, t, col, 0, 7, monkeypatch)
+        n_rows, opened = _opened_counts(t, col, 0, 7, parquet_spy)
         assert n_rows == 4096 // 8  # exactness survives the layout
         assert opened <= n_files * 3 // 4, (col, opened, n_files)
 

@@ -9,18 +9,30 @@ public Delta/Iceberg ``OPTIMIZE ZORDER BY`` idea. Everything here is
 a fold of shifts/ands/ors over built-in functions: whole-stage
 codegen, no UDF, no data movement beyond the final sort.
 
-Two pieces:
+The pieces, in production order:
 
-- :func:`quantize` — map a numeric column onto the ``2^bits`` grid
-  between its global [lo, hi] (the caller supplies the bounds — one
-  tiny aggregate); NULL and degenerate ranges land at 0 (clustering
-  choice only: pruning correctness never depends on the z-value,
-  files keep exact per-column footer stats).
+- :func:`quantize_by_boundaries` — THE quantizer ``rewrite_zorder``
+  ships: rank (equi-depth) bucketing against per-column approximate
+  quantiles. Rank is load-bearing on real data — a linear min-max
+  grid collapses a long-tailed column into its lowest cells and the
+  interleave degenerates to the other columns (measured on the
+  events fixture, SCALE.md round 12: linear = zero prune).
 - :func:`morton_code` — interleave n quantized columns bit by bit,
   bit j of column i landing at position ``j*n + i``. The generic
-  construction is 16·n shift terms folded into one expression tree;
-  Catalyst constant-folds the masks and codegen emits straight-line
-  longs (verified in the plan — no Python eval node).
+  construction is bits·n shift terms folded into one expression
+  tree; codegen emits straight-line longs (verified in the plan —
+  no Python eval node). Consumers must materialize each quantized
+  input ONCE before feeding it here (a Generate boundary — see
+  ``_zorder_once``): morton references every input ``bits`` times
+  and HOF folds are CodegenFallback, so inlining re-evaluates them.
+- :func:`quantize` — the linear min-max grid, kept for
+  uniformly-distributed data where the bounds are already known and
+  the quantile pass would be pure overhead. Do NOT reach for it
+  first; rank is the default for a reason (above).
+
+NULL and degenerate inputs land at cell 0 everywhere — a clustering
+choice only: pruning correctness never depends on the z-value, files
+keep exact per-column footer stats.
 """
 
 from __future__ import annotations

@@ -217,30 +217,48 @@ class BM25Index:
                 f"{done} — waves are consecutive (replay the same ver,"
                 " or the next)"
             )
+        from pyspark import StorageLevel
+
         tok = docs.select(
             F.col(doc_id).alias("doc_id"),
             F.explode(TXT.tokens(text_col)).alias("term"),
         )
-        tf = tok.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tf")
+        # persisted: tf feeds dl AND the postings append; dl feeds
+        # the stats job AND the doclen append — without the pins each
+        # consumer re-runs the tokenize/explode/aggregate pipeline
+        # (review r12: the wave really is ONE O(batch) pass)
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        row = dl.agg(
-            F.count(F.lit(1)).alias("nd"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("tl"),
-        ).first()  # 1 row — metadata, never data
-        n0, tl0 = self.stats()
-        self.group.append_all(
-            {
-                "postings": tf.withColumn("__ver", F.lit(ver)),
-                "doclen": dl.withColumn("__ver", F.lit(ver)),
-            },
-            properties={
-                "bm25.wave": ver,
-                "bm25.n_docs": n0 + int(row["nd"]),
-                "bm25.total_len": tl0 + int(row["tl"]),
-            },
-        )
+        try:
+            dl = (
+                tf.groupBy("doc_id")
+                .agg(F.sum("tf").alias("dl"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                row = dl.agg(
+                    F.count(F.lit(1)).alias("nd"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("tl"),
+                ).first()  # 1 row — metadata, never data
+                n0, tl0 = self.stats()
+                self.group.append_all(
+                    {
+                        "postings": tf.withColumn("__ver", F.lit(ver)),
+                        "doclen": dl.withColumn("__ver", F.lit(ver)),
+                    },
+                    properties={
+                        "bm25.wave": ver,
+                        "bm25.n_docs": n0 + int(row["nd"]),
+                        "bm25.total_len": tl0 + int(row["tl"]),
+                    },
+                )
+            finally:
+                dl.unpersist()
+        finally:
+            tf.unpersist()
 
     def topk(
         self,
@@ -266,8 +284,15 @@ class BM25Index:
             F.col("query_id").cast("long").alias("query_id"), "term"
         )
         pruned = self.postings.read_matching(q.select("term"))
-        tfq = pruned.select("term", "doc_id", "tf").join(
-            F.broadcast(q), "term"
+        # persisted: tfq feeds dfq, the doclen bucket probe, and the
+        # scoring join (review r12) — it stays cached until the
+        # session/bench clears caches, the operator-persist precedent
+        from pyspark import StorageLevel
+
+        tfq = (
+            pruned.select("term", "doc_id", "tf")
+            .join(F.broadcast(q), "term")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         dfq = (
             tfq.select("term", "doc_id")

@@ -371,11 +371,14 @@ def s_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in range(4):  # id-ordered slices: the anti-clustered layout
         lo = mn + w * span
         hi = mx if w == 3 else mn + (w + 1) * span - 1
-        t.append(
-            ev.filter(
-                (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-            ).withColumn("__ver", F.lit(w + 1))
-        )
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == 3:
+            # TOTAL partition: a NULL event_id fails every range
+            # filter — route it to the last slice instead of
+            # silently dropping (review r12; the same bug class as
+            # the DML lifecycle's NULL-value slice, fixed r12)
+            sl = sl | F.col("event_id").isNull()
+        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
     t.rewrite_zorder(["value", "event_id"], rows_per_file=1024)
 
     def agg(df, label):

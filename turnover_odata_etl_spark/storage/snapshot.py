@@ -1281,14 +1281,32 @@ class SnapshotTable:
         qs = [
             quantize_by_boundaries(c, b) for c, b in zip(cols, cuts)
         ]
+        # Materialize the quantized values behind a GENERATE boundary
+        # before Morton-interleaving: morton_code references each q
+        # expression `bits` times (one shiftright per bit), each q is
+        # a HOF fold over a 255-literal array, and HOFs are
+        # CodegenFallback — CollapseProject would inline the fold
+        # `bits`× per column per row (the plans/llm._with_tk trap,
+        # review r12). explode(array(struct)) pins ONE evaluation.
+        q_struct = F.explode(
+            F.array(
+                F.struct(
+                    *[q.alias(f"q{i}") for i, q in enumerate(qs)]
+                )
+            )
+        ).alias("__qs")
+        z = morton_code(
+            [F.col(f"__qs.q{i}") for i in range(len(qs))], bits
+        )
         run = uuid.uuid4().hex[:12]
         staging = os.path.join(self._data_dir, f".staging-{run}")
         (
             self._with_bucket(cur)
-            .withColumn("__z", morton_code(qs, bits))
+            .select("*", q_struct)
+            .withColumn("__z", z)
             .repartition(len(touched), "__bucket")
             .sortWithinPartitions("__bucket", "__z")
-            .drop("__z")
+            .drop("__z", "__qs")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", int(rows_per_file))
             .partitionBy("__bucket")
@@ -1850,9 +1868,13 @@ class SnapshotTable:
                 s_pref, self._null_safe_keys("__s_"), "left"
             )
             if matched_condition is not None:
-                # user condition over t_/s_ prefixed views of the row
+                # The condition resolves against a frame exposing
+                # ONLY the t_/s_ prefixed names — the original row is
+                # packed into a struct first, so a table that itself
+                # has a column named t_x/s_x can never make the
+                # documented prefix syntax ambiguous (review r12).
                 cview = joined.select(
-                    "*",
+                    F.struct(*joined.columns).alias("__row"),
                     *[
                         F.col(c).alias(f"t_{c}")
                         for c in schema.names
@@ -1867,12 +1889,9 @@ class SnapshotTable:
                 )
                 joined = cview.withColumn(
                     "__act",
-                    F.coalesce(F.col("__s_present"), F.lit(False))
+                    F.coalesce(F.col("__row.__s_present"), F.lit(False))
                     & fired,
-                ).drop(
-                    *[f"t_{c}" for c in schema.names],
-                    *[f"s_{c}" for c in schema.names],
-                )
+                ).select("__row.*", "__act")
             else:
                 joined = joined.withColumn(
                     "__act",
