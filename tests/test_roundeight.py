@@ -54,7 +54,7 @@ def test_snapshot_pruned_read_matches_oracle(spark, sf_dir):
 def test_roundeight_is_registered():
     """Round 8 activated the nine staged queries per the r07 cap
     ruling; round 10 moved the cap to 201 per the r09 ruling
-    (roundnine activations); round 11 moved it to 204 per the r10
+    (roundnine activations); round 12 moved it to 206 per the r11
     ruling (roundten activations) and froze it there."""
     specs = all_specs()
     for name in (

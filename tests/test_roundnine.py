@@ -76,7 +76,7 @@ def test_exact_substr_clean_is_a_fixpoint(spark, sf_dir):
 def test_roundnine_is_registered_with_eager_oracles():
     """The r09 cap ruling executed in round 10: all ten round-9
     queries are registered with eager (never-None) oracles; the cap
-    moved to 204 in round 11 (r10 ruling) and is frozen there."""
+    moved to 206 in round 12 (r11 ruling) and is frozen there."""
     specs = all_specs()
     activated = (
         "m_avi_decode_features",

@@ -30,14 +30,30 @@ lengths committed per wave as ONE SnapshotGroup transaction, exact
 corpus integers as additive commit properties; converges EXACTLY to
 ``t_bm25_topk`` so the batch oracle applies verbatim.
 
-Activation checklist (mirror of roundeleven's, executed at ruling):
+``s_snapshot_zorder_skipping`` — Z-order layout (SURVEY E114,
+``SnapshotTable.rewrite_zorder`` + ``functions/zorder``): rank-
+quantized Morton rewrite, then an oracle-checked window aggregate on
+EACH z column through ``read_where`` — values layout-independent,
+prune shape measured in SCALE.md round 12.
+
+Activation checklist (mirror of roundeleven's, executed at ruling —
+FIVE staged queries this round: t_bm25_topk, s_knn_ivf_persistent,
+s_bm25_incremental, s_snapshot_zorder_skipping,
+s_snapshot_merge_into):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundtwelve in ``plans/__init__``,
 2. add them to the gate window for their first round,
 3. move STAGED_R12 → ADDITIONS_R12 in bench.py,
 4. remove the staged empty-sweep block (tests/test_empty_input.py),
-5. adjudicate plan-audit entries if flagged (the corpus-stats frame
-   is 1 row; the query frame is 6 rows — broadcast by construction).
+5. grep ``'== 20[0-9]'`` across tests/ — registry-count pins live in
+   MULTIPLE old test files (test_roundeight/test_roundnine went
+   stale at the 206 activation),
+6. adjudicate plan-audit entries if flagged: the BM25 corpus-stats
+   frames are 1 row and the query frames ≤6 rows (broadcast by
+   construction); the incremental queries' per-wave snapshot commits
+   are batch-sized (the s_snapshot_append_compact class); the IVF
+   contract crossJoin is the 1-row recall row; zorder's quantile cuts
+   are constant literal arrays.
 """
 
 from __future__ import annotations
