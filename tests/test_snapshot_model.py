@@ -3,8 +3,8 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-delete-where / delete-keys / update-where / rebucket / expire
-operations runs against both the real
+delete-where / delete-keys / update-where / merge-into / zorder /
+rebucket / expire operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
 keep-latest semantics), and after EVERY step the table must agree with
 the model on the current state, on a time-travel read of every still-
@@ -66,9 +66,9 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
         op = rng.choices(
             [
                 "merge", "tomb_merge", "rebucket", "expire", "delete",
-                "delete_keys", "update",
+                "delete_keys", "update", "merge_into", "zorder",
             ],
-            weights=[6, 3, 1, 1, 2, 1, 2],
+            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -143,6 +143,56 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 live_states[sid] = dict(cur)
             else:
                 assert sid == t.current_id()
+        elif op == "merge_into":
+            if t.current_id() is None:
+                continue
+            wm = rng.choice(["update", "delete", "ignore"])
+            wnm = rng.choice(["insert", "ignore"])
+            cond = rng.choice([None, "s_ver > t_ver"])
+            srows = {}
+            for _ in range(rng.randint(1, 4)):
+                k = rng.randint(0, 9)
+                # mix fresh and stale source versions so the
+                # conditional arm genuinely fires AND misses
+                if rng.random() < 0.7:
+                    ver_counter += 1
+                    sver = ver_counter
+                else:
+                    sver = rng.randint(0, max(ver_counter, 1))
+                srows[k] = (sver, f"mi{step}k{k}v{sver}")
+            df = spark.createDataFrame(
+                [(k, v, ver) for k, (ver, v) in srows.items()], SCHEMA
+            )
+            sid = t.merge_into(
+                df, when_matched=wm, matched_condition=cond,
+                when_not_matched=wnm,
+            )
+            new_cur = dict(cur)
+            for k, (sver, sv) in srows.items():
+                if k in cur:
+                    fired = cond is None or sver > cur[k][0]
+                    if wm == "update" and fired:
+                        new_cur[k] = (sver, sv)
+                    elif wm == "delete" and fired:
+                        new_cur.pop(k, None)
+                elif wnm == "insert":
+                    new_cur[k] = (sver, sv)
+            if new_cur != cur:
+                cur = new_cur
+                live_states[sid] = dict(cur)
+            else:  # nothing fired anywhere — no-op, no commit
+                assert sid == t.current_id()
+        elif op == "zorder":
+            if t.current_id() is None:
+                continue
+            cols = rng.choice([["k"], ["ver"], ["k", "ver"]])
+            sid = t.rewrite_zorder(
+                cols, rows_per_file=rng.choice([2, 8])
+            )
+            # pure layout change: same model state; the invariants
+            # below then prove reads, time travel, and net CDC are
+            # layout-independent across the rewrite commit
+            live_states[sid] = dict(cur)
         elif op == "rebucket":
             if t.current_id() is None:
                 continue
