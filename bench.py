@@ -138,10 +138,10 @@ ADDITIONS_R11 = [
     "s_snapshot_dml_lifecycle",
 ]
 
-# Round-12 STAGED queries (plans/roundtwelve.py — held for a cap
-# ruling, registry frozen at 206; timed here as staged_r12 so the
-# staged→registered delta series continues when they register).
-STAGED_R12 = [
+# Round-12 registrations (plans/roundtwelve.py — registered round 13
+# per the r12 cap ruling; benched as staged_r12 in BENCH_r12 for the
+# staged→registered delta series, registry-backed from r13 on).
+ADDITIONS_R12 = [
     "t_bm25_topk",
     "s_knn_ivf_persistent",
     "s_bm25_incremental",
@@ -267,10 +267,8 @@ def main() -> None:
     additions_r11 = time_queries(
         spark, specs, ADDITIONS_R11, sf_dir, reps, errors
     )
-    from turnover_odata_etl_spark.plans.roundtwelve import STAGED as _R12
-    staged_specs = {**specs, **_R12}
-    staged_r12 = time_queries(
-        spark, staged_specs, STAGED_R12, sf_dir, reps, errors
+    additions_r12 = time_queries(
+        spark, specs, ADDITIONS_R12, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -303,7 +301,7 @@ def main() -> None:
     additions_r9_total = round(sum(additions_r9.values()), 3)
     additions_r10_total = round(sum(additions_r10.values()), 3)
     additions_r11_total = round(sum(additions_r11.values()), 3)
-    staged_r12_total = round(sum(staged_r12.values()), 3)
+    additions_r12_total = round(sum(additions_r12.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -343,8 +341,8 @@ def main() -> None:
         "additions_r10_total": additions_r10_total,
         "additions_r11": additions_r11,
         "additions_r11_total": additions_r11_total,
-        "staged_r12": staged_r12,
-        "staged_r12_total": staged_r12_total,
+        "additions_r12": additions_r12,
+        "additions_r12_total": additions_r12_total,
         "all_total": round(
             total
             + streaming_total
@@ -397,7 +395,7 @@ def main() -> None:
         "additions_r9": additions_r9_total,
         "additions_r10": additions_r10_total,
         "additions_r11": additions_r11_total,
-        "staged_r12": staged_r12_total,
+        "additions_r12": additions_r12_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -412,7 +410,7 @@ def main() -> None:
         ("additions_r9", additions_r9),
         ("additions_r10", additions_r10),
         ("additions_r11", additions_r11),
-        ("staged_r12", staged_r12),
+        ("additions_r12", additions_r12),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

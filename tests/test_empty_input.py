@@ -51,18 +51,3 @@ def test_query_survives_empty_input(spark, empty_dir, name):
     df = spec.fn(spark, empty_dir)
     assert df.columns, f"{name}: no columns on empty input"
     df.collect()  # must execute, not just plan
-
-
-# The round-11 queries registered in round 12 (r11 cap ruling) ride
-# the registry sweep above automatically. Round-12 STAGED queries
-# (plans/roundtwelve.py — held for a cap ruling) get the same
-# treatment below until registration folds them into the sweep.
-from turnover_odata_etl_spark.plans.roundtwelve import STAGED as STAGED_R12
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R12))
-def test_staged_query_survives_empty_input(spark, empty_dir, name):
-    spec = STAGED_R12[name]
-    df = spec.fn(spark, empty_dir)
-    assert df.columns, f"{name}: no columns on empty input"
-    df.collect()

@@ -55,7 +55,8 @@ def test_roundeight_is_registered():
     """Round 8 activated the nine staged queries per the r07 cap
     ruling; round 10 moved the cap to 201 per the r09 ruling
     (roundnine activations); round 12 moved it to 206 per the r11
-    ruling (roundten activations) and froze it there."""
+    ruling; round 13 moved it to 211 per the r12 ruling (roundtwelve
+    activations) and froze it there."""
     specs = all_specs()
     for name in (
         "m_gif_decode_features",
@@ -70,7 +71,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 206  # the frozen cap (r11 ruling)
+    assert len(specs) == 211  # the frozen cap (r12 ruling)
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

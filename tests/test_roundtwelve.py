@@ -1,6 +1,5 @@
-"""Round-12 STAGED queries (plans/roundtwelve.py) — oracle parity +
-mechanism deep-dives, run every session while the queries await a cap
-ruling (registry frozen at 206 by the r11 verdict)."""
+"""Round-12 queries (plans/roundtwelve.py, REGISTERED round 13 per
+the r12 cap ruling) — oracle parity + mechanism deep-dives."""
 
 from __future__ import annotations
 
@@ -12,7 +11,6 @@ from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.operators.retrieval import bm25_topk
 from turnover_odata_etl_spark.plans.roundtwelve import (
     BM25_ORACLE,
-    STAGED,
     t_bm25_topk,
 )
 
@@ -32,13 +30,16 @@ def _con(sf_dir):
     return con
 
 
-def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {
+def test_roundtwelve_specs_registered_with_eager_oracles():
+    from turnover_odata_etl_spark.plans import registry
+
+    specs = registry.all_specs()
+    for name in (
         "t_bm25_topk", "s_knn_ivf_persistent", "s_bm25_incremental",
         "s_snapshot_zorder_skipping", "s_snapshot_merge_into",
-    }
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
+    ):
+        assert name in specs, name
+        assert specs[name].oracle and specs[name].oracle.strip()
 
 
 def test_bm25_topk_matches_oracle(spark, sf_dir):

@@ -19,6 +19,7 @@ from . import roundeight  # noqa: E402,F401
 from . import roundnine  # noqa: E402,F401
 from . import roundten  # noqa: E402,F401
 from . import roundeleven  # noqa: E402,F401
+from . import roundtwelve  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -29,84 +30,90 @@ from . import roundeleven  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 12 — the r11 verdict's cap ruling: "register both
-# staged round-11 queries; cap moves 204 → 206, then frozen again").
-# The ruling's named window:
-#   - the 2 new round-11 registrations (gate-now-or-never:
-#     t_langid_confusion, s_snapshot_dml_lifecycle);
-#   - the 4 round-7 freshness-floor rows held back last round
-#     (x_datetime_functions, x_odata_date_roundtrip,
-#     e15_udtf_split_words, e7_intersect) — the oldest evidence in
-#     the ledger, two of which guard the date-decode divergence story;
-#   - 44 of the 50 round-8 rows (scripts/staleness.py). All 50 are
-#     equally old in the ledger; the six held back for the round-13
-#     rotation are pure JSON/sketch SQL sweeps whose code has not
-#     drifted since round 8 (e12_from_json, e12_json_extract,
-#     e12_variant_extract, e13_approx_aggs, e13_bitmap_presence,
-#     e13_exact_percentiles), while rows riding this round's edited
-#     files (storage/snapshot.py: c_snapshot_diff, s_snapshot_*,
-#     st_incremental_agg) all keep their slots.
-# Next-stalest after this round: those 6 round-8 rows + the round-9
-# rows (scripts/staleness.py). Registry is FROZEN at 206 per the r11
+# ROTATION (round 13 — the r12 verdict's cap ruling: "register all
+# five staged round-12 queries; cap moves 206 → 211, then frozen
+# again"). The ruling's named window:
+#   - the 5 new round-12 registrations (gate-now-or-never:
+#     t_bm25_topk, s_knn_ivf_persistent, s_bm25_incremental,
+#     s_snapshot_zorder_skipping, s_snapshot_merge_into);
+#   - the 6 round-8 freshness-floor rows held back last round
+#     (e12_from_json, e12_json_extract, e12_variant_extract,
+#     e13_approx_aggs, e13_bitmap_presence, e13_exact_percentiles) —
+#     the oldest evidence in the ledger;
+#   - 39 of the 50 round-9 rows (scripts/staleness.py). The eleven
+#     held back for the round-14 rotation are pure-SQL sweeps and
+#     windowed aggregates whose code has not drifted since round 9
+#     (x_hof_functions, x_try_functions, x_url_functions,
+#     e13_corr_regression, e13_histogram, e14_gapfill_resample,
+#     e14_inactivity_gaps, e14_ohlc_bars, e5_window_range_frame,
+#     e6_q12_priority_by_returnflag, e6_q4_order_priority), while
+#     rows riding this round's edited files (storage/snapshot.py,
+#     operators/similarity.py, operators/retrieval.py: s_*_layout,
+#     s_compaction_roundtrip, s_schema_evolution_merge, d_* dedup,
+#     decoder and streaming rows) all keep their slots.
+# Next-stalest after this round: those 11 round-9 rows + the round-10
+# rows (scripts/staleness.py). Registry is FROZEN at 211 per the r12
 # ruling; future registrations only for queries that are the sole
 # oracle coverage of a new SURVEY row.
 #
 GATED_QUERIES = [
-    # the two round-11 registrations (cap ruling executed round 12)
-    "t_langid_confusion",
-    "s_snapshot_dml_lifecycle",
-    # the four round-7 freshness-floor rows
-    "x_datetime_functions",
-    "x_odata_date_roundtrip",
-    "e15_udtf_split_words",
-    "e7_intersect",
-    # 44 of the 50 stalest round-8 rows (held back for r13:
-    # e12_from_json, e12_json_extract, e12_variant_extract,
-    # e13_approx_aggs, e13_bitmap_presence, e13_exact_percentiles)
-    "c_snapshot_diff",
-    "d_embedding_neardup",
-    "d_exact_substr_spans",
-    "d_prefix_filter_jaccard",
-    "e13_cms_heavy_hitters",
-    "e13_outliers_iqr",
-    "e14_funnel_sequence",
-    "e14_peak_concurrency",
-    "e14_retention_cohorts",
-    "e1_pricing_summary",
-    "e2_rollup",
-    "e3_join_inner",
-    "e3_star_join_revenue",
-    "e4_spatial_grid_join",
-    "e5_window_ranks",
-    "e6_copurchase_pairs",
-    "e6_q13_customer_distribution",
-    "e6_q21_suppliers_kept_waiting",
-    "e6_q22_global_sales_opportunity",
-    "e6_q6_forecast_revenue",
-    "e6_topk_per_group",
-    "f_eq_predicate",
-    "m_flac_decode_features",
-    "m_g711_decode_features",
-    "m_gif_decode_features",
-    "m_mixed_image_decode_features",
-    "m_tiff_decode_features",
-    "o_sort_limit",
-    "p_rename_coalesce_reorder",
-    "q_sql_lateral_join",
-    "q_sql_recursive_cte",
-    "s_csv_roundtrip",
-    "s_knn_ivf",
-    "s_knn_pq",
-    "s_snapshot_changes",
-    "s_snapshot_incremental_agg",
-    "s_snapshot_pruned_read",
-    "st_incremental_agg",
-    "st_session_window",
-    "st_stream_dedup_watermark",
-    "st_stream_stream_join",
-    "st_tumbling_window",
-    "u_union_by_name",
-    "x_string_functions",
+    # the five round-12 registrations (cap ruling executed round 13)
+    "t_bm25_topk",
+    "s_knn_ivf_persistent",
+    "s_bm25_incremental",
+    "s_snapshot_zorder_skipping",
+    "s_snapshot_merge_into",
+    # the six round-8 freshness-floor rows
+    "e12_from_json",
+    "e12_json_extract",
+    "e12_variant_extract",
+    "e13_approx_aggs",
+    "e13_bitmap_presence",
+    "e13_exact_percentiles",
+    # 39 of the 50 stalest round-9 rows (held back for r14:
+    # x_hof_functions, x_try_functions, x_url_functions,
+    # e13_corr_regression, e13_histogram, e14_gapfill_resample,
+    # e14_inactivity_gaps, e14_ohlc_bars, e5_window_range_frame,
+    # e6_q12_priority_by_returnflag, e6_q4_order_priority)
+    "a_dedup_keep_latest",
+    "a_dedup_rows",
+    "d_levenshtein_blocked",
+    "d_phash_neardup",
+    "d_rollhash_fingerprint",
+    "d_simhash",
+    "d_simhash_neardup",
+    "e3_join_salted_skew",
+    "e4_scd2_intervals",
+    "e6_q10_returned_items",
+    "e6_q11_important_stock",
+    "e6_q15_top_supplier",
+    "e6_q16_part_supplier_counts",
+    "e6_q17_small_qty_revenue",
+    "e6_q18_large_volume_customer",
+    "e6_q20_promotion_suppliers",
+    "e6_q2_min_cost_supplier",
+    "e6_q3_shipping_priority",
+    "e6_q7_volume_shipping",
+    "e6_q8_market_share",
+    "e6_q9_product_profit",
+    "m_frame_sample",
+    "m_png_decode_features",
+    "m_wav_decode_features",
+    "s_compaction_roundtrip",
+    "s_orc_roundtrip",
+    "s_range_sorted_layout",
+    "s_schema_evolution_merge",
+    "s_warc_to_pretrain",
+    "s_xml_roundtrip",
+    "s_zorder_layout",
+    "st_sliding_window",
+    "st_stream_scd2_enrich",
+    "st_stream_stream_left_join",
+    "t_corpus_pipeline",
+    "t_pretrain_pipeline",
+    "t_repetition_metrics",
+    "t_unigram_logprob",
+    "t_weighted_sample_es",
 ]
 
 registry.promote(GATED_QUERIES)

@@ -1,7 +1,7 @@
-"""Round-12 STAGED queries — held for a cap ruling (the r11 verdict
-froze the registry at 206; precedent is the roundeight→roundeleven
-lifecycle: stage with oracles + bench history + empty-sweep coverage,
-register when a verdict rules).
+"""Round-12 queries — REGISTERED round 13 per the r12 cap ruling
+("register all five staged round-12 queries; cap moves 206 → 211,
+then frozen again"). Staged round 12 with oracles + bench history +
+empty-sweep coverage per the roundeight→roundeleven lifecycle.
 
 ``t_bm25_topk`` — the BM25 retrieval rung (VERDICT r11 item 4 /
 SURVEY E111): corpus-scale inverted-index top-k retrieval. The query
@@ -36,24 +36,17 @@ quantized Morton rewrite, then an oracle-checked window aggregate on
 EACH z column through ``read_where`` — values layout-independent,
 prune shape measured in SCALE.md round 12.
 
-Activation checklist (mirror of roundeleven's, executed at ruling —
-FIVE staged queries this round: t_bm25_topk, s_knn_ivf_persistent,
-s_bm25_incremental, s_snapshot_zorder_skipping,
-s_snapshot_merge_into):
-1. move the specs into ``@register`` form (oracles are eager
-   constants), import roundtwelve in ``plans/__init__``,
-2. add them to the gate window for their first round,
-3. move STAGED_R12 → ADDITIONS_R12 in bench.py,
-4. remove the staged empty-sweep block (tests/test_empty_input.py),
-5. grep ``'== 20[0-9]'`` across tests/ — registry-count pins live in
-   MULTIPLE old test files (test_roundeight/test_roundnine went
-   stale at the 206 activation),
-6. adjudicate plan-audit entries if flagged: the BM25 corpus-stats
-   frames are 1 row and the query frames ≤6 rows (broadcast by
-   construction); the incremental queries' per-wave snapshot commits
-   are batch-sized (the s_snapshot_append_compact class); the IVF
-   contract crossJoin is the 1-row recall row; zorder's quantile cuts
-   are constant literal arrays.
+Activation executed round 13 (the checklist that was staged here):
+specs moved into ``@register`` form, roundtwelve imported in
+``plans/__init__``, all five added to the r13 gate window,
+STAGED_R12 → ADDITIONS_R12 in bench.py, staged empty-sweep block
+removed (the registry sweep now covers them), registry-count pins
+updated (206 → 211 in test_roundeight/test_roundnine), plan-audit
+adjudications as pre-written: the BM25 corpus-stats frames are 1 row
+and the query frames ≤6 rows (broadcast by construction); the
+incremental queries' per-wave snapshot commits are batch-sized (the
+s_snapshot_append_compact class); the IVF contract crossJoin is the
+1-row recall row; zorder's quantile cuts are constant literal arrays.
 """
 
 from __future__ import annotations
@@ -63,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TXT
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 
 BM25_ORACLE = r"""
     WITH tok AS (
@@ -141,6 +134,11 @@ def _corpus_query_terms(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "t_bm25_topk",
+    oracle=BM25_ORACLE,
+    tags=("llm", "text", "retrieval"),
+)
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval (operators/retrieval.bm25_topk) for
     three 2-term queries derived from the corpus itself: global term
@@ -176,6 +174,11 @@ IVF_PERSISTENT_ORACLE = """
 """
 
 
+@register(
+    "s_knn_ivf_persistent",
+    oracle=IVF_PERSISTENT_ORACLE,
+    tags=("llm", "similarity", "storage", "incremental"),
+)
 def s_knn_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTENT IVF ANN index (VERDICT r11 item 5 / SURVEY E112) —
     the E106/E109 pattern applied to similarity search: embedding
@@ -272,6 +275,13 @@ def s_knn_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "s_bm25_incremental",
+    # EXACT convergence to the batch answer: the batch oracle applies
+    # verbatim (see the query docstring).
+    oracle=BM25_ORACLE,
+    tags=("llm", "text", "retrieval", "storage", "incremental"),
+)
 def s_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL BM25 over a persistent two-table index
     (operators/retrieval.BM25Index — SURVEY E113): the documents
@@ -345,6 +355,11 @@ ZORDER_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_zorder_skipping",
+    oracle=ZORDER_ORACLE,
+    tags=("storage", "snapshot", "zorder", "skipping"),
+)
 def s_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER layout lifecycle (SURVEY E114,
     ``SnapshotTable.rewrite_zorder`` + ``functions/zorder``): load
@@ -452,6 +467,11 @@ MERGE_INTO_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_merge_into",
+    oracle=MERGE_INTO_ORACLE,
+    tags=("storage", "snapshot", "merge", "dml"),
+)
 def s_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO lifecycle (``SnapshotTable.merge_into``, round 12)
     — the canonical conditional-DML verb exercised end-to-end against
@@ -519,38 +539,3 @@ def s_snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "t_bm25_topk": QuerySpec(
-        name="t_bm25_topk",
-        fn=t_bm25_topk,
-        oracle=BM25_ORACLE,
-        tags=("llm", "text", "retrieval"),
-    ),
-    "s_knn_ivf_persistent": QuerySpec(
-        name="s_knn_ivf_persistent",
-        fn=s_knn_ivf_persistent,
-        oracle=IVF_PERSISTENT_ORACLE,
-        tags=("llm", "similarity", "storage", "incremental"),
-    ),
-    "s_snapshot_zorder_skipping": QuerySpec(
-        name="s_snapshot_zorder_skipping",
-        fn=s_snapshot_zorder_skipping,
-        oracle=ZORDER_ORACLE,
-        tags=("storage", "snapshot", "zorder", "skipping"),
-    ),
-    "s_snapshot_merge_into": QuerySpec(
-        name="s_snapshot_merge_into",
-        fn=s_snapshot_merge_into,
-        oracle=MERGE_INTO_ORACLE,
-        tags=("storage", "snapshot", "merge", "dml"),
-    ),
-    "s_bm25_incremental": QuerySpec(
-        name="s_bm25_incremental",
-        fn=s_bm25_incremental,
-        # EXACT convergence to the batch answer: the batch oracle
-        # applies verbatim (see the query docstring).
-        oracle=BM25_ORACLE,
-        tags=("llm", "text", "retrieval", "storage", "incremental"),
-    ),
-}
