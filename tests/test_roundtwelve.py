@@ -393,6 +393,33 @@ def test_bm25_index_wave_protocol(spark, tmp_path):
     assert 0 < len(opened) < len(all_files)
 
 
+def test_bm25_topk_releases_its_cache(spark, tmp_path):
+    """ADVICE r12: repeated topk calls in a long-lived session must
+    not accumulate pinned candidate frames — the tfq persist is
+    released before topk returns (the wave() try/finally discipline),
+    and the returned frame is complete and re-collectable after the
+    release."""
+    from turnover_odata_etl_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "bm25c"), n_buckets=4)
+    idx.wave(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, term string"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = idx.topk(q, k=10)
+    assert jsc.getPersistentRDDs().size() == before
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}  # re-usable
+
+
 def test_bm25_index_empty_before_first_wave(spark, tmp_path):
     from turnover_odata_etl_spark.operators.retrieval import BM25Index
 

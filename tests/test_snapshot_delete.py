@@ -632,6 +632,41 @@ def test_truncate_upper_forms():
     )
 
 
+def test_stats_overlap_mixed_type_bounds_degrade_to_must_read(
+    spark, tdir
+):
+    """ADVICE r12: a mixed-type public call like
+    ``read_where('v', 'a', 5)`` must degrade to must-read at the
+    prune layer (never raise ``str > int`` mid-pruning) — the
+    predicate's own SQL semantics then apply downstream."""
+    from turnover_odata_etl_spark.storage.snapshot import _stats_overlap
+
+    # str column stats, str lo, int hi: the old lo-only guard passed
+    # and `s_lo > hi` raised TypeError; now it must-read.
+    assert _stats_overlap(["m", "t"], "a", 5) is True
+    # the symmetric shape (int lo, str hi) must-reads too
+    assert _stats_overlap(["m", "t"], 5, "a") is True
+    # homogeneous calls still prune as before
+    assert _stats_overlap(["m", "t"], "u", "z") is False
+    assert _stats_overlap([10, 20], 30, 40) is False
+
+    # end-to-end: the public call plans and executes without raising
+    t = SnapshotTable(
+        spark, os.path.join(tdir, "mixed"), key_cols=["k"],
+        order_col="ver", n_buckets=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "apple", 1), (2, "pear", 1)], "k long, v string, ver long"
+        )
+    )
+    t.read_where("v", "a", "z").collect()  # sanity: homogeneous
+    # mixed bounds are refused at entry with a CLEAR error (never a
+    # mid-prune `str > int` TypeError or an engine-side cast failure)
+    with pytest.raises(TypeError, match="both"):
+        t.read_where("v", "a", 5)
+
+
 def test_string_stats_truncation_soundness_fuzz():
     """A pruned file can NEVER contain a match (VERDICT r11 item 3's
     Done criterion): for random file contents and random predicate

@@ -285,8 +285,12 @@ class BM25Index:
         )
         pruned = self.postings.read_matching(q.select("term"))
         # persisted: tfq feeds dfq, the doclen bucket probe, and the
-        # scoring join (review r12) — it stays cached until the
-        # session/bench clears caches, the operator-persist precedent
+        # scoring join (review r12). Released in the finally below
+        # (ADVICE r12 — the wave() discipline): the ranked result is
+        # materialized to the driver first, which is sound because
+        # its cardinality is ≤ k rows per query BY CONSTRUCTION (the
+        # serving answer a caller collects anyway), so repeated topk
+        # calls in a long-lived session pin nothing.
         from pyspark import StorageLevel
 
         tfq = (
@@ -294,21 +298,26 @@ class BM25Index:
             .join(F.broadcast(q), "term")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        dfq = (
-            tfq.select("term", "doc_id")
-            .distinct()
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        )
-        dl = self.doclen.read_matching(
-            tfq.select("doc_id")
-        ).select("doc_id", "dl")
-        # exact integers divided in IEEE double — bit-identical to
-        # the batch path's avg(dl) over the same corpus
-        part = (
-            tfq.join(F.broadcast(dfq), "term")
-            .join(dl, "doc_id")
-            .withColumn("n", F.lit(float(n_docs)))
-            .withColumn("avgdl", F.lit(total_len / n_docs))
-        )
-        return _rank_scored(part, k, k1, b)
+        try:
+            dfq = (
+                tfq.select("term", "doc_id")
+                .distinct()
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            )
+            dl = self.doclen.read_matching(
+                tfq.select("doc_id")
+            ).select("doc_id", "dl")
+            # exact integers divided in IEEE double — bit-identical to
+            # the batch path's avg(dl) over the same corpus
+            part = (
+                tfq.join(F.broadcast(dfq), "term")
+                .join(dl, "doc_id")
+                .withColumn("n", F.lit(float(n_docs)))
+                .withColumn("avgdl", F.lit(total_len / n_docs))
+            )
+            ranked = _rank_scored(part, k, k1, b)
+            rows = ranked.collect()  # ≤ k·|queries| rows — the answer
+            return self.spark.createDataFrame(rows, ranked.schema)
+        finally:
+            tfq.unpersist()

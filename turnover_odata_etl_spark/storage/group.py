@@ -150,9 +150,14 @@ class SnapshotGroup:
                     f"group member {name!r} manifest {m['id']} was "
                     f"claimed by a foreign commit; group members must "
                     "be written only through the group. No member "
-                    "pointer has been advanced for this txn; run "
-                    "abort_txn() to void it and re-plan, see its "
-                    "docstring"
+                    "pointer has been advanced for this txn, but "
+                    "members whose manifests DID link ('applied') are "
+                    "already reader-visible through the "
+                    "roll-past-the-pointer-hint rule — the group is "
+                    "observably torn until repaired. Run abort_txn() "
+                    "to void the txn; its status report is the "
+                    "authoritative torn-state inventory (see its "
+                    "docstring for the re-plan contract)"
                 )
         for name, m in members.items():
             t = self.tables[name]

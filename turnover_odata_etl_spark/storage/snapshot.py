@@ -134,10 +134,14 @@ def _stats_overlap(s, lo, hi) -> bool:
     ``s_hi is None`` = unbounded above (all-U+10FFFF truncation);
     ``hi is None`` = predicate unbounded above (string domain; the
     numeric domain uses ±inf floats). A numeric-vs-string type
-    mismatch (predicate literal typed differently from the column)
-    never prunes — must-read, the universal degrade direction."""
+    mismatch (predicate literal typed differently from the column,
+    on EITHER bound — a mixed-type public call like
+    ``read_where(col, 'a', 5)`` included, ADVICE r12) never prunes —
+    must-read, the universal degrade direction."""
     s_lo, s_hi = s[0], s[1]
     if isinstance(s_lo, str) != isinstance(lo, str):
+        return True
+    if hi is not None and isinstance(s_lo, str) != isinstance(hi, str):
         return True
     if s_hi is not None and s_hi < lo:
         return False
@@ -2264,7 +2268,18 @@ class SnapshotTable:
         ``None`` stored upper means unbounded. Files without recorded
         stats for ``column`` are conservatively read; the exact
         predicate is applied after the prune either way, so pruning
-        can only skip files proven irrelevant."""
+        can only skip files proven irrelevant.
+
+        ``lo``/``hi`` must live in ONE domain (both strings or both
+        numbers; ADVICE r12): a mixed pair is refused here with a
+        clear error instead of surfacing as a mid-prune TypeError or
+        an engine-side cast failure deep in the scan."""
+        if isinstance(lo, str) != isinstance(hi, str):
+            raise TypeError(
+                f"read_where({column!r}): lo and hi must both be "
+                f"strings or both numeric, got {type(lo).__name__} "
+                f"and {type(hi).__name__}"
+            )
         sid = self.current_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
