@@ -1,0 +1,272 @@
+"""Round-13 STAGED queries — held for a cap ruling (the r12 verdict
+froze the registry at 211; precedent is the roundeight→roundtwelve
+lifecycle: stage with oracles + bench history + empty-sweep coverage,
+register when a verdict rules).
+
+``s_snapshot_agg_stats`` — metadata-only aggregates (VERDICT r12
+item 2 / SURVEY E116, ``SnapshotTable.agg_stats``): ``count(*)`` /
+per-column ``min``/``max`` answered purely from manifest entries —
+O(manifest) driver work, zero data files opened (Iceberg's metadata
+tables / Delta's stats-only scans). The lifecycle query runs the DML
+verbs a 100-TB table actually sees (append slices → range delete →
+keyed merge), then answers the same aggregate through BOTH paths —
+the manifest (``agg_stats``) and a full scan — and returns the two
+rows side by side; the oracle computes the post-DML aggregate twice,
+so any divergence between metadata and data hash-fails.
+
+``s_snapshot_bloom_pruned_delete`` — per-file bloom filters (VERDICT
+r12 item 3 / SURVEY E117): high-cardinality string equality pruning
+where truncate-16 prefix windows are wide. Files carry a k-hash
+bitset per (file, col) in the manifest; equality probes consult it
+(absent → must-read; a negative NEVER skips a match — soundness
+fuzzed in tests/test_snapshot_bloom.py). The lifecycle query deletes
+by email-shaped equality through the bloom-pruned path and returns
+the surviving aggregate against an exact oracle.
+
+Activation checklist (mirror of roundtwelve's, executed at ruling):
+1. move the specs into ``@register`` form (oracles are eager
+   constants), import roundthirteen in ``plans/__init__``,
+2. add them to the gate window for their first round,
+3. move STAGED_R13 → ADDITIONS_R13 in bench.py,
+4. remove the staged empty-sweep block (tests/test_empty_input.py),
+5. grep ``'== 21[0-9]'`` across tests/ — registry-count pins live in
+   test_roundeight/test_roundnine,
+6. plan-audit adjudications: the agg_stats meta row is a 1-row local
+   frame (driver metadata by design — the whole point is that no
+   Spark job runs); the scan row is one full-table aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import QuerySpec
+
+_AGG_SCHEMA = (
+    "path string, n_rows long, min_v double, max_v double, "
+    "min_et string, max_et string, min_id long, max_id long, "
+    "files_read long"
+)
+
+AGG_STATS_ORACLE = """
+    WITH base AS (
+      SELECT event_id, event_type, value FROM events
+    ), d1 AS (
+      -- delete_where('value BETWEEN 100 AND 250'): rows where the
+      -- predicate is TRUE are removed; NULL values survive
+      SELECT * FROM base WHERE NOT ((value BETWEEN 100 AND 250) IS TRUE)
+    ), m1 AS (
+      -- keep-latest merge of value+1000 updates for event_id % 3 = 0
+      -- (sourced from the ORIGINAL rows, so deleted ids can return)
+      SELECT event_id, event_type, value + 1000 AS value
+      FROM base WHERE event_id % 3 = 0
+    ), t1 AS (
+      SELECT * FROM d1
+      WHERE event_id IS NULL
+         OR event_id NOT IN (SELECT event_id FROM m1)
+      UNION ALL SELECT * FROM m1
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             min(value) AS min_v, max(value) AS max_v,
+             min(event_type) AS min_et, max(event_type) AS max_et,
+             CAST(min(event_id) AS BIGINT) AS min_id,
+             CAST(max(event_id) AS BIGINT) AS max_id,
+             CAST(0 AS BIGINT) AS files_read
+      FROM t1
+    )
+    SELECT 'meta' AS path, * FROM a
+    UNION ALL
+    SELECT 'scan' AS path, * FROM a
+"""
+
+
+def s_snapshot_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates lifecycle (SURVEY E116,
+    ``SnapshotTable.agg_stats``): bootstrap events as three id-sliced
+    appends (NULL ids routed to the last slice — the TOTAL-partition
+    discipline), range-delete a value window, keep-latest-merge a
+    value bump for every third id, then answer ``count(*)`` /
+    ``min``/``max`` over (value, event_type, event_id) through BOTH
+    the manifest (``agg_stats`` — zero data files opened, pinned by
+    ``files_read`` in the row itself and by the reader spy in
+    tests/test_agg_stats.py) and a full scan. The oracle computes the
+    post-DML aggregate once and emits it under both path labels, so
+    the metadata answer is hash-pinned to the data answer.
+
+    Plan shape: the meta row never launches a Spark job at all —
+    that IS the operator (on a 100-TB table this query is O(manifest
+    entries) driver work); the scan row is one map-side-combined
+    aggregate. All bounds are attained values (no arithmetic), so
+    cross-engine float equality is exact."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/agg_stats"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return spark.createDataFrame([], _AGG_SCHEMA)
+    span = max(1, (mx - mn + 1) // 3)
+    for w in range(3):
+        lo = mn + w * span
+        hi = mx if w == 2 else mn + (w + 1) * span - 1
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == 2:
+            sl = sl | F.col("event_id").isNull()
+        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    t.delete_where("value BETWEEN 100 AND 250")
+    t.merge(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            "event_id", "event_type",
+            (F.col("value") + 1000).alias("value"),
+            F.lit(4).cast("long").alias("__ver"),
+        )
+    )
+
+    meta = t.agg_stats(["value", "event_type", "event_id"])
+    c = meta["columns"]
+    meta_row = spark.createDataFrame(
+        [(
+            "meta", meta["n_rows"],
+            c["value"]["min"], c["value"]["max"],
+            c["event_type"]["min"], c["event_type"]["max"],
+            c["event_id"]["min"], c["event_id"]["max"],
+            meta["files_read"],
+        )],
+        _AGG_SCHEMA,
+    )
+    scan_row = t.read().agg(
+        F.lit("scan").alias("path"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_v"), F.max("value").alias("max_v"),
+        F.min("event_type").alias("min_et"),
+        F.max("event_type").alias("max_et"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.lit(0).cast("long").alias("files_read"),
+    )
+    return meta_row.unionByName(scan_row)
+
+
+BLOOM_DELETE_ORACLE = """
+    WITH b AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS mn,
+             CAST(max(event_id) AS BIGINT) AS mx
+      FROM events WHERE event_id IS NOT NULL
+    ), kept AS (
+      -- the two email equality deletes remove exactly the rows whose
+      -- synthesized email matches: the min id and the max id. The
+      -- absent-value probe deletes nothing.
+      SELECT e.event_type, e.value
+      FROM events e, b
+      WHERE e.event_id IS NULL
+         OR (e.event_id <> b.mn AND e.event_id <> b.mx)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM kept GROUP BY event_type
+"""
+
+
+def s_snapshot_bloom_pruned_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-file bloom-filter equality pruning (SURVEY E117 / VERDICT
+    r12 item 3): the GDPR probe shape — ``DELETE WHERE email = x`` on
+    a NON-key high-cardinality string column. The email is
+    synthesized with a 16-code-point SHARED prefix
+    (``customer-record-``), so every file's truncate-16 stats window
+    covers every probe and prefix stats prune NOTHING — the per-file
+    bloom bitsets (built per commit by ``_attach_blooms``, consulted
+    by ``_split_candidates``) are the only thing standing between the
+    probe and a full-table read. Three id-sliced appends, two present
+    probes (the min-id and max-id emails), one absent probe (a
+    zero-read no-op, pinned by the spy tests in
+    tests/test_snapshot_bloom.py); values against an exact oracle.
+
+    At 100 TB this is the weekly right-to-be-forgotten scan: without
+    blooms the equality delete reads every file of every candidate
+    bucket; with them it opens only bloom-positive files (FPR ≈ 0.1%
+    at 16 bits/row, k=5)."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/bloom_delete"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+        bloom_cols=["email"],
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.concat(
+            F.lit("customer-record-"),
+            F.col("event_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("email"),
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return spark.createDataFrame(
+            [], "event_type string, n_events long, sum_value double"
+        )
+    span = max(1, (mx - mn + 1) // 3)
+    for w in range(3):
+        lo = mn + w * span
+        hi = mx if w == 2 else mn + (w + 1) * span - 1
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == 2:
+            sl = sl | F.col("event_id").isNull()
+        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    for probe_id in (mn, mx):
+        t.delete_where(
+            f"email = 'customer-record-{probe_id}@example.com'"
+        )
+    t.delete_where("email = 'absent@example.com'")  # bloom no-op
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# Staged specs — same shape the registry holds, NOT registered (cap).
+STAGED: dict[str, QuerySpec] = {
+    "s_snapshot_agg_stats": QuerySpec(
+        name="s_snapshot_agg_stats",
+        fn=s_snapshot_agg_stats,
+        oracle=AGG_STATS_ORACLE,
+        tags=("storage", "snapshot", "metadata", "stats"),
+    ),
+    "s_snapshot_bloom_pruned_delete": QuerySpec(
+        name="s_snapshot_bloom_pruned_delete",
+        fn=s_snapshot_bloom_pruned_delete,
+        oracle=BLOOM_DELETE_ORACLE,
+        tags=("storage", "snapshot", "bloom", "delete"),
+    ),
+}

@@ -93,6 +93,57 @@ _PRED_STR_CMP = re.compile(
 # power beyond the prefix.
 _STATS_TRUNC = 16
 
+# Per-file bloom filters (round 13 — VERDICT r12 item 3; the public
+# capability is Iceberg/Delta's per-file bloom filters for equality
+# pruning): a k-hash bitset per (file, string column) stored in the
+# manifest entry, consulted by the equality-shaped prune paths where
+# truncate-16 prefix windows are wide (the `user_email = x` GDPR
+# probe on a NON-key column). Sizing: 16 bits per row, k=5 hashes
+# (theoretical FPR ≈ 0.1%), clamped so one bitset never exceeds 8 KiB
+# in the manifest (files beyond ~4 Ki rows saturate gracefully toward
+# all-ones — weaker pruning, never a wrong one). Bloom NEGATIVES are
+# proofs (no hash of the probe missing its bit ⇒ value absent ⇒ skip
+# is sound); positives just mean "must read".
+_BLOOM_K = 5
+_BLOOM_BITS_PER_ROW = 16
+_BLOOM_MIN_BITS = 256
+_BLOOM_MAX_BITS = 65536
+
+
+def _bloom_nbits(rows: int) -> int:
+    m = rows * _BLOOM_BITS_PER_ROW
+    m = max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, m))
+    return (m + 7) // 8 * 8
+
+
+def _bloom_pack(positions, n_bits: int) -> str:
+    """Pack set bit positions into a base64 bitset (little-endian
+    within each byte)."""
+    import base64
+
+    data = bytearray(n_bits // 8)
+    for p in positions:
+        data[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(data)).decode("ascii")
+
+
+def _bloom_contains(entry: dict, raw_hashes: list) -> bool:
+    """Membership probe against a manifest bloom entry: ``True`` =
+    possibly present (must read), ``False`` = PROVEN absent (sound to
+    skip). ``raw_hashes`` are the probe value's un-modded 32-bit
+    Spark hashes for seeds 0..k-1 — Python's floored ``%`` agrees
+    with the Spark ``pmod`` the build used, so probe and build index
+    the same bit."""
+    import base64
+
+    m, k = entry["m"], entry["k"]
+    data = base64.b64decode(entry["b"])
+    for h in raw_hashes[:k]:
+        p = h % m
+        if not (data[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
 
 def _truncate_upper(s: str, length: int = _STATS_TRUNC):
     """A string STRICTLY GREATER than every string sharing ``s``'s
@@ -289,6 +340,7 @@ class SnapshotTable:
         order_col: str,
         n_buckets: int = 8,
         bucket_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.table_dir = table_dir.rstrip("/")
@@ -301,6 +353,14 @@ class SnapshotTable:
                 f"bucket_cols {self.bucket_cols} must be a subset of "
                 f"key_cols {self.key_cols}"
             )
+        # STRING columns to build per-file bloom filters for (round
+        # 13; opt-in — a bloom per (file, col) costs one extra pass
+        # over each commit's new files plus ≤ 8 KiB of manifest per
+        # bitset, so it's for the high-cardinality equality-probed
+        # columns, not everything). Persisted in the manifest config;
+        # readers consult whatever entries carry regardless of this
+        # handle's setting.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
         self._data_dir = os.path.join(self.table_dir, "data")
         self._manifest_dir = os.path.join(self.table_dir, "manifests")
         self._pointer = os.path.join(self.table_dir, "_current")
@@ -329,6 +389,7 @@ class SnapshotTable:
         t.order_col = m["order_col"]
         t.n_buckets = m["n_buckets"]
         t.bucket_cols = list(m.get("bucket_cols") or m["key_cols"])
+        t.bloom_cols = list(m.get("bloom_cols") or [])
         return t
 
     # ------------------------------------------------------------ metadata
@@ -910,6 +971,11 @@ class SnapshotTable:
         self.bucket_cols = list(
             base_raw.get("bucket_cols") or base_raw["key_cols"]
         )
+        # bloom config is layout-like write config: the on-disk value
+        # wins when present (a handle opened without it keeps building
+        # the table's blooms); a fresh table keeps the ctor's list
+        if base_raw.get("bloom_cols"):
+            self.bloom_cols = list(base_raw["bloom_cols"])
 
     def _prime_meta(self, sid: int, manifest: dict) -> None:
         """Prime the payload-free config cache with a dict already in
@@ -1436,13 +1502,32 @@ class SnapshotTable:
         """Stats-prune split shared by the predicate verbs: per
         bucket, files whose footer stats could overlap the bounds
         (candidates — must be read) vs files proven disjoint (carried
-        by reference). Absent stats degrade to must-read."""
+        by reference). Absent stats degrade to must-read.
+
+        String EQUALITY bounds (``lo == hi`` — the shape
+        ``predicate_bounds`` derives from ``col = 'x'``) additionally
+        consult the per-file bloom filters (round 13): a bloom
+        negative proves the value absent from the file, so the file
+        is pruned even when its min/max window covers the probe —
+        exactly where truncate-16 prefix stats are blind (long shared
+        prefixes, high-cardinality emails). Files without a bloom for
+        the column stay candidates."""
+        eq = {
+            c: lo
+            for c, (lo, hi) in bounds.items()
+            if isinstance(lo, str) and lo == hi
+        }
+        hashes = self._bloom_raw_hashes(eq)
 
         def may_match(f: dict) -> bool:
             st = f.get("stats") or {}
             for col, (lo, hi) in bounds.items():
                 s = st.get(col)
                 if s is not None and not _stats_overlap(s, lo, hi):
+                    return False
+            for col, hs in hashes.items():
+                e = (f.get("bloom") or {}).get(col)
+                if e is not None and not _bloom_contains(e, hs):
                     return False
             return True
 
@@ -2193,14 +2278,146 @@ class SnapshotTable:
                 lo, hi = self._order_stats(meta)
                 if lo is not None:
                     rec["order_min"], rec["order_max"] = lo, hi
-                stats = self._column_stats(meta)
+                stats, trunc = self._column_stats(meta)
                 if stats:
                     rec["stats"] = stats
+                    # stats-exactness protocol marker (round 13): the
+                    # KEY's presence says "bounds are exact-attained
+                    # unless the column appears here" — entries
+                    # without it (pre-r13) only prove a string LOWER
+                    # exact (len<16 ⇒ the prefix truncation didn't
+                    # fire); their string uppers must be re-verified
+                    # against data (agg_stats's fallback read).
+                    rec["sx"] = trunc
                 new_files.append(rec)
         shutil.rmtree(staging, ignore_errors=True)
+        if self.bloom_cols:
+            self._attach_blooms(new_files)
         return new_files
 
-    def _column_stats(self, meta) -> dict:
+    def _attach_blooms(self, new_files: list[dict]) -> None:
+        """Build per-file bloom bitsets for ``bloom_cols`` over a
+        commit's NEW files (one distributed pass over the batch —
+        the cost discipline Iceberg pays inside its parquet writer;
+        carried-by-reference files keep the blooms they were written
+        with). Each entry gains ``bloom = {col: {m, k, b}}``. Bits
+        are set via Spark's own ``hash``/``pmod`` so the driver-side
+        probe (:func:`_bloom_contains` over :meth:`_bloom_raw_hashes`)
+        can never disagree with the build. Sizing is per-file
+        (16 bits/row, 8 KiB cap — see the module constants); an
+        all-NULL or absent column packs an all-zero bitset, which
+        soundly prunes every equality probe (NULL never equals).
+
+        Driver payload: per (file, col), the set of SET bit positions
+        (≤ the bitset size — bounded by the cap, metadata-sized),
+        never data rows."""
+        live = [f for f in new_files if f["rows"]]
+        for f in new_files:
+            if not f["rows"]:
+                continue
+            f["bloom"] = {
+                c: {
+                    "m": _bloom_nbits(f["rows"]),
+                    "k": _BLOOM_K,
+                    "b": _bloom_pack([], _bloom_nbits(f["rows"])),
+                }
+                for c in self.bloom_cols
+            }
+        if not live:
+            return
+        paths = [os.path.join(self.table_dir, f["path"]) for f in live]
+        df = self.spark.read.parquet(*paths)
+        present = [c for c in self.bloom_cols if c in df.columns]
+        for c in present:
+            if not isinstance(df.schema[c].dataType, T.StringType):
+                raise ValueError(
+                    f"bloom_cols are string-only (numeric equality "
+                    f"prunes via footer stats already): {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()}"
+                )
+        if not present:
+            return
+        base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        m_df = self.spark.createDataFrame(
+            [
+                (os.path.basename(f["path"]), _bloom_nbits(f["rows"]))
+                for f in live
+            ],
+            "__base string, __m int",
+        )
+        pos = (
+            df.select(base.alias("__base"), *present)
+            .join(F.broadcast(m_df), "__base")
+            .select(
+                "__base",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col"),
+                                F.when(
+                                    F.col(c).isNotNull(),
+                                    F.array(
+                                        *[
+                                            F.pmod(
+                                                F.hash(
+                                                    F.col(c), F.lit(s)
+                                                ),
+                                                F.col("__m"),
+                                            )
+                                            for s in range(_BLOOM_K)
+                                        ]
+                                    ),
+                                )
+                                .otherwise(F.array())
+                                .alias("pos"),
+                            )
+                            for c in present
+                        ]
+                    )
+                ).alias("cp"),
+            )
+            .select("__base", "cp.col", F.explode("cp.pos").alias("p"))
+            .groupBy("__base", "col")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        by_base = {os.path.basename(f["path"]): f for f in live}
+        for r in pos:
+            f = by_base[r["__base"]]
+            f["bloom"][r["col"]] = {
+                "m": _bloom_nbits(f["rows"]),
+                "k": _BLOOM_K,
+                "b": _bloom_pack(r["ps"], _bloom_nbits(f["rows"])),
+            }
+
+    def _bloom_raw_hashes(self, values_by_col: dict) -> dict:
+        """Un-modded 32-bit Spark hashes for each probe value, seeds
+        0..k-1, computed THROUGH Spark's own ``hash`` on a 1-row
+        local frame (the delete_keys bucket-probe discipline: the
+        probe can never disagree with the build)."""
+        if not values_by_col:
+            return {}
+        cols = sorted(values_by_col)
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.hash(
+                        F.lit(values_by_col[c]).cast("string"), F.lit(s)
+                    ).alias(f"h_{i}_{s}")
+                    for i, c in enumerate(cols)
+                    for s in range(_BLOOM_K)
+                ]
+            )
+            .first()
+        )
+        return {
+            c: [row[f"h_{i}_{s}"] for s in range(_BLOOM_K)]
+            for i, c in enumerate(cols)
+        }
+
+    def _column_stats(self, meta) -> tuple[dict, dict]:
         """Per-column ``{name: [min, max]}`` across a file's row
         groups, for every numeric or STRING top-level column with
         complete footer stats — the generic data-skipping metadata
@@ -2216,10 +2433,17 @@ class SnapshotTable:
         scope note); ``None`` = unbounded when
         every kept position is U+10FFFF). bool/binary/nested skip. A
         column missing anywhere in the file contributes nothing —
-        absent stats degrade to must-read, never to wrong-prune."""
+        absent stats degrade to must-read, never to wrong-prune.
+
+        Second return (round 13): the truncation report
+        ``{name: "lo"|"hi"|"both"}`` for string columns whose stored
+        bound is a truncation, not the attained footer value — the
+        exactness metadata :meth:`agg_stats` needs to answer
+        ``min``/``max`` without opening files."""
         out: dict[str, list] = {}
+        trunc: dict[str, str] = {}
         if meta.num_row_groups == 0:
-            return out
+            return out, trunc
         for i in range(meta.num_columns):
             col = meta.row_group(0).column(i)
             name = col.path_in_schema
@@ -2238,7 +2462,13 @@ class SnapshotTable:
                 continue
             lo, hi = min(mins), max(maxs)
             if isinstance(lo, str) and isinstance(hi, str):
-                out[name] = [lo[:_STATS_TRUNC], _truncate_upper(hi)]
+                s_lo, s_hi = lo[:_STATS_TRUNC], _truncate_upper(hi)
+                out[name] = [s_lo, s_hi]
+                t = ("lo" if s_lo != lo else "") + (
+                    "hi" if s_hi != hi else ""
+                )
+                if t:
+                    trunc[name] = "both" if t == "lohi" else t
                 continue
             if isinstance(lo, bool) or not isinstance(lo, (int, float)):
                 continue
@@ -2252,7 +2482,7 @@ class SnapshotTable:
             ):
                 continue
             out[name] = [lo, hi]
-        return out
+        return out, trunc
 
     def read_where(
         self, column: str, lo, hi, snapshot_id: int | None = None
@@ -2284,8 +2514,19 @@ class SnapshotTable:
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
         m = self._manifest(sid)
+        # a string POINT probe (lo == hi) additionally consults the
+        # per-file blooms (round 13) — see _split_candidates
+        hs = (
+            self._bloom_raw_hashes({column: lo})[column]
+            if isinstance(lo, str) and lo == hi
+            else None
+        )
 
         def must_read(f: dict) -> bool:
+            if hs is not None:
+                e = (f.get("bloom") or {}).get(column)
+                if e is not None and not _bloom_contains(e, hs):
+                    return False
             s = (f.get("stats") or {}).get(column)
             if s is None:
                 return True
@@ -2296,6 +2537,166 @@ class SnapshotTable:
         return self._aligned_read(paths, self._schema_of(m)).filter(
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
+
+    def agg_stats(
+        self, columns=(), snapshot_id: int | None = None
+    ) -> dict:
+        """METADATA-ONLY aggregates (round 13 — Iceberg's metadata
+        tables / Delta's stats-only scans in miniature): answer
+        ``count(*)``, per-bucket row counts, and per-column exact
+        ``min``/``max`` from the manifest at the current (or given)
+        anchor — O(manifest entries) driver work, ZERO data files
+        opened on the common path. On a 100 TB table the daily
+        "how many rows / what's the watermark" probe is the most-run
+        query there is; manifests already carry exact per-file
+        ``rows`` and per-column ``[min, max]`` footer bounds, so
+        reading data for it is pure waste.
+
+        Exactness discipline — the answer is always EXACT, never a
+        bound: a numeric bound is the attained footer value by
+        construction; a string bound is attained unless the 16-point
+        truncation fired, which entries record in their ``sx``
+        marker (``_column_stats``'s truncation report; pre-r13
+        entries lack the marker, where only a sub-16-length LOWER is
+        provably untruncated). Files whose bounds are inexact or
+        absent for a column — and could therefore MOVE the answer
+        past the best exact bound — are read (one batched
+        ``_aligned_read`` over the union), and the scan result is
+        folded in. Pure metadata when every deciding bound is exact;
+        degrades smoothly toward a scan as stats weaken, never to a
+        wrong answer. Per-file footer min/max ignore NULLs exactly
+        like SQL ``min``/``max``; an all-NULL file has no stats and
+        lands in the fallback scan, where the engine's own NULL
+        semantics apply.
+
+        Returns ``{"n_rows": int, "by_bucket": {bucket: rows},
+        "columns": {col: {"min": v, "max": v}}, "files_read": int}``
+        (``files_read`` pins the zero-data-files contract in tests).
+        """
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        m = self._manifest(sid)
+        schema_cols = {f.name for f in self._schema_of(m).fields}
+        unknown = [c for c in columns if c not in schema_cols]
+        if unknown:
+            raise ValueError(f"agg_stats: unknown columns {unknown}")
+        files = [f for f in m["files"] if f["rows"]]
+        n_rows = sum(f["rows"] for f in files)
+        by_bucket: dict[int, int] = {}
+        for f in files:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + f["rows"]
+
+        # Per column: exact-attained bounds vs files needing a read.
+        exact_lo: dict[str, list] = {c: [] for c in columns}
+        exact_hi: dict[str, list] = {c: [] for c in columns}
+        need: dict[str, set] = {c: set() for c in columns}  # paths
+        for f in files:
+            stats = f.get("stats") or {}
+            sx = f.get("sx")  # None = pre-marker entry (pre-r13)
+            for c in columns:
+                s = stats.get(c)
+                if s is None:
+                    need[c].add(f["path"])
+                    continue
+                lo, hi = s[0], s[1]
+                if isinstance(lo, str):
+                    t = (sx or {}).get(c, "") if sx is not None else None
+                    if t is None:  # pre-marker: prove what we can
+                        lo_ok = len(lo) < _STATS_TRUNC
+                        hi_ok = False
+                    else:
+                        lo_ok = t not in ("lo", "both")
+                        hi_ok = hi is not None and t not in ("hi", "both")
+                else:
+                    lo_ok, hi_ok = True, True
+                if lo_ok:
+                    exact_lo[c].append(lo)
+                if hi_ok:
+                    exact_hi[c].append(hi)
+                if not (lo_ok and hi_ok):
+                    need[c].add(f["path"])
+
+        # A file only decides the answer if its bound could move it
+        # past the best exact bound (stored lo ≤ attained min, so
+        # lo ≥ best-exact-min proves the file can't lower the min).
+        for c in columns:
+            # mixed domains across files (schema evolution retyped
+            # the column): nothing provable — scan everything
+            doms = {isinstance(v, str) for v in exact_lo[c] + exact_hi[c]}
+            if len(doms) > 1:
+                need[c] = {f["path"] for f in files}
+                continue
+            best_lo = min(exact_lo[c]) if exact_lo[c] else None
+            best_hi = max(exact_hi[c]) if exact_hi[c] else None
+            keep = set()
+            for f in files:
+                if f["path"] not in need[c]:
+                    continue
+                s = (f.get("stats") or {}).get(c)
+                lo = s[0] if s else None
+                hi = s[1] if s else None
+                moves_min = (
+                    best_lo is None or lo is None
+                    or isinstance(lo, str) != isinstance(best_lo, str)
+                    or lo < best_lo
+                )
+                moves_max = (
+                    best_hi is None or hi is None
+                    or isinstance(hi, str) != isinstance(best_hi, str)
+                    or hi > best_hi
+                )
+                if moves_min or moves_max:
+                    keep.add(f["path"])
+            need[c] = keep
+
+        all_paths = sorted(set().union(*need.values())) if columns else []
+        scanned: dict[str, tuple] = {}
+        if all_paths:
+            # one batched read over the union; a per-column superset
+            # scan is sound (extra files only contribute attained
+            # values, which fold into min/max as no-ops)
+            row = (
+                self._aligned_read(
+                    [os.path.join(self.table_dir, p) for p in all_paths],
+                    self._schema_of(m),
+                )
+                .agg(
+                    *[
+                        g
+                        for c in columns
+                        for g in (
+                            F.min(c).alias(f"__lo_{c}"),
+                            F.max(c).alias(f"__hi_{c}"),
+                        )
+                    ]
+                )
+                .first()
+            )
+            scanned = {
+                c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in columns
+            }
+
+        out_cols: dict[str, dict] = {}
+        for c in columns:
+            cands_lo = list(exact_lo[c])
+            cands_hi = list(exact_hi[c])
+            if c in scanned:
+                s_lo, s_hi = scanned[c]
+                if s_lo is not None:
+                    cands_lo.append(s_lo)
+                if s_hi is not None:
+                    cands_hi.append(s_hi)
+            out_cols[c] = {
+                "min": min(cands_lo) if cands_lo else None,
+                "max": max(cands_hi) if cands_hi else None,
+            }
+        return {
+            "n_rows": n_rows,
+            "by_bucket": by_bucket,
+            "columns": out_cols,
+            "files_read": len(all_paths),
+        }
 
     def _order_stats(self, meta) -> tuple:
         """(min, max) of the order column across a file's row groups,
@@ -2413,6 +2814,8 @@ class SnapshotTable:
             "schema": schema_json,
             "format": 3,
         }
+        if self.bloom_cols:  # absent key = feature off (back-compat)
+            manifest["bloom_cols"] = self.bloom_cols
         full = base_id is None or new_id % FULL_MANIFEST_EVERY == 0
         if not full:
             parent = self._manifest(base_id)
@@ -2491,6 +2894,8 @@ class SnapshotTable:
             "schema": schema_json,
             "format": 3,
         }
+        if self.bloom_cols:  # absent key = feature off (back-compat)
+            manifest["bloom_cols"] = self.bloom_cols
         full = (
             base_id is None
             or new_id % FULL_MANIFEST_EVERY == 0
