@@ -155,6 +155,7 @@ ADDITIONS_R12 = [
 STAGED_R13 = [
     "s_snapshot_agg_stats",
     "s_snapshot_bloom_pruned_delete",
+    "s_join_cobucketed",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

@@ -11,7 +11,9 @@ from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.plans.roundthirteen import (
     AGG_STATS_ORACLE,
     BLOOM_DELETE_ORACLE,
+    COBUCKET_ORACLE,
     STAGED,
+    s_join_cobucketed,
     s_snapshot_agg_stats,
     s_snapshot_bloom_pruned_delete,
 )
@@ -35,6 +37,7 @@ def _con(sf_dir):
 def test_staged_specs_have_eager_oracles():
     assert set(STAGED) == {
         "s_snapshot_agg_stats", "s_snapshot_bloom_pruned_delete",
+        "s_join_cobucketed",
     }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
@@ -68,4 +71,13 @@ def test_bloom_delete_query_matches_oracle(spark, sf_dir):
         _con(sf_dir),
         BLOOM_DELETE_ORACLE,
         "s_snapshot_bloom_pruned_delete",
+    )
+
+
+def test_cobucket_query_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        s_join_cobucketed(spark, sf_dir),
+        _con(sf_dir),
+        COBUCKET_ORACLE,
+        "s_join_cobucketed",
     )

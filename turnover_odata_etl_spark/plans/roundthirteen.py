@@ -23,6 +23,13 @@ fuzzed in tests/test_snapshot_bloom.py). The lifecycle query deletes
 by email-shaped equality through the bloom-pruned path and returns
 the surviving aggregate against an exact oracle.
 
+``s_join_cobucketed`` — shuffle-free co-bucketed snapshot join
+(VERDICT r12 item 4 / SURVEY E118, ``operators/cobucket``): the
+storage-partitioned-join shape — two tables bucketed on the join key
+with the same bucket count zip equal-bucket file groups worker-side;
+zero data exchanges, zero JVM scans in the plan (plan-pinned in
+tests/test_cobucket.py), exact parity with the plain join.
+
 Activation checklist (mirror of roundtwelve's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundthirteen in ``plans/__init__``,
@@ -255,6 +262,83 @@ def s_snapshot_bloom_pruned_delete(
     )
 
 
+COBUCKET_ORACLE = """
+    WITH roll AS (
+      SELECT l_orderkey AS o_orderkey,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem WHERE l_quantity >= 30
+      GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(roll.revenue) AS BIGINT) AS n_matched,
+           round(sum(coalesce(roll.revenue, 0)), 2) AS rev
+    FROM orders o LEFT JOIN roll USING (o_orderkey)
+    GROUP BY o.o_orderpriority
+"""
+
+
+def s_join_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-bucketed snapshot join (SURVEY E118 / VERDICT
+    r12 item 4, ``operators/cobucket.join_cobucketed``): orders and a
+    per-order lineitem rollup live as two SnapshotTables bucketed on
+    the SAME key with the same bucket count, so the join zips
+    equal-bucket file groups worker-side — the Catalyst plan contains
+    zero data exchanges and zero JVM scans (one n_buckets-row task
+    exchange; plan-pinned in tests/test_cobucket.py). The rollup
+    keeps only heavy lines (quantity ≥ 30) so the LEFT join exercises
+    real unmatched probes; the aggregate is priority-grain against an
+    exact oracle.
+
+    At 100 TB this is the storage-partitioned-join shape: every
+    index-maintenance or fact⋈fact key join on co-laid-out tables
+    pays two full-table exchanges without it and none with it."""
+    import os
+    import shutil
+
+    from ..operators.cobucket import join_cobucketed
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/cobucket"
+    shutil.rmtree(base, ignore_errors=True)
+    t_orders = SnapshotTable(
+        spark, os.path.join(base, "orders"),
+        key_cols=["o_orderkey"], order_col="__ver", n_buckets=8,
+    )
+    t_roll = SnapshotTable(
+        spark, os.path.join(base, "items_roll"),
+        key_cols=["o_orderkey"], order_col="__ver", n_buckets=8,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    items = load_table(spark, sf_dir, "lineitem")
+    t_orders.append(
+        orders.select(
+            "o_orderkey", "o_orderpriority", F.lit(1).alias("__ver")
+        )
+    )
+    t_roll.append(
+        items.filter(F.col("l_quantity") >= 30)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .withColumn("__ver", F.lit(1))
+    )
+    joined = join_cobucketed(
+        t_orders, t_roll, ["o_orderkey"], how="left"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("revenue").alias("n_matched"),
+        F.round(F.sum(F.coalesce("revenue", F.lit(0.0))), 2).alias("rev"),
+    )
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "s_snapshot_agg_stats": QuerySpec(
@@ -268,5 +352,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_snapshot_bloom_pruned_delete,
         oracle=BLOOM_DELETE_ORACLE,
         tags=("storage", "snapshot", "bloom", "delete"),
+    ),
+    "s_join_cobucketed": QuerySpec(
+        name="s_join_cobucketed",
+        fn=s_join_cobucketed,
+        oracle=COBUCKET_ORACLE,
+        tags=("storage", "snapshot", "join", "cobucket"),
     ),
 }
