@@ -487,7 +487,9 @@ def kmeans_assign(
     return assigned, cents2
 
 
-def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
+def assign_to_centroids(
+    vectors: DataFrame, cents, carry: tuple = ()
+) -> DataFrame:
     """Assign ``(nid, vec)`` rows to their nearest centroid by cosine
     — the map-only GEMM kernel of :func:`kmeans_assign`, exposed for
     FIXED-centroid consumers (IVF probes, incremental SemDeDup waves
@@ -499,8 +501,14 @@ def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
     ``nid`` passes through with its OWN type (long ids and string keys
     both work — the Arrow schema is derived from the input, ADVICE
     r09/VERDICT r10: string-keyed corpora are the common case in
-    web-crawl curation)."""
+    web-crawl curation). ``carry`` names extra input columns to pass
+    through untouched (round 13 — :func:`ivf_refresh` carries the
+    snapshot order column through the reassignment)."""
     nid_t = vectors.schema["nid"].dataType.simpleString()
+    carry = tuple(carry)
+    carry_t = {
+        c: vectors.schema[c].dataType.simpleString() for c in carry
+    }
 
     def assign(batches):
         import numpy as _np
@@ -511,13 +519,15 @@ def assign_to_centroids(vectors: DataFrame, cents) -> DataFrame:
             nrm = _np.linalg.norm(V, axis=1, keepdims=True)
             Vn = V / _np.where(nrm == 0.0, 1.0, nrm)
             cell = (Vn @ cents.T).argmax(axis=1).astype(_np.int64)
-            yield _pd.DataFrame(
-                {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
-            )
+            data = {"nid": pdf["nid"], "vec": pdf["vec"], "cell": cell}
+            for c in carry:
+                data[c] = pdf[c]
+            yield _pd.DataFrame(data)
 
-    return vectors.mapInPandas(
-        assign, f"nid {nid_t}, vec array<float>, cell long"
+    schema = f"nid {nid_t}, vec array<float>, cell long" + "".join(
+        f", {c} {carry_t[c]}" for c in carry
     )
+    return vectors.mapInPandas(assign, schema)
 
 
 def ivf_probe_cells(
@@ -629,6 +639,55 @@ def ivf_topk(
     )
     q_probes = ivf_probe_cells(q, cents2, nprobe)
     return topk_from_cells(q_probes, assigned, k)
+
+
+def ivf_refresh(
+    index,
+    n_cells: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 13,
+):
+    """IVF index MAINTENANCE (round 13 — VERDICT r12 item 5): the
+    frozen wave-1 codebook measurably costs recall as the corpus
+    drifts from the first wave (75/70/92% vs whole-corpus k-means,
+    SCALE.md round 12); production IVF periodically re-trains the
+    codebook over the accumulated postings and rebalances — the
+    ``compact()``-shaped maintenance commit (public reference:
+    FAISS/Milvus index retraining, Delta OPTIMIZE discipline).
+
+    One pass: read the cell-bucketed postings table, re-train the
+    k-means codebook over all accumulated vectors (or a
+    ``sample_fraction`` at very large corpora — the fit-on-a-sample
+    deployment shape), reassign every posting to its new nearest
+    cell (map-only GEMM; the order column rides the ``carry``
+    passthrough), and :meth:`~..storage.SnapshotTable.overwrite` the
+    table in ONE commit — keys and buckets both move, which is why
+    the row-preserving rewrite verbs can't carry this. Probe reads
+    against the new codebook resume immediately; time travel keeps
+    the pre-refresh index readable.
+
+    Returns the retrained row-normalized centroid matrix (the new
+    codebook the caller searches with), or ``None`` on an empty
+    index (no commit). O(table) by design — this IS the rebuild; per
+    wave the index stays O(batch) append-only, and the refresh runs
+    at maintenance cadence."""
+    rows = index.read()
+    train = rows.select("nid", "vec")
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    _, cents = kmeans_assign(train, n_cells)
+    if cents is None:
+        return None
+    order = index.order_col
+    reassigned = assign_to_centroids(
+        rows.select("nid", "vec", order), cents, carry=(order,)
+    )
+    index.overwrite(
+        reassigned.select("cell", "nid", "vec", order),
+        operation="ivf-refresh",
+        properties={"ivf.refresh.cells": str(int(cents.shape[0]))},
+    )
+    return cents
 
 
 def srp_lsh_topk(

@@ -1392,6 +1392,84 @@ class SnapshotTable:
             properties={"zorder.cols": ",".join(cols)},
         )
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        properties: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """MAINTENANCE: replace the table's ENTIRE contents with
+        ``df`` in one snapshot commit (Delta's dynamic-less overwrite
+        / INSERT OVERWRITE TABLE) — the verb a whole-table transform
+        rewrite needs when rows themselves change (e.g.
+        :func:`..operators.similarity.ivf_refresh` reassigning every
+        posting's cell after a codebook re-train: keys and buckets
+        both move, so compact/zorder's row-preserving discipline
+        can't carry it). ``df`` must match the table schema (columns
+        are cast; missing or extra columns refuse loudly). Time
+        travel keeps pre-overwrite snapshots readable until
+        ``expire_snapshots``; the same commit CAS applies. O(table)
+        by design — this IS the full rewrite."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            try:
+                return self._overwrite_once(df, operation, properties)
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"overwrite lost the commit race {max_retries} times"
+        ) from last
+
+    def _overwrite_once(
+        self, df: DataFrame, operation: str, properties: dict | None
+    ) -> int:
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        schema = self._schema_of(base_raw)
+        missing = [c for c in schema.names if c not in df.columns]
+        extra = [c for c in df.columns if c not in schema.names]
+        if missing or extra:
+            raise ValueError(
+                f"overwrite: frame must match the table schema "
+                f"(missing {missing}, extra {extra}); evolve the "
+                "schema through merge/append first"
+            )
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        base_bb = self._by_bucket(base_id)
+        # every existing bucket must be touched (its old files drop)
+        # and every layout bucket may receive new rows
+        touched = sorted(set(base_bb) | set(range(self.n_buckets)))
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".staging-{run}")
+        (
+            self._with_bucket(aligned)
+            .repartition(self.n_buckets, "__bucket")
+            .sortWithinPartitions("__bucket", self.order_col)
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        new_files = self._promote_staged(staging, run)
+        touched_new: dict[int, list[dict]] = {b: [] for b in touched}
+        for f in new_files:
+            touched_new[f["bucket"]].append(f)
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation=operation, base_id=base_id,
+            properties=properties,
+        )
+
     def delete_where(
         self,
         predicate: str,
