@@ -72,13 +72,22 @@ def test_agg_stats_matches_full_read_and_opens_no_files(
     row = full.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("lv"), F.max("v").alias("hv"),
+        F.count("v").alias("nv"),
         F.min("s").alias("ls"), F.max("s").alias("hs"),
+        F.count("s").alias("ns"),
         F.min("k").alias("lk"), F.max("k").alias("hk"),
+        F.count("k").alias("nk"),
     ).first()
     assert got["n_rows"] == row["n"]
-    assert got["columns"]["v"] == {"min": row["lv"], "max": row["hv"]}
-    assert got["columns"]["s"] == {"min": row["ls"], "max": row["hs"]}
-    assert got["columns"]["k"] == {"min": row["lk"], "max": row["hk"]}
+    assert got["columns"]["v"] == {
+        "min": row["lv"], "max": row["hv"], "count": row["nv"]
+    }
+    assert got["columns"]["s"] == {
+        "min": row["ls"], "max": row["hs"], "count": row["ns"]
+    }
+    assert got["columns"]["k"] == {
+        "min": row["lk"], "max": row["hk"], "count": row["nk"]
+    }
     # per-bucket counts sum to the total and match the layout
     assert sum(got["by_bucket"].values()) == got["n_rows"]
 
@@ -101,7 +110,9 @@ def test_agg_stats_truncated_strings_fall_back_exactly(
     )
     got = t.agg_stats(["s"])
     assert got["files_read"] >= 1  # fallback fired
-    assert got["columns"]["s"] == {"min": long_lo, "max": long_hi}
+    assert got["columns"]["s"] == {
+        "min": long_lo, "max": long_hi, "count": 3
+    }
 
     # short strings: exact from metadata, no reads
     t2 = make_table(spark, os.path.join(tdir, "short"), n_buckets=1)
@@ -115,7 +126,7 @@ def test_agg_stats_truncated_strings_fall_back_exactly(
     monkeypatch.undo()
     assert opened == []
     assert got2["files_read"] == 0
-    assert got2["columns"]["s"] == {"min": "aa", "max": "zz"}
+    assert got2["columns"]["s"] == {"min": "aa", "max": "zz", "count": 2}
 
 
 def test_agg_stats_premarker_entries_scan_string_uppers(spark, tdir):
@@ -140,7 +151,7 @@ def test_agg_stats_premarker_entries_scan_string_uppers(spark, tdir):
     t._bcache.clear()
     got = t.agg_stats(["s"])
     assert got["files_read"] >= 1  # upper re-verified against data
-    assert got["columns"]["s"] == {"min": "aa", "max": "zz"}
+    assert got["columns"]["s"] == {"min": "aa", "max": "zz", "count": 2}
 
 
 def test_agg_stats_null_and_empty_edges(spark, tdir):
@@ -155,8 +166,8 @@ def test_agg_stats_null_and_empty_edges(spark, tdir):
         )
     )
     got = t.agg_stats(["v", "k"])
-    assert got["columns"]["v"] == {"min": None, "max": None}
-    assert got["columns"]["k"] == {"min": 1, "max": 2}
+    assert got["columns"]["v"] == {"min": None, "max": None, "count": 0}
+    assert got["columns"]["k"] == {"min": 1, "max": 2, "count": 2}
     assert got["n_rows"] == 2
 
     with pytest.raises(ValueError, match="unknown columns"):
@@ -166,7 +177,7 @@ def test_agg_stats_null_and_empty_edges(spark, tdir):
     got2 = t.agg_stats(["v", "k"])
     assert got2["n_rows"] == 0
     assert got2["by_bucket"] == {}
-    assert got2["columns"]["k"] == {"min": None, "max": None}
+    assert got2["columns"]["k"] == {"min": None, "max": None, "count": 0}
 
 
 def test_agg_stats_time_travel_and_fallback_prunes(spark, tdir):
@@ -190,11 +201,11 @@ def test_agg_stats_time_travel_and_fallback_prunes(spark, tdir):
     )
     got_old = t.agg_stats(["s"], snapshot_id=sid1)
     assert got_old["n_rows"] == 2
-    assert got_old["columns"]["s"] == {"min": "aa", "max": "zz"}
+    assert got_old["columns"]["s"] == {"min": "aa", "max": "zz", "count": 2}
 
     got = t.agg_stats(["s"])
     assert got["n_rows"] == 4
-    assert got["columns"]["s"] == {"min": "aa", "max": "zz"}
+    assert got["columns"]["s"] == {"min": "aa", "max": "zz", "count": 4}
     # the truncated file's stored bounds sit inside [aa, zz]:
     # lo "mmmm..." ≥ "aa" proves it can't lower the min, hi
     # "nnn...o" ≤ "zz" proves it can't raise the max → zero reads

@@ -53,8 +53,8 @@ from .registry import QuerySpec
 
 _AGG_SCHEMA = (
     "path string, n_rows long, min_v double, max_v double, "
-    "min_et string, max_et string, min_id long, max_id long, "
-    "files_read long"
+    "n_v long, min_et string, max_et string, min_id long, "
+    "max_id long, files_read long"
 )
 
 AGG_STATS_ORACLE = """
@@ -77,6 +77,7 @@ AGG_STATS_ORACLE = """
     ), a AS (
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              min(value) AS min_v, max(value) AS max_v,
+             CAST(count(value) AS BIGINT) AS n_v,
              min(event_type) AS min_et, max(event_type) AS max_et,
              CAST(min(event_id) AS BIGINT) AS min_id,
              CAST(max(event_id) AS BIGINT) AS max_id,
@@ -151,6 +152,7 @@ def s_snapshot_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(
             "meta", meta["n_rows"],
             c["value"]["min"], c["value"]["max"],
+            c["value"]["count"],
             c["event_type"]["min"], c["event_type"]["max"],
             c["event_id"]["min"], c["event_id"]["max"],
             meta["files_read"],
@@ -161,6 +163,7 @@ def s_snapshot_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("scan").alias("path"),
         F.count(F.lit(1)).alias("n_rows"),
         F.min("value").alias("min_v"), F.max("value").alias("max_v"),
+        F.count("value").alias("n_v"),
         F.min("event_type").alias("min_et"),
         F.max("event_type").alias("max_et"),
         F.min("event_id").alias("min_id"),

@@ -2367,6 +2367,9 @@ class SnapshotTable:
                     # fire); their string uppers must be re-verified
                     # against data (agg_stats's fallback read).
                     rec["sx"] = trunc
+                nulls = self._column_nulls(meta)
+                if nulls:
+                    rec["nulls"] = nulls
                 new_files.append(rec)
         shutil.rmtree(staging, ignore_errors=True)
         if self.bloom_cols:
@@ -2522,6 +2525,36 @@ class SnapshotTable:
         trunc: dict[str, str] = {}
         if meta.num_row_groups == 0:
             return out, trunc
+        return self._column_stats_body(meta, out, trunc)
+
+    def _column_nulls(self, meta) -> dict:
+        """Per-column NULL counts across a file's row groups (round
+        13 — the metadata behind exact ``count(col)`` in
+        :meth:`agg_stats`, Iceberg's ``null_value_counts``): recorded
+        only when EVERY row group reports ``null_count`` (absent
+        degrades to a fallback read, never a wrong count). All
+        top-level columns participate — null counts don't need the
+        min/max type restrictions."""
+        nulls: dict[str, int] = {}
+        if meta.num_row_groups == 0:
+            return nulls
+        for i in range(meta.num_columns):
+            name = meta.row_group(0).column(i).path_in_schema
+            if "." in name:
+                continue
+            total = 0
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_null_count:
+                    ok = False
+                    break
+                total += st.null_count
+            if ok:
+                nulls[name] = total
+        return nulls
+
+    def _column_stats_body(self, meta, out, trunc):
         for i in range(meta.num_columns):
             col = meta.row_group(0).column(i)
             name = col.path_in_schema
@@ -2647,10 +2680,15 @@ class SnapshotTable:
         lands in the fallback scan, where the engine's own NULL
         semantics apply.
 
+        Per-column non-NULL ``count`` folds the same way from the
+        entries' parquet ``null_count`` metadata (Iceberg's
+        null_value_counts): exact when every file recorded it, the
+        gap scanned per-file otherwise.
+
         Returns ``{"n_rows": int, "by_bucket": {bucket: rows},
-        "columns": {col: {"min": v, "max": v}}, "files_read": int}``
-        (``files_read`` pins the zero-data-files contract in tests).
-        """
+        "columns": {col: {"min": v, "max": v, "count": n}},
+        "files_read": int}`` (``files_read`` pins the zero-data-files
+        contract in tests)."""
         sid = self.current_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
@@ -2669,10 +2707,17 @@ class SnapshotTable:
         exact_lo: dict[str, list] = {c: [] for c in columns}
         exact_hi: dict[str, list] = {c: [] for c in columns}
         need: dict[str, set] = {c: set() for c in columns}  # paths
+        known_count: dict[str, int] = {c: 0 for c in columns}
+        need_count: dict[str, set] = {c: set() for c in columns}
         for f in files:
             stats = f.get("stats") or {}
+            nulls = f.get("nulls") or {}
             sx = f.get("sx")  # None = pre-marker entry (pre-r13)
             for c in columns:
+                if c in nulls:
+                    known_count[c] += f["rows"] - nulls[c]
+                else:
+                    need_count[c].add(f["path"])
                 s = stats.get(c)
                 if s is None:
                     need[c].add(f["path"])
@@ -2728,17 +2773,29 @@ class SnapshotTable:
                     keep.add(f["path"])
             need[c] = keep
 
-        all_paths = sorted(set().union(*need.values())) if columns else []
-        scanned: dict[str, tuple] = {}
+        all_paths = (
+            sorted(
+                set().union(*need.values(), *need_count.values())
+            )
+            if columns
+            else []
+        )
+        # one batched read over the union, aggregated PER FILE so
+        # each column folds exactly its own deciding files (counts
+        # are additive and may NOT come from a superset; min/max
+        # could, but per-file folding is uniformly exact). Driver
+        # payload: one row per scanned file — metadata-sized.
+        scanned: dict[str, dict] = {}
         if all_paths:
-            # one batched read over the union; a per-column superset
-            # scan is sound (extra files only contribute attained
-            # values, which fold into min/max as no-ops)
-            row = (
+            base_expr = F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("__base")
+            grouped = (
                 self._aligned_read(
                     [os.path.join(self.table_dir, p) for p in all_paths],
                     self._schema_of(m),
                 )
+                .groupBy(base_expr)
                 .agg(
                     *[
                         g
@@ -2746,28 +2803,36 @@ class SnapshotTable:
                         for g in (
                             F.min(c).alias(f"__lo_{c}"),
                             F.max(c).alias(f"__hi_{c}"),
+                            F.count(c).alias(f"__n_{c}"),
                         )
                     ]
                 )
-                .first()
+                .collect()
             )
-            scanned = {
-                c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in columns
-            }
+            scanned = {r["__base"]: r for r in grouped}
+
+        def _file_rows(paths):
+            for p in paths:
+                r = scanned.get(os.path.basename(p))
+                if r is not None:
+                    yield r
 
         out_cols: dict[str, dict] = {}
         for c in columns:
             cands_lo = list(exact_lo[c])
             cands_hi = list(exact_hi[c])
-            if c in scanned:
-                s_lo, s_hi = scanned[c]
-                if s_lo is not None:
-                    cands_lo.append(s_lo)
-                if s_hi is not None:
-                    cands_hi.append(s_hi)
+            for r in _file_rows(need[c]):
+                if r[f"__lo_{c}"] is not None:
+                    cands_lo.append(r[f"__lo_{c}"])
+                if r[f"__hi_{c}"] is not None:
+                    cands_hi.append(r[f"__hi_{c}"])
+            cnt = known_count[c]
+            for r in _file_rows(need_count[c]):
+                cnt += r[f"__n_{c}"]
             out_cols[c] = {
                 "min": min(cands_lo) if cands_lo else None,
                 "max": max(cands_hi) if cands_hi else None,
+                "count": cnt,
             }
         return {
             "n_rows": n_rows,
