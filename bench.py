@@ -156,6 +156,7 @@ STAGED_R13 = [
     "s_snapshot_agg_stats",
     "s_snapshot_bloom_pruned_delete",
     "s_join_cobucketed",
+    "s_snapshot_history",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

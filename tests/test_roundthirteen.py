@@ -12,10 +12,12 @@ from turnover_odata_etl_spark.plans.roundthirteen import (
     AGG_STATS_ORACLE,
     BLOOM_DELETE_ORACLE,
     COBUCKET_ORACLE,
+    HISTORY_ORACLE,
     STAGED,
     s_join_cobucketed,
     s_snapshot_agg_stats,
     s_snapshot_bloom_pruned_delete,
+    s_snapshot_history,
 )
 
 TABLES = (
@@ -37,7 +39,7 @@ def _con(sf_dir):
 def test_staged_specs_have_eager_oracles():
     assert set(STAGED) == {
         "s_snapshot_agg_stats", "s_snapshot_bloom_pruned_delete",
-        "s_join_cobucketed",
+        "s_join_cobucketed", "s_snapshot_history",
     }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
@@ -80,4 +82,13 @@ def test_cobucket_query_matches_oracle(spark, sf_dir):
         _con(sf_dir),
         COBUCKET_ORACLE,
         "s_join_cobucketed",
+    )
+
+
+def test_history_query_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        s_snapshot_history(spark, sf_dir),
+        _con(sf_dir),
+        HISTORY_ORACLE,
+        "s_snapshot_history",
     )

@@ -265,6 +265,115 @@ def s_snapshot_bloom_pruned_delete(
     )
 
 
+HISTORY_ORACLE = """
+    WITH b AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS mn,
+             CAST(max(event_id) AS BIGINT) AS mx,
+             greatest(1, (CAST(max(event_id) AS BIGINT)
+                          - CAST(min(event_id) AS BIGINT) + 1) // 3)
+               AS span
+      FROM events WHERE event_id IS NOT NULL
+    ), sliced AS (
+      SELECT e.*, CASE
+        WHEN e.event_id IS NULL THEN 3
+        WHEN e.event_id <  b.mn + b.span     THEN 1
+        WHEN e.event_id <  b.mn + 2 * b.span THEN 2
+        ELSE 3 END AS slice
+      FROM events e, b
+    ), c AS (
+      SELECT
+        (SELECT count(*) FROM sliced WHERE slice <= 1) AS a1,
+        (SELECT count(*) FROM sliced WHERE slice <= 2) AS a2,
+        (SELECT count(*) FROM sliced)                  AS a3,
+        (SELECT count(*) FROM events
+          WHERE NOT ((value BETWEEN 100 AND 250) IS TRUE)) AS d4,
+        (SELECT count(*) FROM (
+           SELECT event_id FROM events
+            WHERE NOT ((value BETWEEN 100 AND 250) IS TRUE)
+              AND (event_id IS NULL
+                   OR event_id NOT IN (
+                       SELECT event_id FROM events
+                        WHERE event_id % 3 = 0))
+           UNION ALL
+           SELECT event_id FROM events WHERE event_id % 3 = 0
+        )) AS m5
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+             CAST(a1 AS BIGINT) AS n_rows FROM c
+      UNION ALL SELECT 2, 'append', CAST(a2 AS BIGINT) FROM c
+      UNION ALL SELECT 3, 'append', CAST(a3 AS BIGINT) FROM c
+      UNION ALL SELECT 4, 'delete', CAST(d4 AS BIGINT) FROM c
+      UNION ALL SELECT 5, 'merge',  CAST(m5 AS BIGINT) FROM c
+      UNION ALL SELECT 6, 'zorder', CAST(m5 AS BIGINT) FROM c
+    )
+"""
+
+
+def s_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot HISTORY metadata table (SURVEY E120,
+    ``SnapshotTable.history`` — Iceberg's ``table$snapshots`` /
+    Delta's DESCRIBE HISTORY): the audit trail a transaction log
+    exists for, exercised end-to-end — three id-sliced appends, a
+    range delete, a keep-latest merge, and an OPTIMIZE-class Z-order
+    rewrite, then the per-snapshot (id, operation, row count) ledger
+    against an oracle that recomputes every verb's expected
+    cardinality closed-form. Pins three things at once: operation
+    attribution, TIME-TRAVEL row counts (each history row is the
+    table AS OF that snapshot, summed from manifest entries — zero
+    data files opened), and the zorder rewrite's row preservation.
+
+    The history walk is O(snapshots × manifest entries) driver
+    metadata — the introspection surface, not a data path."""
+    import os
+    import shutil
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/history"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return spark.createDataFrame(
+            [], "snapshot_id long, operation string, n_rows long"
+        )
+    span = max(1, (mx - mn + 1) // 3)
+    for w in range(3):
+        lo = mn + w * span
+        hi = mx if w == 2 else mn + (w + 1) * span - 1
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == 2:
+            sl = sl | F.col("event_id").isNull()
+        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    t.delete_where("value BETWEEN 100 AND 250")
+    t.merge(
+        ev.filter(F.col("event_id") % 3 == 0).select(
+            "event_id", "event_type", "value",
+            F.lit(4).cast("long").alias("__ver"),
+        )
+    )
+    t.rewrite_zorder(["value", "event_id"], rows_per_file=4096)
+    hist = t.history()
+    return spark.createDataFrame(
+        [
+            (h["snapshot_id"], h["operation"], h["n_rows"])
+            for h in hist
+        ],
+        "snapshot_id long, operation string, n_rows long",
+    )
+
+
 COBUCKET_ORACLE = """
     WITH roll AS (
       SELECT l_orderkey AS o_orderkey,
@@ -361,5 +470,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_join_cobucketed,
         oracle=COBUCKET_ORACLE,
         tags=("storage", "snapshot", "join", "cobucket"),
+    ),
+    "s_snapshot_history": QuerySpec(
+        name="s_snapshot_history",
+        fn=s_snapshot_history,
+        oracle=HISTORY_ORACLE,
+        tags=("storage", "snapshot", "metadata", "history"),
     ),
 }
