@@ -176,3 +176,50 @@ def test_rewrite_zorder_constant_column_is_noop_safe(spark, zdir):
     )
     t.rewrite_zorder(["c", "x"], rows_per_file=10)
     assert sorted(r["k"] for r in t.read().collect()) == list(range(30))
+
+
+def test_rewrite_zorder_bucket_scoped_incremental(spark, zdir):
+    """Round 13 (Delta's WHERE-scoped OPTIMIZE in bucket terms):
+    ``buckets=`` rewrites only the named buckets — other buckets'
+    file entries carry BY REFERENCE (identical dicts), rows are
+    preserved globally, and unknown buckets refuse loudly."""
+    t = SnapshotTable(
+        spark, os.path.join(zdir, "scoped"), key_cols=["k"],
+        order_col="ver", n_buckets=4,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i % 7), i * 3 % 11, 1) for i in range(200)],
+            "k long, v double, w long, ver long",
+        )
+    )
+    pre = t._manifest(t.current_id())
+    pre_by_bucket = {}
+    for f in pre["files"]:
+        pre_by_bucket.setdefault(f["bucket"], []).append(f)
+    before_rows = sorted(
+        (r["k"], r["v"], r["w"]) for r in t.read().collect()
+    )
+
+    t.rewrite_zorder(["v", "w"], rows_per_file=16, buckets=[0, 2])
+    m = t._manifest(t.current_id())
+    by_bucket = {}
+    for f in m["files"]:
+        by_bucket.setdefault(f["bucket"], []).append(f)
+    # untouched buckets: same entries, by reference
+    for b in (1, 3):
+        assert by_bucket[b] == pre_by_bucket[b]
+    # scoped buckets: rewritten (new file names, finer granularity)
+    for b in (0, 2):
+        assert {f["path"] for f in by_bucket[b]} != {
+            f["path"] for f in pre_by_bucket[b]
+        }
+    assert sorted(
+        (r["k"], r["v"], r["w"]) for r in t.read().collect()
+    ) == before_rows
+
+    with pytest.raises(ValueError, match="unknown buckets"):
+        t.rewrite_zorder(["v", "w"], buckets=[99])
+    # scoping to an empty/absent bucket set is a no-op, no commit
+    sid = t.current_id()
+    assert t.rewrite_zorder(["v", "w"], buckets=[]) == sid

@@ -1254,6 +1254,7 @@ class SnapshotTable:
         rows_per_file: int = 65536,
         bits: int = 8,
         max_retries: int = 5,
+        buckets: list[int] | None = None,
     ) -> int:
         """MAINTENANCE: rewrite every non-empty bucket's files in
         Morton (Z-order) along ``cols`` — multi-dimensional data
@@ -1285,11 +1286,23 @@ class SnapshotTable:
         12: linear = zero prune, rank = selective on every column).
         The z-value is pure codegen (``functions.zorder``, no UDF)
         and never stored: pruning correctness depends only on the
-        exact footer stats, the z-code only decides CLUSTERING."""
+        exact footer stats, the z-code only decides CLUSTERING.
+
+        ``buckets`` (round 13 — Delta's WHERE-scoped OPTIMIZE in
+        bucket terms) scopes the rewrite to a SUBSET of physical
+        buckets: only their files are read and rewritten, every other
+        bucket carries by reference — the incremental-maintenance
+        shape a very large table runs (rewrite the buckets the last
+        N commits touched, a few per night, instead of one O(table)
+        job). Quantile cuts come from the scoped rows — clustering
+        quality only; pruning correctness always rests on exact
+        footer stats."""
         last: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self._zorder_once(cols, rows_per_file, bits)
+                return self._zorder_once(
+                    cols, rows_per_file, bits, buckets
+                )
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
@@ -1297,7 +1310,11 @@ class SnapshotTable:
         ) from last
 
     def _zorder_once(
-        self, cols: list[str], rows_per_file: int, bits: int
+        self,
+        cols: list[str],
+        rows_per_file: int,
+        bits: int,
+        buckets: list[int] | None = None,
     ) -> int:
         from ..functions.zorder import (
             morton_code,
@@ -1332,6 +1349,16 @@ class SnapshotTable:
         touched = sorted(
             bkt for bkt, loc in base_bb.items() if self._loc_n(loc)
         )
+        if buckets is not None:
+            unknown = sorted(
+                set(buckets) - set(range(self.n_buckets))
+            )
+            if unknown:
+                raise ValueError(
+                    f"rewrite_zorder: unknown buckets {unknown} "
+                    f"(layout has {self.n_buckets})"
+                )
+            touched = sorted(set(touched) & set(buckets))
         if not touched:
             return base_id
         paths = [
