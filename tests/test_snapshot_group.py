@@ -570,3 +570,91 @@ def _re_txn(n):
     import re
 
     return re.match(r"^txn-\d+\.json$", n)
+
+
+def test_group_apply_all_mixed_verbs_atomic(spark, gdir):
+    """Round 13: apply_all commits an OVERWRITE of one member and a
+    MERGE of another in one transaction — the IVF
+    rebalance-with-codebook consistency shape."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1), (2, 1)]), "b": batch(spark, [(9, 1)])}
+    )
+    out = g.apply_all(
+        {
+            # full rewrite of a (keys move in a real rebalance)
+            "a": ("overwrite", batch(spark, [(10, 2), (11, 2)])),
+            # keep-latest update of b (the codebook)
+            "b": ("merge", batch(spark, [(9, 2)])),
+        }
+    )
+    assert out == {"a": 2, "b": 2}
+    assert sorted(r["k"] for r in a.read().collect()) == [10, 11]
+    assert [(r["k"], r["ver"]) for r in b.read().collect()] == [(9, 2)]
+    # pre-txn state stays time-travelable on both members
+    assert sorted(r["k"] for r in a.read(snapshot_id=1).collect()) == [1, 2]
+
+
+def test_group_apply_all_contracts(spark, gdir):
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(2, 1)])}
+    )
+    with pytest.raises(ValueError, match="verb"):
+        g.apply_all({"a": ("upsert", batch(spark, [(1, 2)]))})
+    with pytest.raises(ValueError, match="verb"):
+        g.apply_all({"a": batch(spark, [(1, 2)])})  # no verb at all
+    # an empty APPEND member no-ops at its current id while the
+    # overwrite member advances (overwrite is never a no-op)
+    out = g.apply_all(
+        {
+            "a": ("append", batch(spark, [])),
+            "b": ("overwrite", batch(spark, [(7, 2)])),
+        }
+    )
+    assert out["a"] == 1 and out["b"] == 2
+    assert [r["k"] for r in b.read().collect()] == [7]
+
+
+def test_group_apply_all_crash_mid_rollforward_heals(
+    spark, gdir, monkeypatch
+):
+    """The mixed-verb txn rides the same recover() machinery: a crash
+    after the claim but before the links heals to FULL visibility of
+    both verbs."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(2, 1)])}
+    )
+
+    def boom(rec):
+        raise RuntimeError("crash before roll-forward")
+
+    monkeypatch.setattr(g, "_roll_forward", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        g.apply_all(
+            {
+                "a": ("overwrite", batch(spark, [(5, 2)])),
+                "b": ("merge", batch(spark, [(2, 2)])),
+            }
+        )
+    monkeypatch.undo()
+
+    g2 = SnapshotGroup(
+        {
+            "a": SnapshotTable(
+                spark, os.path.join(gdir, "a"),
+                key_cols=["k"], order_col="ver", n_buckets=2,
+            ),
+            "b": SnapshotTable(
+                spark, os.path.join(gdir, "b"),
+                key_cols=["k"], order_col="ver", n_buckets=2,
+            ),
+        },
+        gdir,
+    )
+    g2.recover()
+    assert [r["k"] for r in g2.tables["a"].read().collect()] == [5]
+    assert [
+        (r["k"], r["ver"]) for r in g2.tables["b"].read().collect()
+    ] == [(2, 2)]

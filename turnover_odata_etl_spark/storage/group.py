@@ -274,6 +274,57 @@ class SnapshotGroup:
             op="merge",
         )
 
+    def apply_all(
+        self,
+        ops: "dict[str, tuple[str, DataFrame]]",
+        max_retries: int = 5,
+        properties: dict | None = None,
+        tombstone_filters: dict[str, str] | None = None,
+    ) -> dict[str, int]:
+        """MIXED-VERB atomic transaction (round 13): each member
+        names its own verb — ``{"postings": ("overwrite", df1),
+        "codebook": ("merge", df2)}`` — and all of them become
+        visible in one instant or none do. The consistency story this
+        exists for: an IVF posting rebalance MUST land with its
+        re-trained codebook (probes against a new codebook read the
+        old cell layout otherwise — silently wrong neighbors), and in
+        general any derived artifact that must stay in lockstep with
+        a full rewrite of its base. Verbs: ``append`` | ``merge`` |
+        ``overwrite`` (same per-verb semantics and empty-batch
+        contracts as the single-verb transactions; ``overwrite`` is
+        never a no-op). ``tombstone_filters`` applies to ``merge``
+        members, as in :meth:`merge_all`."""
+        tf = tombstone_filters or {}
+        bad_tf = set(tf) - set(self.tables)
+        if bad_tf:
+            raise ValueError(
+                f"unknown tombstone_filters members: {sorted(bad_tf)}"
+            )
+        verbs = {"append", "merge", "overwrite"}
+        bad = {
+            name: spec[0]
+            for name, spec in ops.items()
+            if not (isinstance(spec, tuple) and len(spec) == 2)
+            or spec[0] not in verbs
+        }
+        if bad:
+            raise ValueError(
+                f"apply_all: members must map to (verb, frame) with "
+                f"verb in {sorted(verbs)}; got {bad}"
+            )
+
+        def prepare(name, t, spec):
+            verb, df = spec
+            if verb == "append":
+                return t._prepare_append(df, properties=properties)
+            if verb == "merge":
+                return t._prepare_merge(
+                    df, tf.get(name), properties=properties
+                )
+            return t._prepare_overwrite(df, properties=properties)
+
+        return self._txn_all(ops, max_retries, prepare, op="apply")
+
     def _txn_all(
         self, batches, max_retries, prepare, op: str
     ) -> dict[str, int]:

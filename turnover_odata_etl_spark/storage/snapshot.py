@@ -1451,6 +1451,26 @@ class SnapshotTable:
     def _overwrite_once(
         self, df: DataFrame, operation: str, properties: dict | None
     ) -> int:
+        manifest, new_id, merged_bb = self._prepare_overwrite(
+            df, operation, properties
+        )
+        sid = self._claim(manifest, new_id)
+        self._prime_bb(sid, merged_bb)
+        return sid
+
+    def _prepare_overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        properties: dict | None = None,
+    ) -> "tuple[dict, int, dict]":
+        """Everything OVERWRITE does up to — not including — the
+        commit claim (the :meth:`_prepare_append` contract); used by
+        :meth:`_overwrite_once` and as one member of a mixed-verb
+        grouped transaction (:meth:`SnapshotGroup.apply_all` — e.g.
+        an IVF posting rebalance committed in the same instant as its
+        re-trained codebook). Never a no-op: overwriting with an
+        empty frame EMPTIES the table."""
         base_id = self.current_id()
         if base_id is None:
             raise ValueError(
@@ -1491,7 +1511,7 @@ class SnapshotTable:
         touched_new: dict[int, list[dict]] = {b: [] for b in touched}
         for f in new_files:
             touched_new[f["bucket"]].append(f)
-        return self._commit_delta(
+        return self._build_delta(
             base_raw["schema"], base_bb, touched_new,
             operation=operation, base_id=base_id,
             properties=properties,
