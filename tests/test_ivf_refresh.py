@@ -176,3 +176,143 @@ def test_refresh_sample_fraction_trains_on_subset(
     cents = ivf_refresh(idx, n_cells=4, sample_fraction=0.5)
     assert cents is not None
     assert idx.read().count() == n_before
+
+
+# ------------------------------------------------- durable IvfIndex
+
+
+def test_ivf_index_wave_protocol_and_search(spark, tmp_path):
+    """The durable-codebook IvfIndex: wave 1 commits codebook +
+    postings atomically, replays skip, gaps refuse, empty waves
+    advance, cross-wave search works from a FRESH handle (no session
+    state), and the probe read opens fewer files than the index
+    holds."""
+    import random
+
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    rng = random.Random(7)
+    vecs = _clustered_vectors(rng, 15)
+
+    def wave_df(axis):
+        return spark.createDataFrame(
+            [(n, v) for n, v, a in vecs if a == axis],
+            "nid long, vec array<float>",
+        )
+
+    idx = IvfIndex(spark, str(tmp_path / "ividx"), n_buckets=4)
+    assert idx.centroids() is None
+    assert idx.topk(
+        spark.createDataFrame(
+            [(0, [1.0] * 8)], "query_id long, vec array<float>"
+        )
+    ).collect() == []
+
+    idx.wave(wave_df(0), 1, n_cells=4)
+    assert idx.current_wave() == 1
+    assert idx.centroids().shape == (4, 8)
+    # codebook and postings committed in the SAME txn
+    assert idx.codebook.current_id() == idx.postings.current_id()
+
+    with pytest.raises(ValueError, match="consecutive"):
+        idx.wave(wave_df(1), 3)
+    idx.wave(wave_df(0), 1)  # replay skips
+    assert idx.postings.read().count() == 15
+
+    idx.wave(wave_df(1), 2)
+    idx.wave(spark.createDataFrame(
+        [], "nid long, vec array<float>"), 3)  # empty wave advances
+    assert idx.current_wave() == 3
+    idx.wave(wave_df(2), 4)
+
+    # fresh handle: everything needed is on disk
+    idx2 = IvfIndex(spark, str(tmp_path / "ividx"), n_buckets=4)
+    q = spark.createDataFrame(
+        [(n, v) for n, v, a in vecs if a in (0, 1, 2)][:6],
+        "query_id long, vec array<float>",
+    )
+    got = idx2.topk(q, k=3, nprobe=2)
+    assert got.count() > 0
+    probes_files = set(
+        idx2.postings.read_matching(
+            spark.createDataFrame([(0,)], "cell long")
+        ).inputFiles()
+    )
+    all_files = {
+        f["path"]
+        for f in idx2.postings._manifest(idx2.postings.current_id())[
+            "files"
+        ]
+        if f["rows"]
+    }
+    assert 0 < len(probes_files) < len(all_files)
+
+
+def test_ivf_index_refresh_is_atomic_and_recovers_recall(
+    spark, tmp_path
+):
+    """refresh lands the new codebook and the reassigned postings in
+    ONE transaction (ids advance in lockstep), rows are preserved,
+    stored cells match the stored codebook, and recall recovers on
+    the skewed-first-wave geometry."""
+    import random
+
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    rng = random.Random(7)
+    vecs = _clustered_vectors(rng, 15)
+    all_df = spark.createDataFrame(
+        [(n, v) for n, v, _ in vecs], "nid long, vec array<float>"
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ividx2"), n_buckets=4)
+    for ver, axis in ((1, 0), (2, 1), (3, 2), (4, 3)):
+        idx.wave(
+            spark.createDataFrame(
+                [(n, v) for n, v, a in vecs if a == axis],
+                "nid long, vec array<float>",
+            ),
+            ver,
+            n_cells=4,
+        )
+    r_before = _index_recall(spark, idx, all_df)
+    p_pre, c_pre = idx.postings.current_id(), idx.codebook.current_id()
+    cents = idx.refresh()
+    assert cents is not None and cents.shape[0] == 4
+    assert idx.postings.current_id() == p_pre + 1
+    assert idx.codebook.current_id() == c_pre + 1
+    assert idx.postings.read().count() == 60
+    # stored cells consistent with the stored codebook
+    from turnover_odata_etl_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    want = {
+        r["nid"]: r["cell"]
+        for r in assign_to_centroids(
+            idx.postings.read().select("nid", "vec"), idx.centroids()
+        ).collect()
+    }
+    got = {
+        r["nid"]: r["cell"] for r in idx.postings.read().collect()
+    }
+    assert got == want
+    r_after = _index_recall(spark, idx, all_df)
+    assert r_after >= r_before
+    assert r_after >= 0.9
+
+
+def _index_recall(spark, idx, all_df, k=5):
+    q = all_df.filter(F.col("nid") < 10).select(
+        F.col("nid").alias("query_id"), "vec"
+    )
+    approx = idx.topk(q, k=k, nprobe=1)
+    exact = cosine_topk(
+        all_df.filter(F.col("nid") < 10).selectExpr(
+            "nid as vec_id", "vec as embedding"
+        ),
+        all_df.selectExpr("nid as vec_id", "vec as embedding"),
+        "vec_id", "embedding", k=k,
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    return len(a & e) / len(e)

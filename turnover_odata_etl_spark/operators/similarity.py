@@ -690,6 +690,208 @@ def ivf_refresh(
     return cents
 
 
+class IvfIndex:
+    """PERSISTENT IVF ANN index with a DURABLE codebook (round 13 —
+    the serving-shaped completion of E112/E119): two snapshot tables
+    under one :class:`..storage.SnapshotGroup` —
+
+    - ``postings`` keyed (cell, nid), PHYSICALLY BUCKETED on cell
+      (a search probes cells, so ``read_matching`` opens only the
+      probed cells' buckets);
+    - ``codebook`` keyed cell — the centroid matrix itself, durable
+      and versioned WITH the postings it indexes.
+
+    The consistency invariant the group carries: postings are only
+    meaningful against the codebook that assigned them, so wave 1
+    commits its fitted codebook atomically with its postings, and
+    :meth:`refresh` (re-train + rebalance) lands the new codebook and
+    the reassigned postings in ONE mixed-verb transaction
+    (``apply_all`` — a probe can never read new centroids over the
+    old cell layout or vice versa). Search needs no session state at
+    all: a fresh process opens the index and serves.
+
+    Wave contract (the NeardupIndex discipline): waves carry NEW
+    vectors only, consecutive ``ver`` via the ``ivf.wave`` property;
+    replays skip, gaps refuse. Per-wave cost is O(batch) (map-only
+    GEMM assign + append fast path); :meth:`refresh` is O(table) by
+    design and runs at maintenance cadence."""
+
+    def __init__(self, spark, base_dir: str, n_buckets: int = 8):
+        import os
+
+        from ..storage import SnapshotGroup, SnapshotTable
+
+        self.spark = spark
+        self.postings = SnapshotTable(
+            spark, os.path.join(base_dir, "postings"),
+            key_cols=["cell", "nid"], order_col="__ver",
+            n_buckets=n_buckets, bucket_cols=["cell"],
+        )
+        self.codebook = SnapshotTable(
+            spark, os.path.join(base_dir, "codebook"),
+            key_cols=["cell"], order_col="__ver", n_buckets=1,
+        )
+        self.group = SnapshotGroup(
+            {"postings": self.postings, "codebook": self.codebook},
+            base_dir,
+        )
+
+    def current_wave(self) -> int:
+        """Last fully-committed wave (0 = none); heals the
+        roll-forward window first."""
+        self.group.recover()
+        return int(self.postings.latest_property("ivf.wave") or 0)
+
+    def centroids(self):
+        """The DURABLE codebook as the row-normalized numpy matrix
+        the probe/assign kernels take (cells ascending), or ``None``
+        before the first non-empty wave. n_cells×dim floats — a
+        metadata-sized driver read."""
+        self.group.recover()
+        if self.codebook.current_id() is None:
+            return None
+        rows = self.codebook.read().select("cell", "vec").collect()
+        if not rows:
+            return None
+        rows.sort(key=lambda r: r["cell"])
+        m = np.array([r["vec"] for r in rows], dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(nrm == 0.0, 1.0, nrm)
+
+    def wave(self, vectors: DataFrame, ver: int, n_cells: int = 16):
+        """Index one wave of NEW ``(nid, vec)`` rows. Wave 1 (or the
+        first non-empty wave) fits the codebook and commits it
+        ATOMICALLY with its postings; later waves assign against the
+        stored codebook map-only and append. An empty wave advances
+        the checkpoint with metadata-only commits (the
+        empty-micro-batch contract)."""
+        done = self.current_wave()
+        if done >= ver:
+            return  # replayed wave — already committed, idempotent
+        if done != ver - 1:
+            raise ValueError(
+                f"IvfIndex: wave {ver} cannot commit over checkpoint "
+                f"{done} — waves are consecutive (replay the same "
+                "ver, or the next)"
+            )
+        props = {"ivf.wave": ver}
+        vecs = vectors.select("nid", "vec")
+        cents = self.centroids()
+        if cents is None:
+            _, cents = kmeans_assign(vecs, n_cells)
+            if cents is None:  # empty wave before any codebook:
+                # metadata-only checkpoint advance on both members
+                nid_t = vecs.schema["nid"].dataType.simpleString()
+                self.group.append_all(
+                    {
+                        "postings": self.spark.createDataFrame(
+                            [],
+                            f"cell long, nid {nid_t}, "
+                            "vec array<float>, __ver long",
+                        ),
+                        "codebook": self.spark.createDataFrame(
+                            [], "cell long, vec array<float>, __ver long"
+                        ),
+                    },
+                    properties=props,
+                )
+                return
+            cb = self.spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in row])
+                    for i, row in enumerate(cents)
+                ],
+                "cell long, vec array<float>",
+            ).withColumn("__ver", F.lit(ver))
+            self.group.apply_all(
+                {
+                    "postings": (
+                        "append",
+                        assign_to_centroids(vecs, cents)
+                        .select("cell", "nid", "vec")
+                        .withColumn("__ver", F.lit(ver)),
+                    ),
+                    "codebook": ("merge", cb),
+                },
+                properties=props,
+            )
+            return
+        self.group.apply_all(
+            {
+                "postings": (
+                    "append",
+                    assign_to_centroids(vecs, cents)
+                    .select("cell", "nid", "vec")
+                    .withColumn("__ver", F.lit(ver)),
+                ),
+            },
+            properties=props,
+        )
+
+    def refresh(
+        self, n_cells: int | None = None, sample_fraction: float = 1.0,
+        seed: int = 13,
+    ):
+        """MAINTENANCE (E119 with the durability this class adds):
+        re-train the codebook over the accumulated postings, reassign
+        every posting, and land BOTH as one mixed-verb transaction —
+        the codebook a prober reads always matches the cell layout it
+        prunes with. Returns the new centroid matrix (``None`` on an
+        empty index — no commit)."""
+        self.group.recover()
+        old = self.centroids()
+        if old is None:
+            return None
+        k = n_cells if n_cells is not None else int(old.shape[0])
+        rows = self.postings.read()
+        train = rows.select("nid", "vec")
+        if sample_fraction < 1.0:
+            train = train.sample(fraction=sample_fraction, seed=seed)
+        _, cents = kmeans_assign(train, k)
+        if cents is None:
+            return None  # empty postings — nothing to rebalance
+        reassigned = assign_to_centroids(
+            rows.select("nid", "vec", "__ver"), cents, carry=("__ver",)
+        ).select("cell", "nid", "vec", "__ver")
+        cb = self.spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row])
+                for i, row in enumerate(cents)
+            ],
+            "cell long, vec array<float>",
+        ).withColumn(
+            "__ver", F.lit(self.current_wave()).cast("long")
+        )
+        self.group.apply_all(
+            {
+                "postings": ("overwrite", reassigned),
+                "codebook": ("overwrite", cb),
+            },
+            properties={
+                "ivf.wave": self.current_wave(),
+                "ivf.refresh.cells": str(int(cents.shape[0])),
+            },
+        )
+        return cents
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 4
+    ) -> DataFrame:
+        """Top-``k`` neighbors per (query_id, vec) query row over
+        everything indexed so far: probe ``nprobe`` cells against the
+        durable codebook, read only those cells' buckets, exact
+        re-rank (:func:`topk_from_cells`)."""
+        cents = self.centroids()
+        if cents is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rn long"
+            )
+        q = queries.select("query_id", "vec")
+        probes = ivf_probe_cells(q, cents, nprobe=nprobe)
+        pruned = self.postings.read_matching(probes.select("cell"))
+        return topk_from_cells(probes, pruned, k=k)
+
+
 def srp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
