@@ -87,6 +87,14 @@ NESTED_LOOP_OK = {
     #     frame into nd — O(docs · |langs|) candidate grain, the NB
     #     scoring lattice itself; every data-bearing join is a BHJ
     #     on g/doc_id (read from the formatted plan, round 12)
+    "t_bm25_topk",  # 1-row corpus-stats (n, avgdl) frame crossed into
+    #     the scoring join; the query frame itself is ≤6 rows
+    #     (broadcast by construction — the r12 activation checklist's
+    #     pre-written adjudication); data-bearing joins are BHJ on
+    #     term/doc_id
+    "s_knn_ivf_persistent",  # the recall-contract crossJoin is the
+    #     1-row recall row (the s_knn_ivf device); probe/assign sides
+    #     are codebook-sized broadcasts
 }
 
 # Queries where > 6 shuffle exchanges is the algorithm, not an
@@ -159,6 +167,19 @@ MANY_SHUFFLES_OK = {
     #     (doc, g) grain and once at (doc, lang) grain; the model
     #     side broadcasts (K-capped by feature selection), never
     #     shuffling the corpus on gram
+    "t_bm25_topk",  # (a) tokenize → (doc, term) tf groupBy → dl
+    #     groupBy → global term-rank TakeOrdered (query derivation) →
+    #     df agg on the RESTRICTED postings → per-query top-k window;
+    #     the corpus crosses the wire once at (doc, term) grain and
+    #     once at doc grain — everything downstream of the query
+    #     restriction is posting-list-sized (the r12 activation
+    #     checklist's pre-written adjudication)
+    "s_knn_ivf_persistent",  # (a) THREE real wave commits (assign +
+    #     bucket-repartitioned snapshot APPEND each, batch-sized) +
+    #     the exact-order-statistics splitter + the in-query
+    #     brute-force recall verification (the oracle-ization cost,
+    #     adjudicated since r03 for the s_knn_ivf class) — every
+    #     exchanged frame is batch-, codebook-, or contract-row-sized
 }
 
 

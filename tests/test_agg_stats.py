@@ -210,3 +210,33 @@ def test_agg_stats_time_travel_and_fallback_prunes(spark, tdir):
     # lo "mmmm..." ≥ "aa" proves it can't lower the min, hi
     # "nnn...o" ≤ "zz" proves it can't raise the max → zero reads
     assert got["files_read"] == 0
+
+
+def test_agg_stats_mixed_domain_stats_degrade_to_scan(spark, tdir):
+    """Review r13: a column whose stored bounds mix domains across
+    files (a retyping evolution) must drop every unprovable bound and
+    answer from a full scan — never raise comparing str with int.
+    Simulated by rewriting one file's stats to string bounds in the
+    raw manifest."""
+    t = make_table(spark, tdir, n_buckets=1)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0, 1), (2, 20.0, 1)], "k long, v double, ver long"
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, 30.0, 2), (4, 40.0, 2)], "k long, v double, ver long"
+        )
+    )
+    sid = t.current_id()
+    m = t._manifest(sid)
+    m["files"][0]["stats"]["v"] = ["aa", "zz"]  # foreign-domain bounds
+    path = os.path.join(t._manifest_dir, f"manifest-{sid}.json")
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+    t._mcache.clear()
+    t._bcache.clear()
+    got = t.agg_stats(["v"])
+    assert got["files_read"] == 2  # nothing provable — scan all
+    assert got["columns"]["v"] == {"min": 10.0, "max": 40.0, "count": 4}

@@ -156,6 +156,14 @@ def test_projection_and_validation_surface(spark, pair, tmp_path):
 
     with pytest.raises(ValueError, match="collide"):
         join_cobucketed(l, r, ["k"])
+    # payload naming a join key duplicates the output column set;
+    # unknown payload names refuse with a clear error (review r13)
+    with pytest.raises(ValueError, match="collide"):
+        join_cobucketed(l, r, ["k"], left_cols=["lv"],
+                        right_cols=["k", "rv"])
+    with pytest.raises(ValueError, match="unknown payload"):
+        join_cobucketed(l, r, ["k"], left_cols=["nope"],
+                        right_cols=["rv"])
     with pytest.raises(ValueError, match="unsupported how"):
         join_cobucketed(l, r, ["k"], how="full")
 

@@ -604,6 +604,10 @@ def test_group_apply_all_contracts(spark, gdir):
         g.apply_all({"a": ("upsert", batch(spark, [(1, 2)]))})
     with pytest.raises(ValueError, match="verb"):
         g.apply_all({"a": batch(spark, [(1, 2)])})  # no verb at all
+    with pytest.raises(ValueError, match="verb"):
+        g.apply_all({"a": ()})  # malformed: empty tuple (review r13)
+    with pytest.raises(ValueError, match="verb"):
+        g.apply_all({"a": None})  # malformed: not a tuple
     # an empty APPEND member no-ops at its current id while the
     # overwrite member advances (overwrite is never a no-op)
     out = g.apply_all(

@@ -119,11 +119,21 @@ def join_cobucketed(
             if f.name not in keys and f.name != right.order_col
         ]
     )
-    overlap = set(lpay) & set(rpay)
+    unknown = [c for c in lpay if c not in lschema.names] + [
+        c for c in rpay if c not in rschema.names
+    ]
+    if unknown:
+        raise ValueError(
+            f"join_cobucketed: unknown payload columns {unknown}"
+        )
+    overlap = (set(lpay) & set(rpay)) | (
+        (set(lpay) | set(rpay)) & set(keys)
+    )
     if overlap:
         raise ValueError(
             f"join_cobucketed: payload columns collide {sorted(overlap)}"
-            " — alias one side before joining"
+            " (with each other or with the join keys) — alias or drop"
+            " before joining"
         )
     # all-nullable: a LEFT join NULLs the right payload regardless of
     # the stored fields' nullability, and nullable is the relaxed

@@ -284,13 +284,16 @@ class BM25Index:
             F.col("query_id").cast("long").alias("query_id"), "term"
         )
         pruned = self.postings.read_matching(q.select("term"))
-        # persisted: tfq feeds dfq, the doclen bucket probe, and the
-        # scoring join (review r12). Released in the finally below
-        # (ADVICE r12 — the wave() discipline): the ranked result is
-        # materialized to the driver first, which is sound because
-        # its cardinality is ≤ k rows per query BY CONSTRUCTION (the
-        # serving answer a caller collects anyway), so repeated topk
-        # calls in a long-lived session pin nothing.
+        # persisted ONLY across the two metadata actions below (the
+        # wave() try/finally discipline, ADVICE r12 + review r13):
+        # df-per-term collapses to a ≤|query-terms|-row LOCAL frame
+        # (exact — a term's whole posting list lives in its bucket),
+        # and the doclen bucket probe collects ≤ n_buckets ids. The
+        # returned plan is LAZY and fully distributed (no driver
+        # materialization of the ranking — a 1M-query batch scorer
+        # never routes results through the driver); its single tfq
+        # recompute in the final job is one pass over the pruned
+        # posting lists.
         from pyspark import StorageLevel
 
         tfq = (
@@ -299,25 +302,32 @@ class BM25Index:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
-            dfq = (
+            df_rows = (
                 tfq.select("term", "doc_id")
                 .distinct()
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                .collect()  # ≤ |query terms| rows — metadata
             )
             dl = self.doclen.read_matching(
-                tfq.select("doc_id")
+                tfq.select("doc_id")  # eager ≤ n_buckets-id collect
             ).select("doc_id", "dl")
-            # exact integers divided in IEEE double — bit-identical to
-            # the batch path's avg(dl) over the same corpus
-            part = (
-                tfq.join(F.broadcast(dfq), "term")
-                .join(dl, "doc_id")
-                .withColumn("n", F.lit(float(n_docs)))
-                .withColumn("avgdl", F.lit(total_len / n_docs))
-            )
-            ranked = _rank_scored(part, k, k1, b)
-            rows = ranked.collect()  # ≤ k·|queries| rows — the answer
-            return self.spark.createDataFrame(rows, ranked.schema)
         finally:
             tfq.unpersist()
+        if not df_rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rn long"
+            )
+        dfq = self.spark.createDataFrame(
+            [(r["term"], r["df"]) for r in df_rows],
+            "term string, df long",
+        )
+        # exact integers divided in IEEE double — bit-identical to
+        # the batch path's avg(dl) over the same corpus
+        part = (
+            tfq.join(F.broadcast(dfq), "term")
+            .join(dl, "doc_id")
+            .withColumn("n", F.lit(float(n_docs)))
+            .withColumn("avgdl", F.lit(total_len / n_docs))
+        )
+        return _rank_scored(part, k, k1, b)

@@ -671,23 +671,37 @@ def ivf_refresh(
     index (no commit). O(table) by design — this IS the rebuild; per
     wave the index stays O(batch) append-only, and the refresh runs
     at maintenance cadence."""
+    cents, reassigned = _retrain_reassign(
+        index, n_cells, sample_fraction, seed
+    )
+    if cents is None:
+        return None
+    index.overwrite(
+        reassigned,
+        operation="ivf-refresh",
+        properties={"ivf.refresh.cells": str(int(cents.shape[0]))},
+    )
+    return cents
+
+
+def _retrain_reassign(index, n_cells, sample_fraction, seed):
+    """Shared retrain half of :func:`ivf_refresh` and
+    :meth:`IvfIndex.refresh` (review r13 — one place for the
+    read → sample → k-means → carry-reassign pipeline): returns
+    ``(cents, reassigned_frame)`` or ``(None, None)`` on an empty
+    index."""
     rows = index.read()
     train = rows.select("nid", "vec")
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     _, cents = kmeans_assign(train, n_cells)
     if cents is None:
-        return None
+        return None, None
     order = index.order_col
     reassigned = assign_to_centroids(
         rows.select("nid", "vec", order), cents, carry=(order,)
-    )
-    index.overwrite(
-        reassigned.select("cell", "nid", "vec", order),
-        operation="ivf-refresh",
-        properties={"ivf.refresh.cells": str(int(cents.shape[0]))},
-    )
-    return cents
+    ).select("cell", "nid", "vec", order)
+    return cents, reassigned
 
 
 class IvfIndex:
@@ -838,37 +852,30 @@ class IvfIndex:
         the codebook a prober reads always matches the cell layout it
         prunes with. Returns the new centroid matrix (``None`` on an
         empty index — no commit)."""
-        self.group.recover()
+        wave = self.current_wave()  # one recover + property walk
         old = self.centroids()
         if old is None:
             return None
         k = n_cells if n_cells is not None else int(old.shape[0])
-        rows = self.postings.read()
-        train = rows.select("nid", "vec")
-        if sample_fraction < 1.0:
-            train = train.sample(fraction=sample_fraction, seed=seed)
-        _, cents = kmeans_assign(train, k)
+        cents, reassigned = _retrain_reassign(
+            self.postings, k, sample_fraction, seed
+        )
         if cents is None:
             return None  # empty postings — nothing to rebalance
-        reassigned = assign_to_centroids(
-            rows.select("nid", "vec", "__ver"), cents, carry=("__ver",)
-        ).select("cell", "nid", "vec", "__ver")
         cb = self.spark.createDataFrame(
             [
                 (int(i), [float(x) for x in row])
                 for i, row in enumerate(cents)
             ],
             "cell long, vec array<float>",
-        ).withColumn(
-            "__ver", F.lit(self.current_wave()).cast("long")
-        )
+        ).withColumn("__ver", F.lit(wave).cast("long"))
         self.group.apply_all(
             {
                 "postings": ("overwrite", reassigned),
                 "codebook": ("overwrite", cb),
             },
             properties={
-                "ivf.wave": self.current_wave(),
+                "ivf.wave": wave,
                 "ivf.refresh.cells": str(int(cents.shape[0])),
             },
         )
@@ -883,8 +890,21 @@ class IvfIndex:
         re-rank (:func:`topk_from_cells`)."""
         cents = self.centroids()
         if cents is None:
+            # cold start: derive neighbor_id's type from the postings
+            # schema when a (possibly empty) commit exists, so string-
+            # keyed indexes answer the same schema cold and warm
+            # (review r13); before ANY commit, long is the default
+            nid_t = "long"
+            if self.postings.current_id() is not None:
+                m = self.postings._manifest(self.postings.current_id())
+                nid_t = (
+                    self.postings._schema_of(m)["nid"]
+                    .dataType.simpleString()
+                )
             return self.spark.createDataFrame(
-                [], "query_id long, neighbor_id long, cos double, rn long"
+                [],
+                f"query_id long, neighbor_id {nid_t}, "
+                "cos double, rn long",
             )
         q = queries.select("query_id", "vec")
         probes = ivf_probe_cells(q, cents, nprobe=nprobe)

@@ -30,6 +30,15 @@ with the same bucket count zip equal-bucket file groups worker-side;
 zero data exchanges, zero JVM scans in the plan (plan-pinned in
 tests/test_cobucket.py), exact parity with the plain join.
 
+``s_snapshot_history`` — the metadata-table ledger (SURVEY E120,
+``SnapshotTable.history``): per-snapshot (id, operation, row count)
+after the full verb sequence, against an oracle that recomputes each
+verb's expected cardinality closed-form. Fixture contract the oracle
+leans on (all driver scales satisfy it): events is non-empty, some
+value lies in [100, 250] and some event_id % 3 == 0 — otherwise the
+corresponding verb no-ops WITHOUT a commit (correct engine behavior)
+and the ledger has fewer rows than the oracle's fixed six.
+
 Activation checklist (mirror of roundtwelve's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundthirteen in ``plans/__init__``,
@@ -50,6 +59,22 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .registry import QuerySpec
+
+
+def _append_id_slices(t, ev, mn: int, mx: int, n: int = 3) -> None:
+    """Bootstrap a snapshot table as ``n`` id-range appends (NULL ids
+    routed to the last slice — the TOTAL-partition discipline);
+    shared by the round-13 lifecycle queries (review r13 — one
+    place for the slicing the HISTORY_ORACLE mirrors in SQL)."""
+    span = max(1, (mx - mn + 1) // n)
+    for w in range(n):
+        lo = mn + w * span
+        hi = mx if w == n - 1 else mn + (w + 1) * span - 1
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == n - 1:
+            sl = sl | F.col("event_id").isNull()
+        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+
 
 _AGG_SCHEMA = (
     "path string, n_rows long, min_v double, max_v double, "
@@ -129,14 +154,7 @@ def s_snapshot_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn, mx = row["mn"], row["mx"]
     if mn is None:
         return spark.createDataFrame([], _AGG_SCHEMA)
-    span = max(1, (mx - mn + 1) // 3)
-    for w in range(3):
-        lo = mn + w * span
-        hi = mx if w == 2 else mn + (w + 1) * span - 1
-        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-        if w == 2:
-            sl = sl | F.col("event_id").isNull()
-        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    _append_id_slices(t, ev, mn, mx)
     t.delete_where("value BETWEEN 100 AND 250")
     t.merge(
         ev.filter(F.col("event_id") % 3 == 0).select(
@@ -242,14 +260,7 @@ def s_snapshot_bloom_pruned_delete(
         return spark.createDataFrame(
             [], "event_type string, n_events long, sum_value double"
         )
-    span = max(1, (mx - mn + 1) // 3)
-    for w in range(3):
-        lo = mn + w * span
-        hi = mx if w == 2 else mn + (w + 1) * span - 1
-        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-        if w == 2:
-            sl = sl | F.col("event_id").isNull()
-        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    _append_id_slices(t, ev, mn, mx)
     for probe_id in (mn, mx):
         t.delete_where(
             f"email = 'customer-record-{probe_id}@example.com'"
@@ -348,14 +359,7 @@ def s_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "snapshot_id long, operation string, n_rows long"
         )
-    span = max(1, (mx - mn + 1) // 3)
-    for w in range(3):
-        lo = mn + w * span
-        hi = mx if w == 2 else mn + (w + 1) * span - 1
-        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-        if w == 2:
-            sl = sl | F.col("event_id").isNull()
-        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+    _append_id_slices(t, ev, mn, mx)
     t.delete_where("value BETWEEN 100 AND 250")
     t.merge(
         ev.filter(F.col("event_id") % 3 == 0).select(

@@ -302,7 +302,11 @@ class SnapshotGroup:
             )
         verbs = {"append", "merge", "overwrite"}
         bad = {
-            name: spec[0]
+            name: (
+                spec[0]
+                if isinstance(spec, tuple) and len(spec) == 2
+                else repr(spec)  # malformed spec: report, don't index
+            )
             for name, spec in ops.items()
             if not (isinstance(spec, tuple) and len(spec) == 2)
             or spec[0] not in verbs

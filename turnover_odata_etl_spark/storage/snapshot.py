@@ -1642,18 +1642,28 @@ class SnapshotTable:
             for c, (lo, hi) in bounds.items()
             if isinstance(lo, str) and lo == hi
         }
-        hashes = self._bloom_raw_hashes(eq)
+        # probe hashes are a (tiny) Spark job — computed LAZILY on
+        # the first bloom-bearing entry, so bloom-less tables (every
+        # pre-r13 table) pay nothing on this hot path (review r13)
+        hashes: dict | None = None
 
         def may_match(f: dict) -> bool:
+            nonlocal hashes
             st = f.get("stats") or {}
             for col, (lo, hi) in bounds.items():
                 s = st.get(col)
                 if s is not None and not _stats_overlap(s, lo, hi):
                     return False
-            for col, hs in hashes.items():
-                e = (f.get("bloom") or {}).get(col)
-                if e is not None and not _bloom_contains(e, hs):
-                    return False
+            if eq:
+                bl = f.get("bloom") or {}
+                for col in eq:
+                    e = bl.get(col)
+                    if e is None:
+                        continue
+                    if hashes is None:
+                        hashes = self._bloom_raw_hashes(eq)
+                    if not _bloom_contains(e, hashes[col]):
+                        return False
             return True
 
         cand: dict[int, list[dict]] = {}
@@ -2673,18 +2683,23 @@ class SnapshotTable:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
         m = self._manifest(sid)
         # a string POINT probe (lo == hi) additionally consults the
-        # per-file blooms (round 13) — see _split_candidates
-        hs = (
-            self._bloom_raw_hashes({column: lo})[column]
-            if isinstance(lo, str) and lo == hi
-            else None
-        )
+        # per-file blooms (round 13) — see _split_candidates; hashes
+        # are computed lazily on the first bloom-bearing entry so
+        # bloom-less tables pay no extra Spark job (review r13)
+        is_point = isinstance(lo, str) and lo == hi
+        hs: list | None = None
 
         def must_read(f: dict) -> bool:
-            if hs is not None:
+            nonlocal hs
+            if is_point:
                 e = (f.get("bloom") or {}).get(column)
-                if e is not None and not _bloom_contains(e, hs):
-                    return False
+                if e is not None:
+                    if hs is None:
+                        hs = self._bloom_raw_hashes({column: lo})[
+                            column
+                        ]
+                    if not _bloom_contains(e, hs):
+                        return False
             s = (f.get("stats") or {}).get(column)
             if s is None:
                 return True
@@ -2792,10 +2807,17 @@ class SnapshotTable:
         # lo ≥ best-exact-min proves the file can't lower the min).
         for c in columns:
             # mixed domains across files (schema evolution retyped
-            # the column): nothing provable — scan everything
+            # the column): nothing provable — drop every "exact"
+            # bound (they can't be compared, let alone folded) and
+            # scan everything; the per-file scan results are
+            # homogeneous in the CURRENT schema's type (review r13)
             doms = {isinstance(v, str) for v in exact_lo[c] + exact_hi[c]}
             if len(doms) > 1:
+                exact_lo[c] = []
+                exact_hi[c] = []
+                known_count[c] = 0
                 need[c] = {f["path"] for f in files}
+                need_count[c] = {f["path"] for f in files}
                 continue
             best_lo = min(exact_lo[c]) if exact_lo[c] else None
             best_hi = max(exact_hi[c]) if exact_hi[c] else None
