@@ -215,3 +215,40 @@ def test_non_string_bloom_column_refuses(spark, tdir):
                 "k long, email string, v double, ver long",
             )
         )
+
+
+def test_read_pred_prunes_on_stats_and_blooms(
+    spark, tdir, monkeypatch
+):
+    """read_pred (round 13): a multi-conjunct predicate prunes on
+    every provable bound — the numeric window via footer stats AND
+    the email equality via blooms — and still answers exactly;
+    unparseable predicates degrade to scan-all-but-filter."""
+    t = make_table(spark, tdir, n_buckets=1)
+    t.append(rows_df(spark, range(0, 50), ver=1))
+    t.append(rows_df(spark, range(50, 100), ver=2))
+    t.append(rows_df(spark, range(100, 150), ver=3))
+    target = email(75)
+    opened = reader_spy(spark, monkeypatch)
+    got = t.read_pred(
+        f"v BETWEEN 50 AND 99 AND email = '{target}'"
+    ).collect()
+    monkeypatch.undo()
+    assert [(r["k"], r["email"]) for r in got] == [(75, target)]
+    data_opened = [
+        p for p in opened if p.endswith(".parquet") and "/data/" in p
+    ]
+    assert len(data_opened) == 1  # stats drop file 3, bloom drops 1
+
+    # unparseable: full candidates, exact filter still applies
+    got2 = t.read_pred("k % 10 = 7 AND v < 30").collect()
+    assert sorted(r["k"] for r in got2) == [7, 17, 27]
+
+    # NULL predicate rows are excluded (SQL WHERE semantics)
+    t.append(
+        spark.createDataFrame(
+            [(900, None, None, 4)],
+            "k long, email string, v double, ver long",
+        )
+    )
+    assert t.read_pred("v > 0").filter("k = 900").collect() == []

@@ -2711,6 +2711,39 @@ class SnapshotTable:
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
 
+    def read_pred(
+        self, predicate: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """File-pruned read for an arbitrary SQL predicate — the
+        read-side sibling of :meth:`delete_where`'s prune (round 13):
+        :func:`predicate_bounds` mines per-column ``[lo, hi]`` bounds
+        from a provable AND-chain, files disjoint from ANY bound are
+        never opened, string EQUALITY conjuncts additionally consult
+        the per-file bloom filters, and the exact predicate applies
+        after the prune (rows where it evaluates TRUE — SQL WHERE
+        semantics). An unparseable predicate degrades to a full scan
+        with the filter applied, never to a wrong answer.
+
+        This is the ``WHERE a BETWEEN x AND y AND email = 'z'`` scan
+        :meth:`read_where` can't express (one column, one window);
+        with range-sorted or Z-ordered layout plus blooms the
+        multi-conjunct prune intersects."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        cand, _ = self._split_candidates(
+            self._by_bucket(sid), predicate_bounds(predicate)
+        )
+        m = self._manifest(sid)
+        paths = [
+            os.path.join(self.table_dir, f["path"])
+            for fs in cand.values()
+            for f in fs
+        ]
+        return self._aligned_read(paths, self._schema_of(m)).filter(
+            F.expr(predicate)
+        )
+
     def agg_stats(
         self, columns=(), snapshot_id: int | None = None
     ) -> dict:
