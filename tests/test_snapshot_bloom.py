@@ -252,3 +252,40 @@ def test_read_pred_prunes_on_stats_and_blooms(
         )
     )
     assert t.read_pred("v > 0").filter("k = 900").collect() == []
+
+
+def test_read_keys_bloom_prunes_within_bucket(
+    spark, tdir, monkeypatch
+):
+    """Round 13: a string point lookup on a bloom-enabled KEY column
+    opens only bloom-possible files WITHIN the matched bucket —
+    a many-append bucket opens ~the holders, not its whole history;
+    results stay exact and non-string keys keep the bucket prune."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["email"], order_col="ver",
+        n_buckets=1, bloom_cols=["email"],
+    )
+    for w, ids in enumerate((range(0, 40), range(40, 80), range(80, 120))):
+        t.append(
+            spark.createDataFrame(
+                [(email(i), float(i), w + 1) for i in ids],
+                "email string, v double, ver long",
+            )
+        )
+    target = email(50)  # lives only in the second append's file
+    opened = reader_spy(spark, monkeypatch)
+    got = t.read_keys([target]).collect()
+    monkeypatch.undo()
+    assert [(r["email"], r["v"]) for r in got] == [(target, 50.0)]
+    data_opened = [
+        p for p in opened if p.endswith(".parquet") and "/data/" in p
+    ]
+    assert len(data_opened) == 1  # two sibling files bloom-pruned
+
+    # an absent key: zero files opened, empty exact result
+    opened2 = reader_spy(spark, monkeypatch)
+    assert t.read_keys(["absent@example.com"]).collect() == []
+    monkeypatch.undo()
+    assert [
+        p for p in opened2 if p.endswith(".parquet") and "/data/" in p
+    ] == []

@@ -720,7 +720,15 @@ class SnapshotTable:
         ``hash``/``pmod`` (a key-count-sized local frame — metadata,
         never data), so pruning can never disagree with the layout.
         At 100 TB this is the difference between a point lookup
-        opening ~1/n_buckets of the table and scanning all of it."""
+        opening ~1/n_buckets of the table and scanning all of it.
+
+        String keys on a bloom-enabled table prune FURTHER (round 13
+        — the per-file half of Iceberg's bloom point-lookup): within
+        the matched buckets, a file is opened only if at least one
+        requested key is bloom-possible in it, so a many-append
+        bucket opens ~the holder files instead of its whole history.
+        Bloom-less files and non-string keys keep the bucket-grain
+        prune."""
         if len(self.key_cols) != 1:
             raise ValueError("read_keys: single-column key tables only")
         sid = self.current_id() if snapshot_id is None else snapshot_id
@@ -752,10 +760,30 @@ class SnapshotTable:
             .collect()
         }
         bb = self._by_bucket(sid)
-        paths = [
-            os.path.join(self.table_dir, f["path"])
+        cand = [
+            f
             for b in sorted(buckets)
             for f in self._entries(bb.get(b, []))
+        ]
+        str_keys = [v for v in key_values if isinstance(v, str)]
+        if (
+            str_keys
+            and len(str_keys) == len(key_values)
+            and any((f.get("bloom") or {}).get(key) for f in cand)
+        ):
+            hashes = self._bloom_raw_hashes({v: v for v in str_keys})
+
+            def may_hold(f: dict) -> bool:
+                e = (f.get("bloom") or {}).get(key)
+                if e is None:
+                    return True
+                return any(
+                    _bloom_contains(e, hashes[v]) for v in str_keys
+                )
+
+            cand = [f for f in cand if may_hold(f)]
+        paths = [
+            os.path.join(self.table_dir, f["path"]) for f in cand
         ]
         return self._aligned_read(paths, self._schema_of(m)).filter(
             F.col(key).isin(key_values)
