@@ -2474,8 +2474,10 @@ class SnapshotTable:
         all-NULL or absent column packs an all-zero bitset, which
         soundly prunes every equality probe (NULL never equals).
 
-        Driver payload: per (file, col), the set of SET bit positions
-        (≤ the bitset size — bounded by the cap, metadata-sized),
+        Driver payload: per (file, col), ONE packed base64 bitset
+        (≤ 8 KiB — the positions are packed executor-side by an
+        applyInPandas group aggregate, so a huge commit's driver
+        payload is files × cols × cap bytes, never position sets),
         never data rows."""
         live = [f for f in new_files if f["rows"]]
         for f in new_files:
@@ -2511,11 +2513,32 @@ class SnapshotTable:
             ],
             "__base string, __m int",
         )
-        pos = (
+        def pack_group(pdf):
+            import base64 as _b64
+
+            import pandas as _pd
+
+            m = int(pdf["__m"].iloc[0])
+            data = bytearray(m // 8)
+            for p in pdf["p"]:
+                p = int(p)
+                data[p // 8] |= 1 << (p % 8)
+            return _pd.DataFrame(
+                {
+                    "__base": [pdf["__base"].iloc[0]],
+                    "col": [pdf["col"].iloc[0]],
+                    "b64": [
+                        _b64.b64encode(bytes(data)).decode("ascii")
+                    ],
+                }
+            )
+
+        packed = (
             df.select(base.alias("__base"), *present)
             .join(F.broadcast(m_df), "__base")
             .select(
                 "__base",
+                "__m",
                 F.explode(
                     F.array(
                         *[
@@ -2543,18 +2566,23 @@ class SnapshotTable:
                     )
                 ).alias("cp"),
             )
-            .select("__base", "cp.col", F.explode("cp.pos").alias("p"))
+            .select(
+                "__base", "__m", "cp.col",
+                F.explode("cp.pos").alias("p"),
+            )
             .groupBy("__base", "col")
-            .agg(F.collect_set("p").alias("ps"))
+            .applyInPandas(
+                pack_group, "__base string, col string, b64 string"
+            )
             .collect()
         )
         by_base = {os.path.basename(f["path"]): f for f in live}
-        for r in pos:
+        for r in packed:
             f = by_base[r["__base"]]
             f["bloom"][r["col"]] = {
                 "m": _bloom_nbits(f["rows"]),
                 "k": _BLOOM_K,
-                "b": _bloom_pack(r["ps"], _bloom_nbits(f["rows"])),
+                "b": r["b64"],
             }
 
     def _bloom_raw_hashes(self, values_by_col: dict) -> dict:
