@@ -230,17 +230,22 @@ def test_read_pred_prunes_on_stats_and_blooms(
     t.append(rows_df(spark, range(100, 150), ver=3))
     target = email(75)
     opened = reader_spy(spark, monkeypatch)
+    # v window covers files 1+2 (stats drop only file 3); the email
+    # equality's BLOOM is what must drop file 1 (review r13 — the
+    # window is chosen so stats alone would leave TWO candidates)
     got = t.read_pred(
-        f"v BETWEEN 50 AND 99 AND email = '{target}'"
+        f"v BETWEEN 0 AND 99 AND email = '{target}'"
     ).collect()
     monkeypatch.undo()
     assert [(r["k"], r["email"]) for r in got] == [(75, target)]
     data_opened = [
         p for p in opened if p.endswith(".parquet") and "/data/" in p
     ]
-    assert len(data_opened) == 1  # stats drop file 3, bloom drops 1
+    assert len(data_opened) == 1  # stats leave 1+2, bloom drops 1
 
-    # unparseable: full candidates, exact filter still applies
+    # a structurally-unparseable conjunct (the % arithmetic) yields
+    # no bounds for k; the v conjunct still prunes and the exact
+    # filter applies either way
     got2 = t.read_pred("k % 10 = 7 AND v < 30").collect()
     assert sorted(r["k"] for r in got2) == [7, 17, 27]
 

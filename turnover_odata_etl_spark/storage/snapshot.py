@@ -771,15 +771,42 @@ class SnapshotTable:
             and len(str_keys) == len(key_values)
             and any((f.get("bloom") or {}).get(key) for f in cand)
         ):
-            hashes = self._bloom_raw_hashes({v: v for v in str_keys})
+            # key-count-sized ROW frame (like the bucket probe above
+            # — review r13: a 5·N-column projection would blow up
+            # Catalyst on large key lists), k hash columns per row
+            hash_rows = (
+                self.spark.createDataFrame(
+                    [(v,) for v in str_keys], "v string"
+                )
+                .select(
+                    *[
+                        F.hash(F.col("v"), F.lit(s)).alias(f"h{s}")
+                        for s in range(_BLOOM_K)
+                    ]
+                )
+                .collect()
+            )
+            all_hashes = [
+                [r[f"h{s}"] for s in range(_BLOOM_K)]
+                for r in hash_rows
+            ]
 
             def may_hold(f: dict) -> bool:
+                import base64
+
                 e = (f.get("bloom") or {}).get(key)
                 if e is None:
                     return True
-                return any(
-                    _bloom_contains(e, hashes[v]) for v in str_keys
-                )
+                m_bits, kk = e["m"], e["k"]
+                data = base64.b64decode(e["b"])  # decoded ONCE/file
+                for hs in all_hashes:
+                    if all(
+                        (data[(h % m_bits) // 8] >> ((h % m_bits) % 8))
+                        & 1
+                        for h in hs[:kk]
+                    ):
+                        return True
+                return False
 
             cand = [f for f in cand if may_hold(f)]
         paths = [
@@ -2514,6 +2541,13 @@ class SnapshotTable:
             "__base string, __m int",
         )
         def pack_group(pdf):
+            # Deliberately re-implements _bloom_pack's little-endian
+            # bit layout INLINE: worker closures must be
+            # self-contained (a module-global reference would pickle
+            # by reference and fail where workers can't import this
+            # package — the /tmp-driven verify contract). The layout
+            # is pinned against _bloom_pack by
+            # tests/test_snapshot_bloom.py's no-false-negative fuzz.
             import base64 as _b64
 
             import pandas as _pd
@@ -2570,6 +2604,12 @@ class SnapshotTable:
                 "__base", "__m", "cp.col",
                 F.explode("cp.pos").alias("p"),
             )
+            # map-side-combinable dedup BEFORE the group shuffle
+            # (review r13): positions are bounded by the bitset size,
+            # so every (file, col) group shrinks to ≤ m rows — a 50M-
+            # row file contributes ≤65536 positions to the pack task,
+            # never rows×k raw rows
+            .distinct()
             .groupBy("__base", "col")
             .applyInPandas(
                 pack_group, "__base string, col string, b64 string"
@@ -2790,13 +2830,16 @@ class SnapshotTable:
         cand, _ = self._split_candidates(
             self._by_bucket(sid), predicate_bounds(predicate)
         )
-        m = self._manifest(sid)
+        # config view only (review r13): the schema is all we need —
+        # materializing the flat O(F) file list here would defeat the
+        # prune's point on a 10⁶-file table (the read_keys rule)
+        schema = self._schema_of(self._raw_meta(sid))
         paths = [
             os.path.join(self.table_dir, f["path"])
             for fs in cand.values()
             for f in fs
         ]
-        return self._aligned_read(paths, self._schema_of(m)).filter(
+        return self._aligned_read(paths, schema).filter(
             F.expr(predicate)
         )
 
