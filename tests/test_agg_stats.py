@@ -240,3 +240,48 @@ def test_agg_stats_mixed_domain_stats_degrade_to_scan(spark, tdir):
     got = t.agg_stats(["v"])
     assert got["files_read"] == 2  # nothing provable — scan all
     assert got["columns"]["v"] == {"min": 10.0, "max": 40.0, "count": 4}
+
+
+def test_files_metadata_table(spark, tdir):
+    """SnapshotTable.files (round 13 — the per-file metadata view
+    next to history()): every entry carries path/bucket/rows, stats
+    with the exactness marker, null counts, and bloom coverage;
+    results are deep copies (mutation-safe) and time-travel to the
+    requested anchor."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=2,
+        bloom_cols=["s"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "aa", 1.0, 1), (2, None, 2.0, 1)],
+            "k long, s string, v double, ver long",
+        )
+    )
+    sid1 = t.current_id()
+    t.append(
+        spark.createDataFrame(
+            [(3, "zz", 3.0, 2)], "k long, s string, v double, ver long"
+        )
+    )
+    fs = t.files()
+    assert sum(f["rows"] for f in fs) == 3
+    live = [f for f in fs if f["rows"]]
+    assert all("stats" in f and "sx" in f for f in live)
+    assert all(f.get("bloom_cols") == ["s"] for f in live)
+    assert all("nulls" in f for f in live)
+    assert len(t.files(snapshot_id=sid1)) < len(fs)
+
+    # deep copies: mutating the view never corrupts the cached
+    # manifest (the raw-manifest test-edit pattern stays explicit)
+    fs[0]["stats"]["k"][0] = -999
+    fs[0]["rows"] = 0
+    fresh = t.files()
+    assert fresh[0]["stats"]["k"][0] != -999 or fresh[0]["rows"] != 0
+    assert sum(f["rows"] for f in t.files()) == 3
+
+    with pytest.raises(ValueError, match="no commits"):
+        SnapshotTable(
+            spark, tdir + "_none", key_cols=["k"],
+            order_col="ver", n_buckets=2,
+        ).files()

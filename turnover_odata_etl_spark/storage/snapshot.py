@@ -457,6 +457,45 @@ class SnapshotTable:
                 return props[key]
         return None
 
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """The per-file metadata table at an anchor (round 13 —
+        Iceberg's ``table$files`` next to :meth:`history`'s
+        ``$snapshots``): one dict per data file with ``path``,
+        ``bucket``, ``rows``, and — when recorded — ``order_min``/
+        ``order_max``, per-column ``stats`` bounds with their ``sx``
+        exactness marker, per-column ``nulls``, and which columns
+        carry a ``bloom`` (the bitset itself is elided — callers
+        inspect sizes/coverage, probes go through the prune paths).
+        Deep-copied views: mutating the result can never corrupt the
+        manifest caches. O(files at the anchor) driver metadata — the
+        small-file / stats-coverage / maintenance-planning
+        introspection surface."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"snapshot table {self.table_dir}: no commits")
+        out = []
+        for f in self._manifest(sid)["files"]:
+            rec = {
+                "path": f["path"],
+                "bucket": f["bucket"],
+                "rows": f["rows"],
+            }
+            for k in ("order_min", "order_max"):
+                if k in f:
+                    rec[k] = f[k]
+            if f.get("stats"):
+                rec["stats"] = {
+                    c: list(v) for c, v in f["stats"].items()
+                }
+            if f.get("sx") is not None:
+                rec["sx"] = dict(f["sx"])
+            if f.get("nulls"):
+                rec["nulls"] = dict(f["nulls"])
+            if f.get("bloom"):
+                rec["bloom_cols"] = sorted(f["bloom"])
+            out.append(rec)
+        return out
+
     def history(self) -> list[dict]:
         """``[{snapshot_id, parent, operation, n_files, n_rows}]``,
         ascending — the audit trail a transaction log exists for."""
