@@ -285,3 +285,43 @@ def test_files_metadata_table(spark, tdir):
             spark, tdir + "_none", key_cols=["k"],
             order_col="ver", n_buckets=2,
         ).files()
+
+
+def test_maintenance_plan_targets_fragmented_buckets(
+    spark, tdir, monkeypatch
+):
+    """maintenance_plan flags only buckets over the file-count (or
+    under the avg-rows) threshold, from metadata alone; feeding its
+    keys to the bucket-scoped zorder rewrite clears the flag."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=2,
+    )
+    # fragment bucket(s) with 6 tiny appends
+    for w in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(i, float(i), w + 1) for i in range(w * 10, w * 10 + 10)],
+                "k long, v double, ver long",
+            )
+        )
+    opened = reader_spy(spark, monkeypatch)
+    plan = t.maintenance_plan(max_files_per_bucket=4)
+    monkeypatch.undo()
+    assert opened == []  # metadata only
+    assert plan  # six appends over two buckets: fragmented
+    for b, info in plan.items():
+        assert info["n_files"] > 4
+        assert info["rows"] == sum(
+            f["rows"] for f in t.files() if f["bucket"] == b
+        )
+
+    # the avg-rows knob flags small files even under the count cap
+    assert t.maintenance_plan(
+        max_files_per_bucket=100, min_avg_rows=1000
+    )
+
+    # acting on the plan clears it
+    t.rewrite_zorder(
+        ["v", "k"], rows_per_file=65536, buckets=sorted(plan)
+    )
+    assert t.maintenance_plan(max_files_per_bucket=4) == {}

@@ -496,6 +496,41 @@ class SnapshotTable:
             out.append(rec)
         return out
 
+    def maintenance_plan(
+        self,
+        max_files_per_bucket: int = 4,
+        min_avg_rows: int | None = None,
+    ) -> dict[int, dict]:
+        """Which buckets NEED maintenance (round 13 — the planning
+        half of Delta's OPTIMIZE: pick targets from metadata, then
+        feed them to :meth:`compact` or
+        :meth:`rewrite_zorder(buckets=...)`): a bucket qualifies when
+        it holds more than ``max_files_per_bucket`` live files (the
+        small-file accumulation every append-heavy table develops)
+        or, when ``min_avg_rows`` is given, when its average file
+        falls under that row count. Returns ``{bucket: {"n_files",
+        "rows", "avg_rows"}}`` for qualifying buckets only —
+        O(manifest entries) driver metadata, zero data files opened.
+        On a 100-TB table this is the nightly job's first query: scan
+        the manifest, rewrite the few buckets the day's commits
+        fragmented, leave the rest untouched."""
+        per_bucket: dict[int, list[int]] = {}
+        for f in self.files():
+            if f["rows"]:
+                per_bucket.setdefault(f["bucket"], []).append(f["rows"])
+        out: dict[int, dict] = {}
+        for b, rows in sorted(per_bucket.items()):
+            avg = sum(rows) / len(rows)
+            if len(rows) > max_files_per_bucket or (
+                min_avg_rows is not None and avg < min_avg_rows
+            ):
+                out[b] = {
+                    "n_files": len(rows),
+                    "rows": sum(rows),
+                    "avg_rows": round(avg, 1),
+                }
+        return out
+
     def history(self) -> list[dict]:
         """``[{snapshot_id, parent, operation, n_files, n_rows}]``,
         ascending — the audit trail a transaction log exists for."""
