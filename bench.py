@@ -149,10 +149,10 @@ ADDITIONS_R12 = [
     "s_snapshot_merge_into",
 ]
 
-# Round-13 STAGED queries (plans/roundthirteen.py — held for a cap
-# ruling, registry frozen at 211; timed here as staged_r13 so the
-# staged→registered delta series continues when they register).
-STAGED_R13 = [
+# Round-13 registrations (plans/roundthirteen.py — registered round 14
+# per the r13 cap ruling; benched as staged_r13 in BENCH_r13 for the
+# staged→registered delta series, registry-backed from r14 on).
+ADDITIONS_R13 = [
     "s_snapshot_agg_stats",
     "s_snapshot_bloom_pruned_delete",
     "s_join_cobucketed",
@@ -280,10 +280,8 @@ def main() -> None:
     additions_r12 = time_queries(
         spark, specs, ADDITIONS_R12, sf_dir, reps, errors
     )
-    from turnover_odata_etl_spark.plans.roundthirteen import STAGED as _R13
-    staged_specs = {**specs, **_R13}
-    staged_r13 = time_queries(
-        spark, staged_specs, STAGED_R13, sf_dir, reps, errors
+    additions_r13 = time_queries(
+        spark, specs, ADDITIONS_R13, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -317,7 +315,7 @@ def main() -> None:
     additions_r10_total = round(sum(additions_r10.values()), 3)
     additions_r11_total = round(sum(additions_r11.values()), 3)
     additions_r12_total = round(sum(additions_r12.values()), 3)
-    staged_r13_total = round(sum(staged_r13.values()), 3)
+    additions_r13_total = round(sum(additions_r13.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -359,8 +357,8 @@ def main() -> None:
         "additions_r11_total": additions_r11_total,
         "additions_r12": additions_r12,
         "additions_r12_total": additions_r12_total,
-        "staged_r13": staged_r13,
-        "staged_r13_total": staged_r13_total,
+        "additions_r13": additions_r13,
+        "additions_r13_total": additions_r13_total,
         "all_total": round(
             total
             + streaming_total
@@ -373,7 +371,8 @@ def main() -> None:
             + additions_r9_total
             + additions_r10_total
             + additions_r11_total
-            + additions_r12_total,
+            + additions_r12_total
+            + additions_r13_total,
             3,
         ),
         "fixtures": fixtures,
@@ -415,7 +414,7 @@ def main() -> None:
         "additions_r10": additions_r10_total,
         "additions_r11": additions_r11_total,
         "additions_r12": additions_r12_total,
-        "staged_r13": staged_r13_total,
+        "additions_r13": additions_r13_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -431,7 +430,7 @@ def main() -> None:
         ("additions_r10", additions_r10),
         ("additions_r11", additions_r11),
         ("additions_r12", additions_r12),
-        ("staged_r13", staged_r13),
+        ("additions_r13", additions_r13),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

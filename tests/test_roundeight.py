@@ -56,7 +56,8 @@ def test_roundeight_is_registered():
     ruling; round 10 moved the cap to 201 per the r09 ruling
     (roundnine activations); round 12 moved it to 206 per the r11
     ruling; round 13 moved it to 211 per the r12 ruling (roundtwelve
-    activations) and froze it there."""
+    activations); round 14 moved it to 215 per the r13 ruling
+    (roundthirteen activations) and froze it there."""
     specs = all_specs()
     for name in (
         "m_gif_decode_features",
@@ -71,7 +72,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 211  # the frozen cap (r12 ruling)
+    assert len(specs) == 215  # the frozen cap (r13 ruling)
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

@@ -1,7 +1,7 @@
-"""Round-13 STAGED queries (plans/roundthirteen.py) — oracle parity,
-run every session while the queries await a cap ruling (registry
-frozen at 211 by the r12 verdict). Mechanism deep-dives live in
-tests/test_agg_stats.py and tests/test_snapshot_bloom.py."""
+"""Round-13 queries (plans/roundthirteen.py) — oracle parity, run
+every session (registered in round 14 per the r13 cap ruling; cap
+215, frozen). Mechanism deep-dives live in tests/test_agg_stats.py
+and tests/test_snapshot_bloom.py."""
 
 from __future__ import annotations
 
@@ -13,7 +13,6 @@ from turnover_odata_etl_spark.plans.roundthirteen import (
     BLOOM_DELETE_ORACLE,
     COBUCKET_ORACLE,
     HISTORY_ORACLE,
-    STAGED,
     s_join_cobucketed,
     s_snapshot_agg_stats,
     s_snapshot_bloom_pruned_delete,
@@ -36,13 +35,20 @@ def _con(sf_dir):
     return con
 
 
-def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {
+def test_roundthirteen_is_registered_with_eager_oracles():
+    """The r13 cap ruling executed in round 14: all four round-13
+    queries are registered with eager oracles; cap 211 -> 215,
+    frozen there."""
+    from turnover_odata_etl_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    for name in (
         "s_snapshot_agg_stats", "s_snapshot_bloom_pruned_delete",
         "s_join_cobucketed", "s_snapshot_history",
-    }
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
+    ):
+        assert name in specs, name
+        assert specs[name].oracle and specs[name].oracle.strip()
+    assert len(specs) == 215  # the frozen cap (r13 ruling)
 
 
 def test_agg_stats_query_matches_oracle(spark, sf_dir):

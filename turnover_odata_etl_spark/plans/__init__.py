@@ -20,6 +20,7 @@ from . import roundnine  # noqa: E402,F401
 from . import roundten  # noqa: E402,F401
 from . import roundeleven  # noqa: E402,F401
 from . import roundtwelve  # noqa: E402,F401
+from . import roundthirteen  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -30,90 +31,88 @@ from . import roundtwelve  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 13 — the r12 verdict's cap ruling: "register all
-# five staged round-12 queries; cap moves 206 → 211, then frozen
-# again"). The ruling's named window:
-#   - the 5 new round-12 registrations (gate-now-or-never:
-#     t_bm25_topk, s_knn_ivf_persistent, s_bm25_incremental,
-#     s_snapshot_zorder_skipping, s_snapshot_merge_into);
-#   - the 6 round-8 freshness-floor rows held back last round
-#     (e12_from_json, e12_json_extract, e12_variant_extract,
-#     e13_approx_aggs, e13_bitmap_presence, e13_exact_percentiles) —
+# ROTATION (round 14 — the r13 verdict's cap ruling: "REGISTER all
+# four staged round-13 queries ... cap moves 211 → 215, then the
+# registry is frozen again"). The ruling's named window:
+#   - the 4 new round-13 registrations (gate-now-or-never:
+#     s_snapshot_agg_stats, s_snapshot_bloom_pruned_delete,
+#     s_join_cobucketed, s_snapshot_history);
+#   - the 11 round-9 freshness-floor rows held back last round —
 #     the oldest evidence in the ledger;
-#   - 39 of the 50 round-9 rows (scripts/staleness.py). The eleven
-#     held back for the round-14 rotation are pure-SQL sweeps and
-#     windowed aggregates whose code has not drifted since round 9
-#     (x_hof_functions, x_try_functions, x_url_functions,
-#     e13_corr_regression, e13_histogram, e14_gapfill_resample,
-#     e14_inactivity_gaps, e14_ohlc_bars, e5_window_range_frame,
-#     e6_q12_priority_by_returnflag, e6_q4_order_priority), while
-#     rows riding this round's edited files (storage/snapshot.py,
-#     operators/similarity.py, operators/retrieval.py: s_*_layout,
-#     s_compaction_roundtrip, s_schema_evolution_merge, d_* dedup,
-#     decoder and streaming rows) all keep their slots.
-# Next-stalest after this round: those 11 round-9 rows + the round-10
-# rows (scripts/staleness.py). Registry is FROZEN at 211 per the r12
-# ruling; future registrations only for queries that are the sole
-# oracle coverage of a new SURVEY row.
+#   - 35 of the 50 round-10 rows (scripts/staleness.py). The fifteen
+#     held back for the round-15 rotation are pure-SQL sweeps,
+#     pivot/cube shapes, and window-function batteries whose code has
+#     not drifted since round 10 (e1_conditional_agg, e1_pivot,
+#     e1_unpivot, e2_cube, e2_grouping_sets, e5_window_distribution,
+#     e5_window_lag_lead, e5_window_ntile_nth, e5_window_running_sum,
+#     e7_except, q_sql_exists_subquery, x_array_functions,
+#     x_bitwise_functions, x_math_functions, x_null_conditional),
+#     while rows riding this round's edited files
+#     (storage/snapshot.py, operators/similarity.py,
+#     operators/cobucket.py: s_snapshot_lifecycle,
+#     s_snapshot_skipping, st_snapshot_ivm, d_incremental_neardup,
+#     d_semdedup_kmeans, s_knn_lsh, c_merge_upsert and the rest) all
+#     keep their slots.
+# Next-stalest after this round: those 15 round-10 rows + the
+# round-11 rows (scripts/staleness.py). Registry is FROZEN at 215 per
+# the r13 ruling; future registrations only for queries that are the
+# sole oracle coverage of a new SURVEY row.
 #
 GATED_QUERIES = [
-    # the five round-12 registrations (cap ruling executed round 13)
-    "t_bm25_topk",
-    "s_knn_ivf_persistent",
-    "s_bm25_incremental",
-    "s_snapshot_zorder_skipping",
-    "s_snapshot_merge_into",
-    # the six round-8 freshness-floor rows
-    "e12_from_json",
-    "e12_json_extract",
-    "e12_variant_extract",
-    "e13_approx_aggs",
-    "e13_bitmap_presence",
-    "e13_exact_percentiles",
-    # 39 of the 50 stalest round-9 rows (held back for r14:
-    # x_hof_functions, x_try_functions, x_url_functions,
-    # e13_corr_regression, e13_histogram, e14_gapfill_resample,
-    # e14_inactivity_gaps, e14_ohlc_bars, e5_window_range_frame,
-    # e6_q12_priority_by_returnflag, e6_q4_order_priority)
-    "a_dedup_keep_latest",
-    "a_dedup_rows",
-    "d_levenshtein_blocked",
-    "d_phash_neardup",
-    "d_rollhash_fingerprint",
-    "d_simhash",
-    "d_simhash_neardup",
-    "e3_join_salted_skew",
-    "e4_scd2_intervals",
-    "e6_q10_returned_items",
-    "e6_q11_important_stock",
-    "e6_q15_top_supplier",
-    "e6_q16_part_supplier_counts",
-    "e6_q17_small_qty_revenue",
-    "e6_q18_large_volume_customer",
-    "e6_q20_promotion_suppliers",
-    "e6_q2_min_cost_supplier",
-    "e6_q3_shipping_priority",
-    "e6_q7_volume_shipping",
-    "e6_q8_market_share",
-    "e6_q9_product_profit",
-    "m_frame_sample",
-    "m_png_decode_features",
-    "m_wav_decode_features",
-    "s_compaction_roundtrip",
-    "s_orc_roundtrip",
-    "s_range_sorted_layout",
-    "s_schema_evolution_merge",
-    "s_warc_to_pretrain",
-    "s_xml_roundtrip",
-    "s_zorder_layout",
-    "st_sliding_window",
-    "st_stream_scd2_enrich",
-    "st_stream_stream_left_join",
-    "t_corpus_pipeline",
-    "t_pretrain_pipeline",
-    "t_repetition_metrics",
-    "t_unigram_logprob",
-    "t_weighted_sample_es",
+    # the four round-13 registrations (cap ruling executed round 14)
+    "s_snapshot_agg_stats",
+    "s_snapshot_bloom_pruned_delete",
+    "s_join_cobucketed",
+    "s_snapshot_history",
+    # the eleven round-9 freshness-floor rows (held back in r13)
+    "x_hof_functions",
+    "x_try_functions",
+    "x_url_functions",
+    "e13_corr_regression",
+    "e13_histogram",
+    "e14_gapfill_resample",
+    "e14_inactivity_gaps",
+    "e14_ohlc_bars",
+    "e5_window_range_frame",
+    "e6_q12_priority_by_returnflag",
+    "e6_q4_order_priority",
+    # 35 of the 50 stalest round-10 rows (the 15 held back for r15
+    # are named in the rotation comment above)
+    "c_merge_upsert",
+    "d_exact_substr_clean",
+    "d_incremental_neardup",
+    "d_semdedup_kmeans",
+    "e13_exact_distinct",
+    "e13_percentiles",
+    "e14_sessionize_batch",
+    "e1_salted_agg",
+    "e3_join_bucketed_colocated",
+    "e3_join_cross",
+    "e3_join_full_outer",
+    "e3_join_right",
+    "g_triangle_count",
+    "m_avi_decode_features",
+    "m_embed_quantize",
+    "m_jpeg_decode_features",
+    "s_gzip_jsonl_roundtrip",
+    "s_jsonl_roundtrip",
+    "s_knn_lsh",
+    "s_odata_delta_sync",
+    "s_partitioned_scan_prune",
+    "s_snapshot_lifecycle",
+    "s_snapshot_skipping",
+    "s_warc_ingest",
+    "st_snapshot_ivm",
+    "st_stateful_user_agg",
+    "st_stream_dedup",
+    "t_bpe_apply",
+    "t_bpe_tokens",
+    "t_bpe_train",
+    "t_byte_entropy",
+    "t_chunk_documents",
+    "t_hash_split",
+    "t_stratified_sample",
+    "x_regex_hash_functions",
 ]
 
 registry.promote(GATED_QUERIES)

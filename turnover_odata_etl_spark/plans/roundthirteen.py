@@ -1,7 +1,9 @@
-"""Round-13 STAGED queries — held for a cap ruling (the r12 verdict
-froze the registry at 211; precedent is the roundeight→roundtwelve
-lifecycle: stage with oracles + bench history + empty-sweep coverage,
-register when a verdict rules).
+"""Round-13 queries — REGISTERED in round 14 per the r13 verdict's cap
+ruling ("REGISTER all four staged round-13 queries ... the cap moves
+211 → 215, then the registry is frozen again"). Staged in round 13 with
+oracles + bench history + empty-sweep coverage, judge-verified at
+sf0.001 + sf0.01 before the ruling (the roundeight→roundtwelve
+lifecycle).
 
 ``s_snapshot_agg_stats`` — metadata-only aggregates (VERDICT r12
 item 2 / SURVEY E116, ``SnapshotTable.agg_stats``): ``count(*)`` /
@@ -39,17 +41,15 @@ value lies in [100, 250] and some event_id % 3 == 0 — otherwise the
 corresponding verb no-ops WITHOUT a commit (correct engine behavior)
 and the ledger has fewer rows than the oracle's fixed six.
 
-Activation checklist (mirror of roundtwelve's, executed at ruling):
-1. move the specs into ``@register`` form (oracles are eager
-   constants), import roundthirteen in ``plans/__init__``,
-2. add them to the gate window for their first round,
-3. move STAGED_R13 → ADDITIONS_R13 in bench.py,
-4. remove the staged empty-sweep block (tests/test_empty_input.py),
-5. grep ``'== 21[0-9]'`` across tests/ — registry-count pins live in
-   test_roundeight/test_roundnine,
-6. plan-audit adjudications: the agg_stats meta row is a 1-row local
-   frame (driver metadata by design — the whole point is that no
-   Spark job runs); the scan row is one full-table aggregate.
+Activation checklist (mirror of roundtwelve's) — EXECUTED round 14:
+specs moved into ``@register`` form, roundthirteen imported in
+``plans/__init__``, the four queries lead the r14 gate window,
+STAGED_R13 → ADDITIONS_R13 in bench.py, staged empty-sweep block
+folded into the registry sweep, registry-count pins moved to 215,
+plan-audit adjudications recorded (the agg_stats meta row is a 1-row
+local frame — driver metadata by design, no Spark job is the point;
+the scan row is one full-table aggregate; the history ledger is
+O(snapshots) driver metadata).
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 
 
 def _append_id_slices(t, ev, mn: int, mx: int, n: int = 3) -> None:
@@ -115,6 +115,11 @@ AGG_STATS_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_agg_stats",
+    oracle=AGG_STATS_ORACLE,
+    tags=("storage", "snapshot", "metadata", "stats"),
+)
 def s_snapshot_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregates lifecycle (SURVEY E116,
     ``SnapshotTable.agg_stats``): bootstrap events as three id-sliced
@@ -211,6 +216,11 @@ BLOOM_DELETE_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_bloom_pruned_delete",
+    oracle=BLOOM_DELETE_ORACLE,
+    tags=("storage", "snapshot", "bloom", "delete"),
+)
 def s_snapshot_bloom_pruned_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -321,6 +331,11 @@ HISTORY_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_history",
+    oracle=HISTORY_ORACLE,
+    tags=("storage", "snapshot", "metadata", "history"),
+)
 def s_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot HISTORY metadata table (SURVEY E120,
     ``SnapshotTable.history`` — Iceberg's ``table$snapshots`` /
@@ -395,6 +410,11 @@ COBUCKET_ORACLE = """
 """
 
 
+@register(
+    "s_join_cobucketed",
+    oracle=COBUCKET_ORACLE,
+    tags=("storage", "snapshot", "join", "cobucket"),
+)
 def s_join_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-bucketed snapshot join (SURVEY E118 / VERDICT
     r12 item 4, ``operators/cobucket.join_cobucketed``): orders and a
@@ -455,30 +475,3 @@ def s_join_cobucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "s_snapshot_agg_stats": QuerySpec(
-        name="s_snapshot_agg_stats",
-        fn=s_snapshot_agg_stats,
-        oracle=AGG_STATS_ORACLE,
-        tags=("storage", "snapshot", "metadata", "stats"),
-    ),
-    "s_snapshot_bloom_pruned_delete": QuerySpec(
-        name="s_snapshot_bloom_pruned_delete",
-        fn=s_snapshot_bloom_pruned_delete,
-        oracle=BLOOM_DELETE_ORACLE,
-        tags=("storage", "snapshot", "bloom", "delete"),
-    ),
-    "s_join_cobucketed": QuerySpec(
-        name="s_join_cobucketed",
-        fn=s_join_cobucketed,
-        oracle=COBUCKET_ORACLE,
-        tags=("storage", "snapshot", "join", "cobucket"),
-    ),
-    "s_snapshot_history": QuerySpec(
-        name="s_snapshot_history",
-        fn=s_snapshot_history,
-        oracle=HISTORY_ORACLE,
-        tags=("storage", "snapshot", "metadata", "history"),
-    ),
-}
