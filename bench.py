@@ -159,6 +159,13 @@ ADDITIONS_R13 = [
     "s_snapshot_history",
 ]
 
+# Round-14 STAGED queries (plans/roundfourteen.py — held for a cap
+# ruling, registry frozen at 215; timed here as staged_r14 so the
+# staged→registered delta series continues when they register).
+STAGED_R14 = [
+    "s_snapshot_dv_delete",
+]
+
 # Round-9 registrations (plans/roundnine.py — registered round 10 per
 # the r09 cap ruling; benched as staged_r9 in BENCH_r08/r09 for the
 # staged→registered delta series, registry-backed from r10 on).
@@ -283,6 +290,11 @@ def main() -> None:
     additions_r13 = time_queries(
         spark, specs, ADDITIONS_R13, sf_dir, reps, errors
     )
+    from turnover_odata_etl_spark.plans.roundfourteen import STAGED as _R14
+    staged_specs = {**specs, **_R14}
+    staged_r14 = time_queries(
+        spark, staged_specs, STAGED_R14, sf_dir, reps, errors
+    )
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -316,6 +328,7 @@ def main() -> None:
     additions_r11_total = round(sum(additions_r11.values()), 3)
     additions_r12_total = round(sum(additions_r12.values()), 3)
     additions_r13_total = round(sum(additions_r13.values()), 3)
+    staged_r14_total = round(sum(staged_r14.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -359,6 +372,8 @@ def main() -> None:
         "additions_r12_total": additions_r12_total,
         "additions_r13": additions_r13,
         "additions_r13_total": additions_r13_total,
+        "staged_r14": staged_r14,
+        "staged_r14_total": staged_r14_total,
         "all_total": round(
             total
             + streaming_total
@@ -415,6 +430,7 @@ def main() -> None:
         "additions_r11": additions_r11_total,
         "additions_r12": additions_r12_total,
         "additions_r13": additions_r13_total,
+        "staged_r14": staged_r14_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -431,6 +447,7 @@ def main() -> None:
         ("additions_r11", additions_r11),
         ("additions_r12", additions_r12),
         ("additions_r13", additions_r13),
+        ("staged_r14", staged_r14),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

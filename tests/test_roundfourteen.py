@@ -1,0 +1,57 @@
+"""Round-14 STAGED queries (plans/roundfourteen.py) — oracle parity,
+run every session while the queries await a cap ruling (registry
+frozen at 215 by the r13 verdict). Mechanism deep-dives live in
+tests/test_snapshot_dv.py."""
+
+from __future__ import annotations
+
+import duckdb
+
+from .oracle_utils import compare_spark_vs_oracle
+from turnover_odata_etl_spark.plans.roundfourteen import (
+    DV_DELETE_ORACLE,
+    STAGED,
+    s_snapshot_dv_delete,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_staged_specs_have_eager_oracles():
+    assert set(STAGED) == {"s_snapshot_dv_delete"}
+    for spec in STAGED.values():
+        assert spec.oracle and spec.oracle.strip()
+
+
+def test_dv_delete_query_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        s_snapshot_dv_delete(spark, sf_dir),
+        _con(sf_dir),
+        DV_DELETE_ORACLE,
+        "s_snapshot_dv_delete",
+    )
+
+
+def test_dv_delete_contract_row_pins_zero_rewrites(spark, sf_dir):
+    """The contract row's n column is the in-band zero-data-files-
+    rewritten pin; its s column is agg_stats's manifest-only live
+    count — both must be self-consistent with the mor aggregate."""
+    rows = s_snapshot_dv_delete(spark, sf_dir).collect()
+    contract = [r for r in rows if r["label"] == "contract"]
+    assert len(contract) == 1
+    assert contract[0]["n"] == 0  # MOR rewrote no data file
+    mor_total = sum(r["n"] for r in rows if r["label"] == "mor")
+    assert contract[0]["s"] == float(mor_total)

@@ -109,6 +109,16 @@ _BLOOM_BITS_PER_ROW = 16
 _BLOOM_MIN_BITS = 256
 _BLOOM_MAX_BITS = 65536
 
+# Merge-on-read deletion vectors (round 14 — VERDICT r13 item 2; the
+# public capability is Iceberg v2 positional delete files / Delta
+# deletion vectors): a MOR delete writes O(matched rows) of (file,
+# position) pairs to a sidecar parquet and flips manifest entries to
+# reference it — it never rewrites data files. Readers anti-join the
+# referenced positions back out; compaction / COW rewrites fold them
+# into data files and drop the reference.
+DV_CHAIN_MAX = 4  # sidecar refs per file before the write-side fold
+DV_BROADCAST_MAX = 2_000_000  # positions; above this AQE decides
+
 
 def _bloom_nbits(rows: int) -> int:
     m = rows * _BLOOM_BITS_PER_ROW
@@ -493,6 +503,12 @@ class SnapshotTable:
                 rec["nulls"] = dict(f["nulls"])
             if f.get("bloom"):
                 rec["bloom_cols"] = sorted(f["bloom"])
+            if f.get("dv"):
+                # merge-on-read delete exposure (round 14): physical
+                # ``rows`` minus ``dv_rows`` is the live count; the
+                # sidecar list length is the read-side merge fan-in
+                rec["dv_rows"] = f["dv"]["n"]
+                rec["dv_sidecars"] = len(f["dv"].get("sidecars", ()))
             out.append(rec)
         return out
 
@@ -500,6 +516,7 @@ class SnapshotTable:
         self,
         max_files_per_bucket: int = 4,
         min_avg_rows: int | None = None,
+        max_delete_ratio: float | None = 0.3,
     ) -> dict[int, dict]:
         """Which buckets NEED maintenance (round 13 — the planning
         half of Delta's OPTIMIZE: pick targets from metadata, then
@@ -511,29 +528,48 @@ class SnapshotTable:
         falls under that row count. Returns ``{bucket: {"n_files",
         "rows", "avg_rows"}}`` for qualifying buckets only —
         O(manifest entries) driver metadata, zero data files opened.
+        A bucket also qualifies when its merge-on-read delete ratio
+        (deletion-vector rows over physical rows) exceeds
+        ``max_delete_ratio`` (round 14): reads there pay the position
+        anti-join for mostly-dead bytes, so the bucket is due a
+        :meth:`compact` fold.
+
         On a 100-TB table this is the nightly job's first query: scan
         the manifest, rewrite the few buckets the day's commits
         fragmented, leave the rest untouched."""
-        per_bucket: dict[int, list[int]] = {}
+        per_bucket: dict[int, list[dict]] = {}
         for f in self.files():
             if f["rows"]:
-                per_bucket.setdefault(f["bucket"], []).append(f["rows"])
+                per_bucket.setdefault(f["bucket"], []).append(f)
         out: dict[int, dict] = {}
-        for b, rows in sorted(per_bucket.items()):
+        for b, fs in sorted(per_bucket.items()):
+            rows = [f["rows"] for f in fs]
+            dv_rows = sum(f.get("dv_rows", 0) for f in fs)
             avg = sum(rows) / len(rows)
-            if len(rows) > max_files_per_bucket or (
-                min_avg_rows is not None and avg < min_avg_rows
+            ratio = dv_rows / sum(rows)
+            if (
+                len(rows) > max_files_per_bucket
+                or (min_avg_rows is not None and avg < min_avg_rows)
+                or (
+                    max_delete_ratio is not None
+                    and ratio > max_delete_ratio
+                )
             ):
                 out[b] = {
                     "n_files": len(rows),
                     "rows": sum(rows),
                     "avg_rows": round(avg, 1),
                 }
+                if dv_rows:
+                    out[b]["dv_rows"] = dv_rows
         return out
 
     def history(self) -> list[dict]:
         """``[{snapshot_id, parent, operation, n_files, n_rows}]``,
-        ascending — the audit trail a transaction log exists for."""
+        ascending — the audit trail a transaction log exists for.
+        ``n_rows`` is LIVE rows (physical minus deletion-vector
+        counts), so a merge-on-read delete shows the same row drop a
+        copy-on-write one does."""
         out = []
         for sid in self.snapshot_ids():
             m = self._manifest(sid)
@@ -543,7 +579,9 @@ class SnapshotTable:
                     "parent": m["parent"],
                     "operation": m["operation"],
                     "n_files": len(m["files"]),
-                    "n_rows": sum(f["rows"] for f in m["files"]),
+                    "n_rows": sum(
+                        self._live_rows(f) for f in m["files"]
+                    ),
                 }
             )
         return out
@@ -769,6 +807,110 @@ class SnapshotTable:
     def _schema_of(self, manifest: dict) -> T.StructType:
         return T.StructType.fromJson(json.loads(manifest["schema"]))
 
+    # ------------------------------------ merge-on-read deletion vectors
+
+    def _dv_pairs(self, entries: list[dict], spark=None) -> DataFrame:
+        """Deleted-position frame ``(__fname, __pos)`` for the given
+        dv-carrying manifest entries: the union of their position
+        sidecars, restricted to exactly the (file, sidecar) pairs the
+        entries reference. The pairing matters for time travel — a
+        sidecar written by a later delete may hold positions for a
+        file whose entry at THIS snapshot does not reference it yet,
+        so filtering by file name alone would delete from the past.
+        O(referenced sidecar rows) — the not-yet-compacted deleted
+        positions, never the data files."""
+        spark = spark or self.spark
+        refs = sorted(
+            {
+                (os.path.basename(f["path"]), os.path.basename(sc))
+                for f in entries
+                for sc in (f.get("dv") or {}).get("sidecars", ())
+            }
+        )
+        sidecars = sorted({sc for _, sc in refs})
+        raw = spark.read.parquet(
+            *[
+                os.path.join(self.table_dir, "data", sc)
+                for sc in sidecars
+            ]
+        ).select(
+            F.col("fname").alias("__fname"),
+            F.col("pos").alias("__pos"),
+            F.col("_metadata.file_name").alias("__sc"),
+        )
+        ref_df = spark.createDataFrame(
+            refs, "__fname string, __sc string"
+        )
+        return raw.join(
+            F.broadcast(ref_df), ["__fname", "__sc"], "left_semi"
+        ).select("__fname", "__pos")
+
+    def _read_entries(
+        self,
+        entries: list[dict],
+        schema: T.StructType,
+        spark=None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """DV-aware aligned read of manifest entries — the merge-on-
+        read half of deletion vectors (round 14; the public pattern is
+        Iceberg v2 positional delete files / Delta deletion vectors,
+        re-expressed Spark-first as ONE broadcast anti-join on
+        ``(_metadata.file_name, _metadata.row_index)`` — both native
+        metadata columns, so position derivation costs no shuffle and
+        no Python). Entries without a ``dv`` take the plain
+        :meth:`_aligned_read` path UNCHANGED — dv-less tables (every
+        pre-r14 table) keep byte-identical plans.
+
+        ``keep_meta=True`` retains ``__fname``/``__pos`` for callers
+        that group per file (the agg_stats fallback scan) or write
+        position sidecars (the MOR delete verbs).
+
+        Scale note: the deleted-position frame is broadcast only while
+        its manifest-recorded total stays under ``DV_BROADCAST_MAX``
+        positions; past that the hint is dropped and AQE picks the
+        strategy — and a table carrying that many un-compacted deletes
+        is precisely what :meth:`maintenance_plan`'s delete-ratio
+        targeting exists to flag for :meth:`compact`."""
+        spark = spark or self.spark
+        entries = list(entries)
+        paths = [os.path.join(self.table_dir, f["path"]) for f in entries]
+        dved = [f for f in entries if f.get("dv")]
+        if not dved and not keep_meta:
+            return self._aligned_read(paths, schema, spark=spark)
+        if not paths:
+            df = spark.createDataFrame([], schema)
+            if keep_meta:
+                df = df.withColumn(
+                    "__fname", F.lit(None).cast("string")
+                ).withColumn("__pos", F.lit(None).cast("long"))
+            return df
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        cols = set(df.columns)
+        df = df.select(
+            *[
+                F.col(f.name)
+                if f.name in cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col("_metadata.file_name").alias("__fname"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if dved:
+            dv = self._dv_pairs(dved, spark=spark)
+            total = sum((f.get("dv") or {}).get("n", 0) for f in dved)
+            if total <= DV_BROADCAST_MAX:
+                dv = F.broadcast(dv)
+            df = df.join(dv, ["__fname", "__pos"], "left_anti")
+        return df if keep_meta else df.drop("__fname", "__pos")
+
+    @staticmethod
+    def _live_rows(f: dict) -> int:
+        """Live (undeleted) rows of a manifest entry: physical rows
+        minus its deletion-vector count."""
+        return f["rows"] - (f.get("dv") or {}).get("n", 0)
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at ``snapshot_id`` (default: current). A
         zero-file snapshot reads as an empty frame with the table's
@@ -777,8 +919,7 @@ class SnapshotTable:
         if sid is None:
             raise ValueError(f"snapshot table {self.table_dir}: no commits")
         m = self._manifest(sid)
-        paths = [os.path.join(self.table_dir, f["path"]) for f in m["files"]]
-        return self._aligned_read(paths, self._schema_of(m))
+        return self._read_entries(m["files"], self._schema_of(m))
 
     def read_keys(
         self, key_values: list, snapshot_id: int | None = None
@@ -883,10 +1024,7 @@ class SnapshotTable:
                 return False
 
             cand = [f for f in cand if may_hold(f)]
-        paths = [
-            os.path.join(self.table_dir, f["path"]) for f in cand
-        ]
-        return self._aligned_read(paths, self._schema_of(m)).filter(
+        return self._read_entries(cand, self._schema_of(m)).filter(
             F.col(key).isin(key_values)
         )
 
@@ -942,12 +1080,12 @@ class SnapshotTable:
             .collect()
         }
         bb = self._by_bucket(sid)
-        paths = [
-            os.path.join(self.table_dir, f["path"])
+        ents = [
+            f
             for b in sorted(buckets)
             for f in self._entries(bb.get(b, []))
         ]
-        return self._aligned_read(paths, self._schema_of(m))
+        return self._read_entries(ents, self._schema_of(m))
 
     @staticmethod
     def _changed_buckets(
@@ -958,14 +1096,25 @@ class SnapshotTable:
         identical per-bucket file lists prove the bucket's contents
         are byte-identical — the manifest diff is the pruning
         metadata for an incremental read (Iceberg's incremental-scan
-        planning in miniature). Unit-tested directly in
+        planning in miniature). A merge-on-read delete changes an
+        entry's deletion-vector reference WITHOUT changing its path
+        (round 14), so the identity compared here is (path, dv
+        sidecar list) — a dv flip marks the bucket changed exactly
+        like a rewrite would. Unit-tested directly in
         tests/test_snapshot.py."""
-        by_bucket_from: dict[int, list[str]] = {}
-        by_bucket_to: dict[int, list[str]] = {}
+
+        def ident(f: dict):
+            return (
+                f["path"],
+                tuple((f.get("dv") or {}).get("sidecars", ())),
+            )
+
+        by_bucket_from: dict[int, list] = {}
+        by_bucket_to: dict[int, list] = {}
         for f in files_from:
-            by_bucket_from.setdefault(f["bucket"], []).append(f["path"])
+            by_bucket_from.setdefault(f["bucket"], []).append(ident(f))
         for f in files_to:
-            by_bucket_to.setdefault(f["bucket"], []).append(f["path"])
+            by_bucket_to.setdefault(f["bucket"], []).append(ident(f))
         changed = set()
         for b in set(by_bucket_from) | set(by_bucket_to):
             if sorted(by_bucket_from.get(b, [])) != sorted(
@@ -1021,12 +1170,10 @@ class SnapshotTable:
             # both sides align to the TO-schema: across an additive
             # evolution, pre-evolution rows carry typed NULLs for the
             # new columns (the standard CDF backfill convention)
-            paths = [
-                os.path.join(self.table_dir, f["path"])
-                for f in manifest["files"]
-                if f["bucket"] in changed
+            ents = [
+                f for f in manifest["files"] if f["bucket"] in changed
             ]
-            return self._aligned_read(paths, schema)
+            return self._read_entries(ents, schema)
 
         if not changed:
             return self.spark.createDataFrame([], out_schema)
@@ -1336,17 +1483,24 @@ class SnapshotTable:
             bkt
             for bkt, loc in base_bb.items()
             if self._loc_n(loc)
-            and (dedup_keys or self._loc_n(loc) >= min_files)
+            and (
+                dedup_keys
+                or self._loc_n(loc) >= min_files
+                # a deletion-vector-carrying bucket always qualifies:
+                # compaction is what folds MOR deletes back into data
+                # files (round 14 — the Iceberg/Delta rewrite rule)
+                or any(f.get("dv") for f in self._entries(loc))
+            )
         )
         if not touched:
             return base_id
-        paths = [
-            os.path.join(self.table_dir, f["path"])
+        ents = [
+            f
             for bkt in touched
             for f in self._entries(base_bb[bkt])
         ]
-        cur = self._aligned_read(
-            paths, self._schema_of(base_raw),
+        cur = self._read_entries(
+            ents, self._schema_of(base_raw),
             spark=self.spark,
         )
         if dedup_keys:
@@ -1490,12 +1644,12 @@ class SnapshotTable:
             touched = sorted(set(touched) & set(buckets))
         if not touched:
             return base_id
-        paths = [
-            os.path.join(self.table_dir, f["path"])
+        ents = [
+            f
             for bkt in touched
             for f in self._entries(base_bb[bkt])
         ]
-        cur = self._aligned_read(paths, schema, spark=self.spark)
+        cur = self._read_entries(ents, schema, spark=self.spark)
         # rank quantization: 2^bits - 1 approximate quantile cuts per
         # column in ONE pass; only (cols × 2^bits) doubles reach the
         # driver — metadata at any table size
@@ -1651,13 +1805,31 @@ class SnapshotTable:
         predicate: str,
         max_retries: int = 5,
         properties: dict | None = None,
+        mode: str = "cow",
     ) -> int:
-        """Predicate DELETE as one copy-on-write snapshot commit — the
+        """Predicate DELETE as one snapshot commit — the
         ``DELETE FROM t WHERE ...`` Iceberg/Delta users reach for
         weekly (VERDICT r10 item 4), completing the DML triad next to
         MERGE (upserts) and APPEND (insert-only). Rows where
         ``predicate`` evaluates TRUE are removed; FALSE and NULL rows
         survive (SQL DELETE semantics).
+
+        ``mode`` picks the physical strategy (round 14 — VERDICT r13
+        item 2):
+
+        * ``"cow"`` (default, the pre-r14 behavior): copy-on-write —
+          every file holding a matching row is rewritten without its
+          matches. Best when deletes are dense (a rewritten file
+          amortizes) or downstream reads dominate.
+        * ``"mor"``: merge-on-read deletion vectors — the Iceberg v2
+          positional-delete / Delta DV pattern. The commit writes
+          O(matched rows) of (file, position) pairs to ONE sidecar
+          parquet and re-points manifest entries; data files are
+          NEVER rewritten. Readers anti-join the positions back out;
+          :meth:`compact` (or any COW rewrite touching the file)
+          folds them in. Best for selective deletes on huge tables —
+          the weekly GDPR batch at 100 TB deletes kilobytes instead
+          of rewriting terabytes.
 
         Cost discipline, in pruning order:
 
@@ -1680,15 +1852,172 @@ class SnapshotTable:
         (deleted rows remain readable at pre-delete snapshots until
         ``expire_snapshots``), and the predicate is recorded on the
         manifest as the ``delete.predicate`` property for audit."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(
+                f"delete_where: mode must be 'cow' or 'mor', got {mode!r}"
+            )
         last: Exception | None = None
         for _ in range(max_retries):
             try:
+                if mode == "mor":
+                    return self._delete_mor_once(predicate, properties)
                 return self._delete_once(predicate, properties)
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
             f"delete_where lost the commit race {max_retries} times"
         ) from last
+
+    def _delete_mor_once(
+        self, predicate: str, properties: dict | None
+    ) -> int:
+        """Merge-on-read predicate DELETE: one O(matched rows)
+        sidecar write + one O(touched buckets) manifest delta — data
+        files untouched. The candidate scan rides the same stats +
+        bloom prune as the COW path, and reads DV-APPLIED, so a row
+        already deleted by an earlier vector can never be matched
+        twice (positions per file stay distinct by construction)."""
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        base_bb = self._by_bucket(base_id)
+        cand, _kept = self._split_candidates(
+            base_bb, predicate_bounds(predicate)
+        )
+        if not cand:
+            return base_id  # stats/bloom prove nothing matches
+        matched = (
+            self._read_entries(
+                [f for fs in cand.values() for f in fs],
+                self._schema_of(base_raw),
+                keep_meta=True,
+            )
+            # NULL predicate rows SURVIVE — SQL DELETE semantics
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select("__fname", "__pos")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            props = dict(properties or {})
+            props.setdefault("delete.predicate", predicate)
+            props.setdefault("delete.mode", "mor")
+            return self._commit_dv(base_id, base_raw, base_bb, cand, matched, props)
+        finally:
+            matched.unpersist()
+
+    def _commit_dv(
+        self,
+        base_id: int,
+        base_raw: dict,
+        base_bb: dict,
+        cand: dict,
+        matched: DataFrame,
+        props: dict,
+    ) -> int:
+        """Shared deletion-vector commit tail (round 14): given the
+        matched ``(__fname, __pos)`` frame, write ONE position
+        sidecar, flip the matched entries' ``dv`` references, and
+        commit the O(touched buckets) manifest delta. Write-side
+        fold: a file whose sidecar chain would exceed ``DV_CHAIN_MAX``
+        gets its accumulated positions folded into the new sidecar
+        and references only it — chains stay O(1) per file without
+        waiting for compaction. Fully-deleted files (live rows hit
+        zero) drop out of the manifest entirely; their bytes are
+        reclaimed by ``expire_snapshots`` like any unreferenced file.
+
+        Durability order matches data files: the sidecar is fully
+        written and promoted to its immutable name BEFORE the
+        manifest claim, so a crash in between leaves only an
+        unreferenced orphan."""
+        import shutil
+
+        counts = {
+            r["__fname"]: r["n"]
+            for r in matched.groupBy("__fname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # ≤ touched files rows — metadata, never data
+        }
+        if not counts:
+            return base_id  # candidates held no actual match
+        by_fname = {
+            os.path.basename(f["path"]): f
+            for fs in cand.values()
+            for f in fs
+        }
+        fold = [
+            by_fname[fn]
+            for fn in counts
+            if len((by_fname[fn].get("dv") or {}).get("sidecars", ()))
+            + 1
+            > DV_CHAIN_MAX
+        ]
+        to_write = matched
+        if fold:
+            to_write = to_write.unionByName(self._dv_pairs(fold))
+        run = uuid.uuid4().hex[:12]
+        staging = os.path.join(self._data_dir, f".dv-staging-{run}")
+        os.makedirs(self._data_dir, exist_ok=True)
+        (
+            to_write.select(
+                F.col("__fname").alias("fname"),
+                F.col("__pos").alias("pos"),
+            )
+            # one sidecar file: the deleted-position set is small by
+            # regime (dense deletes belong to mode="cow"); sorted for
+            # per-file row-group locality on the read-side merge
+            .coalesce(1)
+            .sortWithinPartitions("fname", "pos")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = next(
+            p
+            for p in sorted(os.listdir(staging))
+            if p.endswith(".parquet")
+        )
+        name = f"dv-{run}.parquet"
+        os.rename(
+            os.path.join(staging, part),
+            os.path.join(self._data_dir, name),
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        rel = f"data/{name}"
+        fold_names = {os.path.basename(f["path"]) for f in fold}
+        touched_buckets = {by_fname[fn]["bucket"] for fn in counts}
+        touched_new: dict[int, list[dict]] = {}
+        for bkt in sorted(touched_buckets):
+            lst = []
+            for f in self._entries(base_bb[bkt]):
+                fn = os.path.basename(f["path"])
+                cnt = counts.get(fn)
+                if cnt is None:
+                    lst.append(f)  # untouched entry carries as-is
+                    continue
+                old = f.get("dv") or {}
+                n = old.get("n", 0) + cnt
+                if n >= f["rows"]:
+                    continue  # fully deleted: drop the entry
+                g = dict(f)
+                g["dv"] = {
+                    "n": n,
+                    "sidecars": (
+                        [rel]
+                        if fn in fold_names
+                        else [*old.get("sidecars", ()), rel]
+                    ),
+                }
+                lst.append(g)
+            touched_new[bkt] = lst
+        return self._commit_delta(
+            base_raw["schema"], base_bb, touched_new,
+            operation="delete", base_id=base_id, properties=props,
+        )
 
     def _delete_once(self, predicate: str, properties: dict | None) -> int:
         from pyspark import StorageLevel
@@ -1706,14 +2035,10 @@ class SnapshotTable:
         )
         if not cand:
             return base_id  # stats prove nothing matches — no-op
-        paths = [
-            os.path.join(self.table_dir, f["path"])
-            for fs in cand.values()
-            for f in fs
-        ]
         cur = self._with_bucket(
-            self._aligned_read(
-                paths, self._schema_of(base_raw), spark=self.spark
+            self._read_entries(
+                [f for fs in cand.values() for f in fs],
+                self._schema_of(base_raw), spark=self.spark,
             )
         ).withColumn(
             # NULL predicate rows SURVIVE — SQL DELETE semantics
@@ -1893,13 +2218,11 @@ class SnapshotTable:
         )
         if not cand:
             return base_id
-        paths = [
-            os.path.join(self.table_dir, f["path"])
-            for fs in cand.values()
-            for f in fs
-        ]
         cur = self._with_bucket(
-            self._aligned_read(paths, schema, spark=self.spark)
+            self._read_entries(
+                [f for fs in cand.values() for f in fs],
+                schema, spark=self.spark,
+            )
         ).withColumn(
             "__hit", F.coalesce(F.expr(predicate), F.lit(False))
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1951,8 +2274,9 @@ class SnapshotTable:
         keys_df: DataFrame,
         max_retries: int = 5,
         properties: dict | None = None,
+        mode: str = "cow",
     ) -> int:
-        """Keyed COW delete: remove every row whose full key tuple
+        """Keyed delete: remove every row whose full key tuple
         appears in ``keys_df`` — the GDPR/right-to-be-forgotten
         primitive a corpus table runs in batches (a keys frame, not a
         key LIST: the deletion set can be millions of ids and never
@@ -1964,22 +2288,106 @@ class SnapshotTable:
         so only those buckets' files are read; buckets where no key
         actually matched carry by reference; matches are NULL-SAFE on
         every key column (a NULL key component deletes rows with the
-        same NULL — the eqNullSafe lesson from the dedup family)."""
+        same NULL — the eqNullSafe lesson from the dedup family).
+
+        ``mode="mor"`` (round 14) writes deletion vectors instead of
+        rewriting files — see :meth:`delete_where`; for the keyed
+        GDPR batch this is THE intended mode at scale (kilobytes of
+        positions instead of terabytes of rewrite)."""
         missing = [c for c in self.key_cols if c not in keys_df.columns]
         if missing:
             raise ValueError(
                 f"delete_keys: keys frame is missing key columns "
                 f"{missing}"
             )
+        if mode not in ("cow", "mor"):
+            raise ValueError(
+                f"delete_keys: mode must be 'cow' or 'mor', got {mode!r}"
+            )
         last: Exception | None = None
         for _ in range(max_retries):
             try:
+                if mode == "mor":
+                    return self._delete_keys_mor_once(keys_df, properties)
                 return self._delete_keys_once(keys_df, properties)
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
             f"delete_keys lost the commit race {max_retries} times"
         ) from last
+
+    def _delete_keys_mor_once(
+        self, keys_df: DataFrame, properties: dict | None
+    ) -> int:
+        """Merge-on-read keyed delete: bucket-prune by the keys' own
+        layout hash (the :meth:`_delete_keys_once` prelude), then a
+        null-safe LEFT SEMI join marks matched positions and
+        :meth:`_commit_dv` writes them as one sidecar — O(matched
+        rows) written, zero data files rewritten."""
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        base_bb = self._by_bucket(base_id)
+        schema = self._schema_of(base_raw)
+        keys = (
+            keys_df.select(
+                *[
+                    F.col(k).cast(schema[k].dataType).alias(k)
+                    for k in self.key_cols
+                ]
+            )
+            .dropDuplicates(self.key_cols)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            target = sorted(
+                r["__bucket"]
+                for r in self._with_bucket(keys)
+                .select("__bucket")
+                .distinct()
+                .collect()  # ≤ n_buckets ids — metadata, never data
+            )
+            cand = {
+                b: self._entries(base_bb[b])
+                for b in target
+                if self._loc_n(base_bb.get(b, []))
+            }
+            if not cand:
+                return base_id
+            marked = keys.select(
+                *[F.col(k).alias(f"__k_{k}") for k in self.key_cols]
+            )
+            cond = None
+            for k in self.key_cols:
+                c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+                cond = c if cond is None else (cond & c)
+            matched = (
+                self._read_entries(
+                    [f for fs in cand.values() for f in fs],
+                    schema,
+                    spark=keys_df.sparkSession,
+                    keep_meta=True,
+                )
+                .join(marked, cond, "left_semi")
+                .select("__fname", "__pos")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                props = dict(properties or {})
+                props.setdefault("delete.mode", "mor")
+                return self._commit_dv(
+                    base_id, base_raw, base_bb, cand, matched, props
+                )
+            finally:
+                matched.unpersist()
+        finally:
+            keys.unpersist()
 
     def _delete_keys_once(
         self, keys_df: DataFrame, properties: dict | None
@@ -2031,11 +2439,6 @@ class SnapshotTable:
             }
             if not cand:
                 return base_id
-            paths = [
-                os.path.join(self.table_dir, f["path"])
-                for fs in cand.values()
-                for f in fs
-            ]
             marked = keys.select(
                 *[F.col(k).alias(f"__k_{k}") for k in self.key_cols]
             ).withColumn("__hit", F.lit(True))
@@ -2045,8 +2448,9 @@ class SnapshotTable:
                 cond = c if cond is None else (cond & c)
             cur = (
                 self._with_bucket(
-                    self._aligned_read(
-                        paths, schema,
+                    self._read_entries(
+                        [f for fs in cand.values() for f in fs],
+                        schema,
                         # the keys frame's own session — inside
                         # foreachBatch the micro-batch belongs to a
                         # cloned session and a join must not cross
@@ -2203,14 +2607,14 @@ class SnapshotTable:
                 .distinct()
                 .collect()  # ≤ n_buckets ids — metadata, never data
             )
-            cand_paths = [
-                os.path.join(self.table_dir, f["path"])
+            cand_ents = [
+                f
                 for b in target
                 for f in self._entries(base_bb.get(b, []))
             ]
             base_rows = self._with_bucket(
-                self._aligned_read(
-                    cand_paths, schema, spark=source.sparkSession
+                self._read_entries(
+                    cand_ents, schema, spark=source.sparkSession
                 )
             )
             s_pref = src.select(
@@ -2436,8 +2840,8 @@ class SnapshotTable:
             # micro-batch frame belongs to a cloned session; a union
             # must not cross sessions). Aligned to the BASE schema so
             # files predating an earlier evolution read consistently.
-            cur = self._aligned_read(
-                [os.path.join(self.table_dir, f["path"]) for f in replaced],
+            cur = self._read_entries(
+                replaced,
                 self._schema_of(base_raw),
                 spark=batch_df.sparkSession,
             )
@@ -2876,8 +3280,7 @@ class SnapshotTable:
             return _stats_overlap(s, lo, hi)
 
         files = [f for f in m["files"] if must_read(f)]
-        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
-        return self._aligned_read(paths, self._schema_of(m)).filter(
+        return self._read_entries(files, self._schema_of(m)).filter(
             F.col(column).between(F.lit(lo), F.lit(hi))
         )
 
@@ -2908,14 +3311,9 @@ class SnapshotTable:
         # materializing the flat O(F) file list here would defeat the
         # prune's point on a 10⁶-file table (the read_keys rule)
         schema = self._schema_of(self._raw_meta(sid))
-        paths = [
-            os.path.join(self.table_dir, f["path"])
-            for fs in cand.values()
-            for f in fs
-        ]
-        return self._aligned_read(paths, schema).filter(
-            F.expr(predicate)
-        )
+        return self._read_entries(
+            [f for fs in cand.values() for f in fs], schema
+        ).filter(F.expr(predicate))
 
     def agg_stats(
         self, columns=(), snapshot_id: int | None = None
@@ -2965,11 +3363,16 @@ class SnapshotTable:
         unknown = [c for c in columns if c not in schema_cols]
         if unknown:
             raise ValueError(f"agg_stats: unknown columns {unknown}")
-        files = [f for f in m["files"] if f["rows"]]
-        n_rows = sum(f["rows"] for f in files)
+        files = [f for f in m["files"] if self._live_rows(f)]
+        # n_rows stays EXACT under merge-on-read deletes: each dv
+        # carries its exact position count, so live = rows - dv.n
+        # (round 14 — Iceberg's "record_count minus position deletes")
+        n_rows = sum(self._live_rows(f) for f in files)
         by_bucket: dict[int, int] = {}
         for f in files:
-            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + f["rows"]
+            by_bucket[f["bucket"]] = (
+                by_bucket.get(f["bucket"], 0) + self._live_rows(f)
+            )
 
         # Per column: exact-attained bounds vs files needing a read.
         exact_lo: dict[str, list] = {c: [] for c in columns}
@@ -2981,13 +3384,25 @@ class SnapshotTable:
             stats = f.get("stats") or {}
             nulls = f.get("nulls") or {}
             sx = f.get("sx")  # None = pre-marker entry (pre-r13)
+            # A deletion-vector-carrying file's footer stats are OUTER
+            # bounds on its live values (the extreme row may be among
+            # the deleted), and its null count says nothing about
+            # which rows the dv removed — so its bounds never enter
+            # the exact sets and its counts always come from the (dv-
+            # applied) fallback scan. The moves-pruning below still
+            # applies: physical lo ≥ best exact min proves even the
+            # undeleted rows can't lower the answer.
+            has_dv = bool(f.get("dv"))
             for c in columns:
-                if c in nulls:
+                if c in nulls and not has_dv:
                     known_count[c] += f["rows"] - nulls[c]
                 else:
                     need_count[c].add(f["path"])
                 s = stats.get(c)
                 if s is None:
+                    need[c].add(f["path"])
+                    continue
+                if has_dv:
                     need[c].add(f["path"])
                     continue
                 lo, hi = s[0], s[1]
@@ -3062,15 +3477,17 @@ class SnapshotTable:
         # payload: one row per scanned file — metadata-sized.
         scanned: dict[str, dict] = {}
         if all_paths:
-            base_expr = F.element_at(
-                F.split(F.input_file_name(), "/"), -1
-            ).alias("__base")
+            by_path = {f["path"]: f for f in files}
             grouped = (
-                self._aligned_read(
-                    [os.path.join(self.table_dir, p) for p in all_paths],
+                self._read_entries(
+                    # dv-applied read (round 14): the fallback scan
+                    # must aggregate LIVE rows only, grouped by the
+                    # same _metadata.file_name the dv merge rides on
+                    [by_path[p] for p in all_paths],
                     self._schema_of(m),
+                    keep_meta=True,
                 )
-                .groupBy(base_expr)
+                .groupBy(F.col("__fname").alias("__base"))
                 .agg(
                     *[
                         g
@@ -3166,8 +3583,7 @@ class SnapshotTable:
             if "order_min" not in f
             or not (f["order_max"] < lo or f["order_min"] > hi)
         ]
-        paths = [os.path.join(self.table_dir, f["path"]) for f in files]
-        return self._aligned_read(paths, self._schema_of(m)).filter(
+        return self._read_entries(files, self._schema_of(m)).filter(
             F.col(self.order_col).between(F.lit(lo), F.lit(hi))
         )
 
@@ -3517,9 +3933,15 @@ class SnapshotTable:
             self._mcache.pop(floor, None)
             self._bcache.pop(floor, None)
             self._metacache.pop(floor, None)
-        live = {
-            f["path"] for sid in keep for f in self._manifest(sid)["files"]
-        }
+        # Deletion-vector sidecars share the data files' reachability
+        # rule (round 14): a sidecar lives while any KEPT snapshot's
+        # entry references it, and sweeps like any other data/ file.
+        live = set()
+        for sid in keep:
+            for f in self._manifest(sid)["files"]:
+                live.add(f["path"])
+                for sc in (f.get("dv") or {}).get("sidecars", ()):
+                    live.add(f"data/{os.path.basename(sc)}")
         # Segment liveness (format 3): every segment some KEPT
         # snapshot's locator view references survives; a concurrent
         # writer's new commit only carries refs from kept manifests,
@@ -3541,10 +3963,13 @@ class SnapshotTable:
         removed_set: set[str] = set()
         for sid in drop:
             for f in self._manifest(sid)["files"]:
-                p = f["path"]
-                if p not in live and p not in removed_set:
-                    removed_set.add(p)
-                    removed.append(p)
+                for p in (
+                    f["path"],
+                    *(f.get("dv") or {}).get("sidecars", ()),
+                ):
+                    if p not in live and p not in removed_set:
+                        removed_set.add(p)
+                        removed.append(p)
         # Unlink DESCENDING — children before parents. A crash mid-loop
         # then leaves only orphaned ANCESTORS (harmless: nothing
         # resolves through a dropped child, and a re-run expire cleans
