@@ -164,6 +164,7 @@ ADDITIONS_R13 = [
 # staged→registered delta series continues when they register).
 STAGED_R14 = [
     "s_snapshot_dv_delete",
+    "s_knn_ivf_refresh",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

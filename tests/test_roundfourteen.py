@@ -10,7 +10,9 @@ import duckdb
 from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.plans.roundfourteen import (
     DV_DELETE_ORACLE,
+    IVF_REFRESH_ORACLE,
     STAGED,
+    s_knn_ivf_refresh,
     s_snapshot_dv_delete,
 )
 
@@ -31,7 +33,7 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"s_snapshot_dv_delete"}
+    assert set(STAGED) == {"s_snapshot_dv_delete", "s_knn_ivf_refresh"}
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -42,6 +44,15 @@ def test_dv_delete_query_matches_oracle(spark, sf_dir):
         _con(sf_dir),
         DV_DELETE_ORACLE,
         "s_snapshot_dv_delete",
+    )
+
+
+def test_ivf_refresh_query_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        s_knn_ivf_refresh(spark, sf_dir),
+        _con(sf_dir),
+        IVF_REFRESH_ORACLE,
+        "s_knn_ivf_refresh",
     )
 
 

@@ -25,6 +25,21 @@ Mechanism deep-dives (chain folding, crash injection, GC
 reachability, CDC across a dv flip, COW parity on every read path)
 live in tests/test_snapshot_dv.py.
 
+``s_knn_ivf_refresh`` — the `IvfIndex` durable-codebook lifecycle
+end-to-end (VERDICT r13 item 3 / SURVEY E119): wave 1 fits and
+commits the codebook atomically with its postings, waves 2–3 append
+against it, ``refresh()`` re-trains + rebalances as ONE mixed-verb
+transaction, wave 4 lands on the refreshed codebook, and the search
+runs from a FRESH handle (durability — no session state). The floor
+is RAISED to 60 (vs the frozen-codebook query's 50): measured
+recall@5 for THIS 4-wave composition is 82 / 77 / 92 at sf0.001 /
+0.01 / 0.1 (wave 4 arrives after the refresh, so its vectors are
+assigned by a codebook trained without them — slightly below the
+3-wave refresh A/B's 85/83/93 in SCALE.md r13, which refreshed
+last). The floor sits 17 points under the worst measurement so a
+fixture regeneration can't flip a deterministic pass into a flaky
+one (the s_knn_ivf floor discipline).
+
 Activation checklist (mirror of roundthirteen's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundfourteen in ``plans/__init__``,
@@ -138,6 +153,86 @@ def s_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mor.unionByName(folded).unionByName(contract)
 
 
+# Approximate neighbor lists aren't SQL-reproducible (the candidate
+# set depends on the engine-side codebook), so the query emits the
+# recall-contract constants — the s_knn_ivf device: the oracle hash
+# fails exactly when recall collapses or the cardinality breaks.
+IVF_REFRESH_ORACLE = """
+    SELECT CAST(5 AS BIGINT) AS k, CAST(60 AS BIGINT) AS floor_pct,
+           CAST(100 AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS meets_floor
+"""
+
+
+def s_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-codebook IVF index maintenance lifecycle (SURVEY E119,
+    ``operators/similarity.IvfIndex``): wave 1 (fit + atomic
+    codebook/postings commit) → waves 2–3 (map-only assign + append
+    fast path) → ``refresh()`` (re-train over the accumulated
+    postings, reassign, ONE mixed-verb ``apply_all`` transaction so a
+    prober can never read new centroids over the old cell layout) →
+    wave 4 (assigned against the REFRESHED codebook) → ``topk`` from
+    a FRESH handle opened off disk (the durability claim: search
+    needs no session state). Recall contract at floor 60 — raised
+    from the frozen-codebook query's 50 because refresh recovers the
+    wave-1 codebook's drift (measured 82/77/92 for this composition
+    vs 75/70/92 frozen; floor discipline in the module docstring).
+
+    Plan shape: per-wave cost is O(batch); refresh is O(table) at
+    maintenance cadence BY DESIGN; the probe reads only the probed
+    cells' physical buckets (``read_matching``); the exact brute-
+    force re-rank is the contract's verification cost, not the
+    serving path."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+        recall_contract,
+    )
+    from .roundten import _exact_order_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "k long, floor_pct long, n_true long, meets_floor long"
+        )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/ivf_refresh_e2e"
+    shutil.rmtree(base, ignore_errors=True)
+    index = IvfIndex(spark, base, n_buckets=8)
+
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").alias("vec"),
+    )
+    qs = [math.ceil(n * i / 4.0) for i in (1, 2, 3)]
+    cuts = _exact_order_stats(vecs, "nid", qs)
+    c1, c2, c3 = (cuts.get(q) for q in qs)
+    bounds = [(None, c1), (c1, c2), (c2, c3), (c3, None)]
+    for ver, (lo, hi) in enumerate(bounds, start=1):
+        chunk = vecs
+        if lo is not None:
+            chunk = chunk.filter(F.col("nid") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("nid") <= hi)
+        index.wave(chunk, ver, n_cells=16)
+        if ver == 3:
+            index.refresh()  # maintenance between waves 3 and 4
+
+    served = IvfIndex(spark, base, n_buckets=8)  # fresh handle
+    queries = emb.filter(F.col("vec_id") < 20)
+    q = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("vec"),
+    )
+    approx = served.topk(q, k=5, nprobe=4)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return recall_contract(approx, exact, k=5, floor_pct=60)
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "s_snapshot_dv_delete": QuerySpec(
@@ -145,5 +240,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_snapshot_dv_delete,
         oracle=DV_DELETE_ORACLE,
         tags=("storage", "snapshot", "delete", "dv"),
+    ),
+    "s_knn_ivf_refresh": QuerySpec(
+        name="s_knn_ivf_refresh",
+        fn=s_knn_ivf_refresh,
+        oracle=IVF_REFRESH_ORACLE,
+        tags=("llm", "similarity", "storage", "incremental", "maintenance"),
     ),
 }
