@@ -165,6 +165,7 @@ ADDITIONS_R13 = [
 STAGED_R14 = [
     "s_snapshot_dv_delete",
     "s_knn_ivf_refresh",
+    "s_snapshot_wap_publish",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

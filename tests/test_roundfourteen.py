@@ -12,8 +12,10 @@ from turnover_odata_etl_spark.plans.roundfourteen import (
     DV_DELETE_ORACLE,
     IVF_REFRESH_ORACLE,
     STAGED,
+    WAP_ORACLE,
     s_knn_ivf_refresh,
     s_snapshot_dv_delete,
+    s_snapshot_wap_publish,
 )
 
 TABLES = (
@@ -33,7 +35,10 @@ def _con(sf_dir):
 
 
 def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {"s_snapshot_dv_delete", "s_knn_ivf_refresh"}
+    assert set(STAGED) == {
+        "s_snapshot_dv_delete", "s_knn_ivf_refresh",
+        "s_snapshot_wap_publish",
+    }
     for spec in STAGED.values():
         assert spec.oracle and spec.oracle.strip()
 
@@ -53,6 +58,15 @@ def test_ivf_refresh_query_matches_oracle(spark, sf_dir):
         _con(sf_dir),
         IVF_REFRESH_ORACLE,
         "s_knn_ivf_refresh",
+    )
+
+
+def test_wap_publish_query_matches_oracle(spark, sf_dir):
+    compare_spark_vs_oracle(
+        s_snapshot_wap_publish(spark, sf_dir),
+        _con(sf_dir),
+        WAP_ORACLE,
+        "s_snapshot_wap_publish",
     )
 
 

@@ -3,8 +3,10 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-delete-where / delete-keys / update-where / merge-into / zorder /
-rebucket / expire operations runs against both the real
+delete-where / delete-keys (each randomly copy-on-write or
+merge-on-read, round 14) / update-where / merge-into / zorder /
+rebucket / branch-publish-or-drop (round 14, WAP) / expire
+operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
 keep-latest semantics), and after EVERY step the table must agree with
 the model on the current state, on a time-travel read of every still-
@@ -67,8 +69,9 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             [
                 "merge", "tomb_merge", "rebucket", "expire", "delete",
                 "delete_keys", "update", "merge_into", "zorder",
+                "branch",
             ],
-            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1],
+            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1, 2],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -107,7 +110,7 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 kk = rng.randint(0, 9)
                 pred = f"k = {kk}"
                 new_cur = {k: kv for k, kv in cur.items() if k != kk}
-            sid = t.delete_where(pred)
+            sid = t.delete_where(pred, mode=rng.choice(["cow", "mor"]))
             if new_cur != cur:
                 cur = new_cur
                 live_states[sid] = dict(cur)
@@ -118,7 +121,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 continue
             kk = rng.sample(range(10), rng.randint(1, 3))
             sid = t.delete_keys(
-                spark.createDataFrame([(k,) for k in kk], "k long")
+                spark.createDataFrame([(k,) for k in kk], "k long"),
+                mode=rng.choice(["cow", "mor"]),
             )
             new_cur = {k: kv for k, kv in cur.items() if k not in kk}
             if new_cur != cur:
@@ -193,6 +197,49 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             # below then prove reads, time travel, and net CDC are
             # layout-independent across the rewrite commit
             live_states[sid] = dict(cur)
+        elif op == "branch":
+            # WAP (round 14): fork, run a short random chain ON the
+            # branch, prove main never moved, then publish (branch
+            # states become live main snapshots) or drop (no trace)
+            if t.current_id() is None:
+                continue
+            b = t.create_branch(f"wap{step}")
+            bcur = dict(cur)
+            bstates: dict[int, dict] = {}
+            for _ in range(rng.randint(1, 2)):
+                if rng.random() < 0.6:
+                    rows = []
+                    for _ in range(rng.randint(1, 4)):
+                        k = rng.randint(0, 9)
+                        ver_counter += 1
+                        rows.append((k, f"b{ver_counter}", ver_counter))
+                    bsid = b.merge(
+                        spark.createDataFrame(rows, SCHEMA)
+                    )
+                    for k, v, ver in rows:
+                        if k not in bcur or bcur[k][0] < ver:
+                            bcur[k] = (ver, v)
+                    bstates[bsid] = dict(bcur)
+                else:
+                    kk = rng.randint(0, 9)
+                    bsid = b.delete_where(
+                        f"k = {kk}", mode=rng.choice(["cow", "mor"])
+                    )
+                    nb = {k: kv for k, kv in bcur.items() if k != kk}
+                    if nb != bcur:
+                        bcur = nb
+                        bstates[bsid] = dict(bcur)
+            # invisibility: main state and id unmoved by branch work
+            assert table_state(t) == cur, (
+                f"seed={seed} step={step} branch leaked into main"
+            )
+            if bstates and rng.random() < 0.6:
+                b.publish()
+                cur = bcur
+                live_states.update(bstates)
+            else:
+                b.drop()
+            assert t.branches() == []
         elif op == "rebucket":
             if t.current_id() is None:
                 continue

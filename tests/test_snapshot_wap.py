@@ -1,0 +1,209 @@
+"""Write-audit-publish branches (round 14 — VERDICT r13 item 5; the
+public pattern is Iceberg's WAP workflow / Nessie branch refs).
+
+The protocol claims each get a test that breaks if the mechanism is
+faked: structural invisibility (branch commits never reachable from a
+main handle — no flag, no read-path check), fast-forward publish via
+the same os.link CAS main commits use (idempotent across a simulated
+mid-publish crash), the non-fast-forward refusal when main moved,
+drop() reclaiming branch-only files while keeping carried-forward
+main files, the GC guard while branches are live, and the full verb
+surface (merge/append/DML/MOR/compact) working ON the branch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from turnover_odata_etl_spark.storage import SnapshotBranch, SnapshotTable
+from turnover_odata_etl_spark.storage.snapshot import CommitConflict
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "waptable")
+
+
+def make_table(spark, tdir, n_buckets=4):
+    return SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=n_buckets
+    )
+
+
+def batch(spark, lo, hi, ver, mul=2):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * mul).alias("x"),
+        F.lit(ver).cast("long").alias("ver"),
+    )
+
+
+def test_branch_commits_invisible_to_main(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    main_id = t.current_id()
+    b = t.create_branch("wap")
+    b.append(batch(spark, 50, 80, 2))
+    b.delete_where("k < 5", mode="mor")
+    b.update_where("k = 10", {"x": "x + 1"})
+    assert b.read().count() == 75
+    # main: same id, same rows, fresh handle agrees (structural —
+    # branch manifests live in a namespace main never scans)
+    assert t.current_id() == main_id
+    assert t.read().count() == 50
+    t2 = SnapshotTable.load(spark, tdir)
+    assert t2.current_id() == main_id
+    assert t2.read().count() == 50
+    assert t.branches() == ["wap"]
+
+
+def test_publish_fast_forwards_and_cleans_up(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 50, 80, 2))
+    b.delete_where("k BETWEEN 0 AND 4")
+    nid = b.publish()
+    assert t.current_id() == nid
+    assert t.read().count() == 75
+    assert t.branches() == []
+    # history carries the branch's commits with correct attribution
+    assert [h["operation"] for h in t.history()] == [
+        "append", "append", "delete",
+    ]
+    # time travel works across the published commits
+    assert t.read(1).count() == 50
+
+
+def test_publish_refuses_non_fast_forward(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 50, 80, 2))
+    t.append(batch(spark, 100, 110, 3))  # main moves past the fork
+    with pytest.raises(CommitConflict, match="main moved"):
+        b.publish()
+    # main unaffected, branch still droppable
+    assert t.read().count() == 60
+    b.drop()
+    assert t.branches() == []
+
+
+def test_publish_is_idempotent_after_partial_adoption(spark, tdir):
+    """Simulated crash mid-publish: one branch manifest already
+    adopted under its main name; re-running publish skips the
+    content-equal claim and finishes."""
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 50, 80, 2))
+    b.append(batch(spark, 80, 90, 3))
+    mdir = os.path.join(tdir, "manifests")
+    os.link(
+        os.path.join(mdir, "branch-wap-manifest-2.json"),
+        os.path.join(mdir, "manifest-2.json"),
+    )  # the crash left snapshot 2 adopted
+    assert b.publish() == 3
+    assert t.read().count() == 90
+    assert t.branches() == []
+
+
+def test_drop_reclaims_branch_only_files(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    main_files = {
+        f["path"] for f in t._manifest(t.current_id())["files"]
+    }
+    b = t.create_branch("bad")
+    b.append(batch(spark, 50, 80, 2))
+    b.delete_where("k < 3", mode="mor")  # a dv sidecar too
+    removed = b.drop()
+    assert removed  # the branch's data files + sidecar went away
+    assert not (set(removed) & main_files)  # never a main file
+    for rel in removed:
+        assert not os.path.exists(os.path.join(tdir, rel))
+    # main reads bit-identically after the sweep
+    assert t.read().count() == 50
+    assert t.branches() == []
+
+
+def test_expire_refuses_with_live_branches(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 10, 1))
+    t.append(batch(spark, 10, 20, 2))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 20, 30, 3))
+    with pytest.raises(RuntimeError, match="live branches"):
+        t.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="main"):
+        b.expire_snapshots(keep_last=1)
+    b.drop()
+    t.expire_snapshots(keep_last=1)  # clears once branches are gone
+    assert t.read().count() == 20
+
+
+def test_branch_validation_surface(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 10, 1))
+    with pytest.raises(ValueError, match="A-Za-z0-9_"):
+        t.create_branch("bad/name")
+    b = t.create_branch("wap")
+    b.append(batch(spark, 10, 20, 2))
+    with pytest.raises(ValueError, match="exists"):
+        t.create_branch("wap")
+    with pytest.raises(ValueError, match="branch a branch"):
+        b.create_branch("nested")
+    with pytest.raises(ValueError, match="no branch"):
+        t.branch("ghost")
+    b.drop()
+
+
+def test_branch_reopen_continues_work(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 50, 70, 2))
+    reopened = t.branch("wap")
+    assert isinstance(reopened, SnapshotBranch)
+    assert reopened.branch_base == b.branch_base
+    assert reopened.read().count() == 70
+    reopened.merge(batch(spark, 0, 5, 3, mul=9))  # keep-latest on branch
+    assert reopened.publish() == 3
+    got = {r["k"]: r["x"] for r in t.read().collect()}
+    assert got[0] == 0 and got[1] == 9 and got[4] == 36
+    assert got[10] == 20  # untouched main row
+
+
+def test_audit_gate_workflow(spark, tdir):
+    """The WAP point: a failed-audit branch is dropped and its rows
+    never become reader-visible; a passing branch publishes."""
+    from turnover_odata_etl_spark.operators.profile import (
+        check_expectations,
+    )
+
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 50, 1))
+
+    bad = t.create_branch("bad")
+    bad.append(
+        spark.range(50, 60).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("x"),  # violates x >= 0
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    report = check_expectations(bad.read(), [{"name": "x_nonneg", "predicate": "x >= 0"}])
+    assert report.filter("NOT passed").count() == 1
+    bad.drop()
+
+    good = t.create_branch("good")
+    good.append(batch(spark, 50, 60, 2))
+    report = check_expectations(good.read(), [{"name": "x_nonneg", "predicate": "x >= 0"}])
+    assert report.filter("NOT passed").count() == 0
+    good.publish()
+
+    assert t.read().count() == 60
+    assert t.read().filter("x < 0").count() == 0

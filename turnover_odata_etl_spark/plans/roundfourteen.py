@@ -40,6 +40,19 @@ last). The floor sits 17 points under the worst measurement so a
 fixture regeneration can't flip a deterministic pass into a flaky
 one (the s_knn_ivf floor discipline).
 
+``s_snapshot_wap_publish`` — write-audit-publish branches (VERDICT
+r13 item 5 / SURVEY E122, ``SnapshotTable.create_branch`` /
+``SnapshotBranch.publish``/``drop``): the Iceberg WAP / Nessie
+pattern. The lifecycle stages a CORRUPTED slice on one branch, audits
+it with the expectations gate (E34), and DROPS it — those rows must
+never become reader-visible; stages the real slice plus a MOR range
+delete on a second branch, audits (the rule verifies the delete did
+its job — a load-bearing gate, not theater), and fast-forward
+PUBLISHES. The result is main's final aggregate plus a contract row
+pinning zero corrupt rows visible and zero branches left; the oracle
+recomputes the published-path answer closed-form, so a leaked branch
+row, a lost publish, or a surviving deleted row all hash-fail.
+
 Activation checklist (mirror of roundthirteen's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundfourteen in ``plans/__init__``,
@@ -153,6 +166,116 @@ def s_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mor.unionByName(folded).unionByName(contract)
 
 
+WAP_ORACLE = """
+    WITH survivors AS (
+      SELECT event_type, value FROM events
+      WHERE NOT ((value BETWEEN 100 AND 250) IS TRUE)
+    )
+    SELECT 'main' AS label, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS s
+    FROM survivors GROUP BY event_type
+    UNION ALL
+    SELECT 'contract', NULL, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+"""
+
+
+def s_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish lifecycle (SURVEY E122): two id-sliced
+    appends on main; branch ``bad`` stages a third slice CORRUPTED
+    (``event_type = '__corrupt__'``), fails its expectations audit,
+    and drops; branch ``good`` stages the REAL third slice plus a MOR
+    range delete, passes its audit (the rule asserts the deleted
+    window is gone — the gate verifies the branch's work, not just
+    its inputs), and fast-forward publishes. Returns main's per-type
+    aggregate plus a contract row: n = corrupt rows visible in main
+    (must be 0 — the WAP claim), s = live branches left (0.0).
+
+    Plan shape: branch commits are ordinary snapshot commits in a
+    namespace main never scans; the audits are one single-pass
+    aggregate each (check_expectations); publish is O(branch
+    commits) os.link calls — metadata, never data."""
+    import os
+    import shutil
+
+    from ..operators.profile import check_expectations
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/wap_publish"
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(
+        spark, os.path.join(base, "events"),
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    out_schema = "label string, event_type string, n long, s double"
+    if mn is None:
+        return spark.createDataFrame([], out_schema)
+    span = max(1, (mx - mn + 1) // 3)
+    slices = []
+    for w in range(3):
+        lo = mn + w * span
+        hi = mx if w == 2 else mn + (w + 1) * span - 1
+        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
+        if w == 2:
+            sl = sl | F.col("event_id").isNull()
+        slices.append(ev.filter(sl))
+    t.append(slices[0].withColumn("__ver", F.lit(1).cast("long")))
+    t.append(slices[1].withColumn("__ver", F.lit(2).cast("long")))
+
+    bad = t.create_branch("bad")
+    bad.append(
+        slices[2]
+        .withColumn("event_type", F.lit("__corrupt__"))
+        .withColumn("__ver", F.lit(3).cast("long"))
+    )
+    report = check_expectations(
+        bad.read(),
+        [{"name": "no_corrupt", "predicate": "event_type <> '__corrupt__'"}],
+    )
+    if report.filter("NOT passed").count():
+        bad.drop()
+    else:  # unreachable on real fixtures — publish would be correct
+        bad.publish()
+
+    good = t.create_branch("good")
+    good.append(slices[2].withColumn("__ver", F.lit(3).cast("long")))
+    good.delete_where("value BETWEEN 100 AND 250", mode="mor")
+    report = check_expectations(
+        good.read(),
+        [
+            {"name": "no_corrupt", "predicate": "event_type <> '__corrupt__' OR event_type IS NULL"},
+            {"name": "window_deleted", "predicate": "(value BETWEEN 100 AND 250) IS NOT TRUE"},
+        ],
+    )
+    if report.filter("NOT passed").count():  # unreachable likewise
+        good.drop()
+    else:
+        good.publish()
+
+    agg = (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.lit("main").alias("label"), "event_type", "n", "s")
+    )
+    n_corrupt = t.read().filter("event_type = '__corrupt__'").count()
+    contract = spark.createDataFrame(
+        [("contract", None, n_corrupt, float(len(t.branches())))],
+        out_schema,
+    )
+    return agg.unionByName(contract)
+
+
 # Approximate neighbor lists aren't SQL-reproducible (the candidate
 # set depends on the engine-side codebook), so the query emits the
 # recall-contract constants — the s_knn_ivf device: the oracle hash
@@ -246,5 +369,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_knn_ivf_refresh,
         oracle=IVF_REFRESH_ORACLE,
         tags=("llm", "similarity", "storage", "incremental", "maintenance"),
+    ),
+    "s_snapshot_wap_publish": QuerySpec(
+        name="s_snapshot_wap_publish",
+        fn=s_snapshot_wap_publish,
+        oracle=WAP_ORACLE,
+        tags=("storage", "snapshot", "wap", "branch"),
     ),
 }

@@ -1,4 +1,4 @@
 """Table-format layer: snapshot-isolated commits over parquet."""
 
 from .group import SnapshotGroup  # noqa: F401
-from .snapshot import SnapshotTable  # noqa: F401
+from .snapshot import SnapshotBranch, SnapshotTable  # noqa: F401
