@@ -425,3 +425,77 @@ def test_mor_delete_rides_bloom_prune(spark, tdir, monkeypatch):
     }
     assert len(datafiles) <= 2  # bloom-pruned, not the whole bucket
     assert t.read().count() == 64 * 4 - 1
+
+
+# --------------------------------------------------- MOR update (r14)
+
+
+def test_mor_update_matches_cow_update(spark, tmp_path):
+    t_cow = make_table(spark, str(tmp_path / "ucow"))
+    t_mor = make_table(spark, str(tmp_path / "umor"))
+    for t in (t_cow, t_mor):
+        seed(spark, t, n=40)
+    t_cow.update_where("k BETWEEN 5 AND 14", {"v": "v + 1"})
+    t_mor.update_where("k BETWEEN 5 AND 14", {"v": "v + 1"}, mode="mor")
+    assert rows(t_cow.read()) == rows(t_mor.read())
+    # and the MOR table answers metadata exactly too
+    a = t_mor.agg_stats(["v"])
+    assert a["n_rows"] == 40
+    assert a["columns"]["v"]["count"] == 40
+
+
+def test_mor_update_is_atomic_and_carries_files(spark, tdir):
+    """One commit: dv flips + appended updated rows together; the
+    source data files are never rewritten."""
+    t = make_table(spark, tdir)
+    seed(spark, t, n=40)
+    before = set(data_paths(t))
+    n_hist = len(t.history())
+    t.update_where("k < 4", {"v": "v + 1"}, mode="mor")
+    hist = t.history()
+    assert len(hist) == n_hist + 1  # ONE commit
+    assert hist[-1]["operation"] == "update"
+    assert hist[-1]["n_rows"] == 40  # row count preserved
+    assert before <= set(data_paths(t))  # originals carried, not rewritten
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 1 and got[3] == 31 and got[10] == 100
+
+
+def test_mor_update_swap_uses_pre_update_row(spark, tdir):
+    """SQL UPDATE semantics: every SET expression evaluates against
+    the PRE-update row — {'a': 'b', 'b': 'a'} is a swap."""
+    t = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=2
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, 7, 1)], "k long, a long, b long, ver long"
+        )
+    )
+    t.update_where("k = 1", {"a": "b", "b": "a"}, mode="mor")
+    r = t.read().first()
+    assert (r["a"], r["b"]) == (7, 5)
+
+
+def test_mor_update_validation_and_noop(spark, tdir):
+    t = make_table(spark, tdir)
+    seed(spark, t, n=10)
+    base = t.current_id()
+    with pytest.raises(ValueError, match="key/order/bucket"):
+        t.update_where("k = 1", {"k": "k + 1"}, mode="mor")
+    with pytest.raises(ValueError, match="unknown"):
+        t.update_where("k = 1", {"zz": "1"}, mode="mor")
+    with pytest.raises(ValueError, match="mode"):
+        t.update_where("k = 1", {"v": "1"}, mode="bogus")
+    assert t.update_where("k = 999", {"v": "1"}, mode="mor") == base
+
+
+def test_mor_update_then_compact_folds_everything(spark, tdir):
+    t = make_table(spark, tdir, n_buckets=2)
+    seed(spark, t, n=30)
+    t.update_where("k % 3 = 0", {"v": "v + 7"}, mode="mor")
+    t.delete_where("k >= 25", mode="mor")
+    want = rows(t.read())
+    t.compact(min_files=999)
+    assert rows(t.read()) == want
+    assert all("dv_rows" not in f for f in t.files())

@@ -3,8 +3,8 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-delete-where / delete-keys (each randomly copy-on-write or
-merge-on-read, round 14) / update-where / merge-into / zorder /
+delete-where / delete-keys / update-where (each randomly
+copy-on-write or merge-on-read, round 14) / merge-into / zorder /
 rebucket / branch-publish-or-drop (round 14, WAP) / expire
 operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
@@ -136,7 +136,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             lo = rng.randint(0, max(ver_counter, 1))
             hi = lo + rng.randint(0, 5)
             sid = t.update_where(
-                f"ver BETWEEN {lo} AND {hi}", {"v": "v || '+'"}
+                f"ver BETWEEN {lo} AND {hi}", {"v": "v || '+'"},
+                mode=rng.choice(["cow", "mor"]),
             )
             new_cur = {
                 k: (ver, v + "+" if lo <= ver <= hi else v)

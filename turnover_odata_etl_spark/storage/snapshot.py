@@ -1925,6 +1925,8 @@ class SnapshotTable:
         cand: dict,
         matched: DataFrame,
         props: dict,
+        extra_files: list | None = None,
+        operation: str = "delete",
     ) -> int:
         """Shared deletion-vector commit tail (round 14): given the
         matched ``(__fname, __pos)`` frame, write ONE position
@@ -1940,7 +1942,12 @@ class SnapshotTable:
         Durability order matches data files: the sidecar is fully
         written and promoted to its immutable name BEFORE the
         manifest claim, so a crash in between leaves only an
-        unreferenced orphan."""
+        unreferenced orphan.
+
+        ``extra_files`` (the MOR-update path) are fresh staged
+        entries appended into their buckets IN THE SAME commit as the
+        dv flips — atomicity is the manifest claim, exactly as for
+        every other verb."""
         import shutil
 
         counts = {
@@ -1996,10 +2003,11 @@ class SnapshotTable:
         rel = f"data/{name}"
         fold_names = {os.path.basename(f["path"]) for f in fold}
         touched_buckets = {by_fname[fn]["bucket"] for fn in counts}
+        touched_buckets.update(f["bucket"] for f in extra_files or ())
         touched_new: dict[int, list[dict]] = {}
         for bkt in sorted(touched_buckets):
             lst = []
-            for f in self._entries(base_bb[bkt]):
+            for f in self._entries(base_bb.get(bkt, [])):
                 fn = os.path.basename(f["path"])
                 cnt = counts.get(fn)
                 if cnt is None:
@@ -2020,9 +2028,11 @@ class SnapshotTable:
                 }
                 lst.append(g)
             touched_new[bkt] = lst
+        for f in extra_files or ():
+            touched_new[f["bucket"]].append(f)
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
-            operation="delete", base_id=base_id, properties=props,
+            operation=operation, base_id=base_id, properties=props,
         )
 
     def _delete_once(self, predicate: str, properties: dict | None) -> int:
@@ -2156,8 +2166,9 @@ class SnapshotTable:
         assignments: dict[str, str],
         max_retries: int = 5,
         properties: dict | None = None,
+        mode: str = "cow",
     ) -> int:
-        """Predicate UPDATE as one copy-on-write snapshot commit —
+        """Predicate UPDATE as one snapshot commit —
         ``UPDATE t SET col = expr WHERE ...``, completing the DML
         quartet (MERGE / APPEND / DELETE / UPDATE). Rows where
         ``predicate`` is TRUE get each ``assignments[col]`` SQL
@@ -2171,19 +2182,118 @@ class SnapshotTable:
         delta commit, no-match no-op, CAS retry, predicate recorded as
         a manifest property.
 
+        ``mode="mor"`` (round 14 — the Delta DV-update shape): instead
+        of rewriting every file holding a match, ONE commit marks the
+        matched positions deleted via deletion vectors AND appends the
+        updated rows as new files — I/O is O(matched rows), not
+        O(touched files). The anonymize-in-place GDPR update at 100 TB
+        touches kilobytes. Readers see the same result as COW
+        (position anti-join + the appended rows); compaction folds as
+        usual.
+
         Key, order, and bucket columns cannot be assigned (a key/
         bucket rewrite is a MERGE with a tombstone, not an update —
         the row would change identity and physical placement);
         unknown columns raise up front."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(
+                f"update_where: mode must be 'cow' or 'mor', got {mode!r}"
+            )
         last: Exception | None = None
         for _ in range(max_retries):
             try:
+                if mode == "mor":
+                    return self._update_mor_once(
+                        predicate, assignments, properties
+                    )
                 return self._update_once(predicate, assignments, properties)
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
             f"update_where lost the commit race {max_retries} times"
         ) from last
+
+    def _update_mor_once(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        properties: dict | None,
+    ) -> int:
+        """Merge-on-read UPDATE: matched positions become deletion
+        vectors, the updated rows append as new files, both in ONE
+        commit (atomic — a reader sees pre-update or post-update,
+        never a dropped or doubled row). Updated rows keep their keys,
+        so they land in the buckets the dv flips already touch."""
+        from pyspark import StorageLevel
+
+        base_id = self.current_id()
+        if base_id is None:
+            raise ValueError(
+                f"snapshot table {self.table_dir}: no commits"
+            )
+        if not assignments:
+            raise ValueError(
+                "update_where: empty assignments (a no-op rewrite "
+                "would still burn I/O and a history entry)"
+            )
+        base_raw = self._raw_meta(base_id)
+        self._adopt_layout(base_raw)
+        schema = self._schema_of(base_raw)
+        frozen = set(self.key_cols) | {self.order_col} | set(self.bucket_cols)
+        bad = sorted(set(assignments) & frozen)
+        if bad:
+            raise ValueError(
+                f"update_where: cannot assign key/order/bucket "
+                f"columns {bad} (use merge with a new row instead)"
+            )
+        unknown = sorted(set(assignments) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown columns {unknown}"
+            )
+        base_bb = self._by_bucket(base_id)
+        cand, _kept = self._split_candidates(
+            base_bb, predicate_bounds(predicate)
+        )
+        if not cand:
+            return base_id
+        matched = (
+            self._read_entries(
+                [f for fs in cand.values() for f in fs],
+                schema, keep_meta=True,
+            )
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            updated = self._with_bucket(
+                matched.drop("__fname", "__pos")
+            ).withColumns(
+                {
+                    col: F.expr(expr).cast(schema[col].dataType)
+                    for col, expr in assignments.items()
+                }
+            )
+            touched = sorted(
+                r["__bucket"]
+                for r in updated.select("__bucket")
+                .distinct()
+                .collect()  # ≤ n_buckets ids — metadata, never data
+            )
+            if not touched:
+                return base_id
+            new_files = self._stage_rewrite(updated, touched)
+            props = dict(properties or {})
+            props.setdefault("update.predicate", predicate)
+            props.setdefault("update.columns", sorted(assignments))
+            props.setdefault("update.mode", "mor")
+            return self._commit_dv(
+                base_id, base_raw, base_bb, cand,
+                matched.select("__fname", "__pos"), props,
+                extra_files=new_files, operation="update",
+            )
+        finally:
+            matched.unpersist()
 
     def _update_once(
         self,
@@ -3905,6 +4015,71 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ maintain
 
+    # ------------------------------------------ tags (round 14)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin an IMMUTABLE named ref to a snapshot (round 14 —
+        Iceberg tags): the reproducibility handle an ML pipeline
+        stamps on the exact table state a training run consumed.
+        Tagged snapshots survive :meth:`expire_snapshots` until the
+        tag is dropped. Refuses to overwrite (tags are immutable —
+        drop and re-create is the explicit path). Returns the pinned
+        id."""
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", name or ""):
+            raise ValueError(
+                f"create_tag: name {name!r} must be [A-Za-z0-9_.-]+"
+            )
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None or sid not in self.snapshot_ids():
+            raise ValueError(f"create_tag: no snapshot {sid}")
+        tmp = os.path.join(
+            self.table_dir, f".tag-tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(self.table_dir, f"_tag-{name}"))
+        except FileExistsError:
+            raise ValueError(
+                f"create_tag: tag {name!r} exists (tags are "
+                "immutable — drop_tag first)"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        """Live tags as ``{name: snapshot_id}``."""
+        out = {}
+        try:
+            names = os.listdir(self.table_dir)
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith("_tag-"):
+                try:
+                    with open(os.path.join(self.table_dir, n)) as fh:
+                        out[n[len("_tag-"):]] = int(fh.read().strip())
+                except (OSError, ValueError):
+                    continue
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self.table_dir, f"_tag-{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"drop_tag: no tag {name!r}") from None
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Read the table at a tag — ``read(tags()[name])`` with the
+        lookup's existence check."""
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"read_tag: no tag {name!r}")
+        return self.read(snapshot_id=t[name])
+
     # ------------------------------------------ WAP branches (round 14)
 
     def branches(self) -> list[str]:
@@ -3957,6 +4132,11 @@ class SnapshotTable:
         that bounds time-travel storage (commits themselves never
         delete). Returns removed data-file paths.
 
+        TAGGED snapshots always survive (round 14 — Iceberg's
+        expire-respects-refs rule): the training run pinned to
+        ``_tag-prod`` keeps reading its exact table state until the
+        tag is dropped, however many commits and expires pass.
+
         Refuses while WAP branches exist: a branch's un-published
         commits reference main snapshots (their resolution parents)
         and possibly main data files that this sweep cannot see —
@@ -3969,34 +4149,45 @@ class SnapshotTable:
                 "through main snapshots this sweep would remove)"
             )
         ids = self.snapshot_ids()
-        if len(ids) <= keep_last:
+        keep_set = set(ids[-keep_last:]) | (
+            set(self.tags().values()) & set(ids)
+        )
+        drop = [i for i in ids if i not in keep_set]
+        if not drop:
             return []
-        keep, drop = ids[-keep_last:], ids[:-keep_last]
-        # The oldest KEPT snapshot becomes the new resolution floor:
-        # materialize it as a FULL manifest if it is a delta, so every
-        # surviving walk (all kept parents descend through it) stops
-        # before the dropped ids. Content-equivalent replacement —
-        # readers see the same resolved view before and after. Must
+        keep = sorted(keep_set)
+        # Every kept RUN-START becomes a resolution floor: a kept
+        # delta whose parent is dropped must materialize as a FULL
+        # manifest (content-equivalent — readers see the same
+        # resolved view) so every surviving walk stops before the
+        # dropped ids. With tags the kept set can be non-contiguous,
+        # so there may be several run-starts, not one floor. Must
         # happen while the dropped ancestors are still on disk.
-        floor = keep[0]
-        raw = self._manifest_raw(floor)
-        if "files" not in raw and not raw.get("full"):
-            full_m = self._as_full_manifest(
-                raw, self._manifest(floor)["files"]
-            )
-            tmp = self._write_manifest_tmp(full_m)
-            os.replace(
-                tmp,
-                os.path.join(self._manifest_dir, f"manifest-{floor}.json"),
-            )
-            # The on-disk floor changed form (inline full): drop its
-            # cached views so this handle's later reads and the seg
-            # liveness scan below see the rewritten manifest, not a
-            # stale locator view referencing about-to-be-swept
-            # segments.
-            self._mcache.pop(floor, None)
-            self._bcache.pop(floor, None)
-            self._metacache.pop(floor, None)
+        for floor in keep:
+            raw = self._manifest_raw(floor)
+            if (
+                "files" not in raw
+                and not raw.get("full")
+                and raw.get("parent") not in keep_set
+            ):
+                full_m = self._as_full_manifest(
+                    raw, self._manifest(floor)["files"]
+                )
+                tmp = self._write_manifest_tmp(full_m)
+                os.replace(
+                    tmp,
+                    os.path.join(
+                        self._manifest_dir, f"manifest-{floor}.json"
+                    ),
+                )
+                # The on-disk floor changed form (inline full): drop
+                # its cached views so this handle's later reads and
+                # the seg liveness scan below see the rewritten
+                # manifest, not a stale locator view referencing
+                # about-to-be-swept segments.
+                self._mcache.pop(floor, None)
+                self._bcache.pop(floor, None)
+                self._metacache.pop(floor, None)
         # Deletion-vector sidecars share the data files' reachability
         # rule (round 14): a sidecar lives while any KEPT snapshot's
         # entry references it, and sweeps like any other data/ file.
@@ -4058,7 +4249,7 @@ class SnapshotTable:
         # in-flight commit's fresh segments (its id > every dropped
         # id); orphans from earlier crashes sweep here too once their
         # id falls inside a dropped horizon.
-        horizon = drop[-1]
+        horizon = max(drop)
         for name in os.listdir(self._manifest_dir):
             if not (name.startswith("seg-") and name.endswith(".json")):
                 continue
@@ -4073,6 +4264,54 @@ class SnapshotTable:
                     pass
                 self._segcache.pop(name, None)
         return removed
+
+    def remove_orphans(self, older_than_seconds: float = 86400.0) -> list[str]:
+        """Delete data files and dv sidecars under ``data/`` that NO
+        snapshot — main or branch — references (round 14; Iceberg's
+        ``remove_orphan_files`` action): the leftovers of crashed
+        writers, lost CAS racers, and interrupted publishes that
+        :meth:`expire_snapshots` never sees because no manifest ever
+        referenced them.
+
+        ``older_than_seconds`` (default 1 day) is the in-flight-writer
+        guard, same as Iceberg's: a racing writer promotes staged
+        files BEFORE its manifest claim, so a freshly-mtimed
+        unreferenced file may be a commit in flight, not an orphan —
+        only files older than the threshold sweep. Staging directories
+        (``.staging-*``/``.dv-staging-*``) are never touched; their
+        owner removes them. Returns removed relative paths."""
+        import time as _time
+
+        if not os.path.isdir(self._data_dir):
+            return []
+        referenced: set[str] = set()
+        for sid in self.snapshot_ids():
+            for f in self._manifest(sid)["files"]:
+                referenced.add(os.path.basename(f["path"]))
+                for sc in (f.get("dv") or {}).get("sidecars", ()):
+                    referenced.add(os.path.basename(sc))
+        for bname in self.branches():
+            bh = self.branch(bname)
+            for sid in bh._branch_ids():
+                for f in bh._manifest(sid)["files"]:
+                    referenced.add(os.path.basename(f["path"]))
+                    for sc in (f.get("dv") or {}).get("sidecars", ()):
+                        referenced.add(os.path.basename(sc))
+        now = _time.time()
+        removed: list[str] = []
+        for name in os.listdir(self._data_dir):
+            full = os.path.join(self._data_dir, name)
+            if not os.path.isfile(full) or name in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(full) < older_than_seconds:
+                    continue  # possible in-flight commit — spare it
+                os.unlink(full)
+            except FileNotFoundError:
+                continue
+            removed.append(f"data/{name}")
+        return sorted(removed)
+
 
 
 class SnapshotBranch(SnapshotTable):
