@@ -499,3 +499,66 @@ def test_mor_update_then_compact_folds_everything(spark, tdir):
     t.compact(min_files=999)
     assert rows(t.read()) == want
     assert all("dv_rows" not in f for f in t.files())
+
+
+# ------------------------------------------------ MOR merge_into (r14)
+
+
+@pytest.mark.parametrize(
+    "wm,wnm,cond",
+    [
+        ("update", "insert", None),
+        ("delete", "insert", None),
+        ("update", "ignore", "s_v > t_v"),
+        ("ignore", "insert", None),
+    ],
+)
+def test_mor_merge_into_matches_cow(spark, tmp_path, wm, wnm, cond):
+    """Every clause combination: deletion-vector MERGE must produce
+    exactly the COW MERGE's rows."""
+    t_cow = make_table(spark, str(tmp_path / f"mc{wm}{wnm}"))
+    t_mor = make_table(spark, str(tmp_path / f"mm{wm}{wnm}"))
+    for t in (t_cow, t_mor):
+        seed(spark, t, n=50)
+    src = spark.createDataFrame(
+        [(5, 555, 2), (7, 777, 2), (9, 1, 2), (100, 1000, 2)],
+        "k long, v long, ver long",
+    )
+    kw = dict(
+        when_matched=wm, matched_condition=cond, when_not_matched=wnm
+    )
+    t_cow.merge_into(src, **kw)
+    t_mor.merge_into(src, mode="mor", **kw)
+    assert rows(t_cow.read()) == rows(t_mor.read())
+    assert t_mor.history()[-1]["operation"] == "merge_into"
+    assert t_mor.latest_property("merge_into.mode") == "mor"
+
+
+def test_mor_merge_into_never_rewrites_base_files(spark, tdir):
+    t = make_table(spark, tdir)
+    seed(spark, t, n=50)
+    before = set(data_paths(t))
+    t.merge_into(
+        spark.createDataFrame(
+            [(5, 555, 2), (100, 1000, 2)], "k long, v long, ver long"
+        ),
+        mode="mor",
+    )
+    assert before <= set(data_paths(t))  # originals carried
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == 555 and got[100] == 1000 and len(got) == 51
+
+
+def test_mor_merge_into_pure_insert_writes_no_sidecar(spark, tdir):
+    t = make_table(spark, tdir)
+    seed(spark, t, n=20)
+    t.merge_into(
+        spark.createDataFrame([(200, 1, 2)], "k long, v long, ver long"),
+        when_matched="ignore",
+        mode="mor",
+    )
+    assert t.read().count() == 21
+    assert not [
+        n for n in os.listdir(os.path.join(tdir, "data"))
+        if n.startswith("dv-")
+    ]

@@ -3,8 +3,8 @@
 The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
-delete-where / delete-keys / update-where (each randomly
-copy-on-write or merge-on-read, round 14) / merge-into / zorder /
+delete-where / delete-keys / update-where / merge-into (each
+randomly copy-on-write or merge-on-read, round 14) / merge-into / zorder /
 rebucket / branch-publish-or-drop (round 14, WAP) / expire
 operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
@@ -170,7 +170,7 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             )
             sid = t.merge_into(
                 df, when_matched=wm, matched_condition=cond,
-                when_not_matched=wnm,
+                when_not_matched=wnm, mode=rng.choice(["cow", "mor"]),
             )
             new_cur = dict(cur)
             for k, (sver, sv) in srows.items():
