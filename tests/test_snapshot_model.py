@@ -235,9 +235,12 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 f"seed={seed} step={step} branch leaked into main"
             )
             if bstates and rng.random() < 0.6:
-                b.publish()
+                psid = b.publish()
                 cur = bcur
-                live_states.update(bstates)
+                # squash publish: ONE new live main snapshot holding
+                # the branch head's state (intermediate branch states
+                # are branch-only and die with the branch names)
+                live_states[psid] = dict(bcur)
             else:
                 b.drop()
             assert t.branches() == []

@@ -3,12 +3,15 @@ public pattern is Iceberg's WAP workflow / Nessie branch refs).
 
 The protocol claims each get a test that breaks if the mechanism is
 faked: structural invisibility (branch commits never reachable from a
-main handle — no flag, no read-path check), fast-forward publish via
-the same os.link CAS main commits use (idempotent across a simulated
-mid-publish crash), the non-fast-forward refusal when main moved,
-drop() reclaiming branch-only files while keeping carried-forward
-main files, the GC guard while branches are live, and the full verb
-surface (merge/append/DML/MOR/compact) working ON the branch.
+main handle — no flag, no read-path check), ATOMIC publish (the
+branch head's state lands as ONE commit through the same claim CAS
+main uses — all-or-nothing, the review-r14 redesign), the
+non-fast-forward refusal when main moved, crash recovery between the
+publish claim and the cleanup, drop() reclaiming branch-only files
+while keeping carried-forward main files, the GC guard while branches
+are live — including FRESH branches with zero commits (the marker
+file) — and the full verb surface (merge/append/DML/MOR/compact)
+working ON the branch.
 """
 
 from __future__ import annotations
@@ -60,21 +63,27 @@ def test_branch_commits_invisible_to_main(spark, tdir):
     assert t.branches() == ["wap"]
 
 
-def test_publish_fast_forwards_and_cleans_up(spark, tdir):
+def test_publish_lands_branch_state_atomically(spark, tdir):
+    """Publish is ONE commit (the WAP all-or-nothing guarantee): the
+    branch HEAD's state lands as a single `publish` snapshot against
+    the fork base — never a partial prefix of branch commits."""
     t = make_table(spark, tdir)
     t.append(batch(spark, 0, 50, 1))
     b = t.create_branch("wap")
     b.append(batch(spark, 50, 80, 2))
     b.delete_where("k BETWEEN 0 AND 4")
     nid = b.publish()
+    assert nid == 2  # fork base 1 + ONE publish commit
     assert t.current_id() == nid
     assert t.read().count() == 75
     assert t.branches() == []
-    # history carries the branch's commits with correct attribution
-    assert [h["operation"] for h in t.history()] == [
-        "append", "append", "delete",
-    ]
-    # time travel works across the published commits
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["append", "publish"]
+    assert hist[-1]["n_rows"] == 75
+    # the publish commit records its provenance
+    assert t.latest_property("publish.branch") == "wap"
+    assert t.latest_property("publish.commits") == 2
+    # time travel to the fork base is untouched
     assert t.read(1).count() == 50
 
 
@@ -92,23 +101,30 @@ def test_publish_refuses_non_fast_forward(spark, tdir):
     assert t.branches() == []
 
 
-def test_publish_is_idempotent_after_partial_adoption(spark, tdir):
-    """Simulated crash mid-publish: one branch manifest already
-    adopted under its main name; re-running publish skips the
-    content-equal claim and finishes."""
+def test_publish_is_idempotent_after_crash_before_cleanup(
+    spark, tdir, monkeypatch
+):
+    """Crash between the publish claim and the branch-name cleanup:
+    a re-run recognizes its own published commit via the
+    publish.branch/publish.head properties and just finishes."""
     t = make_table(spark, tdir)
     t.append(batch(spark, 0, 50, 1))
     b = t.create_branch("wap")
     b.append(batch(spark, 50, 80, 2))
     b.append(batch(spark, 80, 90, 3))
-    mdir = os.path.join(tdir, "manifests")
-    os.link(
-        os.path.join(mdir, "branch-wap-manifest-2.json"),
-        os.path.join(mdir, "manifest-2.json"),
-    )  # the crash left snapshot 2 adopted
-    assert b.publish() == 3
-    assert t.read().count() == 90
+
+    def boom(ids):
+        raise OSError("injected crash after the publish claim")
+
+    monkeypatch.setattr(b, "_cleanup_branch_names", boom)
+    with pytest.raises(OSError):
+        b.publish()
+    monkeypatch.undo()
+    assert t.read().count() == 90  # the claim IS the commit
+    assert "wap" in t.branches()  # names linger after the crash
+    assert b.publish() == 2  # re-run: recognize + finish cleanup
     assert t.branches() == []
+    assert t.read().count() == 90
 
 
 def test_drop_reclaims_branch_only_files(spark, tdir):
@@ -171,7 +187,7 @@ def test_branch_reopen_continues_work(spark, tdir):
     assert reopened.branch_base == b.branch_base
     assert reopened.read().count() == 70
     reopened.merge(batch(spark, 0, 5, 3, mul=9))  # keep-latest on branch
-    assert reopened.publish() == 3
+    assert reopened.publish() == 2  # ONE publish commit at base + 1
     got = {r["k"]: r["x"] for r in t.read().collect()}
     assert got[0] == 0 and got[1] == 9 and got[4] == 36
     assert got[10] == 20  # untouched main row
@@ -207,3 +223,39 @@ def test_audit_gate_workflow(spark, tdir):
 
     assert t.read().count() == 60
     assert t.read().filter("x < 0").count() == 0
+
+
+def test_fresh_branch_guards_before_first_commit(spark, tdir):
+    """The marker file makes a zero-commit branch visible: expire
+    refuses, duplicate creation refuses, reopen works — BEFORE any
+    branch manifest exists (review r14: without the marker, expire
+    could sweep the fork base out from under the branch)."""
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 10, 1))
+    t.append(batch(spark, 10, 20, 2))
+    b = t.create_branch("fresh")  # no commits yet
+    assert t.branches() == ["fresh"]
+    with pytest.raises(ValueError, match="exists"):
+        t.create_branch("fresh")
+    with pytest.raises(RuntimeError, match="live branches"):
+        t.expire_snapshots(keep_last=1)
+    reopened = t.branch("fresh")
+    assert reopened.branch_base == b.branch_base == 2
+    assert reopened.read().count() == 20  # sees main at the fork
+    reopened.drop()
+    assert t.branches() == []
+    t.expire_snapshots(keep_last=1)
+
+
+def test_branch_refuses_rebucket_and_tags(spark, tdir):
+    t = make_table(spark, tdir)
+    t.append(batch(spark, 0, 10, 1))
+    b = t.create_branch("wap")
+    b.append(batch(spark, 10, 20, 2))
+    with pytest.raises(RuntimeError, match="main"):
+        b.rebucket(8)
+    with pytest.raises(RuntimeError, match="main"):
+        b.create_tag("x")
+    with pytest.raises(RuntimeError, match="main"):
+        b.drop_tag("x")
+    b.drop()

@@ -384,9 +384,16 @@ def reconcile_cobucketed(left, right, keys: list[str]) -> DataFrame:
         )
     # presence markers: each side's order_col is non-null by the
     # merge contract, so its NULL side proves row absence even when
-    # every payload column is legitimately NULL
-    lcols = common + [left.order_col]
-    rcols = common + [right.order_col]
+    # every payload column is legitimately NULL. A side's order_col
+    # may ALREADY be in `common` (the other side stores it as plain
+    # payload — e.g. a replica ordered on a shared timestamp column);
+    # appending it again would duplicate the projection (review r14)
+    lcols = common + (
+        [left.order_col] if left.order_col not in common else []
+    )
+    rcols = common + (
+        [right.order_col] if right.order_col not in common else []
+    )
     joined = join_cobucketed(
         left,
         right,

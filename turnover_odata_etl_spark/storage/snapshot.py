@@ -1442,6 +1442,7 @@ class SnapshotTable:
         min_files: int = 2,
         dedup_keys: bool = False,
         max_retries: int = 5,
+        buckets: list[int] | None = None,
     ) -> int:
         """Bin-pack MAINTENANCE commit: rewrite every bucket holding
         ≥ ``min_files`` data files into one file, carrying all other
@@ -1465,18 +1466,40 @@ class SnapshotTable:
         ``expire_snapshots`` reclaims the replaced files once no kept
         snapshot references them. Returns the committed id — or the
         CURRENT id unchanged when nothing qualifies (no-op, no empty
-        commit)."""
+        commit).
+
+        ``buckets`` restricts the rewrite to the named buckets
+        regardless of ``min_files`` (round 14) — the targeted fold
+        :meth:`maintenance_plan`'s delete-ratio flag feeds, mirroring
+        ``rewrite_zorder(buckets=...)``. Deletion-vector-carrying
+        buckets also auto-qualify, but ONLY where the locator is an
+        inline entry list: probing segment-backed buckets for dvs
+        would resolve O(table files) of segment payload on every
+        no-op nightly call (review r14) — plan those explicitly via
+        ``maintenance_plan`` → ``buckets=``."""
+        if buckets is not None:
+            unknown = sorted(set(buckets) - set(range(self.n_buckets)))
+            if unknown:
+                raise ValueError(
+                    f"compact: unknown buckets {unknown} "
+                    f"(layout has {self.n_buckets})"
+                )
         last: Exception | None = None
         for _ in range(max_retries):
             try:
-                return self._compact_once(min_files, dedup_keys)
+                return self._compact_once(min_files, dedup_keys, buckets)
             except CommitConflict as e:  # re-plan on the new current
                 last = e
         raise RuntimeError(
             f"compact lost the commit race {max_retries} times"
         ) from last
 
-    def _compact_once(self, min_files: int, dedup_keys: bool) -> int:
+    def _compact_once(
+        self,
+        min_files: int,
+        dedup_keys: bool,
+        buckets: list[int] | None = None,
+    ) -> int:
         base_id = self.current_id()
         if base_id is None:
             raise ValueError(
@@ -1491,11 +1514,19 @@ class SnapshotTable:
             if self._loc_n(loc)
             and (
                 dedup_keys
+                or (buckets is not None and bkt in buckets)
                 or self._loc_n(loc) >= min_files
-                # a deletion-vector-carrying bucket always qualifies:
-                # compaction is what folds MOR deletes back into data
-                # files (round 14 — the Iceberg/Delta rewrite rule)
-                or any(f.get("dv") for f in self._entries(loc))
+                # an INLINE deletion-vector-carrying bucket also
+                # qualifies — compaction folds MOR deletes back into
+                # data files (the Iceberg/Delta rewrite rule). Only
+                # inline locators are probed: resolving seg refs here
+                # would cost O(table files) per no-op nightly call
+                # (review r14); seg-backed dv buckets are targeted
+                # via maintenance_plan -> buckets=
+                or (
+                    isinstance(loc, list)
+                    and any(f.get("dv") for f in loc)
+                )
             )
         )
         if not touched:
@@ -1975,7 +2006,13 @@ class SnapshotTable:
         if counts:  # a pure-insert MERGE has no positions — no sidecar
             to_write = matched
             if fold:
-                to_write = to_write.unionByName(self._dv_pairs(fold))
+                # the MATCHED frame's session, not self.spark: inside
+                # foreachBatch the micro-batch belongs to a cloned
+                # session and a union must not cross sessions (the
+                # _prepare_merge rule; review r14)
+                to_write = to_write.unionByName(
+                    self._dv_pairs(fold, spark=matched.sparkSession)
+                )
             run = uuid.uuid4().hex[:12]
             staging = os.path.join(self._data_dir, f".dv-staging-{run}")
             os.makedirs(self._data_dir, exist_ok=True)
@@ -2861,7 +2898,7 @@ class SnapshotTable:
                         else []
                     )
                     if when_matched == "ignore":
-                        positions = self.spark.createDataFrame(
+                        positions = source.sparkSession.createDataFrame(
                             [], "__fname string, __pos long"
                         )
                     else:
@@ -4161,13 +4198,24 @@ class SnapshotTable:
     # ------------------------------------------ WAP branches (round 14)
 
     def branches(self) -> list[str]:
-        """Names of live branches (write-audit-publish refs)."""
-        if not os.path.isdir(self._manifest_dir):
-            return []
+        """Names of live branches (write-audit-publish refs): the
+        union of branch MARKER files (written at create time, so a
+        fresh branch is visible to the expire guard and duplicate
+        check BEFORE its first commit — review r14) and branch
+        manifest names (pre-marker branches keep working)."""
         out = set()
-        for name in os.listdir(self._manifest_dir):
-            if name.startswith("branch-") and "-manifest-" in name:
-                out.add(name[len("branch-"):].rsplit("-manifest-", 1)[0])
+        try:
+            for name in os.listdir(self.table_dir):
+                if name.startswith("_branch-"):
+                    out.add(name[len("_branch-"):])
+        except FileNotFoundError:
+            pass
+        if os.path.isdir(self._manifest_dir):
+            for name in os.listdir(self._manifest_dir):
+                if name.startswith("branch-") and "-manifest-" in name:
+                    out.add(
+                        name[len("branch-"):].rsplit("-manifest-", 1)[0]
+                    )
         return sorted(out)
 
     def create_branch(self, name: str) -> "SnapshotBranch":
@@ -4189,11 +4237,37 @@ class SnapshotTable:
             )
         if name in self.branches():
             raise ValueError(f"create_branch: branch {name!r} exists")
-        return SnapshotBranch(self, name, self.current_id() or 0)
+        base = self.current_id() or 0
+        # durable marker FIRST (the fork-base record): the branch is
+        # visible to expire_snapshots' guard and to duplicate checks
+        # from this moment, commits or not (review r14)
+        marker = os.path.join(self.table_dir, f"_branch-{name}")
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.table_dir, exist_ok=True)
+        with open(tmp, "w") as fh:
+            fh.write(str(base))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            raise ValueError(
+                f"create_branch: branch {name!r} exists"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return SnapshotBranch(self, name, base)
 
     def branch(self, name: str) -> "SnapshotBranch":
-        """Open an EXISTING branch (its fork base is recorded on the
-        first branch manifest's parent)."""
+        """Open an EXISTING branch: the fork base comes from the
+        marker file (falling back to the first branch manifest's
+        parent for pre-marker branches)."""
+        marker = os.path.join(self.table_dir, f"_branch-{name}")
+        try:
+            with open(marker) as fh:
+                return SnapshotBranch(self, name, int(fh.read().strip()))
+        except (OSError, ValueError):
+            pass
         sids = sorted(
             int(n.rsplit("-", 1)[1][: -len(".json")])
             for n in os.listdir(self._manifest_dir)
@@ -4406,26 +4480,23 @@ class SnapshotBranch(SnapshotTable):
     check to bypass. Ids stay in the shared linear sequence
     (fork base + 1, +2, ...), and a branch manifest's resolution
     parents cross the fork into main manifests transparently
-    (``_mname`` routes ids ≤ fork base to main names) — which is
-    exactly what makes :meth:`publish` a pure FAST-FORWARD: adopting
-    a branch manifest into main is one ``os.link`` per commit, the
-    same CAS main commits use, with no renumbering and no rewrite.
+    (``_mname`` routes ids ≤ fork base to main names).
 
     Workflow::
 
         b = table.create_branch("wap_20260816")
         b.append(batch)                  # stage
         audit(b.read())                  # gate (expectations E34)
-        b.publish()                      # fast-forward into main
+        b.publish()                      # ONE atomic commit into main
         # or: b.drop()                   # discard + reclaim orphans
 
-    A publish races main writers through the claim CAS: if main
-    advanced past the fork base, the first adoption collides with a
-    DIFFERENT manifest and the publish refuses (``CommitConflict`` —
-    re-create the branch from the new main; the Iceberg
-    non-fast-forward rule). A crash mid-publish leaves an adopted
-    prefix; re-running ``publish()`` is idempotent (content-equal
-    claims skip) and finishes the cleanup.
+    :meth:`publish` lands the branch HEAD's state as ONE main commit
+    through the same claim CAS every commit uses — all-or-nothing
+    (see its docstring for why a per-commit os.link fast-forward
+    cannot be atomic against a racing main writer). If main advanced
+    past the fork base the claim collides and publish refuses
+    (``CommitConflict`` — re-create the branch from the new main;
+    the Iceberg non-fast-forward rule).
     """
 
     def __init__(self, main: SnapshotTable, name: str, base_id: int):
@@ -4481,13 +4552,52 @@ class SnapshotBranch(SnapshotTable):
             "publish or drop first"
         )
 
+    def rebucket(self, new_n_buckets: int, max_retries: int = 5):
+        raise RuntimeError(
+            "rebucket: layout changes run on main, not on a branch — "
+            "publish() diffs per-bucket locators against the fork "
+            "base, which a bucket-count change would silently corrupt"
+        )
+
+    def create_tag(self, name: str, snapshot_id: int | None = None):
+        raise RuntimeError(
+            "create_tag: tags live on main — a tag pinned to a "
+            "branch snapshot would dangle after drop() (review r14)"
+        )
+
+    def drop_tag(self, name: str):
+        raise RuntimeError("drop_tag: tags live on main")
+
+    def _write_pointer(self, sid: int) -> None:
+        """No-op: the branch's ``_branch-<name>`` file is the fork-
+        base RECORD (and the existence marker), not a current-id
+        hint — ``current_id``'s roll-forward max over
+        ``snapshot_ids()`` already serves the hint's crash-safety
+        purpose, and overwriting the marker would lose the base."""
+
     def publish(self) -> int:
-        """FAST-FORWARD the branch into main: adopt each branch
-        manifest, in order, under its main name via the claim CAS
-        (one ``os.link`` each — zero rewrite, the ids already line
-        up), advance main's pointer, then remove the branch names.
-        Returns main's new current id. Raises ``CommitConflict`` if
-        main advanced past the fork base (non-fast-forward)."""
+        """Publish the branch into main as ONE atomic commit: the
+        branch HEAD's per-bucket state lands as a single delta
+        manifest (parent = the fork base) through the same claim CAS
+        every main commit uses — an audited branch becomes visible
+        all-or-nothing, which is the write-audit-publish guarantee.
+        (A per-branch-commit os.link fast-forward would be O(commits)
+        claims and therefore NOT atomic: a main writer racing a
+        multi-commit adoption could strand an audited-together branch
+        half-published — the review-r14 finding this design answers.
+        The cost is squash granularity: main history records one
+        ``publish`` commit per branch; the per-commit trail lives on
+        the branch until :meth:`drop`.)
+
+        O(changed buckets) metadata: untouched buckets carry by
+        reference from the fork base, and branch segment files are
+        referenced verbatim (never rewritten). Raises
+        ``CommitConflict`` if main advanced past the fork base
+        (non-fast-forward — re-create the branch from current main).
+        Crash-safe: a re-run after a crash between the claim and the
+        cleanup recognizes its own published commit (the
+        ``publish.branch``/``publish.head`` properties) and just
+        finishes the cleanup."""
         ids = self._branch_ids()
         if not ids:
             try:
@@ -4495,26 +4605,66 @@ class SnapshotBranch(SnapshotTable):
             except FileNotFoundError:
                 pass
             return self._main.current_id()
-        for sid in ids:
-            src = os.path.join(self._manifest_dir, self._mname(sid))
-            dst = os.path.join(
-                self._manifest_dir, f"manifest-{sid}.json"
+        head = ids[-1]
+        new_id = self.branch_base + 1
+        # crash recovery: did a previous publish() already claim?
+        main_ids = set(self._main.snapshot_ids())
+        if new_id in main_ids:
+            raw = self._main._raw_meta(new_id)
+            props = raw.get("properties") or {}
+            if (
+                props.get("publish.branch") == self.branch_name
+                and props.get("publish.head") == head
+            ):
+                self._cleanup_branch_names(ids)
+                return new_id
+            raise CommitConflict(
+                f"publish: snapshot {new_id} already claimed by a "
+                f"different commit — main moved past the fork base "
+                f"{self.branch_base}; re-create the branch from "
+                "current main"
             )
-            try:
-                os.link(src, dst)
-            except FileExistsError:
-                with open(src) as fa, open(dst) as fb:
-                    if json.load(fa) != json.load(fb):
-                        raise CommitConflict(
-                            f"publish: snapshot {sid} already claimed "
-                            f"by a different commit — main moved past "
-                            f"the fork base {self.branch_base}; "
-                            "re-create the branch from current main"
-                        ) from None
-                # content-equal: an interrupted publish already
-                # adopted this one — idempotent continue
-        self._main._write_pointer(ids[-1])
-        for sid in ids:  # cleanup: branch names are now redundant
+        head_bb = self._by_bucket(head)
+        base_bb = (
+            self._main._by_bucket(self.branch_base)
+            if self.branch_base in main_ids
+            else {}
+        )
+        # buckets whose locator changed across the branch — locators
+        # carry verbatim (seg refs included), so this is O(changed)
+        touched_new = {
+            b: loc
+            for b, loc in head_bb.items()
+            if loc != base_bb.get(b, [])
+        }
+        head_raw = self._raw_meta(head)
+        props = dict(head_raw.get("properties") or {})
+        props["publish.branch"] = self.branch_name
+        props["publish.head"] = head
+        props["publish.commits"] = len(ids)
+        try:
+            new_sid = self._main._commit_delta(
+                head_raw["schema"], base_bb, touched_new,
+                operation="publish",
+                base_id=(
+                    self.branch_base
+                    if self.branch_base in main_ids
+                    else None
+                ),
+                properties=props,
+            )
+        except CommitConflict:
+            raise CommitConflict(
+                f"publish: snapshot {new_id} already claimed by a "
+                f"different commit — main moved past the fork base "
+                f"{self.branch_base}; re-create the branch from "
+                "current main"
+            ) from None
+        self._cleanup_branch_names(ids)
+        return new_sid
+
+    def _cleanup_branch_names(self, ids: list[int]) -> None:
+        for sid in ids:  # branch names are now redundant
             try:
                 os.unlink(
                     os.path.join(self._manifest_dir, self._mname(sid))
@@ -4525,7 +4675,6 @@ class SnapshotBranch(SnapshotTable):
             os.unlink(self._pointer)
         except FileNotFoundError:
             pass
-        return ids[-1]
 
     def drop(self) -> list[str]:
         """Discard the branch: remove its manifests (children before
