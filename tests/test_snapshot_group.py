@@ -662,3 +662,112 @@ def test_group_apply_all_crash_mid_rollforward_heals(
     assert [
         (r["k"], r["ver"]) for r in g2.tables["b"].read().collect()
     ] == [(2, 2)]
+
+
+# ------------------------------------------- group WAP publish (r14)
+
+
+def test_publish_branches_atomic_across_members(spark, gdir):
+    """The catalog-level WAP: two members' audited branches land in
+    ONE group transaction — both visible together, provenance
+    stamped, branch names cleaned up."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {
+            "a": batch(spark, [(k, 1) for k in range(10)]),
+            "b": batch(spark, [(k, 1) for k in range(10)]),
+        }
+    )
+    ba = a.create_branch("wap")
+    bb = b.create_branch("wap")
+    ba.append(batch(spark, [(k, 2) for k in range(10, 20)]))
+    bb.delete_where("k < 3")
+    out = g.publish_branches({"a": ba, "b": bb})
+    assert out == {"a": 2, "b": 2}
+    assert a.read().count() == 20
+    assert b.read().count() == 7
+    assert a.branches() == [] and b.branches() == []
+    assert a.history()[-1]["operation"] == "publish"
+    assert a.latest_property("publish.branch") == "wap"
+
+
+def test_publish_branches_refuses_non_ff_atomically(spark, gdir):
+    """One member's main moved past its fork: the group publish
+    refuses BEFORE the claim — neither member publishes."""
+    from turnover_odata_etl_spark.storage.snapshot import (
+        CommitConflict,
+    )
+
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {
+            "a": batch(spark, [(1, 1)]),
+            "b": batch(spark, [(1, 1)]),
+        }
+    )
+    ba = a.create_branch("w")
+    bb = b.create_branch("w")
+    ba.append(batch(spark, [(2, 2)]))
+    bb.append(batch(spark, [(2, 2)]))
+    g.append_all(  # member a's main moves past the fork
+        {"a": batch(spark, [(9, 3)]), "b": spark.createDataFrame([], "k long, v string, ver long")}
+    )
+    with pytest.raises(CommitConflict):
+        g.publish_branches({"a": ba, "b": bb})
+    assert a.read().count() == 2  # main rows only
+    assert b.read().count() == 1  # b did NOT publish either
+    ba.drop()
+    bb.drop()
+
+
+def test_publish_branches_crash_mid_rollforward_heals(
+    spark, gdir, monkeypatch
+):
+    """Crash between the group claim and the member roll-forward:
+    recover() completes the publish; a re-run no-ops idempotently."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {
+            "a": batch(spark, [(1, 1)]),
+            "b": batch(spark, [(1, 1)]),
+        }
+    )
+    ba = a.create_branch("w")
+    bb = b.create_branch("w")
+    ba.append(batch(spark, [(2, 2)]))
+    bb.append(batch(spark, [(3, 2)]))
+
+    real = SnapshotGroup._roll_forward
+
+    def boom(self, rec):
+        raise OSError("injected crash after the group claim")
+
+    monkeypatch.setattr(SnapshotGroup, "_roll_forward", boom)
+    with pytest.raises(OSError):
+        g.publish_branches({"a": ba, "b": bb})
+    monkeypatch.setattr(SnapshotGroup, "_roll_forward", real)
+    g.recover()  # heals the member-link window
+    assert a.read().count() == 2
+    assert b.read().count() == 2
+    # re-run publishes idempotently (prepared publishes self-identify)
+    out = g.publish_branches({"a": ba, "b": bb})
+    assert out == {"a": 2, "b": 2}
+    assert a.branches() == [] and b.branches() == []
+
+
+def test_publish_branches_validation(spark, gdir):
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {"a": batch(spark, [(1, 1)]), "b": batch(spark, [(1, 1)])}
+    )
+    ba = a.create_branch("w")
+    with pytest.raises(ValueError, match="unknown member"):
+        g.publish_branches({"zz": ba})
+    with pytest.raises(ValueError, match="SnapshotBranch"):
+        g.publish_branches({"a": a})
+    with pytest.raises(ValueError, match="different table"):
+        g.publish_branches({"b": ba})
+    # commit-less branch: member no-ops at current
+    out = g.publish_branches({"a": ba})
+    assert out == {"a": a.current_id()}
+    assert a.branches() == []

@@ -274,6 +274,60 @@ class SnapshotGroup:
             op="merge",
         )
 
+    def publish_branches(
+        self,
+        branches: dict,
+        max_retries: int = 5,
+    ) -> dict[str, int]:
+        """ATOMIC MULTI-TABLE write-audit-publish (round 14 — the
+        catalog-level half of the Nessie/Iceberg-REST pattern):
+        publish each member's WAP branch in ONE group transaction —
+        every member's audited state becomes visible in the same
+        instant or none does. The consistency story: an index
+        rebuild staged on a postings branch must land WITH its
+        codebook branch; a fact-table restatement must land WITH its
+        derived aggregate.
+
+        ``branches`` maps member names to :class:`SnapshotBranch`
+        handles forked FROM those members. Each branch's publish
+        manifest is PREPARED (never claimed) via the single-table
+        machinery, then the group txn CAS commits all of them; a
+        non-fast-forward member (its main moved past the fork)
+        raises ``CommitConflict`` BEFORE the claim, so atomicity
+        holds on refusal too — no member publishes. Commit-less
+        branches no-op at their member's current id; a crashed
+        publish re-runs idempotently (prepared publishes
+        self-identify via the ``publish.branch``/``head``
+        properties). Branch names are cleaned up after the commit."""
+        from .snapshot import SnapshotBranch
+
+        for name, b in branches.items():
+            if name not in self.tables:
+                raise ValueError(
+                    f"publish_branches: unknown member {name!r}"
+                )
+            if not isinstance(b, SnapshotBranch):
+                raise ValueError(
+                    f"publish_branches: member {name!r} must map to "
+                    "a SnapshotBranch"
+                )
+            if b._main.table_dir != self.tables[name].table_dir:
+                raise ValueError(
+                    f"publish_branches: branch for {name!r} was "
+                    "forked from a different table"
+                )
+
+        def prepare(name, t, branch):
+            prep = branch._prepare_publish()
+            if prep is None:  # commit-less branch: member no-ops
+                return t.current_id() or 0
+            return prep  # int (already published) or (m, id, bb)
+
+        out = self._txn_all(branches, max_retries, prepare, op="publish")
+        for b in branches.values():
+            b._cleanup_branch_names(b._branch_ids())
+        return out
+
     def apply_all(
         self,
         ops: "dict[str, tuple[str, DataFrame]]",

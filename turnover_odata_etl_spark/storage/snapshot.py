@@ -4599,15 +4599,44 @@ class SnapshotBranch(SnapshotTable):
         ``publish.branch``/``publish.head`` properties) and just
         finishes the cleanup."""
         ids = self._branch_ids()
-        if not ids:
+        prep = self._prepare_publish()
+        if prep is None:
             try:
                 os.unlink(self._pointer)
             except FileNotFoundError:
                 pass
             return self._main.current_id()
+        if isinstance(prep, int):  # crash recovery: already published
+            self._cleanup_branch_names(ids)
+            return prep
+        manifest, new_id, merged_bb = prep
+        try:
+            self._main._claim(manifest, new_id)
+        except CommitConflict:
+            raise CommitConflict(
+                f"publish: snapshot {new_id} already claimed by a "
+                f"different commit — main moved past the fork base "
+                f"{self.branch_base}; re-create the branch from "
+                "current main"
+            ) from None
+        self._main._prime_bb(new_id, merged_bb)
+        self._cleanup_branch_names(ids)
+        return new_id
+
+    def _prepare_publish(self):
+        """Build the publish commit WITHOUT claiming it — the
+        prepare half :class:`..group.SnapshotGroup.publish_branches`
+        rides for atomic MULTI-TABLE publishes (prepare each member's
+        publish manifest, one group-txn CAS commits them all).
+        Returns ``(manifest, new_id, merged_bb)``; the already-
+        published id (int) when a crashed publish already claimed
+        (idempotent recovery); ``None`` on a commit-less branch.
+        Raises ``CommitConflict`` on non-fast-forward."""
+        ids = self._branch_ids()
+        if not ids:
+            return None
         head = ids[-1]
         new_id = self.branch_base + 1
-        # crash recovery: did a previous publish() already claim?
         main_ids = set(self._main.snapshot_ids())
         if new_id in main_ids:
             raw = self._main._raw_meta(new_id)
@@ -4616,7 +4645,6 @@ class SnapshotBranch(SnapshotTable):
                 props.get("publish.branch") == self.branch_name
                 and props.get("publish.head") == head
             ):
-                self._cleanup_branch_names(ids)
                 return new_id
             raise CommitConflict(
                 f"publish: snapshot {new_id} already claimed by a "
@@ -4642,26 +4670,16 @@ class SnapshotBranch(SnapshotTable):
         props["publish.branch"] = self.branch_name
         props["publish.head"] = head
         props["publish.commits"] = len(ids)
-        try:
-            new_sid = self._main._commit_delta(
-                head_raw["schema"], base_bb, touched_new,
-                operation="publish",
-                base_id=(
-                    self.branch_base
-                    if self.branch_base in main_ids
-                    else None
-                ),
-                properties=props,
-            )
-        except CommitConflict:
-            raise CommitConflict(
-                f"publish: snapshot {new_id} already claimed by a "
-                f"different commit — main moved past the fork base "
-                f"{self.branch_base}; re-create the branch from "
-                "current main"
-            ) from None
-        self._cleanup_branch_names(ids)
-        return new_sid
+        return self._main._build_delta(
+            head_raw["schema"], base_bb, touched_new,
+            operation="publish",
+            base_id=(
+                self.branch_base
+                if self.branch_base in main_ids
+                else None
+            ),
+            properties=props,
+        )
 
     def _cleanup_branch_names(self, ids: list[int]) -> None:
         for sid in ids:  # branch names are now redundant
