@@ -562,3 +562,63 @@ def test_mor_merge_into_pure_insert_writes_no_sidecar(spark, tdir):
         n for n in os.listdir(os.path.join(tdir, "data"))
         if n.startswith("dv-")
     ]
+
+
+def test_changes_dv_fast_path_plan_shape(spark, tdir):
+    """A dv-only diff must take the fast path: pre-image deletes via
+    a broadcast position semi-join — NO full-outer join of bucket
+    states in the plan. A rewrite diff keeps the join path."""
+    t = make_table(spark, tdir)
+    seed(spark, t, n=30)
+    s1 = t.current_id()
+    t.delete_where("k BETWEEN 3 AND 7", mode="mor")
+    df = t.changes(s1)
+    plan = df._jdf.queryExecution().toString()
+    assert "FullOuter" not in plan  # fast path: no state join
+    got = sorted((r["k"], r["_change_type"]) for r in df.collect())
+    assert got == [(k, "delete") for k in range(3, 8)]
+    # COW rewrite between the same states: join path, same answer
+    s2 = t.current_id()
+    t.delete_where("k BETWEEN 10 AND 12")  # cow rewrite
+    df2 = t.changes(s2)
+    assert "FullOuter" in df2._jdf.queryExecution().toString()
+    got2 = sorted((r["k"], r["_change_type"]) for r in df2.collect())
+    assert got2 == [(k, "delete") for k in range(10, 13)]
+
+
+def test_changes_mixed_dv_and_rewrite_buckets(spark, tdir):
+    """One span with BOTH a MOR delete (dv-only buckets) and a COW
+    update (rewritten buckets): the union of fast and join paths
+    must equal the model diff."""
+    t = make_table(spark, tdir, n_buckets=4)
+    seed(spark, t, n=40)
+    s1 = t.current_id()
+    t.delete_where("k = 11", mode="mor")
+    t.update_where("k = 20", {"v": "v + 1"})  # cow: rewrites bucket
+    ch = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in t.changes(s1).collect()
+    }
+    assert ch == {(11, "delete"): 110, (20, "update"): 201}
+    # preimage convention: the dv delete is still a single row
+    pre = sorted(
+        (r["k"], r["_change_type"])
+        for r in t.changes(s1, include_preimages=True).collect()
+    )
+    assert pre == [
+        (11, "delete"),
+        (20, "update_postimage"),
+        (20, "update_preimage"),
+    ]
+
+
+def test_changes_dv_fast_path_excludes_prior_dv(spark, tdir):
+    """Delta = to-side positions minus from-side: rows deleted BEFORE
+    the from snapshot never reappear in a later window."""
+    t = make_table(spark, tdir, n_buckets=1)
+    seed(spark, t, n=20)
+    t.delete_where("k = 1", mode="mor")
+    s_mid = t.current_id()
+    t.delete_where("k = 2", mode="mor")
+    got = [(r["k"], r["_change_type"]) for r in t.changes(s_mid).collect()]
+    assert got == [(2, "delete")]

@@ -1162,7 +1162,21 @@ class SnapshotTable:
         makes CDC viable on a 100 TB table. The diff itself is one
         full-outer join on the key columns over the pruned buckets,
         filtered by null-safe struct inequality (unchanged rows in
-        rewritten buckets drop out here)."""
+        rewritten buckets drop out here).
+
+        Merge-on-read fast path (round 14): a changed bucket whose
+        file PATHS are identical can only have grown deletion
+        vectors (files are immutable; dv position sets only grow
+        until a rewrite changes the path) — a pure DELETE delta. For
+        those buckets the diff skips the full-outer join entirely:
+        the delta positions (to-side minus from-side pairs) broadcast
+        into one scan of the same files, and the matched rows ARE the
+        pre-image delete rows. The weekly GDPR batch's CDC costs one
+        position-pruned scan, zero shuffles — never two bucket-state
+        joins. (Like the join path, keyed net-change semantics
+        presuppose the keep-latest invariant: on a table holding
+        replayed duplicate keys, run ``compact(dedup_keys=True)``
+        before trusting keyed CDC from either path.)"""
         sid_to = self.current_id() if to_id is None else to_id
         m_from, m_to = self._manifest(from_id), self._manifest(sid_to)
         schema = self._schema_of(m_to)
@@ -1171,28 +1185,67 @@ class SnapshotTable:
             + [T.StructField("_change_type", T.StringType(), False)]
         )
         changed = self._changed_buckets(m_from["files"], m_to["files"])
-
-        def _side(manifest: dict) -> DataFrame:
-            # both sides align to the TO-schema: across an additive
-            # evolution, pre-evolution rows carry typed NULLs for the
-            # new columns (the standard CDF backfill convention)
-            ents = [
-                f for f in manifest["files"] if f["bucket"] in changed
-            ]
-            return self._read_entries(ents, schema)
-
         if not changed:
             return self.spark.createDataFrame([], out_schema)
-        non_key = [c for c in schema.fieldNames() if c not in self.key_cols]
-        old = _side(m_from).select(
-            *self.key_cols, F.struct(*non_key).alias("__old")
-        )
-        new = _side(m_to).select(
-            *self.key_cols, F.struct(*non_key).alias("__new")
-        )
-        j = old.join(new, on=self.key_cols, how="full_outer").filter(
-            ~F.col("__old").eqNullSafe(F.col("__new"))
-        )
+        # split: dv-only buckets (identical path sets) vs rewrites
+        fp: dict[int, set] = {}
+        tp: dict[int, set] = {}
+        for f in m_from["files"]:
+            if f["bucket"] in changed:
+                fp.setdefault(f["bucket"], set()).add(f["path"])
+        for f in m_to["files"]:
+            if f["bucket"] in changed:
+                tp.setdefault(f["bucket"], set()).add(f["path"])
+        dv_only = {
+            b for b in changed if fp.get(b, set()) == tp.get(b, set())
+        }
+        rewritten = changed - dv_only
+        parts: list[DataFrame] = []
+        if dv_only:
+            parts.append(
+                self._dv_delta_rows(
+                    [
+                        f
+                        for f in m_from["files"]
+                        if f["bucket"] in dv_only
+                    ],
+                    [
+                        f
+                        for f in m_to["files"]
+                        if f["bucket"] in dv_only
+                    ],
+                    schema,
+                )
+            )
+        j = None
+        if rewritten:
+
+            def _side(manifest: dict) -> DataFrame:
+                # both sides align to the TO-schema: across an
+                # additive evolution, pre-evolution rows carry typed
+                # NULLs for the new columns (the standard CDF
+                # backfill convention)
+                ents = [
+                    f
+                    for f in manifest["files"]
+                    if f["bucket"] in rewritten
+                ]
+                return self._read_entries(ents, schema)
+
+            non_key = [
+                c for c in schema.fieldNames() if c not in self.key_cols
+            ]
+            old = _side(m_from).select(
+                *self.key_cols, F.struct(*non_key).alias("__old")
+            )
+            new = _side(m_to).select(
+                *self.key_cols, F.struct(*non_key).alias("__new")
+            )
+            j = old.join(
+                new, on=self.key_cols, how="full_outer"
+            ).filter(~F.col("__old").eqNullSafe(F.col("__new")))
+        if j is None:
+            return parts[0]
         if include_preimages:
             def tagged(img: str, t: str):
                 return F.struct(
@@ -1216,24 +1269,63 @@ class SnapshotTable:
                 )
             )
             ex = j.select(*self.key_cols, F.explode(arr).alias("__e"))
-            return ex.select(
+            slow = ex.select(
                 *self.key_cols,
                 *[F.col("__e")["img"][c].alias(c) for c in non_key],
                 F.col("__e")["t"].alias("_change_type"),
             ).select(*schema.fieldNames(), "_change_type")
-        change_type = (
-            F.when(F.col("__old").isNull(), F.lit("insert"))
-            .when(F.col("__new").isNull(), F.lit("delete"))
-            .otherwise(F.lit("update"))
+        else:
+            change_type = (
+                F.when(F.col("__old").isNull(), F.lit("insert"))
+                .when(F.col("__new").isNull(), F.lit("delete"))
+                .otherwise(F.lit("update"))
+            )
+            image = F.when(
+                F.col("__new").isNull(), F.col("__old")
+            ).otherwise(F.col("__new"))
+            slow = j.select(
+                *self.key_cols,
+                *[image[c].alias(c) for c in non_key],
+                change_type.alias("_change_type"),
+            ).select(*schema.fieldNames(), "_change_type")
+        return slow.unionByName(parts[0]) if parts else slow
+
+    def _dv_delta_rows(
+        self,
+        ents_from: list[dict],
+        ents_to: list[dict],
+        schema: T.StructType,
+    ) -> DataFrame:
+        """The merge-on-read CDC fast path (see :meth:`changes`):
+        pre-image ``delete`` rows at exactly the positions the
+        to-side deletion vectors grew over the from-side. One scan of
+        the (unchanged-path) files with the delta positions broadcast
+        in — zero shuffles, zero joins of bucket states."""
+        to_dv = [f for f in ents_to if f.get("dv")]
+        from_dv = [f for f in ents_from if f.get("dv")]
+        delta = self._dv_pairs(to_dv)
+        if from_dv:
+            delta = delta.join(
+                self._dv_pairs(from_dv),
+                ["__fname", "__pos"],
+                "left_anti",
+            )
+        raw = self._read_entries(
+            # dv STRIPPED: the delta rows are live at `from`, deleted
+            # at `to` — the raw scan + position semi-join selects them
+            [
+                {k: v for k, v in f.items() if k != "dv"}
+                for f in ents_to
+            ],
+            schema,
+            keep_meta=True,
         )
-        image = F.when(
-            F.col("__new").isNull(), F.col("__old")
-        ).otherwise(F.col("__new"))
-        return j.select(
-            *self.key_cols,
-            *[image[c].alias(c) for c in non_key],
-            change_type.alias("_change_type"),
-        ).select(*schema.fieldNames(), "_change_type")
+        return (
+            raw.join(F.broadcast(delta), ["__fname", "__pos"], "left_semi")
+            .drop("__fname", "__pos")
+            .withColumn("_change_type", F.lit("delete"))
+            .select(*schema.fieldNames(), "_change_type")
+        )
 
     # --------------------------------------------------------------- write
 
