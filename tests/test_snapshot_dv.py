@@ -622,3 +622,25 @@ def test_changes_dv_fast_path_excludes_prior_dv(spark, tdir):
     t.delete_where("k = 2", mode="mor")
     got = [(r["k"], r["_change_type"]) for r in t.changes(s_mid).collect()]
     assert got == [(2, "delete")]
+
+
+def test_changes_reversed_window_falls_back_to_join(spark, tdir):
+    """A REVERSED window (to-side dv smaller than from-side) must
+    take the general join path and report the re-appearing rows as
+    inserts — the fast path's monotone-growth precondition fails."""
+    t = make_table(spark, tdir, n_buckets=1)
+    seed(spark, t, n=10)
+    s1 = t.current_id()
+    t.delete_where("k < 3", mode="mor")
+    s2 = t.current_id()
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in t.changes(s2, s1).collect()
+    )
+    assert got == [(k, "insert") for k in range(3)]
+    # mid-shrink: s1 between two MOR deletes, reversed to s1
+    t.delete_where("k = 5", mode="mor")
+    got2 = sorted(
+        (r["k"], r["_change_type"])
+        for r in t.changes(t.current_id(), s2).collect()
+    )
+    assert got2 == [(5, "insert")]

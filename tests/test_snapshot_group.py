@@ -710,7 +710,7 @@ def test_publish_branches_refuses_non_ff_atomically(spark, gdir):
     ba.append(batch(spark, [(2, 2)]))
     bb.append(batch(spark, [(2, 2)]))
     g.append_all(  # member a's main moves past the fork
-        {"a": batch(spark, [(9, 3)]), "b": spark.createDataFrame([], "k long, v string, ver long")}
+        {"a": batch(spark, [(9, 3)]), "b": batch(spark, [])}
     )
     with pytest.raises(CommitConflict):
         g.publish_branches({"a": ba, "b": bb})

@@ -1187,35 +1187,51 @@ class SnapshotTable:
         changed = self._changed_buckets(m_from["files"], m_to["files"])
         if not changed:
             return self.spark.createDataFrame([], out_schema)
-        # split: dv-only buckets (identical path sets) vs rewrites
-        fp: dict[int, set] = {}
-        tp: dict[int, set] = {}
+        # Split: dv-only buckets vs rewrites. A bucket takes the fast
+        # path only when its path set is IDENTICAL and every file's
+        # dv count grew monotonically from -> to (dv position sets
+        # only grow on an immutable path, so monotone counts prove
+        # to-pairs ⊇ from-pairs — a pure delete delta). A REVERSED or
+        # mid-shrink window (to-side dv smaller/absent) falls back to
+        # the general join, which handles re-appearing rows correctly
+        # (review r14-2).
+        fmap: dict[int, dict] = {}
+        tmap: dict[int, dict] = {}
         for f in m_from["files"]:
             if f["bucket"] in changed:
-                fp.setdefault(f["bucket"], set()).add(f["path"])
+                fmap.setdefault(f["bucket"], {})[f["path"]] = f
         for f in m_to["files"]:
             if f["bucket"] in changed:
-                tp.setdefault(f["bucket"], set()).add(f["path"])
+                tmap.setdefault(f["bucket"], {})[f["path"]] = f
+
+        def _dvn(f):
+            return (f.get("dv") or {}).get("n", 0)
+
         dv_only = {
-            b for b in changed if fp.get(b, set()) == tp.get(b, set())
+            b
+            for b in changed
+            if fmap.get(b, {}).keys() == tmap.get(b, {}).keys()
+            and all(
+                _dvn(tf) >= _dvn(fmap[b][p])
+                for p, tf in tmap.get(b, {}).items()
+            )
         }
         rewritten = changed - dv_only
-        parts: list[DataFrame] = []
+        fast = None
         if dv_only:
-            parts.append(
-                self._dv_delta_rows(
-                    [
-                        f
-                        for f in m_from["files"]
-                        if f["bucket"] in dv_only
-                    ],
-                    [
-                        f
-                        for f in m_to["files"]
-                        if f["bucket"] in dv_only
-                    ],
-                    schema,
-                )
+            # file-grain prune (review r14-2): scan only the entries
+            # whose dv actually changed, not the whole bucket
+            grown_to, grown_from, n_delta = [], [], 0
+            for b in dv_only:
+                for p, tf in tmap[b].items():
+                    ff = fmap[b][p]
+                    if _dvn(tf) > _dvn(ff):
+                        grown_to.append(tf)
+                        if ff.get("dv"):
+                            grown_from.append(ff)
+                        n_delta += _dvn(tf) - _dvn(ff)
+            fast = self._dv_delta_rows(
+                grown_from, grown_to, schema, n_delta
             )
         j = None
         if rewritten:
@@ -1245,7 +1261,7 @@ class SnapshotTable:
                 new, on=self.key_cols, how="full_outer"
             ).filter(~F.col("__old").eqNullSafe(F.col("__new")))
         if j is None:
-            return parts[0]
+            return fast
         if include_preimages:
             def tagged(img: str, t: str):
                 return F.struct(
@@ -1288,28 +1304,32 @@ class SnapshotTable:
                 *[image[c].alias(c) for c in non_key],
                 change_type.alias("_change_type"),
             ).select(*schema.fieldNames(), "_change_type")
-        return slow.unionByName(parts[0]) if parts else slow
+        return slow if fast is None else slow.unionByName(fast)
 
     def _dv_delta_rows(
         self,
         ents_from: list[dict],
         ents_to: list[dict],
         schema: T.StructType,
+        n_delta: int,
     ) -> DataFrame:
         """The merge-on-read CDC fast path (see :meth:`changes`):
         pre-image ``delete`` rows at exactly the positions the
         to-side deletion vectors grew over the from-side. One scan of
-        the (unchanged-path) files with the delta positions broadcast
-        in — zero shuffles, zero joins of bucket states."""
-        to_dv = [f for f in ents_to if f.get("dv")]
-        from_dv = [f for f in ents_from if f.get("dv")]
-        delta = self._dv_pairs(to_dv)
-        if from_dv:
+        ONLY the files whose vectors grew, with the delta positions
+        joined in — zero shuffles, zero joins of bucket states.
+        ``n_delta`` (the manifest-computed position-count delta)
+        gates the broadcast hint at ``DV_BROADCAST_MAX``, the same
+        cap every other dv consumer applies (review r14-2)."""
+        delta = self._dv_pairs(ents_to)
+        if ents_from:
             delta = delta.join(
-                self._dv_pairs(from_dv),
+                self._dv_pairs(ents_from),
                 ["__fname", "__pos"],
                 "left_anti",
             )
+        if n_delta <= DV_BROADCAST_MAX:
+            delta = F.broadcast(delta)
         raw = self._read_entries(
             # dv STRIPPED: the delta rows are live at `from`, deleted
             # at `to` — the raw scan + position semi-join selects them
@@ -1321,7 +1341,7 @@ class SnapshotTable:
             keep_meta=True,
         )
         return (
-            raw.join(F.broadcast(delta), ["__fname", "__pos"], "left_semi")
+            raw.join(delta, ["__fname", "__pos"], "left_semi")
             .drop("__fname", "__pos")
             .withColumn("_change_type", F.lit("delete"))
             .select(*schema.fieldNames(), "_change_type")
