@@ -159,10 +159,10 @@ ADDITIONS_R13 = [
     "s_snapshot_history",
 ]
 
-# Round-14 STAGED queries (plans/roundfourteen.py — held for a cap
-# ruling, registry frozen at 215; timed here as staged_r14 so the
-# staged→registered delta series continues when they register).
-STAGED_R14 = [
+# Round-14 registrations (plans/roundfourteen.py — registered round
+# 15 per the r14 cap ruling; benched as staged_r14 in BENCH_r14 for
+# the staged→registered delta series, registry-backed from r15 on).
+ADDITIONS_R14 = [
     "s_snapshot_dv_delete",
     "s_knn_ivf_refresh",
     "s_snapshot_wap_publish",
@@ -292,10 +292,8 @@ def main() -> None:
     additions_r13 = time_queries(
         spark, specs, ADDITIONS_R13, sf_dir, reps, errors
     )
-    from turnover_odata_etl_spark.plans.roundfourteen import STAGED as _R14
-    staged_specs = {**specs, **_R14}
-    staged_r14 = time_queries(
-        spark, staged_specs, STAGED_R14, sf_dir, reps, errors
+    additions_r14 = time_queries(
+        spark, specs, ADDITIONS_R14, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -330,7 +328,7 @@ def main() -> None:
     additions_r11_total = round(sum(additions_r11.values()), 3)
     additions_r12_total = round(sum(additions_r12.values()), 3)
     additions_r13_total = round(sum(additions_r13.values()), 3)
-    staged_r14_total = round(sum(staged_r14.values()), 3)
+    additions_r14_total = round(sum(additions_r14.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -374,8 +372,8 @@ def main() -> None:
         "additions_r12_total": additions_r12_total,
         "additions_r13": additions_r13,
         "additions_r13_total": additions_r13_total,
-        "staged_r14": staged_r14,
-        "staged_r14_total": staged_r14_total,
+        "additions_r14": additions_r14,
+        "additions_r14_total": additions_r14_total,
         "all_total": round(
             total
             + streaming_total
@@ -389,7 +387,8 @@ def main() -> None:
             + additions_r10_total
             + additions_r11_total
             + additions_r12_total
-            + additions_r13_total,
+            + additions_r13_total
+            + additions_r14_total,
             3,
         ),
         "fixtures": fixtures,
@@ -432,7 +431,7 @@ def main() -> None:
         "additions_r11": additions_r11_total,
         "additions_r12": additions_r12_total,
         "additions_r13": additions_r13_total,
-        "staged_r14": staged_r14_total,
+        "additions_r14": additions_r14_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -449,7 +448,7 @@ def main() -> None:
         ("additions_r11", additions_r11),
         ("additions_r12", additions_r12),
         ("additions_r13", additions_r13),
-        ("staged_r14", staged_r14),
+        ("additions_r14", additions_r14),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

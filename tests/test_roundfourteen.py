@@ -1,7 +1,7 @@
-"""Round-14 STAGED queries (plans/roundfourteen.py) — oracle parity,
-run every session while the queries await a cap ruling (registry
-frozen at 215 by the r13 verdict). Mechanism deep-dives live in
-tests/test_snapshot_dv.py."""
+"""Round-14 queries (plans/roundfourteen.py) — oracle parity.
+Registered round 15 per the r14 cap ruling (cap 215 -> 218, frozen
+there). Mechanism deep-dives live in tests/test_snapshot_dv.py /
+test_snapshot_wap.py / test_ivf_refresh.py."""
 
 from __future__ import annotations
 
@@ -11,7 +11,6 @@ from .oracle_utils import compare_spark_vs_oracle
 from turnover_odata_etl_spark.plans.roundfourteen import (
     DV_DELETE_ORACLE,
     IVF_REFRESH_ORACLE,
-    STAGED,
     WAP_ORACLE,
     s_knn_ivf_refresh,
     s_snapshot_dv_delete,
@@ -34,13 +33,20 @@ def _con(sf_dir):
     return con
 
 
-def test_staged_specs_have_eager_oracles():
-    assert set(STAGED) == {
+def test_roundfourteen_is_registered_with_eager_oracles():
+    """The r14 cap ruling executed in round 15: all three round-14
+    queries are registered with eager oracles; cap 215 -> 218,
+    frozen there."""
+    from turnover_odata_etl_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    for name in (
         "s_snapshot_dv_delete", "s_knn_ivf_refresh",
         "s_snapshot_wap_publish",
-    }
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
+    ):
+        assert name in specs, name
+        assert specs[name].oracle and specs[name].oracle.strip()
+    assert len(specs) == 218  # the frozen cap (r14 ruling)
 
 
 def test_dv_delete_query_matches_oracle(spark, sf_dir):

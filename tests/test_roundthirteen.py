@@ -37,8 +37,9 @@ def _con(sf_dir):
 
 def test_roundthirteen_is_registered_with_eager_oracles():
     """The r13 cap ruling executed in round 14: all four round-13
-    queries are registered with eager oracles; cap 211 -> 215,
-    frozen there."""
+    queries are registered with eager oracles; cap 211 -> 215;
+    round 15 moved it to 218 per the r14 ruling (roundfourteen
+    activations) and froze it there."""
     from turnover_odata_etl_spark.plans.registry import all_specs
 
     specs = all_specs()
@@ -48,7 +49,7 @@ def test_roundthirteen_is_registered_with_eager_oracles():
     ):
         assert name in specs, name
         assert specs[name].oracle and specs[name].oracle.strip()
-    assert len(specs) == 215  # the frozen cap (r13 ruling)
+    assert len(specs) == 218  # the frozen cap (r14 ruling)
 
 
 def test_agg_stats_query_matches_oracle(spark, sf_dir):

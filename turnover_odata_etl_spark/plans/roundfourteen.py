@@ -1,7 +1,9 @@
-"""Round-14 STAGED queries — held for a cap ruling (the r13 verdict
-froze the registry at 215; precedent is the roundeight→roundthirteen
-lifecycle: stage with oracles + bench history + empty-sweep coverage,
-register when a verdict rules).
+"""Round-14 queries — REGISTERED round 15 per the r14 cap ruling
+("REGISTER all three staged round-14 queries ... cap moves 215 →
+218, then the registry is frozen again"). Staged round 14 with
+oracles + bench history + empty-sweep coverage per the
+roundeight→roundthirteen lifecycle; judge-verified oracle-green at
+sf0.001 AND sf0.01 before the ruling.
 
 ``s_snapshot_dv_delete`` — merge-on-read deletion vectors (VERDICT
 r13 item 2 / SURVEY E121, ``SnapshotTable.delete_where(mode="mor")``
@@ -53,17 +55,14 @@ pinning zero corrupt rows visible and zero branches left; the oracle
 recomputes the published-path answer closed-form, so a leaked branch
 row, a lost publish, or a surviving deleted row all hash-fail.
 
-Activation checklist (mirror of roundthirteen's, executed at ruling):
-1. move the specs into ``@register`` form (oracles are eager
-   constants), import roundfourteen in ``plans/__init__``,
-2. add them to the gate window for their first round,
-3. move STAGED_R14 → ADDITIONS_R14 in bench.py,
-4. remove the staged empty-sweep block (tests/test_empty_input.py),
-5. grep ``'== 21[0-9]'`` across tests/ — registry-count pins live in
-   test_roundeight/test_roundnine/test_roundthirteen,
-6. plan-audit adjudications: the dv lifecycle's contract row is a
-   1-row local frame (manifest metadata by design); the aggregate
-   rows are two full-table aggregates over the small snapshot table.
+Activation checklist (mirror of roundthirteen's) — EXECUTED round
+15: specs moved into ``@register`` form, roundfourteen imported in
+``plans/__init__``, the three queries lead the r15 gate window,
+STAGED_R14 → ADDITIONS_R14 in bench.py, staged empty-sweep block
+folded into the registry sweep, registry-count pins moved to 218,
+plan-audit adjudications recorded (the dv lifecycle's contract row
+is a 1-row local frame — manifest metadata by design; the aggregate
+rows are two full-table aggregates over the small snapshot table).
 """
 
 from __future__ import annotations
@@ -72,7 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 from .roundthirteen import _append_id_slices
 
 DV_DELETE_ORACLE = """
@@ -97,6 +96,11 @@ DV_DELETE_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_dv_delete",
+    oracle=DV_DELETE_ORACLE,
+    tags=("storage", "snapshot", "delete", "dv"),
+)
 def s_snapshot_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletion-vector lifecycle (SURVEY E121): three
     id-sliced appends, a predicate MOR delete, a keyed MOR delete,
@@ -179,6 +183,11 @@ WAP_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_wap_publish",
+    oracle=WAP_ORACLE,
+    tags=("storage", "snapshot", "wap", "branch"),
+)
 def s_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish lifecycle (SURVEY E122): two id-sliced
     appends on main; branch ``bad`` stages a third slice CORRUPTED
@@ -192,8 +201,9 @@ def s_snapshot_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: branch commits are ordinary snapshot commits in a
     namespace main never scans; the audits are one single-pass
-    aggregate each (check_expectations); publish is O(branch
-    commits) os.link calls — metadata, never data."""
+    aggregate each (check_expectations); publish is ONE atomic
+    squash delta commit through the standard claim CAS — metadata,
+    never data."""
     import os
     import shutil
 
@@ -286,6 +296,11 @@ IVF_REFRESH_ORACLE = """
 """
 
 
+@register(
+    "s_knn_ivf_refresh",
+    oracle=IVF_REFRESH_ORACLE,
+    tags=("llm", "similarity", "storage", "incremental", "maintenance"),
+)
 def s_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable-codebook IVF index maintenance lifecycle (SURVEY E119,
     ``operators/similarity.IvfIndex``): wave 1 (fit + atomic
@@ -354,26 +369,3 @@ def s_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = served.topk(q, k=5, nprobe=4)
     exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
     return recall_contract(approx, exact, k=5, floor_pct=60)
-
-
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "s_snapshot_dv_delete": QuerySpec(
-        name="s_snapshot_dv_delete",
-        fn=s_snapshot_dv_delete,
-        oracle=DV_DELETE_ORACLE,
-        tags=("storage", "snapshot", "delete", "dv"),
-    ),
-    "s_knn_ivf_refresh": QuerySpec(
-        name="s_knn_ivf_refresh",
-        fn=s_knn_ivf_refresh,
-        oracle=IVF_REFRESH_ORACLE,
-        tags=("llm", "similarity", "storage", "incremental", "maintenance"),
-    ),
-    "s_snapshot_wap_publish": QuerySpec(
-        name="s_snapshot_wap_publish",
-        fn=s_snapshot_wap_publish,
-        oracle=WAP_ORACLE,
-        tags=("storage", "snapshot", "wap", "branch"),
-    ),
-}
