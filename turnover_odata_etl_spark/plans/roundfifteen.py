@@ -1,0 +1,244 @@
+"""Round-15 STAGED queries — held for a cap ruling (the r14 verdict
+froze the registry at 218; precedent is the roundeight→roundfourteen
+lifecycle: stage with oracles + bench history + empty-sweep coverage,
+register when a verdict rules).
+
+``t_quality_classifier`` — the in-Spark TRAINED quality classifier
+(VERDICT r14 item 5 / SURVEY E124, ``operators/quality.py``): the
+fastText-style stage between langid (E110) and dedup (E8) in modern
+curation stacks. Weak labels come from a seed lexicon (the CCNet
+bootstrap — no hand labels), features are hashed word uni+bigrams
+(md5 → 1024 slots, mean-normalized, + bias), and the model is binary
+logistic regression fit by 24 full-batch majorized-Newton steps
+(quadratic majorization with the Jacobi/Gershgorin bound + ω = 1.8
+over-relaxation — provably monotone, deterministic, no RNG). The
+DuckDB oracle replays the ENTIRE fit — labels, hashing, the one-time
+curvature, all 24 gradient steps, scoring, thresholding — closed
+form as a generated chained-CTE program, so the confusion matrix is
+hash-pinned end-to-end (the t_langid_confusion exactness class).
+Measured accuracy vs the weak labels: 0.942 / 0.948 / 0.838 at
+sf0.001 / 0.01 / 0.1 (the fixture corpus draws every doc from ONE
+31-token vocabulary, so these are hash-collision-limited; labels
+split ~40/60).
+
+``s_snapshot_tag_gc`` — tags + orphan-file GC lifecycle (VERDICT r14
+item 3 / SURVEY E123): three id-sliced appends, ``create_tag`` at
+the two-slice state, a MOR range delete, ``expire_snapshots`` down
+to the head (the tag must keep its snapshot readable), then a
+planted AGED fake orphan + a FRESH unreferenced file —
+``remove_orphans`` must sweep exactly the aged one. Returns the
+tagged-state aggregate (read through a FRESH handle after expire),
+the final-state aggregate (read AFTER the sweep, so a wrong prune of
+a referenced file breaks the read and hash-fails), and a contract
+row pinning sweep exactness.
+
+``s_group_wap_rebuild`` — atomic multi-table write-audit-publish
+(VERDICT r14 item 2 / SURVEY E122's group half,
+``SnapshotGroup.publish_branches`` via ``IvfIndex.stage_rebuild``):
+the index-rebuild pattern the mechanism exists for. Wave the index,
+stage a full retrain+reassign on branches of BOTH member tables,
+CORRUPT the first attempt (drop half the postings on the branch),
+fail its audit and drop — both members must still read at the fork
+base (no half-published index); stage again cleanly, audit, publish
+atomically, and serve from a FRESH handle under a recall contract.
+
+Activation checklist (mirror of roundfourteen's, executed at ruling):
+1. move the specs into ``@register`` form (oracles are eager
+   constants), import roundfifteen in ``plans/__init__``,
+2. add them to the gate window for their first round,
+3. move STAGED_R15 → ADDITIONS_R15 in bench.py,
+4. remove the staged empty-sweep block (tests/test_empty_input.py),
+5. grep ``'== 21[0-9]'`` across tests/ — registry-count pins live in
+   test_roundeight/test_roundnine/test_roundthirteen/
+   test_roundfourteen,
+6. plan-audit adjudications: the classifier's per-step gradient
+   collects are D-sized (model, not data); the tag_gc contract row
+   is a 1-row local frame (filesystem metadata by design); the
+   rebuild query's recall re-rank is the contract's verification
+   cost, not the serving path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import QuerySpec
+from .roundthirteen import _append_id_slices
+
+# ---------------------------------------------------------------- E124
+
+QUALITY_LEX = ("table", "query", "join", "scan", "group")
+QUALITY_THRESHOLD = 0.18
+QUALITY_BUCKETS = 1024
+QUALITY_STEPS = 24
+QUALITY_OMEGA = 1.8
+QUALITY_RIDGE = 1e-3
+
+
+def _quality_oracle() -> str:
+    """Generate the chained-CTE replay of the full classifier fit:
+    one (z, grad, weights) CTE triple per majorized-Newton step. The
+    arithmetic mirrors operators/quality.py operation-for-operation
+    (same association, same transcendental call sites), so the two
+    engines differ only in float-sum order — ulps against the 4dp
+    decision grid."""
+    d = QUALITY_BUCKETS
+    om = QUALITY_OMEGA
+    lam = QUALITY_RIDGE
+    lex = ", ".join(f"'{w}'" for w in QUALITY_LEX)
+    parts = [
+        rf"""
+    WITH toks0 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS ws
+      FROM documents
+    ), lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(ws) > 0 AND round(
+                    len(list_filter(ws, t -> lower(t) IN ({lex})))::DOUBLE
+                    / len(ws), 4) >= {QUALITY_THRESHOLD}
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM toks0
+    ), lw AS MATERIALIZED (
+      SELECT doc_id, list_transform(ws, t -> lower(t)) AS ws FROM toks0
+    ), gsl AS MATERIALIZED (
+      SELECT doc_id, list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i+1])
+                    ELSE []::VARCHAR[] END) AS gs
+      FROM lw
+    ), feat0 AS MATERIALIZED (
+      SELECT doc_id, len(gs) AS n_d, unnest(gs) AS g FROM gsl
+    ), feats AS MATERIALIZED (
+      SELECT doc_id, j, count(*)::DOUBLE / n_d AS x
+      FROM (SELECT doc_id, n_d,
+              CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {d} AS j
+            FROM feat0)
+      GROUP BY doc_id, n_d, j
+      UNION ALL
+      SELECT doc_id, CAST({d} AS BIGINT) AS j, 1.0 AS x FROM toks0
+    ), fl AS MATERIALIZED (
+      SELECT f.doc_id, f.j, f.x, l.y
+      FROM feats f JOIN lab l USING (doc_id)
+    ), sdoc AS MATERIALIZED (
+      SELECT doc_id, sum(x) AS s FROM feats GROUP BY doc_id
+    ), h AS MATERIALIZED (
+      SELECT fl.j, 0.25 * sum(fl.x * sdoc.s) AS h
+      FROM fl JOIN sdoc USING (doc_id) GROUP BY fl.j
+    ), prior AS MATERIALIZED (
+      SELECT ln((sum(y) + 0.5) / (count(*) - sum(y) + 0.5)) AS b0
+      FROM lab
+    ), g0 AS MATERIALIZED (
+      SELECT fl.j,
+             sum(fl.x * (fl.y
+               - (SELECT 1.0 / (1.0 + exp(-b0)) FROM prior))) AS g
+      FROM fl GROUP BY fl.j
+    ), w1 AS MATERIALIZED (
+      SELECT g0.j,
+             (CASE WHEN g0.j = {d} THEN (SELECT b0 FROM prior)
+                   ELSE 0.0 END)
+             + {om} * g0.g / (h.h + {lam}) AS w
+      FROM g0 JOIN h USING (j)
+    )"""
+    ]
+    for t in range(1, QUALITY_STEPS):
+        parts.append(
+            f""", z{t} AS MATERIALIZED (
+      SELECT fl.doc_id, sum(fl.x * w{t}.w) AS z
+      FROM fl JOIN w{t} USING (j) GROUP BY fl.doc_id
+    ), g{t} AS MATERIALIZED (
+      SELECT fl.j,
+             sum(fl.x * (fl.y - 1.0 / (1.0 + exp(-z{t}.z)))) AS g
+      FROM fl JOIN z{t} USING (doc_id) GROUP BY fl.j
+    ), w{t + 1} AS MATERIALIZED (
+      SELECT w{t}.j, w{t}.w + {om} * g{t}.g / (h.h + {lam}) AS w
+      FROM w{t} JOIN g{t} USING (j) JOIN h USING (j)
+    )"""
+        )
+    parts.append(
+        f""", zf AS MATERIALIZED (
+      SELECT fl.doc_id, sum(fl.x * w{QUALITY_STEPS}.w) AS z
+      FROM fl JOIN w{QUALITY_STEPS} USING (j) GROUP BY fl.doc_id
+    )
+    SELECT CAST(l.y AS BIGINT) AS label,
+           CAST(CASE WHEN round(z.z, 4) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM zf z JOIN lab l USING (doc_id)
+    GROUP BY label, pred"""
+    )
+    return "".join(parts)
+
+
+QUALITY_CLASSIFIER_ORACLE = _quality_oracle()
+
+
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Spark trained quality classifier (SURVEY E124,
+    ``operators/quality.py``): seed-lexicon weak labels (the CCNet
+    bootstrap), hashed uni+bigram features (1024 slots + bias,
+    mean-normalized), binary logistic regression fit by 24 full-batch
+    majorized-Newton steps (ω = 1.8), scored corpus-wide, emitted as
+    the (label, pred) confusion matrix. The oracle replays the whole
+    fit closed-form, so a wrong gradient, a broken hash, a diverged
+    step, or a thresholding bug all hash-fail.
+
+    Plan shape: feature build is one scan + one shuffle to the
+    (doc, slot) grain; the one-time curvature and each step's
+    gradient are single grouped aggregates whose output is D-sized
+    (the MODEL crosses the driver, never data); scoring is a
+    broadcast join of the D-row weight frame. At 100 TB the model is
+    still 1025 floats — the corpus never shuffles on anything wider
+    than (doc_id, slot)."""
+    from ..operators.quality import (
+        hashed_ngram_features,
+        lexicon_weak_label,
+        score_lr,
+        train_quality_lr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        lexicon_weak_label(
+            docs, QUALITY_LEX, QUALITY_THRESHOLD
+        ).alias("y"),
+    )
+    feats = hashed_ngram_features(docs, n_buckets=QUALITY_BUCKETS)
+    w = train_quality_lr(
+        feats,
+        labels,
+        n_buckets=QUALITY_BUCKETS,
+        steps=QUALITY_STEPS,
+        ridge=QUALITY_RIDGE,
+        omega=QUALITY_OMEGA,
+    )
+    pred = score_lr(feats, w).select(
+        "id",
+        F.when(F.round("z", 4) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pred"),
+    )
+    return (
+        labels.join(pred, "id")
+        .groupBy(
+            F.col("y").cast("long").alias("label"), "pred"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# Staged specs — same shape the registry holds, NOT registered (cap).
+STAGED: dict[str, QuerySpec] = {
+    "t_quality_classifier": QuerySpec(
+        name="t_quality_classifier",
+        fn=t_quality_classifier,
+        oracle=QUALITY_CLASSIFIER_ORACLE,
+        tags=("llm", "text", "quality", "ml"),
+    ),
+}
