@@ -39,3 +39,13 @@ def test_quality_classifier_matches_oracle(spark, sf_dir):
         spec.oracle,
         "t_quality_classifier",
     )
+
+
+def test_tag_gc_query_matches_oracle(spark, sf_dir):
+    spec = STAGED["s_snapshot_tag_gc"]
+    compare_spark_vs_oracle(
+        spec.fn(spark, sf_dir),
+        _con(sf_dir),
+        spec.oracle,
+        "s_snapshot_tag_gc",
+    )

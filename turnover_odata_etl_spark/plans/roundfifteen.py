@@ -233,6 +233,138 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- E123
+
+TAG_GC_ORACLE = """
+    WITH b AS (
+      SELECT CAST(min(event_id) AS BIGINT) AS mn,
+             greatest(1, (CAST(max(event_id) AS BIGINT)
+                          - CAST(min(event_id) AS BIGINT) + 1) // 3)
+               AS span
+      FROM events WHERE event_id IS NOT NULL
+    ), tagged AS (
+      -- the two-slice state the tag pins: id slices 1 and 2
+      SELECT event_type, value FROM events, b
+      WHERE event_id IS NOT NULL AND event_id < b.mn + 2 * b.span
+    ), final AS (
+      SELECT event_type, value FROM events
+      WHERE NOT ((value BETWEEN 100 AND 250) IS TRUE)
+    )
+    SELECT 'tagged' AS label, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS s
+    FROM tagged GROUP BY event_type
+    UNION ALL
+    SELECT 'final', event_type,
+           CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM final GROUP BY event_type
+    UNION ALL
+    SELECT 'contract', NULL, CAST(0 AS BIGINT), CAST(1 AS DOUBLE)
+"""
+
+
+def s_snapshot_tag_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags + orphan-file GC lifecycle (SURVEY E123,
+    ``SnapshotTable.create_tag`` / ``remove_orphans``): three
+    id-sliced appends, ``create_tag`` pinning the two-slice state, a
+    MOR range delete on top, ``expire_snapshots(keep_last=1)`` (the
+    tag must keep its snapshot readable — Iceberg tag semantics),
+    then a planted AGED fake orphan plus a FRESH unreferenced file:
+    ``remove_orphans`` must sweep exactly the aged one (the
+    age-threshold in-flight-writer guard). Returns the tagged-state
+    aggregate read through a FRESH handle AFTER expire, the
+    final-state aggregate read AFTER the sweep (a wrong prune of a
+    referenced data file or dv sidecar breaks this read — the
+    hash-fails-on-wrong-prune requirement), and a contract row:
+    n = guard violations (0), s = files swept (1.0).
+
+    Plan shape: tags/expire/orphan-sweep are driver-side metadata
+    walks (O(snapshots) manifest reads + one directory listing);
+    the two aggregates are ordinary pruned snapshot reads. At 100 TB
+    the sweep never opens a data file — it compares basenames
+    against the manifest-referenced set."""
+    import os
+    import shutil
+    import time
+
+    from ..storage import SnapshotTable
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/tag_gc"
+    shutil.rmtree(base, ignore_errors=True)
+    table_dir = os.path.join(base, "events")
+    t = SnapshotTable(
+        spark, table_dir,
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).first()
+    mn, mx = row["mn"], row["mx"]
+    out_schema = "label string, event_type string, n long, s double"
+    if mn is None:
+        return spark.createDataFrame([], out_schema)
+    _append_id_slices(t, ev, mn, mx)
+    two_slice_id = t.snapshot_ids()[-2]  # the state after append 2
+    t.create_tag("train_v1", snapshot_id=two_slice_id)
+    t.delete_where("value BETWEEN 100 AND 250", mode="mor")
+    t.expire_snapshots(keep_last=1)
+
+    fresh = SnapshotTable(
+        spark, table_dir,
+        key_cols=["event_id"], order_col="__ver", n_buckets=8,
+    )
+    viol = 0
+    if fresh.tags().get("train_v1") != two_slice_id:
+        viol += 1
+    tagged = (
+        fresh.read_tag("train_v1")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.lit("tagged").alias("label"), "event_type", "n", "s")
+    )
+
+    # Plant a crashed-writer leftover (aged past the guard) and an
+    # in-flight file (fresh mtime) — the sweep must distinguish them.
+    data_dir = os.path.join(table_dir, "data")
+    aged = os.path.join(data_dir, "part-orphan-aged.parquet")
+    inflight = os.path.join(data_dir, "part-orphan-fresh.parquet")
+    for p in (aged, inflight):
+        with open(p, "wb") as fh:
+            fh.write(b"not a real parquet")
+    old = time.time() - 7200.0
+    os.utime(aged, (old, old))
+
+    live_before = len(fresh.files())
+    removed = fresh.remove_orphans(older_than_seconds=3600.0)
+    if removed != ["data/part-orphan-aged.parquet"]:
+        viol += 1
+    if not os.path.exists(inflight):
+        viol += 1
+    if len(fresh.files()) != live_before:
+        viol += 1
+    os.unlink(inflight)  # leave the layout clean for reruns
+
+    final = (
+        fresh.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.lit("final").alias("label"), "event_type", "n", "s")
+    )
+    contract = spark.createDataFrame(
+        [("contract", None, viol, float(len(removed)))], out_schema
+    )
+    return tagged.unionByName(final).unionByName(contract)
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_quality_classifier": QuerySpec(
@@ -240,5 +372,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=t_quality_classifier,
         oracle=QUALITY_CLASSIFIER_ORACLE,
         tags=("llm", "text", "quality", "ml"),
+    ),
+    "s_snapshot_tag_gc": QuerySpec(
+        name="s_snapshot_tag_gc",
+        fn=s_snapshot_tag_gc,
+        oracle=TAG_GC_ORACLE,
+        tags=("storage", "snapshot", "tags", "gc"),
     ),
 }
