@@ -316,3 +316,91 @@ def _index_recall(spark, idx, all_df, k=5):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     return len(a & e) / len(e)
+
+
+def test_ivf_index_stage_rebuild_wap_lifecycle(spark, tmp_path):
+    """stage_rebuild (round 15 — the publish_branches consumer):
+    staged branches are invisible to a prober until publish; a drop
+    leaves BOTH members at the fork base; publish lands both in one
+    group txn, propagates the ivf.* properties, and a fresh handle
+    serves the rebuilt layout; rows are preserved bijectively."""
+    import random
+
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    rng = random.Random(11)
+    vecs = _clustered_vectors(rng, 10)
+
+    def wave_df(axes):
+        return spark.createDataFrame(
+            [(n, v) for n, v, a in vecs if a in axes],
+            "nid long, vec array<float>",
+        )
+
+    idx = IvfIndex(spark, str(tmp_path / "wapidx"), n_buckets=4)
+    idx.wave(wave_df((0, 1)), 1, n_cells=4)
+    idx.wave(wave_df((2, 3)), 2)
+    fork_p = idx.postings.current_id()
+    fork_c = idx.codebook.current_id()
+    before = sorted(
+        (r["nid"], tuple(r["vec"]))
+        for r in idx.postings.read().collect()
+    )
+
+    # Staged: invisible to main readers of both members
+    br = idx.stage_rebuild("rb")
+    assert set(br) == {"postings", "codebook"}
+    assert idx.postings.current_id() == fork_p
+    assert idx.codebook.current_id() == fork_c
+    assert idx.postings.read().count() == len(before)
+
+    # Drop: both members untouched, branch names reclaimed
+    for b in br.values():
+        b.drop()
+    assert idx.postings.branches() == []
+    assert idx.codebook.branches() == []
+    assert idx.postings.current_id() == fork_p
+
+    # Publish: one group txn, both advance, properties propagate
+    br = idx.stage_rebuild("rb2")
+    out = idx.publish_rebuild(br)
+    assert set(out) == {"postings", "codebook"}
+    assert idx.postings.current_id() == fork_p + 1
+    assert idx.codebook.current_id() == fork_c + 1
+    assert idx.postings.branches() == []
+    assert int(idx.postings.latest_property("ivf.wave")) == 2
+
+    fresh = IvfIndex(spark, str(tmp_path / "wapidx"), n_buckets=4)
+    after = sorted(
+        (r["nid"], tuple(r["vec"]))
+        for r in fresh.postings.read().collect()
+    )
+    assert after == before  # bijective rebuild
+    assert fresh.current_wave() == 2
+    q = spark.createDataFrame(
+        [(n, v) for n, v, a in vecs][:5],
+        "query_id long, vec array<float>",
+    )
+    assert fresh.topk(q, k=3, nprobe=2).count() > 0
+    # stored cells consistent with the published codebook
+    cents = fresh.centroids()
+    stored = fresh.postings.read().select("cell", "nid", "vec")
+    reassigned = assign_to_centroids(
+        stored.select("nid", "vec"), cents
+    ).select(F.col("cell").alias("expect"), "nid")
+    mism = (
+        stored.join(reassigned, "nid")
+        .filter(F.col("cell") != F.col("expect"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_ivf_index_stage_rebuild_empty_index_returns_none(
+    spark, tmp_path
+):
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    idx = IvfIndex(spark, str(tmp_path / "emptyidx"), n_buckets=2)
+    assert idx.stage_rebuild("rb") is None
+    assert idx.postings.branches() == []

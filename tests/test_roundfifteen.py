@@ -49,3 +49,13 @@ def test_tag_gc_query_matches_oracle(spark, sf_dir):
         spec.oracle,
         "s_snapshot_tag_gc",
     )
+
+
+def test_group_wap_rebuild_matches_oracle(spark, sf_dir):
+    spec = STAGED["s_group_wap_rebuild"]
+    compare_spark_vs_oracle(
+        spec.fn(spark, sf_dir),
+        _con(sf_dir),
+        spec.oracle,
+        "s_group_wap_rebuild",
+    )

@@ -881,6 +881,69 @@ class IvfIndex:
         )
         return cents
 
+    def stage_rebuild(
+        self,
+        name: str,
+        n_cells: int | None = None,
+        sample_fraction: float = 1.0,
+        seed: int = 13,
+    ):
+        """Stage a full retrain + reassign on WAP branches of BOTH
+        member tables (round 15 — the multi-table write-audit-publish
+        consumer ``SnapshotGroup.publish_branches`` exists for): the
+        rebuilt postings and the codebook that assigned them are
+        staged INVISIBLY to probers, audited at leisure, and land
+        together via :meth:`publish_rebuild` — or are discarded
+        together with ``drop()`` — so a prober can never read a
+        rebuilt codebook over the old cell layout, even across the
+        maintenance window. Returns ``{"postings": SnapshotBranch,
+        "codebook": SnapshotBranch}`` (``None`` on an empty index —
+        nothing staged). Main is untouched until publish.
+
+        Same cost shape as :meth:`refresh` (O(table) at maintenance
+        cadence BY DESIGN); the branch commits carry the ``ivf.*``
+        properties, which the squash publish propagates to main."""
+        wave = self.current_wave()
+        old = self.centroids()
+        if old is None:
+            return None
+        k = int(n_cells) if n_cells is not None else int(old.shape[0])
+        bp = self.postings.create_branch(name)
+        bc = self.codebook.create_branch(name)
+        try:
+            cents, reassigned = _retrain_reassign(
+                bp, k, sample_fraction, seed
+            )
+            if cents is None:  # empty postings — nothing to rebuild
+                bp.drop()
+                bc.drop()
+                return None
+            props = {
+                "ivf.wave": wave,
+                "ivf.refresh.cells": str(int(cents.shape[0])),
+            }
+            bp.overwrite(reassigned, properties=props)
+            cb = self.spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in row])
+                    for i, row in enumerate(cents)
+                ],
+                "cell long, vec array<float>",
+            ).withColumn("__ver", F.lit(wave).cast("long"))
+            bc.overwrite(cb, properties=props)
+        except Exception:
+            bp.drop()
+            bc.drop()
+            raise
+        return {"postings": bp, "codebook": bc}
+
+    def publish_rebuild(self, branches: dict) -> "dict[str, int]":
+        """Atomically publish a staged rebuild (:meth:`stage_rebuild`):
+        both members become visible in the same group-transaction
+        instant or neither does — a failed member audit (caller drops
+        instead) leaves BOTH tables at the fork base."""
+        return self.group.publish_branches(branches)
+
     def topk(
         self, queries: DataFrame, k: int = 5, nprobe: int = 4
     ) -> DataFrame:

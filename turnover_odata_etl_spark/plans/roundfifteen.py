@@ -365,6 +365,150 @@ def s_snapshot_tag_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.unionByName(final).unionByName(contract)
 
 
+# ------------------------------------------------------ E122 (group)
+
+# The exact rows are engine-state-dependent only through the recall
+# contract (the s_knn_ivf device); the postings row is EXACT — a
+# rebuild preserves the indexed vector set bijectively, so both its
+# count and its distinct-nid count equal count(embeddings).
+GROUP_WAP_ORACLE = """
+    WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT 'postings' AS label, n, CAST(n AS DOUBLE) AS s FROM e
+    UNION ALL
+    SELECT 'contract', CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+    UNION ALL
+    SELECT 'recall', CAST(1 AS BIGINT), CAST(60 AS DOUBLE)
+"""
+
+
+def s_group_wap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table write-audit-publish (SURVEY E122's group
+    half, ``SnapshotGroup.publish_branches`` through
+    ``IvfIndex.stage_rebuild``): the index-rebuild pattern the
+    mechanism exists for — a rebuilt postings table must land WITH
+    the codebook that assigned it or not at all.
+
+    Lifecycle: two waves index the embeddings; attempt 1 stages a
+    rebuild on branches of BOTH members, then CORRUPTS the staged
+    postings (a lossy retrain: half the vectors dropped on the
+    branch), fails its audit (count preservation + cell-range
+    expectations), and drops — the contract pins BOTH members still
+    at their fork-base ids (no half-published index, the atomicity
+    claim); attempt 2 stages cleanly, passes the audit, and
+    publishes atomically; a FRESH handle then serves a recall-
+    contracted probe. Returns the exact postings-preservation row
+    (count + distinct nids == corpus size), the contract row
+    (n = fork-base/atomicity violations, s = live branches left),
+    and the recall row (floor 60 — this composition is refresh-last,
+    measured 85/83/93 at r13 for the 3-wave variant).
+
+    Plan shape: branch commits are ordinary snapshot commits in a
+    namespace probers never scan; the group publish is ONE txn CAS
+    over two prepared squash manifests (metadata, never data); the
+    retrain is O(table) at maintenance cadence BY DESIGN; the serve
+    reads only probed cells' buckets; the exact re-rank is the
+    contract's verification cost, not the serving path."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.profile import check_expectations
+    from ..operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+        recall_contract,
+    )
+    from .roundten import _exact_order_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out_schema = "label string, n long, s double"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/group_wap_rebuild"
+    shutil.rmtree(base, ignore_errors=True)
+    index = IvfIndex(spark, base, n_buckets=8)
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").alias("vec"),
+    )
+    mid = _exact_order_stats(vecs, "nid", [math.ceil(n / 2.0)])[
+        math.ceil(n / 2.0)
+    ]
+    index.wave(vecs.filter(F.col("nid") <= mid), 1, n_cells=16)
+    index.wave(vecs.filter(F.col("nid") > mid), 2, n_cells=16)
+    fork_p = index.postings.current_id()
+    fork_c = index.codebook.current_id()
+    n_main = index.postings.read().count()
+
+    def audit(branches) -> bool:
+        bp = branches["postings"]
+        report = check_expectations(
+            bp.read(),
+            [
+                {"name": "cell_lo", "predicate": "cell >= 0"},
+                {"name": "cell_hi", "predicate": "cell < 16"},
+                {"name": "vec_set", "predicate": "vec IS NOT NULL"},
+            ],
+        )
+        expectations_ok = report.filter("NOT passed").isEmpty()
+        count_ok = bp.read().count() == n_main
+        return expectations_ok and count_ok
+
+    viol = 0
+    # Attempt 1: stage, corrupt the staged postings, audit, drop.
+    br = index.stage_rebuild("rebuild_a")
+    br["postings"].delete_where("nid % 2 = 0")
+    if audit(br):  # unreachable: the corruption must fail the audit
+        viol += 1
+        index.publish_rebuild(br)
+    else:
+        for b in br.values():
+            b.drop()
+    if index.postings.current_id() != fork_p:
+        viol += 1  # half-published or dangling postings commit
+    if index.codebook.current_id() != fork_c:
+        viol += 1  # codebook moved without its postings
+
+    # Attempt 2: clean rebuild, audited, published atomically.
+    br = index.stage_rebuild("rebuild_b")
+    if audit(br):
+        index.publish_rebuild(br)
+    else:  # unreachable on real fixtures
+        viol += 1
+        for b in br.values():
+            b.drop()
+
+    served = IvfIndex(spark, base, n_buckets=8)  # fresh handle
+    post = served.postings.read()
+    n_post = post.count()
+    n_nids = post.select("nid").distinct().count()
+    if n_post != n_nids:
+        viol += 1  # a rebuild may never duplicate a vector
+    left = len(served.postings.branches()) + len(
+        served.codebook.branches()
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    q = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("vec"),
+    )
+    approx = served.topk(q, k=5, nprobe=4)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    rc = recall_contract(approx, exact, k=5, floor_pct=60).first()
+
+    return spark.createDataFrame(
+        [
+            ("postings", n_post, float(n_nids)),
+            ("contract", viol, float(left)),
+            ("recall", int(rc["meets_floor"]), float(rc["floor_pct"])),
+        ],
+        out_schema,
+    )
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "t_quality_classifier": QuerySpec(
@@ -378,5 +522,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=s_snapshot_tag_gc,
         oracle=TAG_GC_ORACLE,
         tags=("storage", "snapshot", "tags", "gc"),
+    ),
+    "s_group_wap_rebuild": QuerySpec(
+        name="s_group_wap_rebuild",
+        fn=s_group_wap_rebuild,
+        oracle=GROUP_WAP_ORACLE,
+        tags=("storage", "snapshot", "wap", "group", "similarity"),
     ),
 }
