@@ -1,0 +1,303 @@
+"""Optimistic commit-conflict validation (round 15 — VERDICT r14
+item 4): a commit that loses the claim CAS rebases its already-staged
+delta onto the new head when the winner's changed buckets are
+disjoint, and falls back to the full re-plan when they overlap,
+schema drifted, or the layout changed. The race is injected
+deterministically: the first `_claim` of the loser's session first
+lets a second writer commit, so the loser's claim genuinely collides
+and the production recovery path runs end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from turnover_odata_etl_spark.storage import SnapshotTable
+from turnover_odata_etl_spark.storage.snapshot import CommitConflict
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def mk(spark, tdir, **kw):
+    return SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+        **kw,
+    )
+
+
+def batch(spark, pairs):
+    return spark.createDataFrame(
+        [(k, v) for k, v in pairs], "k long, ver long"
+    )
+
+
+def bucket_of(spark, k, n=4):
+    return (
+        spark.createDataFrame([(int(k),)], "k long")
+        .select(F.pmod(F.hash("k"), F.lit(n)).alias("b"))
+        .first()["b"]
+    )
+
+
+def keys_in_distinct_buckets(spark, n=4):
+    """One probe key per bucket, by exhaustive search — lets each
+    test pick guaranteed-disjoint or guaranteed-overlapping keys
+    without depending on hash details."""
+    found = {}
+    k = 0
+    while len(found) < n and k < 500:
+        b = bucket_of(spark, k, n)
+        found.setdefault(b, k)
+        k += 1
+    assert len(found) == n
+    return found  # {bucket: key}
+
+
+def inject_race(monkeypatch, loser, winner_fn):
+    """Before the loser's FIRST `_claim`, run ``winner_fn()`` (a
+    commit through a second handle) so the claim collides for real.
+    Returns a dict counting how many times the loser re-planned
+    (prepare passes) vs rebased."""
+    state = {"armed": True}
+    orig = SnapshotTable._claim
+
+    def racing(self, manifest, new_id):
+        if state["armed"] and self is loser:
+            state["armed"] = False
+            winner_fn()
+        return orig(self, manifest, new_id)
+
+    monkeypatch.setattr(SnapshotTable, "_claim", racing)
+    return state
+
+
+def spy_stage_jobs(monkeypatch):
+    """Count staged-write promotions — each full (re-)plan of a
+    rewriting verb promotes once, so a rebase shows exactly one."""
+    counts = {"n": 0}
+    orig = SnapshotTable._promote_staged
+
+    def counting(self, staging, run):
+        counts["n"] += 1
+        return orig(self, staging, run)
+
+    monkeypatch.setattr(SnapshotTable, "_promote_staged", counting)
+    return counts
+
+
+def test_append_rebase_disjoint_lands_without_replan(
+    spark, tdir, monkeypatch
+):
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    k_winner = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_loser, 1), (k_winner, 1)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_winner, 2)])),
+    )
+    base_stages = counts["n"]
+    sid = t1.append(batch(spark, [(k_loser, 2)]))
+    # one staged write for the winner, ONE for the loser — no re-plan
+    assert counts["n"] - base_stages == 2
+    assert sid == t1.current_id() == 3
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == sorted(
+        [(k_loser, 1), (k_winner, 1), (k_winner, 2), (k_loser, 2)]
+    )
+    # fresh handle agrees — the rebased manifest chain resolves
+    assert mk(spark, tdir).read().count() == 4
+
+
+def test_append_overlapping_bucket_replans_and_still_lands(
+    spark, tdir, monkeypatch
+):
+    by_bucket = keys_in_distinct_buckets(spark)
+    k = by_bucket[sorted(by_bucket)[0]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k, 1)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1, lambda: t2.append(batch(spark, [(k, 2)]))
+    )
+    base_stages = counts["n"]
+    t1.append(batch(spark, [(k, 3)]))
+    # winner staged once; loser staged, refused the rebase, re-planned
+    assert counts["n"] - base_stages == 3
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == [(k, 1), (k, 2), (k, 3)]
+
+
+def test_merge_rebase_disjoint_lands(spark, tdir, monkeypatch):
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    k_winner = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.merge(batch(spark, [(k_loser, 1), (k_winner, 1)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.merge(batch(spark, [(k_winner, 5)])),
+    )
+    base_stages = counts["n"]
+    t1.merge(batch(spark, [(k_loser, 7)]))
+    assert counts["n"] - base_stages == 2  # no loser re-plan
+    got = {r["k"]: r["ver"] for r in t1.read().collect()}
+    assert got == {k_loser: 7, k_winner: 5}
+
+
+def test_merge_conflicting_key_replans_keep_latest(
+    spark, tdir, monkeypatch
+):
+    """Same KEY raced: bucket overlap forces the re-plan, and the
+    keep-latest invariant holds over the serialized outcome."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    k = by_bucket[sorted(by_bucket)[0]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.merge(batch(spark, [(k, 1)]))
+
+    inject_race(
+        monkeypatch, t1, lambda: t2.merge(batch(spark, [(k, 2)]))
+    )
+    t1.merge(batch(spark, [(k, 9)]))
+    got = [(r["k"], r["ver"]) for r in t1.read().collect()]
+    assert got == [(k, 9)]  # ver 9 > 2 > 1 — keep-latest preserved
+
+
+def test_delete_keys_rebase_disjoint_both_modes(
+    spark, tdir, monkeypatch
+):
+    for mode in ("cow", "mor"):
+        sub = os.path.join(tdir, mode)
+        by_bucket = keys_in_distinct_buckets(spark)
+        buckets = sorted(by_bucket)
+        k_del = by_bucket[buckets[0]]
+        k_win = by_bucket[buckets[1]]
+        t1 = mk(spark, sub)
+        t2 = mk(spark, sub)
+        t1.append(batch(spark, [(k_del, 1), (k_win, 1)]))
+
+        state = {"armed": True}
+        orig = SnapshotTable._claim
+
+        def racing(self, manifest, new_id, _s=state, _t1=t1, _t2=t2,
+                   _kw=k_win):
+            if _s["armed"] and self is _t1:
+                _s["armed"] = False
+                _t2.append(batch(spark, [(_kw, 2)]))
+            return orig(self, manifest, new_id)
+
+        monkeypatch.setattr(SnapshotTable, "_claim", racing)
+        keys = spark.createDataFrame([(k_del,)], "k long")
+        t1.delete_keys(keys, mode=mode)
+        monkeypatch.setattr(SnapshotTable, "_claim", orig)
+        got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+        assert got == [(k_win, 1), (k_win, 2)], mode
+        assert mk(spark, sub).read().count() == 2
+
+
+def test_rebase_refuses_on_schema_evolution(spark, tdir, monkeypatch):
+    """The winner evolved the schema: the loser's staged delta can't
+    carry verbatim — the rebase refuses and the verb re-plans (and
+    the re-planned commit adopts the evolved schema)."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    k_winner = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_loser, 1)]))
+
+    wide = spark.createDataFrame(
+        [(k_winner, 1, "x")], "k long, ver long, extra string"
+    )
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(monkeypatch, t1, lambda: t2.append(wide))
+    base_stages = counts["n"]
+    t1.append(batch(spark, [(k_loser, 2)]))
+    assert counts["n"] - base_stages == 3  # loser re-planned
+    cols = set(t1.read().columns)
+    assert "extra" in cols
+    assert t1.read().count() == 3
+
+
+def test_rebase_repeated_losses_walks_forward(
+    spark, tdir, monkeypatch
+):
+    """The head moves TWICE while the loser rebases: validation is
+    always against the ORIGINAL base, the claim retries walk
+    forward, and the commit lands with every writer's rows intact."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    w1, w2 = by_bucket[buckets[1]], by_bucket[buckets[2]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_loser, 1)]))
+
+    state = {"fired": 0}
+    orig = SnapshotTable._claim
+
+    def racing(self, manifest, new_id):
+        if self is t1 and state["fired"] < 2:
+            state["fired"] += 1
+            k = w1 if state["fired"] == 1 else w2
+            t2.append(batch(spark, [(k, 1)]))
+        return orig(self, manifest, new_id)
+
+    monkeypatch.setattr(SnapshotTable, "_claim", racing)
+    t1.append(batch(spark, [(k_loser, 2)]))
+    assert t1.current_id() == 4  # base + 2 winners + the rebased loser
+    assert t1.read().count() == 4
+
+
+def test_branch_publish_absorbs_disjoint_main_move(spark, tdir):
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_branch = by_bucket[buckets[0]]
+    k_main = by_bucket[buckets[1]]
+    t = mk(spark, tdir)
+    t.append(batch(spark, [(k_branch, 1), (k_main, 1)]))
+    b = t.create_branch("wap")
+    b.append(batch(spark, [(k_branch, 2)]))
+    t.append(batch(spark, [(k_main, 2)]))  # main moves, disjoint
+    sid = b.publish()
+    assert sid == t.current_id()
+    got = sorted((r["k"], r["ver"]) for r in t.read().collect())
+    assert got == sorted(
+        [(k_branch, 1), (k_main, 1), (k_branch, 2), (k_main, 2)]
+    )
+    assert t.branches() == []
+    # crash-recovery scan still idempotent after a rebased publish
+    assert mk(spark, tdir).read().count() == 4
+
+
+def test_branch_publish_refuses_overlapping_main_move(spark, tdir):
+    by_bucket = keys_in_distinct_buckets(spark)
+    k = by_bucket[sorted(by_bucket)[0]]
+    t = mk(spark, tdir)
+    t.append(batch(spark, [(k, 1)]))
+    b = t.create_branch("wap")
+    b.append(batch(spark, [(k, 2)]))
+    t.append(batch(spark, [(k, 3)]))  # main moves INTO the bucket
+    with pytest.raises(CommitConflict):
+        b.publish()
+    assert sorted(r["ver"] for r in t.read().collect()) == [1, 3]
+    b.drop()
+    assert t.branches() == []

@@ -691,9 +691,14 @@ def test_publish_branches_atomic_across_members(spark, gdir):
     assert a.latest_property("publish.branch") == "wap"
 
 
-def test_publish_branches_refuses_non_ff_atomically(spark, gdir):
-    """One member's main moved past its fork: the group publish
-    refuses BEFORE the claim — neither member publishes."""
+def test_publish_branches_refuses_overlapping_non_ff_atomically(
+    spark, gdir
+):
+    """One member's main moved past its fork AND touched a bucket the
+    branch touched (same key → same bucket): the group publish
+    refuses BEFORE the claim — neither member publishes. (A
+    DISJOINT-bucket main move is absorbed since round 15 — see
+    test_publish_branches_absorbs_disjoint_main_move.)"""
     from turnover_odata_etl_spark.storage.snapshot import (
         CommitConflict,
     )
@@ -709,8 +714,8 @@ def test_publish_branches_refuses_non_ff_atomically(spark, gdir):
     bb = b.create_branch("w")
     ba.append(batch(spark, [(2, 2)]))
     bb.append(batch(spark, [(2, 2)]))
-    g.append_all(  # member a's main moves past the fork
-        {"a": batch(spark, [(9, 3)]), "b": batch(spark, [])}
+    g.append_all(  # a's main moves INTO the branch's bucket (key 2)
+        {"a": batch(spark, [(2, 3)]), "b": batch(spark, [])}
     )
     with pytest.raises(CommitConflict):
         g.publish_branches({"a": ba, "b": bb})
@@ -718,6 +723,50 @@ def test_publish_branches_refuses_non_ff_atomically(spark, gdir):
     assert b.read().count() == 1  # b did NOT publish either
     ba.drop()
     bb.drop()
+
+
+def test_publish_branches_absorbs_disjoint_main_move(spark, gdir):
+    """Optimistic validation (round 15): a member's main that moved
+    past the fork in DISJOINT buckets no longer blocks the group
+    publish — the squash rebases onto the new head and both the main
+    move and the branch work are visible afterwards."""
+    a, b, g = mk(spark, gdir)
+    g.append_all(
+        {
+            "a": batch(spark, [(1, 1)]),
+            "b": batch(spark, [(1, 1)]),
+        }
+    )
+    ba = a.create_branch("w")
+    bb = b.create_branch("w")
+    ba.append(batch(spark, [(2, 2)]))
+    bb.append(batch(spark, [(2, 2)]))
+
+    # pick a key whose bucket differs from key 2's, so a hash change
+    # can't silently turn this into the overlapping case
+    def bucket_of(k):
+        return (
+            spark.createDataFrame([(k,)], "k long")
+            .select(F.pmod(F.hash("k"), F.lit(2)).alias("b"))
+            .first()["b"]
+        )
+
+    other = next(
+        x for x in range(3, 50) if bucket_of(x) != bucket_of(2)
+    )
+    g.append_all(
+        {"a": batch(spark, [(other, 3)]), "b": batch(spark, [])}
+    )
+    out = g.publish_branches({"a": ba, "b": bb})
+    assert sorted(
+        (r["k"], r["ver"]) for r in a.read().collect()
+    ) == [(1, 1), (2, 2), (other, 3)]
+    assert sorted(
+        (r["k"], r["ver"]) for r in b.read().collect()
+    ) == [(1, 1), (2, 2)]
+    assert a.branches() == [] and b.branches() == []
+    assert a.latest_property("publish.branch") == "w"
+    assert out["a"] == a.current_id()
 
 
 def test_publish_branches_crash_mid_rollforward_heals(

@@ -69,9 +69,9 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             [
                 "merge", "tomb_merge", "rebucket", "expire", "delete",
                 "delete_keys", "update", "merge_into", "zorder",
-                "branch",
+                "branch", "race",
             ],
-            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1, 2],
+            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1, 2, 2],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -244,6 +244,50 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             else:
                 b.drop()
             assert t.branches() == []
+        elif op == "race":
+            # Two-writer CAS race (round 15 — optimistic rebase): a
+            # second handle commits BETWEEN this handle's prepare and
+            # claim. Whether the engine rebases (disjoint buckets) or
+            # re-plans (overlap), the observable outcome must be the
+            # SERIAL winner-then-loser composition — keys 0..9 over
+            # 2-4 buckets exercise both paths organically.
+            if t.current_id() is None:
+                continue
+            t2 = SnapshotTable(
+                spark, str(tmp_path / "t"), key_cols=["k"],
+                order_col="ver", n_buckets=t.n_buckets,
+            )
+            wrows, lrows = [], []
+            for rows in (wrows, lrows):
+                for _ in range(rng.randint(1, 3)):
+                    k = rng.randint(0, 9)
+                    ver_counter += 1
+                    rows.append((k, f"r{ver_counter}", ver_counter))
+            wdf = spark.createDataFrame(wrows, SCHEMA)
+            ldf = spark.createDataFrame(lrows, SCHEMA)
+            armed = {"on": True}
+            orig_claim = SnapshotTable._claim
+
+            def racing(self, manifest, new_id, _a=armed, _t=t,
+                       _t2=t2, _wdf=wdf):
+                if _a["on"] and self is _t:
+                    _a["on"] = False
+                    _t2.merge(_wdf)
+                return orig_claim(self, manifest, new_id)
+
+            SnapshotTable._claim = racing
+            try:
+                lsid = t.merge(ldf)
+            finally:
+                SnapshotTable._claim = orig_claim
+            for k, v, ver in wrows:  # winner lands first
+                if k not in cur or cur[k][0] < ver:
+                    cur[k] = (ver, v)
+            live_states[lsid - 1] = dict(cur)  # the winner's snapshot
+            for k, v, ver in lrows:  # loser lands on top
+                if k not in cur or cur[k][0] < ver:
+                    cur[k] = (ver, v)
+            live_states[lsid] = dict(cur)
         elif op == "rebucket":
             if t.current_id() is None:
                 continue

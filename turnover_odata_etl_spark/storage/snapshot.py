@@ -1470,11 +1470,7 @@ class SnapshotTable:
         prep = self._prepare_append(batch_df, properties)
         if isinstance(prep, int):
             return prep  # no-op: empty batch on an existing snapshot
-        manifest, new_id, merged_bb = prep
-        sid = self._claim(manifest, new_id)
-        if merged_bb is not None:
-            self._prime_bb(sid, merged_bb)
-        return sid
+        return self._claim_or_rebase(prep)
 
     def _prepare_append(
         self, batch_df: DataFrame, properties: dict | None
@@ -1677,7 +1673,7 @@ class SnapshotTable:
             touched_new[f["bucket"]].append(f)
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
-            operation="compact", base_id=base_id,
+            operation="compact", base_id=base_id, rebase_ok=True,
         )
 
     def rewrite_zorder(
@@ -2070,6 +2066,7 @@ class SnapshotTable:
         props: dict,
         extra_files: list | None = None,
         operation: str = "delete",
+        rebase_ok: bool = False,
     ) -> int:
         """Shared deletion-vector commit tail (round 14): given the
         matched ``(__fname, __pos)`` frame, write ONE position
@@ -2186,6 +2183,7 @@ class SnapshotTable:
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation=operation, base_id=base_id, properties=props,
+            rebase_ok=rebase_ok,
         )
 
     def _delete_once(self, predicate: str, properties: dict | None) -> int:
@@ -2651,7 +2649,8 @@ class SnapshotTable:
                 props = dict(properties or {})
                 props.setdefault("delete.mode", "mor")
                 return self._commit_dv(
-                    base_id, base_raw, base_bb, cand, matched, props
+                    base_id, base_raw, base_bb, cand, matched, props,
+                    rebase_ok=True,  # keyed read set — bucket-contained
                 )
             finally:
                 matched.unpersist()
@@ -2757,6 +2756,7 @@ class SnapshotTable:
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="delete", base_id=base_id, properties=props,
+            rebase_ok=True,
         )
 
     def merge_into(
@@ -3033,7 +3033,7 @@ class SnapshotTable:
                     return self._commit_dv(
                         base_id, base_raw, base_bb, cand, positions,
                         props, extra_files=new_files,
-                        operation="merge_into",
+                        operation="merge_into", rebase_ok=True,
                     )
                 if when_matched == "update":
                     kept = joined.select(
@@ -3080,6 +3080,7 @@ class SnapshotTable:
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="merge_into", base_id=base_id, properties=props,
+            rebase_ok=True,
         )
 
     def _null_safe_keys(self, pref: str):
@@ -3099,11 +3100,7 @@ class SnapshotTable:
         prep = self._prepare_merge(batch_df, tombstone_filter, properties)
         if isinstance(prep, int):
             return prep  # no-op: empty batch on an existing snapshot
-        manifest, new_id, merged_bb = prep
-        sid = self._claim(manifest, new_id)
-        if merged_bb is not None:
-            self._prime_bb(sid, merged_bb)
-        return sid
+        return self._claim_or_rebase(prep)
 
     def _prepare_merge(
         self,
@@ -4026,6 +4023,7 @@ class SnapshotTable:
         operation: str,
         base_id: int | None,
         properties: dict | None = None,
+        rebase_ok: bool = False,
     ) -> int:
         """The O(touched) commit path (VERDICT r09 item 5): untouched
         buckets are carried BY REFERENCE from ``parent_by_bucket``
@@ -4042,8 +4040,138 @@ class SnapshotTable:
             schema_json, parent_by_bucket, touched_new, operation,
             base_id, properties,
         )
-        sid = self._claim(manifest, new_id)
+        try:
+            sid = self._claim(manifest, new_id)
+        except CommitConflict:
+            if not rebase_ok:
+                raise
+            return self._rebase_commit(
+                schema_json, touched_new, operation, base_id,
+                properties,
+            )
         self._prime_bb(sid, merged_bb)
+        return sid
+
+    def _diverged_buckets(
+        self, from_id: int | None, to_id: int | None
+    ) -> set:
+        """Buckets whose locator differs between two snapshots — the
+        conflict set optimistic rebase validates against. Locator
+        EQUALITY is the test, so a full anchor that merely re-formed
+        an untouched bucket's locator (inline list → segment ref at
+        the ``FULL_MANIFEST_EVERY`` cadence) reports it changed: a
+        FALSE conflict is a safe refusal (the loser re-plans), a
+        missed conflict would corrupt — the asymmetry this comparison
+        is biased toward. O(n_buckets) dict walks on the cached
+        ``_by_bucket`` views; no file list is iterated."""
+        a = self._by_bucket(from_id) if from_id is not None else {}
+        b = self._by_bucket(to_id) if to_id is not None else {}
+        return {
+            k
+            for k in set(a) | set(b)
+            if a.get(k, []) is not b.get(k, []) and a.get(k, []) != b.get(k, [])
+        }
+
+    def _rebase_commit(
+        self,
+        schema_json: str,
+        touched_new: dict,
+        operation: str,
+        base_id: int | None,
+        properties: dict | None,
+        max_rebases: int = 8,
+    ) -> int:
+        """Iceberg-style optimistic conflict validation (round 15 —
+        VERDICT r14 item 4): a commit that lost the claim CAS no
+        longer re-plans unconditionally. If the buckets it touched
+        are DISJOINT from every bucket that changed between its base
+        and the new head — and schema/layout did not move — its
+        staged files and locators are still valid verbatim, so the
+        delta manifest is simply REBUILT against the new head and
+        re-claimed: no second Spark job, no data rewrite. Keyed verbs
+        (merge, merge_into, delete_keys, append, compact) qualify
+        because bucketing is key-hash — a concurrent write to the
+        same KEY lands in the same BUCKET, so bucket disjointness IS
+        key disjointness. Predicate verbs (delete_where/update_where)
+        and whole-table rewrites (overwrite/zorder/rebucket) never
+        take this path: their read set is the table, and a
+        disjoint-bucket winner can still change what the predicate
+        should have matched.
+
+        Raises ``CommitConflict`` when validation refuses (the verb's
+        existing retry loop re-plans on the winner's state — the
+        previous, always-correct behavior)."""
+        touched = set(touched_new)
+        last: Exception | None = None
+        for _ in range(max_rebases):
+            ids = self.snapshot_ids()
+            cur = ids[-1] if ids else None
+            if cur is None or base_id is None or cur <= base_id:
+                raise CommitConflict(
+                    f"rebase: claim of {base_id}+1 lost but no newer "
+                    "head is visible — re-plan"
+                ) from last
+            try:
+                base_raw = self._raw_meta(base_id)
+                cur_raw = self._raw_meta(cur)
+                if cur_raw["schema"] != base_raw["schema"]:
+                    raise CommitConflict(
+                        "rebase: schema evolved since base — re-plan"
+                    ) from last
+                if cur_raw["n_buckets"] != self.n_buckets or list(
+                    cur_raw.get("bucket_cols") or []
+                ) != list(self.bucket_cols):
+                    raise CommitConflict(
+                        "rebase: bucket layout changed since base — "
+                        "re-plan"
+                    ) from last
+                changed = self._diverged_buckets(base_id, cur)
+            except FileNotFoundError:
+                raise CommitConflict(
+                    "rebase: base expired mid-validation — re-plan"
+                ) from last
+            overlap = changed & touched
+            if overlap:
+                raise CommitConflict(
+                    f"rebase: buckets {sorted(overlap)[:8]} changed "
+                    f"since base {base_id} — overlapping writes, "
+                    "re-plan"
+                ) from last
+            manifest, new_id, merged_bb = self._build_delta(
+                schema_json, self._by_bucket(cur), touched_new,
+                operation, cur, properties,
+            )
+            try:
+                sid = self._claim(manifest, new_id)
+            except CommitConflict as e:
+                last = e  # head moved again — validate vs the newer one
+                continue
+            self._prime_bb(sid, merged_bb)
+            return sid
+        raise CommitConflict(
+            f"rebase: lost the claim race {max_rebases} times"
+        ) from last
+
+    def _claim_or_rebase(self, prep) -> int:
+        """Shared claim tail of the prepare-style verbs (append,
+        merge): claim the prepared manifest; on a lost CAS, attempt
+        the optimistic rebase with the ingredients recovered FROM the
+        manifest itself. A full-anchor manifest reports every bucket
+        as touched, so its validation only passes against metadata-
+        only winners — conservative by construction."""
+        manifest, new_id, merged_bb = prep
+        try:
+            sid = self._claim(manifest, new_id)
+        except CommitConflict:
+            return self._rebase_commit(
+                manifest["schema"],
+                {int(b): loc for b, loc in manifest["buckets"].items()},
+                manifest["operation"],
+                manifest.get("parent"),
+                manifest.get("properties"),
+            )
+        if merged_bb is not None:
+            self._prime_bb(sid, merged_bb)
         return sid
 
     def _build_delta(
@@ -4606,9 +4734,11 @@ class SnapshotBranch(SnapshotTable):
     through the same claim CAS every commit uses — all-or-nothing
     (see its docstring for why a per-commit os.link fast-forward
     cannot be atomic against a racing main writer). If main advanced
-    past the fork base the claim collides and publish refuses
-    (``CommitConflict`` — re-create the branch from the new main;
-    the Iceberg non-fast-forward rule).
+    past the fork base, publish first attempts Iceberg-style
+    OPTIMISTIC VALIDATION (round 15): unchanged schema/layout and
+    disjoint changed-bucket sets rebase the squash onto the new head;
+    only an overlapping, schema-moved, or re-laid-out main refuses
+    (``CommitConflict`` — re-create the branch from the new main).
     """
 
     def __init__(self, main: SnapshotTable, name: str, base_id: int):
@@ -4703,37 +4833,45 @@ class SnapshotBranch(SnapshotTable):
 
         O(changed buckets) metadata: untouched buckets carry by
         reference from the fork base, and branch segment files are
-        referenced verbatim (never rewritten). Raises
-        ``CommitConflict`` if main advanced past the fork base
-        (non-fast-forward — re-create the branch from current main).
+        referenced verbatim (never rewritten). A main that advanced
+        past the fork base is absorbed when its changed buckets are
+        disjoint from the branch's (optimistic validation — see
+        :meth:`_prepare_publish`); otherwise raises
+        ``CommitConflict`` (re-create the branch from current main).
         Crash-safe: a re-run after a crash between the claim and the
         cleanup recognizes its own published commit (the
         ``publish.branch``/``publish.head`` properties) and just
         finishes the cleanup."""
         ids = self._branch_ids()
-        prep = self._prepare_publish()
-        if prep is None:
+        last: Exception | None = None
+        for _ in range(5):
+            prep = self._prepare_publish()
+            if prep is None:
+                try:
+                    os.unlink(self._pointer)
+                except FileNotFoundError:
+                    pass
+                return self._main.current_id()
+            if isinstance(prep, int):  # crash recovery: published
+                self._cleanup_branch_names(ids)
+                return prep
+            manifest, new_id, merged_bb = prep
             try:
-                os.unlink(self._pointer)
-            except FileNotFoundError:
-                pass
-            return self._main.current_id()
-        if isinstance(prep, int):  # crash recovery: already published
+                self._main._claim(manifest, new_id)
+            except CommitConflict as e:
+                # A racer claimed this id between prepare and claim —
+                # re-prepare: the optimistic validation re-runs
+                # against the NEW head (disjoint-bucket winners are
+                # absorbed; overlapping ones raise the refusal).
+                last = e
+                continue
+            self._main._prime_bb(new_id, merged_bb)
             self._cleanup_branch_names(ids)
-            return prep
-        manifest, new_id, merged_bb = prep
-        try:
-            self._main._claim(manifest, new_id)
-        except CommitConflict:
-            raise CommitConflict(
-                f"publish: snapshot {new_id} already claimed by a "
-                f"different commit — main moved past the fork base "
-                f"{self.branch_base}; re-create the branch from "
-                "current main"
-            ) from None
-        self._main._prime_bb(new_id, merged_bb)
-        self._cleanup_branch_names(ids)
-        return new_id
+            return new_id
+        raise CommitConflict(
+            "publish: lost the claim race 5 times; re-create the "
+            f"branch from current main (fork base {self.branch_base})"
+        ) from last
 
     def _prepare_publish(self):
         """Build the publish commit WITHOUT claiming it — the
@@ -4743,27 +4881,34 @@ class SnapshotBranch(SnapshotTable):
         Returns ``(manifest, new_id, merged_bb)``; the already-
         published id (int) when a crashed publish already claimed
         (idempotent recovery); ``None`` on a commit-less branch.
-        Raises ``CommitConflict`` on non-fast-forward."""
+
+        Optimistic validation (round 15 — VERDICT r14 item 4): a main
+        that advanced past the fork base no longer refuses outright.
+        If main's schema and bucket layout are unchanged since the
+        fork AND the buckets main changed are DISJOINT from the
+        buckets the branch touched, the squash manifest is rebuilt
+        against main's CURRENT head — the branch's staged work is
+        valid verbatim, exactly the single-writer rebase argument
+        (``_rebase_commit``). Overlapping buckets, schema drift, or a
+        layout change still raise ``CommitConflict`` (re-create the
+        branch from current main)."""
         ids = self._branch_ids()
         if not ids:
             return None
         head = ids[-1]
-        new_id = self.branch_base + 1
-        main_ids = set(self._main.snapshot_ids())
-        if new_id in main_ids:
-            raw = self._main._raw_meta(new_id)
-            props = raw.get("properties") or {}
+        main_ids_l = self._main.snapshot_ids()
+        main_ids = set(main_ids_l)
+        # Idempotent crash recovery: our squash may already sit at ANY
+        # id past the fork (a rebased publish lands past base + 1).
+        for sid in main_ids_l:
+            if sid <= (self.branch_base or 0):
+                continue
+            props = self._main._raw_meta(sid).get("properties") or {}
             if (
                 props.get("publish.branch") == self.branch_name
                 and props.get("publish.head") == head
             ):
-                return new_id
-            raise CommitConflict(
-                f"publish: snapshot {new_id} already claimed by a "
-                f"different commit — main moved past the fork base "
-                f"{self.branch_base}; re-create the branch from "
-                "current main"
-            )
+                return sid
         head_bb = self._by_bucket(head)
         base_bb = (
             self._main._by_bucket(self.branch_base)
@@ -4777,6 +4922,32 @@ class SnapshotBranch(SnapshotTable):
             for b, loc in head_bb.items()
             if loc != base_bb.get(b, [])
         }
+        base_for = (
+            self.branch_base if self.branch_base in main_ids else None
+        )
+        main_head = main_ids_l[-1] if main_ids_l else None
+        if main_head is not None and main_head != base_for:
+            refusal = CommitConflict(
+                f"publish: main moved past the fork base "
+                f"{self.branch_base} and touches overlapping state; "
+                "re-create the branch from current main"
+            )
+            if base_for is None:
+                raise refusal  # forked off empty — nothing to diff
+            base_raw_m = self._main._raw_meta(base_for)
+            head_raw_m = self._main._raw_meta(main_head)
+            if (
+                head_raw_m["schema"] != base_raw_m["schema"]
+                or head_raw_m["n_buckets"] != base_raw_m["n_buckets"]
+                or list(head_raw_m.get("bucket_cols") or [])
+                != list(base_raw_m.get("bucket_cols") or [])
+            ):
+                raise refusal
+            changed = self._main._diverged_buckets(base_for, main_head)
+            if changed & set(touched_new):
+                raise refusal
+            base_for = main_head  # disjoint: rebase onto the head
+            base_bb = self._main._by_bucket(main_head)
         head_raw = self._raw_meta(head)
         props = dict(head_raw.get("properties") or {})
         props["publish.branch"] = self.branch_name
@@ -4785,11 +4956,7 @@ class SnapshotBranch(SnapshotTable):
         return self._main._build_delta(
             head_raw["schema"], base_bb, touched_new,
             operation="publish",
-            base_id=(
-                self.branch_base
-                if self.branch_base in main_ids
-                else None
-            ),
+            base_id=base_for,
             properties=props,
         )
 
