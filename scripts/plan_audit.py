@@ -95,6 +95,10 @@ NESTED_LOOP_OK = {
     "s_knn_ivf_persistent",  # the recall-contract crossJoin is the
     #     1-row recall row (the s_knn_ivf device); probe/assign sides
     #     are codebook-sized broadcasts
+    "s_knn_ivf_refresh",  # same device, registered round 15: the
+    #     recall-contract crossJoin is the 1-row contract row;
+    #     assign/probe sides are codebook-sized broadcasts; the exact
+    #     re-rank is the contract's verification cost
 }
 
 # Queries where > 6 shuffle exchanges is the algorithm, not an
@@ -121,6 +125,10 @@ MANY_SHUFFLES_OK = {
     "t_tfidf_topterms",  # (a) df → idf → per-doc score → top-k chain
     "e13_hll_sketch_rollup",  # (a) sketch build → merge-rollup levels
     "s_knn_ivf",  # (a) Lloyd refinement rounds + probe + verify
+    "s_knn_ivf_refresh",  # (a) 4 wave commits + the refresh overwrite
+    #     (each: assign + bucket repartition, wave-sized) + the exact
+    #     re-rank — the E119 lifecycle IS a multi-commit algorithm;
+    #     pre-adjudicated in plans/roundfourteen.py's checklist
     "s_knn_lsh",  # (a) band index + candidate join + verify
     "s_knn_pq",  # (a) codebook train rounds + ADC scan + verify
     "s_snapshot_incremental_agg",  # (a) 3 real snapshot commits (each:
