@@ -301,3 +301,32 @@ def test_branch_publish_refuses_overlapping_main_move(spark, tdir):
     assert sorted(r["ver"] for r in t.read().collect()) == [1, 3]
     b.drop()
     assert t.branches() == []
+
+def test_full_anchor_commit_replans_instead_of_rebasing(
+    spark, tdir, monkeypatch
+):
+    """A lost claim whose manifest is a FULL anchor (every 16th id)
+    cannot reconstruct its touched set from the manifest (full
+    manifests drop empty buckets), so _claim_or_rebase re-plans —
+    and the re-planned commit is correct."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    k_winner = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    for i in range(15):  # loser's own claim targets 16 — a FULL id
+        t1.append(batch(spark, [(1000 + i, 1)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_winner, 2)])),
+    )
+    base_stages = counts["n"]
+    t1.append(batch(spark, [(k_loser, 2)]))
+    # winner staged once; loser staged then RE-PLANNED (full anchor)
+    assert counts["n"] - base_stages == 3
+    assert t1.current_id() == 17
+    assert t1.read().count() == 17
+    assert mk(spark, tdir).read().count() == 17

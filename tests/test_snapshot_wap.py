@@ -259,3 +259,46 @@ def test_branch_refuses_rebucket_and_tags(spark, tdir):
     with pytest.raises(RuntimeError, match="main"):
         b.drop_tag("x")
     b.drop()
+
+
+def test_publish_carries_whole_bucket_delete_through_full_anchor(
+    spark, tdir
+):
+    """Review r15 (confirmed bug): a bucket the branch EMPTIED is
+    absent from the branch head's by-bucket view when the head is a
+    full-anchor manifest (full manifests drop empty buckets), and
+    _prepare_publish's touched set used to iterate only the head view
+    — the fork base's files carried through and the delete silently
+    resurrected on main. The squash must publish the emptied bucket
+    as an explicit [] delta entry."""
+    t = make_table(spark, tdir)
+    for i in range(15):  # fork base = 15 -> branch commit = 16 (full)
+        t.append(batch(spark, i, i + 1, 1))
+    assert t.current_id() == 15
+
+    # every key in one physical bucket — deleting them EMPTIES it
+    rows = (
+        spark.range(0, 15)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash(F.col("id")), F.lit(4)).alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    bucket, keys = next((b, k) for b, k in by_bucket.items() if k)
+
+    b = t.create_branch("wap")
+    b.delete_where(f"k IN ({', '.join(map(str, keys))})")
+    assert b.current_id() == 16  # the full-anchor head
+    assert b.read().count() == 15 - len(keys)
+
+    b.publish()
+    main_keys = sorted(r["k"] for r in t.read().collect())
+    assert main_keys == sorted(set(range(15)) - set(keys))
+    # fresh handle resolves the published emptied bucket identically
+    assert SnapshotTable.load(spark, tdir).read().count() == 15 - len(
+        keys
+    )

@@ -908,15 +908,27 @@ class IvfIndex:
         if old is None:
             return None
         k = int(n_cells) if n_cells is not None else int(old.shape[0])
-        bp = self.postings.create_branch(name)
-        bc = self.codebook.create_branch(name)
+        bp = bc = None
+
+        def discard():
+            # best-effort: a failed drop must not mask the original
+            # error or strand the OTHER member's branch marker
+            for b in (bp, bc):
+                if b is None:
+                    continue
+                try:
+                    b.drop()
+                except Exception:  # noqa: BLE001 — cleanup path
+                    pass
+
         try:
+            bp = self.postings.create_branch(name)
+            bc = self.codebook.create_branch(name)
             cents, reassigned = _retrain_reassign(
                 bp, k, sample_fraction, seed
             )
             if cents is None:  # empty postings — nothing to rebuild
-                bp.drop()
-                bc.drop()
+                discard()
                 return None
             props = {
                 "ivf.wave": wave,
@@ -932,8 +944,7 @@ class IvfIndex:
             ).withColumn("__ver", F.lit(wave).cast("long"))
             bc.overwrite(cb, properties=props)
         except Exception:
-            bp.drop()
-            bc.drop()
+            discard()
             raise
         return {"postings": bp, "codebook": bc}
 

@@ -4163,6 +4163,15 @@ class SnapshotTable:
         try:
             sid = self._claim(manifest, new_id)
         except CommitConflict:
+            # A FULL-anchor manifest cannot reconstruct its touched
+            # set: full manifests DROP empty buckets, so a bucket this
+            # commit emptied would be missing from "buckets" and the
+            # rebase would carry the parent's files through — re-plan
+            # instead (review r15; the full view also reports every
+            # bucket touched, which made the rebase near-useless here
+            # anyway).
+            if manifest.get("full"):
+                raise
             return self._rebase_commit(
                 manifest["schema"],
                 {int(b): loc for b, loc in manifest["buckets"].items()},
@@ -4916,11 +4925,18 @@ class SnapshotBranch(SnapshotTable):
             else {}
         )
         # buckets whose locator changed across the branch — locators
-        # carry verbatim (seg refs included), so this is O(changed)
+        # carry verbatim (seg refs included), so this is O(changed).
+        # Iterate the UNION of both views: a bucket the branch EMPTIED
+        # is absent from head_bb when the branch head is a full-anchor
+        # manifest (full manifests drop empty buckets), and omitting
+        # it would carry the fork base's files through the squash —
+        # silently resurrecting the branch's whole-bucket delete
+        # (review r15). The emptied bucket publishes as an explicit
+        # [] delta entry.
         touched_new = {
-            b: loc
-            for b, loc in head_bb.items()
-            if loc != base_bb.get(b, [])
+            b: head_bb.get(b, [])
+            for b in set(head_bb) | set(base_bb)
+            if head_bb.get(b, []) != base_bb.get(b, [])
         }
         base_for = (
             self.branch_base if self.branch_base in main_ids else None
