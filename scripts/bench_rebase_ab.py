@@ -32,8 +32,9 @@ from turnover_odata_etl_spark.storage.snapshot import (  # noqa: E402
 )
 from turnover_odata_etl_spark.tables import load_table  # noqa: E402
 
-REPS = 5
+REPS = 3
 N_BUCKETS = 8
+REPLICAS = 20  # 2M rows — the loser's touched buckets carry real data
 
 
 def main() -> None:
@@ -43,7 +44,7 @@ def main() -> None:
     base = "/tmp/spark_graft_bench/rebase_ab"
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    ev = (
+    ev0 = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id").isNotNull())
         .select(
@@ -52,12 +53,25 @@ def main() -> None:
             F.lit(1).cast("long").alias("ver"),
         )
     )
+    span = ev0.agg(F.max("k")).first()[0] + 1
+    ev = (
+        ev0.crossJoin(
+            spark.range(REPLICAS).withColumnRenamed("id", "rep")
+        )
+        .select(
+            (F.col("k") + F.col("rep") * F.lit(span)).alias("k"),
+            "v",
+            "ver",
+        )
+    )
 
     def bucket_expr(col):
         return F.pmod(F.hash(col), F.lit(N_BUCKETS))
 
-    # loser batch: keys in bucket 0 only; winner batch: bucket 1 only
-    loser_df = ev.filter(bucket_expr(F.col("k")) == 0).withColumn(
+    # loser batch: every bucket EXCEPT the winner's — the realistic
+    # wide keyed-ingest batch whose re-plan re-stages millions of
+    # rows; winner batch: bucket 1 only
+    loser_df = ev.filter(bucket_expr(F.col("k")) != 1).withColumn(
         "ver", F.lit(2).cast("long")
     )
     winner_df = ev.filter(bucket_expr(F.col("k")) == 1).withColumn(

@@ -330,3 +330,40 @@ def test_full_anchor_commit_replans_instead_of_rebasing(
     assert t1.current_id() == 17
     assert t1.read().count() == 17
     assert mk(spark, tdir).read().count() == 17
+
+
+def test_rebase_survives_nullability_drift(spark, tdir, monkeypatch):
+    """Nullability drifts between commits with no data change (a
+    first commit's lit() columns serialize non-nullable; the same
+    columns after the next merge's base-union serialize nullable).
+    The schema guard must compare STRUCTURE, not the JSON string —
+    a string compare falsely refused the rebase on exactly the
+    realistic derived-frame pipelines it exists for (review r15)."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_loser = by_bucket[buckets[0]]
+    k_winner = by_bucket[buckets[1]]
+
+    def lit_batch(k, ver):
+        # non-nullable columns — the drift trigger
+        return spark.range(k, k + 1).select(
+            F.col("id").alias("k"),
+            F.lit(ver).cast("long").alias("ver"),
+        )
+
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.merge(lit_batch(k_loser, 1))  # commit 1: ver non-nullable
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1, lambda: t2.merge(lit_batch(k_winner, 1))
+    )
+    base_stages = counts["n"]
+    t1.merge(lit_batch(k_loser, 2))
+    # commit 2's schema serializes ver NULLABLE (base-union); the
+    # structural compare must still rebase — no loser re-plan
+    assert counts["n"] - base_stages == 2
+    got = {r["k"]: r["ver"] for r in t1.read().collect()}
+    assert got == {k_loser: 2, k_winner: 1}
+    assert mk(spark, tdir).read().count() == 2

@@ -4072,6 +4072,42 @@ class SnapshotTable:
             if a.get(k, []) is not b.get(k, []) and a.get(k, []) != b.get(k, [])
         }
 
+    @staticmethod
+    def _schema_core(schema_json: str) -> "list[tuple]":
+        """(name, dataType) field list — the structural identity the
+        rebase schema guard compares. NULLABILITY IS EXCLUDED on
+        purpose: it drifts between commits with no data change (a
+        first commit's ``lit()`` columns serialize non-nullable, the
+        same column after the next merge's base-union serializes
+        nullable), and a string compare would falsely refuse the
+        rebase on exactly the realistic pipelines it exists for
+        (review r15)."""
+        st = T.StructType.fromJson(json.loads(schema_json))
+        return [(f.name, f.dataType.json()) for f in st.fields]
+
+    @staticmethod
+    def _nullable_union(ours_json: str, theirs_json: str) -> str:
+        """``ours`` with each shared field's nullable flag OR'd with
+        ``theirs`` — the schema a rebased manifest must carry so no
+        existing file's nulls are declared away (ours ⊇ theirs
+        structurally; extra fields keep their own flag)."""
+        if ours_json == theirs_json:
+            return ours_json
+        ours = T.StructType.fromJson(json.loads(ours_json))
+        theirs = T.StructType.fromJson(json.loads(theirs_json))
+        tn = {f.name: f.nullable for f in theirs.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable or tn.get(f.name, False),
+                    f.metadata,
+                )
+                for f in ours.fields
+            ]
+        ).json()
+
     def _rebase_commit(
         self,
         schema_json: str,
@@ -4114,7 +4150,9 @@ class SnapshotTable:
             try:
                 base_raw = self._raw_meta(base_id)
                 cur_raw = self._raw_meta(cur)
-                if cur_raw["schema"] != base_raw["schema"]:
+                if self._schema_core(
+                    cur_raw["schema"]
+                ) != self._schema_core(base_raw["schema"]):
                     raise CommitConflict(
                         "rebase: schema evolved since base — re-plan"
                     ) from last
@@ -4138,7 +4176,8 @@ class SnapshotTable:
                     "re-plan"
                 ) from last
             manifest, new_id, merged_bb = self._build_delta(
-                schema_json, self._by_bucket(cur), touched_new,
+                self._nullable_union(schema_json, cur_raw["schema"]),
+                self._by_bucket(cur), touched_new,
                 operation, cur, properties,
             )
             try:
@@ -4953,7 +4992,8 @@ class SnapshotBranch(SnapshotTable):
             base_raw_m = self._main._raw_meta(base_for)
             head_raw_m = self._main._raw_meta(main_head)
             if (
-                head_raw_m["schema"] != base_raw_m["schema"]
+                self._schema_core(head_raw_m["schema"])
+                != self._schema_core(base_raw_m["schema"])
                 or head_raw_m["n_buckets"] != base_raw_m["n_buckets"]
                 or list(head_raw_m.get("bucket_cols") or [])
                 != list(base_raw_m.get("bucket_cols") or [])
@@ -4969,8 +5009,14 @@ class SnapshotBranch(SnapshotTable):
         props["publish.branch"] = self.branch_name
         props["publish.head"] = head
         props["publish.commits"] = len(ids)
+        pub_schema = head_raw["schema"]
+        if main_head is not None and base_for == main_head:
+            # rebased publish: never declare away nulls main may have
+            pub_schema = self._nullable_union(
+                pub_schema, self._main._raw_meta(main_head)["schema"]
+            )
         return self._main._build_delta(
-            head_raw["schema"], base_bb, touched_new,
+            pub_schema, base_bb, touched_new,
             operation="publish",
             base_id=base_for,
             properties=props,
