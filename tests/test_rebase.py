@@ -367,3 +367,46 @@ def test_rebase_survives_nullability_drift(spark, tdir, monkeypatch):
     got = {r["k"]: r["ver"] for r in t1.read().collect()}
     assert got == {k_loser: 2, k_winner: 1}
     assert mk(spark, tdir).read().count() == 2
+
+
+def test_compact_rebase_disjoint_lands(spark, tdir, monkeypatch):
+    """compact is bucket-local (reads only the buckets it folds), so
+    a disjoint-bucket winner racing the compact commit is absorbed by
+    the rebase — the fold is not re-staged."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_win = by_bucket[buckets[1]]
+    # three distinct keys that ALL hash into bucket[0] — the compact
+    # target; found via one vectorized probe, not key arithmetic
+    # (the hash is not linear in k)
+    rows = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash("id"), F.lit(4)).alias("b"),
+        )
+        .filter(F.col("b") == buckets[0])
+        .limit(3)
+        .collect()
+    )
+    ks = [r["k"] for r in rows]
+    assert len(ks) == 3
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    for v, k in enumerate(ks, start=1):
+        t1.append(batch(spark, [(k, v)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_win, 9)])),
+    )
+    base_stages = counts["n"]
+    t1.compact(min_files=2)
+    # winner staged once; the compact fold staged ONCE — no re-plan
+    assert counts["n"] - base_stages == 2
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == sorted(
+        [(k, v) for v, k in enumerate(ks, start=1)] + [(k_win, 9)]
+    )
+    assert mk(spark, tdir).read().count() == 4
