@@ -53,7 +53,13 @@ def main() -> None:
             F.lit(1).cast("long").alias("ver"),
         )
     )
-    span = ev0.agg(F.max("k")).first()[0] + 1
+    mx = ev0.agg(F.max("k")).first()[0]
+    if mx is None:
+        raise SystemExit(
+            f"bench_rebase_ab: no non-null event_ids in {sf_dir} — "
+            "point SPARK_GRAFT_SF_DIR at a populated fixture dir"
+        )
+    span = mx + 1
     ev = (
         ev0.crossJoin(
             spark.range(REPLICAS).withColumnRenamed("id", "rep")

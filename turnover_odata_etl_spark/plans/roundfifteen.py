@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .registry import QuerySpec
+from .roundthirteen import _append_id_slices
 
 # ---------------------------------------------------------------- E124
 
@@ -305,23 +306,12 @@ def s_snapshot_tag_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "label string, event_type string, n long, s double"
     if mn is None:
         return spark.createDataFrame([], out_schema)
-    # The id-slice bootstrap inline (vs _append_id_slices) so the tag
-    # pins the id CURRENT AFTER THE SECOND SLICE, not a positional
-    # snapshot_ids()[-2]: on a degenerate id range an empty slice
-    # no-ops without a commit (review r15 — the positional read would
-    # crash or pin the wrong state; the oracle's `id < mn + 2·span`
-    # matches the after-slice-2 CONTENT either way).
-    span = max(1, (mx - mn + 1) // 3)
-    two_slice_id = None
-    for w in range(3):
-        lo = mn + w * span
-        hi = mx if w == 2 else mn + (w + 1) * span - 1
-        sl = (F.col("event_id") >= lo) & (F.col("event_id") <= hi)
-        if w == 2:
-            sl = sl | F.col("event_id").isNull()
-        t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
-        if w == 1:
-            two_slice_id = t.current_id()
+    # The tag pins the id CURRENT AFTER THE SECOND SLICE (not a
+    # positional snapshot_ids()[-2]: on a degenerate id range an
+    # empty slice no-ops without a commit — review r15; the oracle's
+    # `id < mn + 2·span` matches the after-slice-2 CONTENT either
+    # way). The shared helper returns exactly these per-slice ids.
+    two_slice_id = _append_id_slices(t, ev, mn, mx)[1]
     t.create_tag("train_v1", snapshot_id=two_slice_id)
     t.delete_where("value BETWEEN 100 AND 250", mode="mor")
     t.expire_snapshots(keep_last=1)

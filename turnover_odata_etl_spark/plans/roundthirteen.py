@@ -61,12 +61,17 @@ from ..tables import load_table
 from .registry import register
 
 
-def _append_id_slices(t, ev, mn: int, mx: int, n: int = 3) -> None:
+def _append_id_slices(t, ev, mn: int, mx: int, n: int = 3) -> list:
     """Bootstrap a snapshot table as ``n`` id-range appends (NULL ids
     routed to the last slice — the TOTAL-partition discipline);
-    shared by the round-13 lifecycle queries (review r13 — one
-    place for the slicing the HISTORY_ORACLE mirrors in SQL)."""
+    shared by the round-13/15 lifecycle queries (review r13 — one
+    place for the slicing the HISTORY_ORACLE mirrors in SQL).
+    Returns the snapshot id CURRENT AFTER EACH SLICE (review r15 —
+    an empty slice no-ops without a commit, so positional
+    ``snapshot_ids()`` reads are wrong; the returned id still pins
+    the correct CONTENT state for that slice)."""
     span = max(1, (mx - mn + 1) // n)
+    ids = []
     for w in range(n):
         lo = mn + w * span
         hi = mx if w == n - 1 else mn + (w + 1) * span - 1
@@ -74,6 +79,8 @@ def _append_id_slices(t, ev, mn: int, mx: int, n: int = 3) -> None:
         if w == n - 1:
             sl = sl | F.col("event_id").isNull()
         t.append(ev.filter(sl).withColumn("__ver", F.lit(w + 1)))
+        ids.append(t.current_id())
+    return ids
 
 
 _AGG_SCHEMA = (

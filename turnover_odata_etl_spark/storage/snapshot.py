@@ -4073,24 +4073,53 @@ class SnapshotTable:
         }
 
     @staticmethod
+    def _permissive_type(dt):
+        """``dt`` with every NESTED nullability flag (containsNull /
+        valueContainsNull / inner struct-field nullable) forced True.
+        Nested flags drift exactly like top-level ones (an
+        ``F.array(F.lit(..))`` column serializes containsNull=false,
+        the same column after a base-union serializes true — review
+        r15 second pass), and declaring MORE nullable is always safe
+        for a read schema."""
+        p = SnapshotTable._permissive_type
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(p(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(p(dt.keyType), p(dt.valueType), True)
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, p(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        return dt
+
+    @staticmethod
     def _schema_core(schema_json: str) -> "list[tuple]":
-        """(name, dataType) field list — the structural identity the
-        rebase schema guard compares. NULLABILITY IS EXCLUDED on
-        purpose: it drifts between commits with no data change (a
-        first commit's ``lit()`` columns serialize non-nullable, the
-        same column after the next merge's base-union serializes
+        """(name, nullability-normalized dataType) field list — the
+        structural identity the rebase schema guard compares.
+        NULLABILITY IS EXCLUDED on purpose, at every nesting level:
+        it drifts between commits with no data change (a first
+        commit's ``lit()`` columns serialize non-nullable, the same
+        column after the next merge's base-union serializes
         nullable), and a string compare would falsely refuse the
         rebase on exactly the realistic pipelines it exists for
-        (review r15)."""
+        (review r15; nested flags caught by the second pass)."""
         st = T.StructType.fromJson(json.loads(schema_json))
-        return [(f.name, f.dataType.json()) for f in st.fields]
+        return [
+            (f.name, SnapshotTable._permissive_type(f.dataType).json())
+            for f in st.fields
+        ]
 
     @staticmethod
     def _nullable_union(ours_json: str, theirs_json: str) -> str:
-        """``ours`` with each shared field's nullable flag OR'd with
-        ``theirs`` — the schema a rebased manifest must carry so no
-        existing file's nulls are declared away (ours ⊇ theirs
-        structurally; extra fields keep their own flag)."""
+        """``ours`` with each shared field's top-level nullable flag
+        OR'd with ``theirs`` and every NESTED flag forced permissive —
+        the schema a rebased manifest must carry so no existing
+        file's nulls (top-level or nested) are declared away (ours ⊇
+        theirs structurally; extra fields keep their own top-level
+        flag)."""
         if ours_json == theirs_json:
             return ours_json
         ours = T.StructType.fromJson(json.loads(ours_json))
@@ -4100,7 +4129,7 @@ class SnapshotTable:
             [
                 T.StructField(
                     f.name,
-                    f.dataType,
+                    SnapshotTable._permissive_type(f.dataType),
                     f.nullable or tn.get(f.name, False),
                     f.metadata,
                 )
@@ -4195,9 +4224,10 @@ class SnapshotTable:
         """Shared claim tail of the prepare-style verbs (append,
         merge): claim the prepared manifest; on a lost CAS, attempt
         the optimistic rebase with the ingredients recovered FROM the
-        manifest itself. A full-anchor manifest reports every bucket
-        as touched, so its validation only passes against metadata-
-        only winners — conservative by construction."""
+        manifest itself. A FULL-anchor manifest never rebases — it
+        re-raises for the verb's re-plan (see the inline comment:
+        its touched set is unreconstructible because full manifests
+        drop empty buckets)."""
         manifest, new_id, merged_bb = prep
         try:
             sid = self._claim(manifest, new_id)
@@ -5010,8 +5040,11 @@ class SnapshotBranch(SnapshotTable):
         props["publish.head"] = head
         props["publish.commits"] = len(ids)
         pub_schema = head_raw["schema"]
-        if main_head is not None and base_for == main_head:
-            # rebased publish: never declare away nulls main may have
+        if main_head is not None:
+            # EVERY publish onto a non-empty main (moved or not):
+            # untouched buckets carry main's files by reference, so
+            # the squash schema must never declare away nulls those
+            # files may hold — union with main's head schema
             pub_schema = self._nullable_union(
                 pub_schema, self._main._raw_meta(main_head)["schema"]
             )
