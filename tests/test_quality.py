@@ -179,3 +179,50 @@ def test_bucket_hash_matches_duckdb(spark):
             params=[w],
         ).fetchone()
         assert got[w] == j, w
+
+
+def test_model_save_load_roundtrip_and_rollback(spark, tmp_path):
+    """The production train/serve split: weights persist as a
+    versioned SnapshotTable; a fresh session loads and scores
+    identically with no retrain; time travel rolls a model back."""
+    from turnover_odata_etl_spark.operators.quality import (
+        load_quality_model,
+        save_quality_model,
+    )
+    from turnover_odata_etl_spark.storage import SnapshotTable
+
+    rows = [(i, "cat x") for i in range(5)] + [
+        (100 + i, "dog x") for i in range(5)
+    ]
+    docs = _docs(spark, rows)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") < 100, 1.0).otherwise(0.0).alias("y"),
+    )
+    feats = hashed_ngram_features(docs, n_buckets=64)
+    w1 = train_quality_lr(feats, labels, n_buckets=64, steps=6)
+    mdir = str(tmp_path / "qmodel")
+    sid1 = save_quality_model(spark, mdir, w1, version=1)
+    assert load_quality_model(spark, mdir) == w1
+
+    # scores from the loaded model are identical to the in-session fit
+    a = {r["id"]: r["z"] for r in score_lr(feats, w1).collect()}
+    b = {
+        r["id"]: r["z"]
+        for r in score_lr(feats, load_quality_model(spark, mdir)).collect()
+    }
+    assert a == b
+
+    # a second version lands as a new commit; rollback via time travel
+    w2 = [v * 2 for v in w1]
+    save_quality_model(spark, mdir, w2, version=2)
+    assert load_quality_model(spark, mdir) == w2
+    t = SnapshotTable(
+        spark, mdir, key_cols=["j"], order_col="ver", n_buckets=1
+    )
+    assert t.latest_property("quality.version") == "2"
+    old = {
+        int(r["j"]): r["w"]
+        for r in t.read(snapshot_id=sid1).select("j", "w").collect()
+    }
+    assert [old[j] for j in sorted(old)] == w1

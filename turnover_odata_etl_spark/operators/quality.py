@@ -73,6 +73,8 @@ __all__ = [
     "score_lr",
     "c4_weak_label",
     "lexicon_weak_label",
+    "save_quality_model",
+    "load_quality_model",
 ]
 
 
@@ -288,6 +290,56 @@ def train_quality_lr(
                 w[j] += omega * float(row["g"]) / (hess[j] + ridge)
     finally:
         fl.unpersist()
+    return w
+
+
+def save_quality_model(
+    spark: SparkSession,
+    table_dir: str,
+    weights: "list[float]",
+    version: int = 1,
+) -> int:
+    """Persist a trained weight vector as a versioned
+    :class:`..storage.SnapshotTable` (keyed j, one commit per model
+    version) — the production split: training runs at maintenance
+    cadence, scoring sessions ``load_quality_model`` the D-row frame
+    off disk with no retrain and no session state. Time travel gives
+    model rollback for free; the ``quality.version`` property stamps
+    provenance. Returns the snapshot id."""
+    from ..storage import SnapshotTable
+
+    t = SnapshotTable(
+        spark, table_dir, key_cols=["j"], order_col="ver", n_buckets=1
+    )
+    df = spark.createDataFrame(
+        [(int(j), float(w), int(version)) for j, w in enumerate(weights)],
+        "j long, w double, ver long",
+    )
+    props = {
+        "quality.version": str(int(version)),
+        "quality.dim": str(len(weights) - 1),
+    }
+    if t.current_id() is None:  # overwrite refuses on an empty table
+        return t.append(df, properties=props)
+    return t.overwrite(df, properties=props)
+
+
+def load_quality_model(
+    spark: SparkSession, table_dir: str
+) -> "list[float]":
+    """The dense weight list back from :func:`save_quality_model`
+    (latest version) — a D-row metadata read."""
+    from ..storage import SnapshotTable
+
+    t = SnapshotTable(
+        spark, table_dir, key_cols=["j"], order_col="ver", n_buckets=1
+    )
+    rows = t.read().select("j", "w").collect()
+    if not rows:
+        raise ValueError(f"load_quality_model: no model at {table_dir}")
+    w = [0.0] * (max(int(r["j"]) for r in rows) + 1)
+    for r in rows:
+        w[int(r["j"])] = float(r["w"])
     return w
 
 
