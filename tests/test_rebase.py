@@ -410,3 +410,54 @@ def test_compact_rebase_disjoint_lands(spark, tdir, monkeypatch):
         [(k, v) for v, k in enumerate(ks, start=1)] + [(k_win, 9)]
     )
     assert mk(spark, tdir).read().count() == 4
+
+
+def test_threaded_writers_disjoint_buckets_all_land(spark, tdir):
+    """REAL concurrency (no injection): four threads, each owning one
+    bucket, each committing five keyed appends with the production
+    retry/rebase path deciding every collision live. All 20 commits
+    must land, the final state must be the union, and the snapshot
+    chain must resolve from a fresh handle — the serializable-outcome
+    pin for the optimistic-concurrency machinery under genuinely
+    nondeterministic interleavings."""
+    import threading
+
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    t0 = mk(spark, tdir)
+    t0.append(batch(spark, [(by_bucket[buckets[0]], 0)]))
+
+    errors = []
+    per_writer = 5
+
+    def writer(b):
+        base_key = by_bucket[b]
+        t = mk(spark, tdir)
+        try:
+            for i in range(per_writer):
+                # fresh keys, all hashed into THIS writer's bucket —
+                # found by probing, so disjointness is guaranteed
+                k = base_key
+                probe = base_key + 1
+                while True:
+                    if bucket_of(spark, probe) == b:
+                        k = probe + i * 100000
+                        if bucket_of(spark, k) == b:
+                            break
+                    probe += 1
+                t.append(batch(spark, [(k, i + 1)]))
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append((b, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(b,)) for b in buckets
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == [], errors
+    # 1 bootstrap + 4 writers x 5 commits, every one landed
+    assert t0.current_id() == 1 + 4 * per_writer
+    assert t0.read().count() == 1 + 4 * per_writer
+    assert mk(spark, tdir).read().count() == 1 + 4 * per_writer
