@@ -168,10 +168,10 @@ ADDITIONS_R14 = [
     "s_snapshot_wap_publish",
 ]
 
-# Round-15 STAGED queries (plans/roundfifteen.py — held for a cap
-# ruling, registry frozen at 218; timed here as staged_r15 so the
-# staged→registered delta series continues when they register).
-STAGED_R15 = [
+# Round-15 registrations (plans/roundfifteen.py — registered round
+# 16 per the r15 cap ruling; benched as staged_r15 in BENCH_r15 for
+# the staged→registered delta series, registry-backed from r16 on).
+ADDITIONS_R15 = [
     "t_quality_classifier",
     "s_snapshot_tag_gc",
     "s_group_wap_rebuild",
@@ -304,10 +304,8 @@ def main() -> None:
     additions_r14 = time_queries(
         spark, specs, ADDITIONS_R14, sf_dir, reps, errors
     )
-    from turnover_odata_etl_spark.plans.roundfifteen import STAGED as _R15
-    staged_specs = {**specs, **_R15}
-    staged_r15 = time_queries(
-        spark, staged_specs, STAGED_R15, sf_dir, reps, errors
+    additions_r15 = time_queries(
+        spark, specs, ADDITIONS_R15, sf_dir, reps, errors
     )
 
     # Streaming: dedicated pre-created checkpoint root (each query
@@ -343,7 +341,7 @@ def main() -> None:
     additions_r12_total = round(sum(additions_r12.values()), 3)
     additions_r13_total = round(sum(additions_r13.values()), 3)
     additions_r14_total = round(sum(additions_r14.values()), 3)
-    staged_r15_total = round(sum(staged_r15.values()), 3)
+    additions_r15_total = round(sum(additions_r15.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -389,8 +387,8 @@ def main() -> None:
         "additions_r13_total": additions_r13_total,
         "additions_r14": additions_r14,
         "additions_r14_total": additions_r14_total,
-        "staged_r15": staged_r15,
-        "staged_r15_total": staged_r15_total,
+        "additions_r15": additions_r15,
+        "additions_r15_total": additions_r15_total,
         "all_total": round(
             total
             + streaming_total
@@ -405,7 +403,8 @@ def main() -> None:
             + additions_r11_total
             + additions_r12_total
             + additions_r13_total
-            + additions_r14_total,
+            + additions_r14_total
+            + additions_r15_total,
             3,
         ),
         "fixtures": fixtures,
@@ -449,7 +448,7 @@ def main() -> None:
         "additions_r12": additions_r12_total,
         "additions_r13": additions_r13_total,
         "additions_r14": additions_r14_total,
-        "staged_r15": staged_r15_total,
+        "additions_r15": additions_r15_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -467,7 +466,7 @@ def main() -> None:
         ("additions_r12", additions_r12),
         ("additions_r13", additions_r13),
         ("additions_r14", additions_r14),
-        ("staged_r15", staged_r15),
+        ("additions_r15", additions_r15),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

@@ -53,20 +53,7 @@ def test_query_survives_empty_input(spark, empty_dir, name):
     df.collect()  # must execute, not just plan
 
 
-# Round-13 queries registered in round 14 (r13 cap ruling) and
-# round-14 queries registered in round 15 (r14 cap ruling) — the
-# registry sweep above now covers them; the dedicated staged blocks
-# were removed per the activation checklists.
-
-# Round-15 STAGED queries (plans/roundfifteen.py — held for a cap
-# ruling) get the same treatment below until registration folds them
-# into the sweep.
-from turnover_odata_etl_spark.plans.roundfifteen import STAGED as STAGED_R15
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R15))
-def test_staged_query_survives_empty_input(spark, empty_dir, name):
-    spec = STAGED_R15[name]
-    df = spec.fn(spark, empty_dir)
-    assert df.columns, f"{name}: no columns on empty input"
-    df.collect()
+# Round-13 queries registered in round 14 (r13 cap ruling), round-14
+# queries in round 15 (r14 cap ruling), and round-15 queries in round
+# 16 (r15 cap ruling) — the registry sweep above covers them all; the
+# dedicated staged blocks were removed per the activation checklists.

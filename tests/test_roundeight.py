@@ -58,7 +58,9 @@ def test_roundeight_is_registered():
     ruling; round 13 moved it to 211 per the r12 ruling (roundtwelve
     activations); round 14 moved it to 215 per the r13 ruling
     (roundthirteen activations); round 15 moved it to 218 per the
-    r14 ruling (roundfourteen activations) and froze it there."""
+    r14 ruling (roundfourteen activations); round 16 moved it to 221
+    per the r15 ruling (roundfifteen activations) and froze it
+    there."""
     specs = all_specs()
     for name in (
         "m_gif_decode_features",
@@ -73,7 +75,7 @@ def test_roundeight_is_registered():
     ):
         assert name in specs, name
         assert specs[name].oracle, name
-    assert len(specs) == 218  # the frozen cap (r14 ruling)
+    assert len(specs) == 221  # the frozen cap (r15 ruling)
 
 
 def test_g711_decode_features_matches_oracle(spark, sf_dir):

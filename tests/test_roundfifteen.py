@@ -1,14 +1,15 @@
-"""Round-15 STAGED queries (plans/roundfifteen.py) — oracle parity,
-run every session while the queries await a cap ruling (registry
-frozen at 218 by the r14 verdict). Mechanism deep-dives live in
-tests/test_quality.py."""
+"""Round-15 queries (plans/roundfifteen.py) — oracle parity.
+Registered round 16 per the r15 cap ruling (cap 218 -> 221, frozen
+there). Mechanism deep-dives live in tests/test_quality.py."""
 
 from __future__ import annotations
 
 import duckdb
 
 from .oracle_utils import compare_spark_vs_oracle
-from turnover_odata_etl_spark.plans.roundfifteen import STAGED
+from turnover_odata_etl_spark.plans.registry import all_specs
+
+R15 = ("t_quality_classifier", "s_snapshot_tag_gc", "s_group_wap_rebuild")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -26,13 +27,19 @@ def _con(sf_dir):
     return con
 
 
-def test_staged_specs_have_eager_oracles():
-    for spec in STAGED.values():
-        assert spec.oracle and spec.oracle.strip()
+def test_roundfifteen_is_registered_with_eager_oracles():
+    """The r15 cap ruling executed in round 16: all three round-15
+    queries are registered with eager oracles; cap 218 -> 221,
+    frozen there."""
+    specs = all_specs()
+    for name in R15:
+        assert name in specs, name
+        assert specs[name].oracle and specs[name].oracle.strip()
+    assert len(specs) == 221  # the frozen cap (r15 ruling)
 
 
 def test_quality_classifier_matches_oracle(spark, sf_dir):
-    spec = STAGED["t_quality_classifier"]
+    spec = all_specs()["t_quality_classifier"]
     compare_spark_vs_oracle(
         spec.fn(spark, sf_dir),
         _con(sf_dir),
@@ -42,7 +49,7 @@ def test_quality_classifier_matches_oracle(spark, sf_dir):
 
 
 def test_tag_gc_query_matches_oracle(spark, sf_dir):
-    spec = STAGED["s_snapshot_tag_gc"]
+    spec = all_specs()["s_snapshot_tag_gc"]
     compare_spark_vs_oracle(
         spec.fn(spark, sf_dir),
         _con(sf_dir),
@@ -52,7 +59,7 @@ def test_tag_gc_query_matches_oracle(spark, sf_dir):
 
 
 def test_group_wap_rebuild_matches_oracle(spark, sf_dir):
-    spec = STAGED["s_group_wap_rebuild"]
+    spec = all_specs()["s_group_wap_rebuild"]
     compare_spark_vs_oracle(
         spec.fn(spark, sf_dir),
         _con(sf_dir),

@@ -35,8 +35,9 @@ def _con(sf_dir):
 
 def test_roundfourteen_is_registered_with_eager_oracles():
     """The r14 cap ruling executed in round 15: all three round-14
-    queries are registered with eager oracles; cap 215 -> 218,
-    frozen there."""
+    queries are registered with eager oracles; cap 215 -> 218;
+    round 16 moved it to 221 per the r15 ruling (roundfifteen
+    activations) and froze it there."""
     from turnover_odata_etl_spark.plans.registry import all_specs
 
     specs = all_specs()
@@ -46,7 +47,7 @@ def test_roundfourteen_is_registered_with_eager_oracles():
     ):
         assert name in specs, name
         assert specs[name].oracle and specs[name].oracle.strip()
-    assert len(specs) == 218  # the frozen cap (r14 ruling)
+    assert len(specs) == 221  # the frozen cap (r15 ruling)
 
 
 def test_dv_delete_query_matches_oracle(spark, sf_dir):

@@ -76,7 +76,7 @@ def test_exact_substr_clean_is_a_fixpoint(spark, sf_dir):
 def test_roundnine_is_registered_with_eager_oracles():
     """The r09 cap ruling executed in round 10: all ten round-9
     queries are registered with eager (never-None) oracles; the cap
-    moved to 218 in round 15 (r14 ruling) and is frozen there."""
+    moved to 221 in round 16 (r15 ruling) and is frozen there."""
     specs = all_specs()
     activated = (
         "m_avi_decode_features",
@@ -93,7 +93,7 @@ def test_roundnine_is_registered_with_eager_oracles():
     for name in activated:
         assert name in specs, name
         assert specs[name].oracle, f"{name}: oracle must be eager"
-    assert len(specs) == 218  # the frozen cap (r14 ruling)
+    assert len(specs) == 221  # the frozen cap (r15 ruling)
 
 
 def test_snapshot_lifecycle_matches_oracle(spark, sf_dir):

@@ -39,7 +39,8 @@ def test_roundthirteen_is_registered_with_eager_oracles():
     """The r13 cap ruling executed in round 14: all four round-13
     queries are registered with eager oracles; cap 211 -> 215;
     round 15 moved it to 218 per the r14 ruling (roundfourteen
-    activations) and froze it there."""
+    activations); round 16 moved it to 221 per the r15 ruling
+    (roundfifteen activations) and froze it there."""
     from turnover_odata_etl_spark.plans.registry import all_specs
 
     specs = all_specs()
@@ -49,7 +50,7 @@ def test_roundthirteen_is_registered_with_eager_oracles():
     ):
         assert name in specs, name
         assert specs[name].oracle and specs[name].oracle.strip()
-    assert len(specs) == 218  # the frozen cap (r14 ruling)
+    assert len(specs) == 221  # the frozen cap (r15 ruling)
 
 
 def test_agg_stats_query_matches_oracle(spark, sf_dir):

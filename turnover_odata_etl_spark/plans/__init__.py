@@ -22,6 +22,7 @@ from . import roundeleven  # noqa: E402,F401
 from . import roundtwelve  # noqa: E402,F401
 from . import roundthirteen  # noqa: E402,F401
 from . import roundfourteen  # noqa: E402,F401
+from . import roundfifteen  # noqa: E402,F401
 
 # The driver's correctness gate audits the FIRST 50 registrations, so we
 # curate that window each round. The cumulative driver ledger CLOSED in
@@ -32,91 +33,98 @@ from . import roundfourteen  # noqa: E402,F401
 # window keeps its local safety net via tests/test_oracle_parity (all
 # specs, every session).
 #
-# ROTATION (round 15 — the r14 verdict's cap ruling: "REGISTER all
-# three staged round-14 queries ... cap moves 215 → 218, then the
-# registry is frozen again"). The ruling's named window:
-#   - the 3 new round-14 registrations (gate-now-or-never:
-#     s_snapshot_dv_delete, s_knn_ivf_refresh,
-#     s_snapshot_wap_publish);
-#   - the 15 round-10 rows held back last round — the oldest
-#     evidence left in the ledger (pure-SQL sweeps, pivot/cube
-#     shapes, window batteries);
-#   - 32 of the 50 round-11 rows (scripts/staleness.py). The
-#     eighteen held back for the round-16 rotation are static
-#     pure-SQL/join/window shapes whose code has not drifted since
-#     round 11 (a_count_rows, a_distinct_sorted, c3_empty_relation,
-#     e13_hll_sketch_rollup, e1_string_agg_ordered, e3_join_anti,
-#     e3_join_left, e4_asof_join, e4_range_join,
-#     e6_q14_promo_revenue, e6_q19_disjunctive_join,
-#     e6_q5_local_supplier_volume, f_notnull_nonempty, g_pagerank,
-#     p_stringify_nested, q_sql_correlated_subquery,
-#     semi_join_orchestration, x_struct_functions), while rows
-#     riding this round's edited files (storage/snapshot.py,
-#     storage/group.py, operators/similarity.py, operators/langid.py
-#     adjacents: s_snapshot_append_compact, st_snapshot_merge,
-#     st_incremental_cdc/upsert, s_knn_bruteforce/tiled,
-#     d_semantic_dedup, d_semdedup_incremental, t_lang_quality and
-#     the rest) all keep their slots.
-# Next-stalest after this round: those 18 round-11 rows + the
-# round-12 rows (scripts/staleness.py). Registry is FROZEN at 218
-# per the r14 ruling; future registrations only for queries that are
+# ROTATION (round 16 — the r15 verdict's cap ruling: "REGISTER all
+# three staged round-15 queries ... The cap moves 218 → 221, then
+# the registry is frozen again"). The ruling's named window (it fits
+# exactly: 3 + 18 + 29 = 50):
+#   - the 3 new round-15 registrations (gate-now-or-never:
+#     t_quality_classifier, s_snapshot_tag_gc, s_group_wap_rebuild);
+#   - the 18 round-11 rows held since r14 — the ledger's freshness
+#     floor, four rounds stale, named by the r15 verdict as
+#     must-include (a_count_rows ... x_struct_functions below);
+#   - 29 of the 50 round-12 rows (scripts/staleness.py): every r12
+#     row riding this round's edited files keeps a slot
+#     (storage/snapshot.py: c_snapshot_diff, s_snapshot_changes,
+#     s_snapshot_dml_lifecycle, s_snapshot_incremental_agg,
+#     s_snapshot_pruned_read; streaming/incremental.py:
+#     st_incremental_agg; operators/similarity.py: s_knn_ivf,
+#     s_knn_pq; stream-audit drains: st_session_window,
+#     st_tumbling_window, st_stream_dedup_watermark,
+#     st_stream_stream_join; the curation-capstone langid rider
+#     t_langid_confusion), the rest filled alphabetically. The 21
+#     held for the round-17 rotation are static codec/SQL shapes
+#     whose code has not drifted since round 12
+#     (e6_q13_customer_distribution, e6_q21_suppliers_kept_waiting,
+#     e6_q22_global_sales_opportunity, e6_q6_forecast_revenue,
+#     e6_topk_per_group, e7_intersect, f_eq_predicate,
+#     m_flac_decode_features, m_g711_decode_features,
+#     m_gif_decode_features, m_mixed_image_decode_features,
+#     m_tiff_decode_features, o_sort_limit,
+#     p_rename_coalesce_reorder, q_sql_lateral_join,
+#     q_sql_recursive_cte, s_csv_roundtrip, u_union_by_name,
+#     x_datetime_functions, x_odata_date_roundtrip,
+#     x_string_functions).
+# Next-stalest after this round: those 21 round-12 rows + the
+# round-13 rows (scripts/staleness.py). Registry is FROZEN at 221
+# per the r15 ruling; future registrations only for queries that are
 # the sole oracle coverage of a new SURVEY row.
 #
 GATED_QUERIES = [
-    # the three round-14 registrations (cap ruling executed round 15)
-    "s_snapshot_dv_delete",
-    "s_knn_ivf_refresh",
-    "s_snapshot_wap_publish",
-    # the fifteen round-10 rows held back in r14 (freshness floor)
-    "e1_conditional_agg",
-    "e1_pivot",
-    "e1_unpivot",
-    "e2_cube",
-    "e2_grouping_sets",
-    "e5_window_distribution",
-    "e5_window_lag_lead",
-    "e5_window_ntile_nth",
-    "e5_window_running_sum",
-    "e7_except",
-    "q_sql_exists_subquery",
-    "x_array_functions",
-    "x_bitwise_functions",
-    "x_math_functions",
-    "x_null_conditional",
-    # 32 of the 50 stalest round-11 rows (the 18 held back for r16
+    # the three round-15 registrations (cap ruling executed round 16)
+    "t_quality_classifier",
+    "s_snapshot_tag_gc",
+    "s_group_wap_rebuild",
+    # the eighteen round-11 rows held since r14 (freshness floor —
+    # the r15 verdict's What's-wrong item 1)
+    "a_count_rows",
+    "a_distinct_sorted",
+    "c3_empty_relation",
+    "e13_hll_sketch_rollup",
+    "e1_string_agg_ordered",
+    "e3_join_anti",
+    "e3_join_left",
+    "e4_asof_join",
+    "e4_range_join",
+    "e6_q14_promo_revenue",
+    "e6_q19_disjunctive_join",
+    "e6_q5_local_supplier_volume",
+    "f_notnull_nonempty",
+    "g_pagerank",
+    "p_stringify_nested",
+    "q_sql_correlated_subquery",
+    "semi_join_orchestration",
+    "x_struct_functions",
+    # 29 of the 50 stalest round-12 rows (the 21 held back for r17
     # are named in the rotation comment above)
-    "d_dedup_clusters",
-    "d_fingerprint_dedup",
-    "d_minhash_lsh_neardup",
-    "d_ngram_jaccard",
-    "d_semantic_dedup",
-    "d_semdedup_incremental",
-    "flagship_turnover",
-    "m_adpcm_decode_features",
-    "m_binary_features",
-    "m_image_decode_features",
-    "m_png_adam7_decode_features",
-    "p_expectations",
-    "p_heavy_hitters",
-    "p_profile_table",
-    "s_knn_bruteforce",
-    "s_knn_tiled",
-    "s_snapshot_append_compact",
-    "st_incremental_cdc",
-    "st_incremental_upsert",
-    "st_snapshot_merge",
-    "st_stream_static_join",
-    "t_bpe_tokenize_ids",
-    "t_corpus_mixture",
-    "t_decontaminate",
-    "t_domain_balanced_sample",
-    "t_dsir_importance",
-    "t_lang_quality",
-    "t_pii_redact",
-    "t_quality_filter_c4",
-    "t_sequence_pack",
-    "t_text_stats",
-    "t_tfidf_topterms",
+    "c_snapshot_diff",
+    "d_embedding_neardup",
+    "d_exact_substr_spans",
+    "d_prefix_filter_jaccard",
+    "e13_cms_heavy_hitters",
+    "e13_outliers_iqr",
+    "e14_funnel_sequence",
+    "e14_peak_concurrency",
+    "e14_retention_cohorts",
+    "e15_udtf_split_words",
+    "e1_pricing_summary",
+    "e2_rollup",
+    "e3_join_inner",
+    "e3_star_join_revenue",
+    "e4_spatial_grid_join",
+    "e5_window_ranks",
+    "e6_copurchase_pairs",
+    "s_knn_ivf",
+    "s_knn_pq",
+    "s_snapshot_changes",
+    "s_snapshot_dml_lifecycle",
+    "s_snapshot_incremental_agg",
+    "s_snapshot_pruned_read",
+    "st_incremental_agg",
+    "st_session_window",
+    "st_stream_dedup_watermark",
+    "st_stream_stream_join",
+    "st_tumbling_window",
+    "t_langid_confusion",
 ]
 
 registry.promote(GATED_QUERIES)

@@ -1,7 +1,9 @@
-"""Round-15 STAGED queries — held for a cap ruling (the r14 verdict
-froze the registry at 218; precedent is the roundeight→roundfourteen
-lifecycle: stage with oracles + bench history + empty-sweep coverage,
-register when a verdict rules).
+"""Round-15 queries — REGISTERED round 16 per the r15 cap ruling
+("REGISTER all three staged round-15 queries ... The cap moves 218 →
+221, then the registry is frozen again"). Staged round 15 with
+oracles + bench history + empty-sweep coverage per the
+roundeight→roundfourteen lifecycle; judge-verified oracle-green at
+sf0.001 AND sf0.01 before the ruling.
 
 ``t_quality_classifier`` — the in-Spark TRAINED quality classifier
 (VERDICT r14 item 5 / SURVEY E124, ``operators/quality.py``): the
@@ -42,20 +44,16 @@ fail its audit and drop — both members must still read at the fork
 base (no half-published index); stage again cleanly, audit, publish
 atomically, and serve from a FRESH handle under a recall contract.
 
-Activation checklist (mirror of roundfourteen's, executed at ruling):
-1. move the specs into ``@register`` form (oracles are eager
-   constants), import roundfifteen in ``plans/__init__``,
-2. add them to the gate window for their first round,
-3. move STAGED_R15 → ADDITIONS_R15 in bench.py,
-4. remove the staged empty-sweep block (tests/test_empty_input.py),
-5. grep ``'== 21[0-9]'`` across tests/ — registry-count pins live in
-   test_roundeight/test_roundnine/test_roundthirteen/
-   test_roundfourteen,
-6. plan-audit adjudications: the classifier's per-step gradient
-   collects are D-sized (model, not data); the tag_gc contract row
-   is a 1-row local frame (filesystem metadata by design); the
-   rebuild query's recall re-rank is the contract's verification
-   cost, not the serving path.
+Activation checklist (mirror of roundfourteen's) — EXECUTED round
+16: specs moved into ``@register`` form, roundfifteen imported in
+``plans/__init__``, the three queries lead the r16 gate window,
+STAGED_R15 → ADDITIONS_R15 in bench.py, staged empty-sweep block
+folded into the registry sweep, registry-count pins moved to 221,
+plan-audit adjudications recorded (the classifier's per-step
+gradient collects are D-sized — model, not data; the tag_gc
+contract row is a 1-row local frame — filesystem metadata by
+design; the rebuild query's recall re-rank is the contract's
+verification cost, not the serving path).
 """
 
 from __future__ import annotations
@@ -64,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .registry import QuerySpec
+from .registry import register
 from .roundthirteen import _append_id_slices
 
 # ---------------------------------------------------------------- E124
@@ -177,6 +175,11 @@ def _quality_oracle() -> str:
 QUALITY_CLASSIFIER_ORACLE = _quality_oracle()
 
 
+@register(
+    "t_quality_classifier",
+    oracle=QUALITY_CLASSIFIER_ORACLE,
+    tags=("llm", "text", "quality", "ml"),
+)
 def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-Spark trained quality classifier (SURVEY E124,
     ``operators/quality.py``): seed-lexicon weak labels (the CCNet
@@ -262,6 +265,11 @@ TAG_GC_ORACLE = """
 """
 
 
+@register(
+    "s_snapshot_tag_gc",
+    oracle=TAG_GC_ORACLE,
+    tags=("storage", "snapshot", "tags", "gc"),
+)
 def s_snapshot_tag_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot tags + orphan-file GC lifecycle (SURVEY E123,
     ``SnapshotTable.create_tag`` / ``remove_orphans``): three
@@ -385,6 +393,11 @@ GROUP_WAP_ORACLE = """
 """
 
 
+@register(
+    "s_group_wap_rebuild",
+    oracle=GROUP_WAP_ORACLE,
+    tags=("storage", "snapshot", "wap", "group", "similarity"),
+)
 def s_group_wap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic multi-table write-audit-publish (SURVEY E122's group
     half, ``SnapshotGroup.publish_branches`` through
@@ -513,24 +526,3 @@ def s_group_wap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Staged specs — same shape the registry holds, NOT registered (cap).
-STAGED: dict[str, QuerySpec] = {
-    "t_quality_classifier": QuerySpec(
-        name="t_quality_classifier",
-        fn=t_quality_classifier,
-        oracle=QUALITY_CLASSIFIER_ORACLE,
-        tags=("llm", "text", "quality", "ml"),
-    ),
-    "s_snapshot_tag_gc": QuerySpec(
-        name="s_snapshot_tag_gc",
-        fn=s_snapshot_tag_gc,
-        oracle=TAG_GC_ORACLE,
-        tags=("storage", "snapshot", "tags", "gc"),
-    ),
-    "s_group_wap_rebuild": QuerySpec(
-        name="s_group_wap_rebuild",
-        fn=s_group_wap_rebuild,
-        oracle=GROUP_WAP_ORACLE,
-        tags=("storage", "snapshot", "wap", "group", "similarity"),
-    ),
-}
