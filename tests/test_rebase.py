@@ -461,3 +461,183 @@ def test_threaded_writers_disjoint_buckets_all_land(spark, tdir):
     assert t0.current_id() == 1 + 4 * per_writer
     assert t0.read().count() == 1 + 4 * per_writer
     assert mk(spark, tdir).read().count() == 1 + 4 * per_writer
+
+
+# ---------------------------------------------------------------------
+# Read-set validation (ADVICE r15): keys a merge_into/delete_keys only
+# PROBED (matched nothing at base, wrote no bucket) are part of the
+# commit's recorded read set, and a winner that changed a probed
+# bucket forces the re-plan — the write-skew guard. Without it, a
+# concurrent insert of exactly the probed key would slip past
+# write-set disjointness and the rebased commit would land without
+# updating/deleting it.
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_into_replans_when_probed_key_inserted(
+    spark, tdir, monkeypatch, mode
+):
+    """Loser merge_into updates k_upd (exists) and PROBES k_probe
+    (absent — update-only, so no bucket is written for it); winner
+    inserts exactly k_probe. Write sets are disjoint, but the read
+    set overlaps — the rebase must refuse, and the re-plan then sees
+    the winner's row and updates it (the winner-first serial
+    outcome)."""
+    sub = os.path.join(tdir, mode)
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_upd = by_bucket[buckets[0]]
+    k_probe = by_bucket[buckets[1]]
+    t1 = mk(spark, sub)
+    t2 = mk(spark, sub)
+    t1.append(batch(spark, [(k_upd, 1)]))
+
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_probe, 1)])),
+    )
+    t1.merge_into(
+        batch(spark, [(k_upd, 10), (k_probe, 10)]),
+        when_matched="update",
+        when_not_matched="ignore",
+        mode=mode,
+    )
+    got = {r["k"]: r["ver"] for r in t1.read().collect()}
+    # a rebased (write-set-only) commit would leave k_probe at 1
+    assert got == {k_upd: 10, k_probe: 10}, mode
+    assert mk(spark, sub).read().count() == 2
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_keys_replans_when_probed_key_appears(
+    spark, tdir, monkeypatch, mode
+):
+    """Loser deletes [k_a, k_b] where k_b matches nothing at base;
+    winner inserts k_b concurrently. The read set covers k_b's
+    bucket, so the loser re-plans and deletes BOTH — the winner-first
+    serial outcome (a write-set-only rebase would resurrect k_b)."""
+    sub = os.path.join(tdir, mode)
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_a = by_bucket[buckets[0]]
+    k_b = by_bucket[buckets[1]]
+    t1 = mk(spark, sub)
+    t2 = mk(spark, sub)
+    t1.append(batch(spark, [(k_a, 1)]))
+
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_b, 1)])),
+    )
+    keys = spark.createDataFrame([(k_a,), (k_b,)], "k long")
+    t1.delete_keys(keys, mode=mode)
+    assert t1.read().count() == 0, mode
+    assert mk(spark, sub).read().count() == 0
+
+
+def test_write_skew_two_merge_intos_serialize(spark, tdir, monkeypatch):
+    """The ADVICE r15 anomaly, end-to-end: M1 updates k_x and probes
+    k_b; M2 (the racing winner) INSERTS k_b via its own merge_into.
+    Under write-set-only validation both commits would land with k_b
+    never receiving M1's update — an outcome NO serial order
+    produces (M1;M2 leaves k_b at M2's insert ver, M2;M1 updates it;
+    the skewed outcome differs from both because k_x and k_b would
+    mix the two orders). With read-set validation M1 re-plans and
+    the final state equals the M2;M1 serial order exactly."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_x = by_bucket[buckets[0]]
+    k_b = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_x, 1)]))
+
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.merge_into(
+            batch(spark, [(k_b, 5)]),
+            when_matched="ignore",
+            when_not_matched="insert",
+        ),
+    )
+    t1.merge_into(
+        batch(spark, [(k_x, 10), (k_b, 10)]),
+        when_matched="update",
+        when_not_matched="ignore",
+    )
+    got = {r["k"]: r["ver"] for r in t1.read().collect()}
+    assert got == {k_x: 10, k_b: 10}  # M2;M1 — serial-equivalent
+    assert mk(spark, tdir).read().count() == 2
+
+
+def test_merge_into_still_rebases_when_probes_are_disjoint(
+    spark, tdir, monkeypatch
+):
+    """Control: the read-set guard must not cost the rebase win when
+    the winner's buckets are disjoint from BOTH the loser's writes
+    and its probes — the loser lands without a re-plan."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_upd = by_bucket[buckets[0]]
+    k_probe = by_bucket[buckets[1]]
+    k_win = by_bucket[buckets[2]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_upd, 1), (k_win, 1)]))
+
+    counts = spy_stage_jobs(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_win, 2)])),
+    )
+    base_stages = counts["n"]
+    t1.merge_into(
+        batch(spark, [(k_upd, 10), (k_probe, 10)]),
+        when_matched="update",
+        when_not_matched="ignore",
+    )
+    # winner staged once, loser staged ONCE — rebase, no re-plan
+    assert counts["n"] - base_stages == 2
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    # k_win's ver-1 and ver-2 rows both live (append, not upsert)
+    assert got == sorted([(k_upd, 10), (k_win, 1), (k_win, 2)])
+
+
+def test_branch_publish_refuses_when_main_inserts_probed_key(
+    spark, tdir
+):
+    """The publish half of the guard: a branch merge_into that only
+    PROBED k_b (update-only, no match at fork) records k_b's bucket
+    in its read set; main inserting k_b after the fork must refuse
+    the publish even though the WRITE sets are disjoint."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_upd = by_bucket[buckets[0]]
+    k_b = by_bucket[buckets[1]]
+    t = mk(spark, tdir)
+    t.append(batch(spark, [(k_upd, 1)]))
+    b = t.create_branch("wap")
+    b.merge_into(
+        batch(spark, [(k_upd, 10), (k_b, 10)]),
+        when_matched="update",
+        when_not_matched="ignore",
+    )
+    t.append(batch(spark, [(k_b, 1)]))  # main inserts the probed key
+    with pytest.raises(CommitConflict):
+        b.publish()
+    b.drop()
+
+    # control: with main's move in a bucket NEITHER written NOR
+    # probed, the publish still absorbs it
+    k_free = by_bucket[buckets[2]]
+    b2 = t.create_branch("wap2")
+    b2.merge_into(
+        batch(spark, [(k_upd, 20), (k_b, 20)]),
+        when_matched="update",
+        when_not_matched="ignore",
+    )
+    t.append(batch(spark, [(k_free, 1)]))  # disjoint from reads too
+    sid = b2.publish()
+    assert sid == t.current_id()
+    got = {r["k"]: r["ver"] for r in t.read().collect()}
+    assert got[k_upd] == 20 and got[k_b] == 20 and got[k_free] == 1

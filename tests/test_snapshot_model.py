@@ -4,8 +4,11 @@ The targeted tests in ``test_snapshot.py`` pin individual mechanisms
 (CAS race, crash injection, pruned reads). This file pins the
 PROTOCOL: a seeded random sequence of merge / tombstone-merge /
 delete-where / delete-keys / update-where / merge-into (each
-randomly copy-on-write or merge-on-read, round 14) / merge-into / zorder /
-rebucket / branch-publish-or-drop (round 14, WAP) / expire
+randomly copy-on-write or merge-on-read, round 14) / zorder /
+rebucket / branch-publish-or-drop (round 14, WAP) / rename-column
+(round 16, field-id schema evolution — the value column flips
+between two names mid-history, so every later batch, read, time
+travel, and CDC diff crosses rename boundaries) / expire
 operations runs against both the real
 ``SnapshotTable`` and a 20-line in-memory reference model (a dict with
 keep-latest semantics), and after EVERY step the table must agree with
@@ -28,9 +31,9 @@ from turnover_odata_etl_spark.storage import SnapshotTable
 SCHEMA = "k long, v string, ver long"
 
 
-def table_state(t, sid=None):
+def table_state(t, sid=None, vname="v"):
     return {
-        r["k"]: (r["ver"], r["v"])
+        r["k"]: (r["ver"], r[vname])
         for r in t.read(snapshot_id=sid).collect()
     }
 
@@ -59,7 +62,13 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
     )
     cur: dict[int, tuple[int, str]] = {}
     live_states: dict[int, dict] = {}  # sid -> model state
+    live_names: dict[int, str] = {}  # sid -> value-column name there
     ver_counter = 0
+    vname = "v"  # current name of the value column (evolve flips it)
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, SCHEMA)
+        return df if vname == "v" else df.withColumnRenamed("v", vname)
 
     # 20 steps: random commit chains CROSS the FULL_MANIFEST_EVERY=16
     # boundary, so delta-manifest resolution (round 9) is exercised
@@ -69,9 +78,9 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             [
                 "merge", "tomb_merge", "rebucket", "expire", "delete",
                 "delete_keys", "update", "merge_into", "zorder",
-                "branch", "race",
+                "branch", "race", "evolve",
             ],
-            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1, 2, 2],
+            weights=[6, 3, 1, 1, 2, 1, 2, 3, 1, 2, 2, 2],
         )[0]
         if op in ("merge", "tomb_merge"):
             rows = []
@@ -84,8 +93,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                     else f"v{ver_counter}"
                 )
                 rows.append((k, v, ver_counter))
-            df = spark.createDataFrame(rows, SCHEMA)
-            sid = t.merge(df, tombstone_filter="v = 'DEL'")
+            df = frame(rows)
+            sid = t.merge(df, tombstone_filter=f"{vname} = 'DEL'")
             # model: keep-latest per key against the CURRENT state,
             # then the winning row's tombstone drops the key
             for k, v, ver in rows:
@@ -136,7 +145,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
             lo = rng.randint(0, max(ver_counter, 1))
             hi = lo + rng.randint(0, 5)
             sid = t.update_where(
-                f"ver BETWEEN {lo} AND {hi}", {"v": "v || '+'"},
+                f"ver BETWEEN {lo} AND {hi}",
+                {vname: f"{vname} || '+'"},
                 mode=rng.choice(["cow", "mor"]),
             )
             new_cur = {
@@ -165,8 +175,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 else:
                     sver = rng.randint(0, max(ver_counter, 1))
                 srows[k] = (sver, f"mi{step}k{k}v{sver}")
-            df = spark.createDataFrame(
-                [(k, v, ver) for k, (ver, v) in srows.items()], SCHEMA
+            df = frame(
+                [(k, v, ver) for k, (ver, v) in srows.items()]
             )
             sid = t.merge_into(
                 df, when_matched=wm, matched_condition=cond,
@@ -214,9 +224,7 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                         k = rng.randint(0, 9)
                         ver_counter += 1
                         rows.append((k, f"b{ver_counter}", ver_counter))
-                    bsid = b.merge(
-                        spark.createDataFrame(rows, SCHEMA)
-                    )
+                    bsid = b.merge(frame(rows))
                     for k, v, ver in rows:
                         if k not in bcur or bcur[k][0] < ver:
                             bcur[k] = (ver, v)
@@ -231,7 +239,7 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                         bcur = nb
                         bstates[bsid] = dict(bcur)
             # invisibility: main state and id unmoved by branch work
-            assert table_state(t) == cur, (
+            assert table_state(t, vname=vname) == cur, (
                 f"seed={seed} step={step} branch leaked into main"
             )
             if bstates and rng.random() < 0.6:
@@ -263,8 +271,8 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                     k = rng.randint(0, 9)
                     ver_counter += 1
                     rows.append((k, f"r{ver_counter}", ver_counter))
-            wdf = spark.createDataFrame(wrows, SCHEMA)
-            ldf = spark.createDataFrame(lrows, SCHEMA)
+            wdf = frame(wrows)
+            ldf = frame(lrows)
             armed = {"on": True}
             orig_claim = SnapshotTable._claim
 
@@ -293,6 +301,18 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                 continue
             sid = t.rebucket(rng.choice([2, 4, 8]))
             live_states[sid] = dict(cur)
+        elif op == "evolve":
+            # Field-id rename (round 16): metadata-only commit, same
+            # model state; the value column flips between two names
+            # (rename BACK to an own former name is the documented
+            # same-field-id allowance), so every later op and every
+            # invariant below crosses a rename boundary.
+            if t.current_id() is None:
+                continue
+            new_name = "v2" if vname == "v" else "v"
+            sid = t.rename_column(vname, new_name)
+            vname = new_name
+            live_states[sid] = dict(cur)
         else:  # expire
             if len(live_states) < 3:
                 continue
@@ -305,28 +325,41 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
         if t.current_id() is None:
             assert cur == {}
             continue
+        # each live snapshot reads with the value-column name that
+        # was current when it was recorded (rename is time-travel-
+        # transparent: old snapshots keep their own schema)
+        for s in live_states:
+            live_names.setdefault(s, vname)
+        live_names = {
+            s: n for s, n in live_names.items() if s in live_states
+        }
         # invariant 1: current state == model — checked through BOTH
         # the session handle and a FRESH handle (cold manifest cache:
         # the delta chain must resolve from disk alone)
-        assert table_state(t) == cur, f"seed={seed} step={step} op={op}"
+        assert table_state(t, vname=vname) == cur, (
+            f"seed={seed} step={step} op={op}"
+        )
         if step % 5 == 4:
             t_cold = SnapshotTable(
                 spark, t.table_dir, key_cols=["k"], order_col="ver",
                 n_buckets=t.n_buckets,
             )
-            assert table_state(t_cold) == cur, (
+            assert table_state(t_cold, vname=vname) == cur, (
                 f"seed={seed} step={step} cold-handle resolution"
             )
         # invariant 2: every live snapshot time-travels to its model
         for sid_, want in live_states.items():
-            assert table_state(t, sid_) == want, (
+            assert table_state(t, sid_, vname=live_names[sid_]) == want, (
                 f"seed={seed} step={step} time-travel sid={sid_}"
             )
         # invariant 3: net CDC between a random live pair == model diff
+        # (changes() emits under the TO snapshot's schema — lineage
+        # resolves the FROM side across any rename in the span)
         if len(live_states) >= 2:
             a, b = sorted(rng.sample(sorted(live_states), 2))
+            nb = live_names[b]
             got = {
-                (r["k"], r["v"], r["ver"], r["_change_type"])
+                (r["k"], r[nb], r["ver"], r["_change_type"])
                 for r in t.changes(a, b).collect()
             }
             assert got == model_diff(live_states[a], live_states[b]), (

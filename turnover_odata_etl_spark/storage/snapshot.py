@@ -384,6 +384,15 @@ class SnapshotTable:
         self._metacache: dict[int, dict] = {}
         # Immutable segment payloads by file name (see _entries).
         self._segcache: dict[str, list] = {}
+        # Field-id schema evolution state (round 16 — the Iceberg v2
+        # mechanism): the highest stable field id assigned so far
+        # (0 = table predates fid tracking and has never evolved) and
+        # the retired-name registry {historical name: field id} of
+        # DROPPED fields' whole lineages. Both are adopted from the
+        # current manifest by every write (_adopt_layout) and carried
+        # in every manifest, like the bucket layout.
+        self._last_fid: int = 0
+        self._retired: dict[str, int] = {}
 
     @classmethod
     def load(cls, spark: SparkSession, table_dir: str) -> "SnapshotTable":
@@ -400,6 +409,8 @@ class SnapshotTable:
         t.n_buckets = m["n_buckets"]
         t.bucket_cols = list(m.get("bucket_cols") or m["key_cols"])
         t.bloom_cols = list(m.get("bloom_cols") or [])
+        t._last_fid = int(m.get("last_fid") or 0)
+        t._retired = dict(m.get("retired") or {})
         return t
 
     # ------------------------------------------------------------ metadata
@@ -787,31 +798,124 @@ class SnapshotTable:
     def _aligned_read(
         self, paths: list[str], schema: T.StructType, spark=None
     ) -> DataFrame:
-        """Read data files ALIGNED to a manifest schema. After an
-        additive schema evolution, carried-forward files lack the new
-        columns — a plain ``read.parquet`` would adopt one footer's
-        schema and silently drop or invent columns. ``mergeSchema``
-        unions the footers (footer-count-sized work), then the select
-        backfills any still-missing field as typed NULL and drops
-        extras, so every snapshot reads with EXACTLY its manifest's
-        schema — including time travel to pre-evolution snapshots,
-        which read with their own (narrower) schema."""
+        """Read data files ALIGNED to a manifest schema. Carried-
+        forward files may lack columns (additive evolution), hold
+        them under a FORMER name (rename lineage), or hold them at a
+        NARROWER physical type (metadata-only widen) — the read
+        requests an EXPLICIT parquet schema containing every lineage
+        name at the field's current type (the parquet reader
+        backfills a missing column as NULL and widens int32→int64 /
+        float→double per file natively — Spark 4 widening reads,
+        SPARK-40876), then a coalesce folds each lineage into its
+        current name. Every snapshot reads with EXACTLY its
+        manifest's schema — including time travel to pre-evolution
+        snapshots, which read with their own (narrower, older-named)
+        schema. The explicit schema also drops the old mergeSchema
+        footer-union job — file footers are never read on the
+        driver."""
         spark = spark or self.spark
         if not paths:
             return spark.createDataFrame([], schema)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        cols = set(df.columns)
-        return df.select(
-            *[
-                F.col(f.name)
-                if f.name in cols
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
+        read_schema, exprs = self._lineage_plan(schema)
+        return spark.read.schema(read_schema).parquet(*paths).select(
+            *exprs
         )
 
     def _schema_of(self, manifest: dict) -> T.StructType:
         return T.StructType.fromJson(json.loads(manifest["schema"]))
+
+    # ------------------------ field-id schema evolution (round 16)
+    #
+    # The Iceberg v2 mechanism (public: the Iceberg spec's "Schema
+    # Evolution" section; Delta Lake column mapping), re-expressed
+    # Spark-first. Every column carries a STABLE integer field id in
+    # its StructField metadata (``fid``); a RENAME appends the former
+    # name to the field's name lineage (``prior``) and swaps the
+    # name; a DROP removes the field and retires its whole lineage;
+    # int→long / float→double WIDEN by swapping the declared type.
+    # All three are metadata-only commits — zero data files
+    # rewritten. Reads resolve by LINEAGE: the requested parquet
+    # schema lists every lineage name at the field's current type
+    # and a coalesce folds them (a data file holds at most one name
+    # of a lineage, so the fold is exact); a retired name may never
+    # be reused by a new column while files carrying it can still be
+    # live — the reserved-name guard below.
+
+    @staticmethod
+    def _priors_of(f: T.StructField) -> list[str]:
+        """The field's FORMER names, oldest first (empty for a
+        never-renamed field)."""
+        return [str(p) for p in (f.metadata or {}).get("prior") or ()]
+
+    def _stamp_fids_json(self, schema_json: str) -> str:
+        """``schema_json`` with every fid-less field assigned the
+        next stable id (advances ``self._last_fid``). Field ids are
+        assigned in declaration order at table create; a table that
+        predates fid tracking is upgraded by its first evolution
+        commit the same way."""
+        st = T.StructType.fromJson(json.loads(schema_json))
+        fields, changed = [], False
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if "fid" not in md:
+                self._last_fid += 1
+                md["fid"] = self._last_fid
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+                changed = True
+            fields.append(f)
+        return T.StructType(fields).json() if changed else schema_json
+
+    def _guarded_append_schema(self, schema_json: str) -> str:
+        """Commit-time hook for fid-tracked tables: any fid-less
+        field is a NEW column (append's additive evolution) — refuse
+        a name that collides with a retired lineage or any live
+        field's former name (old data files still carry that column
+        physically; a coalesce would surface the DEAD field's bytes
+        as the new field's values), then stamp it."""
+        st = T.StructType.fromJson(json.loads(schema_json))
+        fresh = [
+            f.name for f in st.fields
+            if "fid" not in (f.metadata or {})
+        ]
+        if not fresh:
+            return schema_json
+        reserved = set(self._retired)
+        for f in st.fields:
+            reserved.update(self._priors_of(f))
+        bad = sorted(set(fresh) & reserved)
+        if bad:
+            raise ValueError(
+                f"schema evolution: column names {bad} were used by a "
+                "renamed or dropped column whose data files may still "
+                "be live — pick different names (the reserved-name "
+                "guard; rewrite the table to reclaim them)"
+            )
+        return self._stamp_fids_json(schema_json)
+
+    def _lineage_plan(self, schema: T.StructType):
+        """(requested-parquet-schema, projection) for a manifest
+        schema. Fast path: no field has priors — the requested
+        schema IS the manifest schema (nullable, as parquet
+        backfills missing columns with NULL) and the projection is a
+        bare column list, so never-evolved tables keep their plans
+        unchanged."""
+        read_fields, exprs = [], []
+        for f in schema.fields:
+            read_fields.append(
+                T.StructField(f.name, f.dataType, True, f.metadata)
+            )
+            prior = self._priors_of(f)
+            if not prior:
+                exprs.append(F.col(f.name))
+                continue
+            for p in reversed(prior):  # newest former name first
+                read_fields.append(T.StructField(p, f.dataType, True))
+            exprs.append(
+                F.coalesce(
+                    F.col(f.name), *[F.col(p) for p in reversed(prior)]
+                ).alias(f.name, metadata=dict(f.metadata or {}))
+            )
+        return T.StructType(read_fields), exprs
 
     # ------------------------------------ merge-on-read deletion vectors
 
@@ -891,15 +995,9 @@ class SnapshotTable:
                     "__fname", F.lit(None).cast("string")
                 ).withColumn("__pos", F.lit(None).cast("long"))
             return df
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        cols = set(df.columns)
-        df = df.select(
-            *[
-                F.col(f.name)
-                if f.name in cols
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ],
+        read_schema, exprs = self._lineage_plan(schema)
+        df = spark.read.schema(read_schema).parquet(*paths).select(
+            *exprs,
             F.col("_metadata.file_name").alias("__fname"),
             F.col("_metadata.row_index").alias("__pos"),
         )
@@ -1370,6 +1468,15 @@ class SnapshotTable:
         # the table's blooms); a fresh table keeps the ctor's list
         if base_raw.get("bloom_cols"):
             self.bloom_cols = list(base_raw["bloom_cols"])
+        # schema-evolution state rides the same adoption: a rename may
+        # have moved key/order names, and the fid counter/retired
+        # registry must continue from the on-disk truth
+        self._last_fid = int(base_raw.get("last_fid") or 0)
+        self._retired = dict(base_raw.get("retired") or {})
+        if base_raw.get("key_cols"):
+            self.key_cols = list(base_raw["key_cols"])
+        if base_raw.get("order_col"):
+            self.order_col = base_raw["order_col"]
 
     def _prime_meta(self, sid: int, manifest: dict) -> None:
         """Prime the payload-free config cache with a dict already in
@@ -2648,6 +2755,9 @@ class SnapshotTable:
             try:
                 props = dict(properties or {})
                 props.setdefault("delete.mode", "mor")
+                # the PROBED bucket set (matched or not) — the rebase
+                # overlap check validates reads too (write-skew guard)
+                props["read.buckets"] = [int(b) for b in target]
                 return self._commit_dv(
                     base_id, base_raw, base_bb, cand, matched, props,
                     rebase_ok=True,  # keyed read set — bucket-contained
@@ -2753,6 +2863,9 @@ class SnapshotTable:
             touched_new[f["bucket"]].append(f)
         props = dict(properties or {})
         props.setdefault("delete.keys.buckets", len(touched))
+        # the PROBED bucket set (matched or not) — the rebase overlap
+        # check validates reads too (write-skew guard)
+        props["read.buckets"] = [int(b) for b in target]
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="delete", base_id=base_id, properties=props,
@@ -3025,6 +3138,10 @@ class SnapshotTable:
                         "merge_into.when_not_matched", when_not_matched
                     )
                     props.setdefault("merge_into.mode", "mor")
+                    # every source key's bucket, matched or not — the
+                    # rebase overlap check validates reads too
+                    # (write-skew guard)
+                    props["read.buckets"] = [int(b) for b in target]
                     if matched_condition is not None:
                         props.setdefault(
                             "merge_into.matched_condition",
@@ -3077,6 +3194,9 @@ class SnapshotTable:
             props.setdefault(
                 "merge_into.matched_condition", matched_condition
             )
+        # every source key's bucket, matched or not — the rebase
+        # overlap check validates reads too (write-skew guard)
+        props["read.buckets"] = [int(b) for b in target]
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="merge_into", base_id=base_id, properties=props,
@@ -3972,6 +4092,12 @@ class SnapshotTable:
         """Manifest construction half of :meth:`_commit`, separated so
         a grouped transaction (:class:`SnapshotGroup`) can build every
         member's manifest BEFORE the single group claim."""
+        # Field-id tracking (round 16): a FRESH table stamps stable
+        # ids at create; a whole-table rewrite on a tracked table
+        # stamps any genuinely new columns. Legacy (pre-fid) tables
+        # are left untouched until an evolution verb upgrades them.
+        if base_id is None or self._last_fid:
+            schema_json = self._stamp_fids_json(schema_json)
         new_id = (base_id or 0) + 1
         all_files = carried + new_files
         by_bucket: dict[int, list[dict]] = {}
@@ -3990,6 +4116,10 @@ class SnapshotTable:
         }
         if self.bloom_cols:  # absent key = feature off (back-compat)
             manifest["bloom_cols"] = self.bloom_cols
+        if self._last_fid:
+            manifest["last_fid"] = self._last_fid
+        if self._retired:
+            manifest["retired"] = dict(self._retired)
         full = base_id is None or new_id % FULL_MANIFEST_EVERY == 0
         if not full:
             parent = self._manifest(base_id)
@@ -4105,10 +4235,20 @@ class SnapshotTable:
         column after the next merge's base-union serializes
         nullable), and a string compare would falsely refuse the
         rebase on exactly the realistic pipelines it exists for
-        (review r15; nested flags caught by the second pass)."""
+        (review r15; nested flags caught by the second pass).
+
+        FIELD IDS participate (round 16): the identity compared is
+        (fid, name, type) — a concurrent rename/drop/widen changes
+        the core, so a racing rebase re-plans (always correct); a
+        pure data commit never moves fids, so the guard stays exactly
+        as permissive as before for data/data races."""
         st = T.StructType.fromJson(json.loads(schema_json))
         return [
-            (f.name, SnapshotTable._permissive_type(f.dataType).json())
+            (
+                (f.metadata or {}).get("fid"),
+                f.name,
+                SnapshotTable._permissive_type(f.dataType).json(),
+            )
             for f in st.fields
         ]
 
@@ -4157,16 +4297,31 @@ class SnapshotTable:
         (merge, merge_into, delete_keys, append, compact) qualify
         because bucketing is key-hash — a concurrent write to the
         same KEY lands in the same BUCKET, so bucket disjointness IS
-        key disjointness. Predicate verbs (delete_where/update_where)
-        and whole-table rewrites (overwrite/zorder/rebucket) never
-        take this path: their read set is the table, and a
-        disjoint-bucket winner can still change what the predicate
-        should have matched.
+        key disjointness for every key the verb WROTE. Keys it only
+        PROBED (a merge_into/delete_keys key that matched nothing at
+        base writes no bucket) are covered by the commit's recorded
+        read set: those verbs stamp ``read.buckets`` — the buckets
+        every source/delete key hashes to, matched or not — into
+        their commit properties, and the overlap check below runs
+        against ``touched ∪ read``. Without it, a concurrent insert
+        of exactly a probed-but-unmatched key would slip past write-
+        set disjointness and the rebased commit would land without
+        updating/deleting it — the write-skew anomaly (two racing
+        merge_intos each inserting the key the other probed yield an
+        outcome no serial order produces; ADVICE r15). This is
+        Iceberg's validate-added-files-against-the-operation's-read-
+        filter, specialized to hash-bucket granularity. Predicate
+        verbs (delete_where/update_where) and whole-table rewrites
+        (overwrite/zorder/rebucket) never take this path: their read
+        set is the table, and a disjoint-bucket winner can still
+        change what the predicate should have matched.
 
         Raises ``CommitConflict`` when validation refuses (the verb's
         existing retry loop re-plans on the winner's state — the
         previous, always-correct behavior)."""
-        touched = set(touched_new)
+        touched = set(touched_new) | {
+            int(b) for b in (properties or {}).get("read.buckets") or ()
+        }
         last: Exception | None = None
         for _ in range(max_rebases):
             ids = self.snapshot_ids()
@@ -4201,9 +4356,19 @@ class SnapshotTable:
             if overlap:
                 raise CommitConflict(
                     f"rebase: buckets {sorted(overlap)[:8]} changed "
-                    f"since base {base_id} — overlapping writes, "
-                    "re-plan"
+                    f"since base {base_id} — overlapping writes or "
+                    "probed keys, re-plan"
                 ) from last
+            # Segment large touched buckets ONCE: the first attempt
+            # writes the segment files, and the refs then carry
+            # VERBATIM through _maybe_segment on every further
+            # attempt (and through _build_delta), so repeated claim
+            # losses stop rewriting a fresh orphan segment set per
+            # retry (ADVICE r15).
+            touched_new = {
+                b: self._maybe_segment(cur + 1, b, loc)
+                for b, loc in touched_new.items()
+            }
             manifest, new_id, merged_bb = self._build_delta(
                 self._nullable_union(schema_json, cur_raw["schema"]),
                 self._by_bucket(cur), touched_new,
@@ -4265,6 +4430,11 @@ class SnapshotTable:
         :meth:`_build_commit` for why it is separable). Returns the
         manifest, the id it claims, and the merged per-bucket view to
         prime the cache with AFTER a successful claim."""
+        if self._last_fid:
+            # fid-tracked table: any fid-less field is a new column
+            # from append's additive evolution — reserved-name guard
+            # + stable-id stamp (round 16)
+            schema_json = self._guarded_append_schema(schema_json)
         new_id = (base_id or 0) + 1
         manifest = {
             "snapshot_id": new_id,
@@ -4279,6 +4449,10 @@ class SnapshotTable:
         }
         if self.bloom_cols:  # absent key = feature off (back-compat)
             manifest["bloom_cols"] = self.bloom_cols
+        if self._last_fid:
+            manifest["last_fid"] = self._last_fid
+        if self._retired:
+            manifest["retired"] = dict(self._retired)
         full = (
             base_id is None
             or new_id % FULL_MANIFEST_EVERY == 0
@@ -4447,6 +4621,239 @@ class SnapshotTable:
         ) from last
 
     # ------------------------------------------------------------ maintain
+
+    # -------------------- schema-evolution verbs (round 16, E126)
+
+    _WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+    _TYPE_ALIASES = {
+        "tinyint": "byte", "smallint": "short", "int": "integer",
+        "bigint": "long",
+    }
+
+    def _evolve(self, label: str, fn, max_retries: int = 5) -> int:
+        """Shared metadata-only evolution commit: re-derive the new
+        schema FROM the current manifest on every attempt (so a lost
+        CAS re-plans against the winner's state), upgrade a pre-fid
+        table to fid tracking as part of the same commit, and commit
+        a zero-bucket delta — O(1) metadata, no Spark job, no data
+        file touched. ``fn(StructType, base_raw) -> StructType`` may
+        also update ``self.key_cols`` / ``self.order_col`` /
+        ``self.bucket_cols`` / ``self.bloom_cols`` /
+        ``self._retired`` (always derived from ``base_raw``, never
+        from handle state — retry-safe)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            base_id = self.current_id()
+            if base_id is None:
+                raise ValueError(
+                    f"snapshot table {self.table_dir}: no commits"
+                )
+            base_raw = self._raw_meta(base_id)
+            self._adopt_layout(base_raw)
+            schema_json = base_raw["schema"]
+            if not self._last_fid:
+                # legacy table: first evolution upgrades it to fid
+                # tracking (ids in declaration order) in this commit
+                schema_json = self._stamp_fids_json(schema_json)
+            st = T.StructType.fromJson(json.loads(schema_json))
+            new_schema = fn(st, base_raw)
+            try:
+                return self._commit_delta(
+                    new_schema.json(), self._by_bucket(base_id), {},
+                    operation="evolve", base_id=base_id,
+                    properties={"evolve.op": label},
+                )
+            except CommitConflict as e:  # re-plan on the new current
+                last = e
+        raise RuntimeError(
+            f"{label}: lost the commit race {max_retries} times"
+        ) from last
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 5
+    ) -> int:
+        """Metadata-only column RENAME (round 16 — the Iceberg v2
+        field-id mechanism; SURVEY E126). The field keeps its stable
+        id, ``old`` joins its name lineage, and every read — current
+        or time travel — coalesces the lineage, so NO data file is
+        rewritten: files written before the rename still carry the
+        column under ``old`` and resolve correctly. Renaming a key /
+        order / bucket / bloom column moves the table config with it
+        (bucket hashes are VALUE-based, so the physical layout is
+        untouched). Renaming BACK to one of the field's own former
+        names is allowed (same field id — same data); any other
+        reuse of a historical name is refused by the reserved-name
+        guard. Returns the committed snapshot id."""
+        if not new or new == old:
+            raise ValueError(
+                f"rename_column: invalid target name {new!r}"
+            )
+
+        def fn(st: T.StructType, base_raw: dict) -> T.StructType:
+            names = [f.name for f in st.fields]
+            if old not in names:
+                raise ValueError(
+                    f"rename_column: no column {old!r} "
+                    f"(have {names})"
+                )
+            if new in names:
+                raise ValueError(
+                    f"rename_column: column {new!r} already exists"
+                )
+            reserved = set(self._retired)
+            for f in st.fields:
+                if f.name != old:
+                    reserved.update(self._priors_of(f))
+            if new in reserved:
+                raise ValueError(
+                    f"rename_column: name {new!r} was used by another "
+                    "renamed or dropped column whose data files may "
+                    "still be live (reserved-name guard)"
+                )
+            fields = []
+            for f in st.fields:
+                if f.name != old:
+                    fields.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                # renaming back to an own former name collapses the
+                # lineage entry instead of duplicating it
+                prior = [p for p in self._priors_of(f) if p != new]
+                md["prior"] = [*prior, old]
+                fields.append(
+                    T.StructField(new, f.dataType, f.nullable, md)
+                )
+
+            def ren(xs):
+                return [new if c == old else c for c in xs]
+
+            self.key_cols = ren(list(base_raw["key_cols"]))
+            if base_raw.get("order_col") == old:
+                self.order_col = new
+            self.bucket_cols = ren(
+                list(base_raw.get("bucket_cols") or base_raw["key_cols"])
+            )
+            self.bloom_cols = ren(list(base_raw.get("bloom_cols") or []))
+            return T.StructType(fields)
+
+        return self._evolve(f"rename:{old}->{new}", fn, max_retries)
+
+    def drop_column(self, name: str, max_retries: int = 5) -> int:
+        """Metadata-only column DROP (round 16 — SURVEY E126): the
+        field leaves the schema and its WHOLE name lineage is
+        retired; data files are untouched (readers simply stop
+        requesting the column — parquet is columnar, the bytes cost
+        nothing to skip). Time travel to a pre-drop snapshot still
+        reads the column. A retired name can never be reused by a
+        new column while files carrying it may be live (the
+        reserved-name guard); a whole-table rewrite reclaims it.
+        Key / order / bucket / bloom columns refuse (re-key the
+        table explicitly instead). Returns the committed id."""
+
+        def fn(st: T.StructType, base_raw: dict) -> T.StructType:
+            names = [f.name for f in st.fields]
+            if name not in names:
+                raise ValueError(
+                    f"drop_column: no column {name!r} (have {names})"
+                )
+            protected = {
+                *base_raw["key_cols"],
+                base_raw.get("order_col") or "",
+                *(base_raw.get("bucket_cols") or ()),
+                *(base_raw.get("bloom_cols") or ()),
+            }
+            if name in protected:
+                raise ValueError(
+                    f"drop_column: {name!r} is a key/order/bucket/"
+                    "bloom column — re-key the table explicitly first"
+                )
+            if len(names) == 1:
+                raise ValueError(
+                    "drop_column: cannot drop the last column"
+                )
+            fields, retired = [], dict(self._retired)
+            for f in st.fields:
+                if f.name != name:
+                    fields.append(f)
+                    continue
+                fid = (f.metadata or {}).get("fid")
+                for n in (f.name, *self._priors_of(f)):
+                    retired[n] = fid
+            self._retired = retired
+            return T.StructType(fields)
+
+        return self._evolve(f"drop:{name}", fn, max_retries)
+
+    def widen_column(
+        self, name: str, new_type, max_retries: int = 5
+    ) -> int:
+        """Metadata-only type WIDEN (round 16 — SURVEY E126):
+        byte/short/int → a strictly wider integral type, float →
+        double (the Iceberg v2 promotion set). Data files keep their
+        narrower physical type — the read side requests the widened
+        schema and Spark 4's parquet reader up-casts per file
+        (SPARK-40876 widening reads), so zero bytes are rewritten.
+        BUCKET columns refuse: the layout hash is TYPE-sensitive
+        (``hash(7 as int) != hash(7 as long)``), so widening one
+        would silently divorce existing rows from their buckets and
+        corrupt every keyed contract — rebucket explicitly instead.
+        Returns the committed snapshot id."""
+        if isinstance(new_type, str):
+            tn = self._TYPE_ALIASES.get(
+                new_type.strip().lower(), new_type.strip().lower()
+            )
+            new_dt = {
+                "byte": T.ByteType(), "short": T.ShortType(),
+                "integer": T.IntegerType(), "long": T.LongType(),
+                "float": T.FloatType(), "double": T.DoubleType(),
+            }.get(tn)
+            if new_dt is None:
+                raise ValueError(
+                    f"widen_column: unsupported target type {new_type!r}"
+                )
+        else:
+            new_dt = new_type
+
+        def fn(st: T.StructType, base_raw: dict) -> T.StructType:
+            names = [f.name for f in st.fields]
+            if name not in names:
+                raise ValueError(
+                    f"widen_column: no column {name!r} (have {names})"
+                )
+            if name in (
+                base_raw.get("bucket_cols") or base_raw["key_cols"]
+            ):
+                raise ValueError(
+                    f"widen_column: {name!r} is a bucket column — the "
+                    "layout hash is type-sensitive; rebucket instead"
+                )
+            fields = []
+            for f in st.fields:
+                if f.name != name:
+                    fields.append(f)
+                    continue
+                pair = (f.dataType.typeName(), new_dt.typeName())
+                if pair not in self._WIDENINGS:
+                    raise ValueError(
+                        f"widen_column: {pair[0]} -> {pair[1]} is not "
+                        "a supported widening (byte/short/int -> "
+                        "wider integral, float -> double)"
+                    )
+                fields.append(
+                    T.StructField(
+                        f.name, new_dt, f.nullable, dict(f.metadata or {})
+                    )
+                )
+            return T.StructType(fields)
+
+        return self._evolve(
+            f"widen:{name}->{new_dt.typeName()}", fn, max_retries
+        )
 
     # ------------------------------------------ tags (round 14)
 
@@ -4978,9 +5385,13 @@ class SnapshotBranch(SnapshotTable):
         main_ids = set(main_ids_l)
         # Idempotent crash recovery: our squash may already sit at ANY
         # id past the fork (a rebased publish lands past base + 1).
-        for sid in main_ids_l:
+        # NEWEST-FIRST: a crashed publish sits at or near the head, so
+        # the match is found in O(1) metas instead of O(main history)
+        # (ADVICE r15; the no-match sweep still reads each meta once —
+        # _metacache amortizes the 5-attempt publish loop to one scan).
+        for sid in reversed(main_ids_l):
             if sid <= (self.branch_base or 0):
-                continue
+                break  # ids ascend — nothing older can match
             props = self._main._raw_meta(sid).get("properties") or {}
             if (
                 props.get("publish.branch") == self.branch_name
@@ -5030,12 +5441,34 @@ class SnapshotBranch(SnapshotTable):
             ):
                 raise refusal
             changed = self._main._diverged_buckets(base_for, main_head)
-            if changed & set(touched_new):
+            # the branch's READ set too: a branch merge_into/
+            # delete_keys key that matched nothing wrote no bucket,
+            # but a main insert of exactly that key since the fork
+            # must still refuse — the same write-skew guard as
+            # _rebase_commit (ADVICE r15). Branch commits stamp
+            # "read.buckets" into their properties; metas are cached.
+            read_bk: set = set()
+            for sid in ids:
+                p = self._raw_meta(sid).get("properties") or {}
+                read_bk.update(
+                    int(b) for b in p.get("read.buckets") or ()
+                )
+            if changed & (set(touched_new) | read_bk):
                 raise refusal
             base_for = main_head  # disjoint: rebase onto the head
             base_bb = self._main._by_bucket(main_head)
         head_raw = self._raw_meta(head)
         props = dict(head_raw.get("properties") or {})
+        # the squash's read set is the UNION over branch commits, not
+        # whatever the head commit alone recorded
+        all_read: set = set()
+        for sid in ids:
+            p = self._raw_meta(sid).get("properties") or {}
+            all_read.update(int(b) for b in p.get("read.buckets") or ())
+        if all_read:
+            props["read.buckets"] = sorted(all_read)
+        else:
+            props.pop("read.buckets", None)
         props["publish.branch"] = self.branch_name
         props["publish.head"] = head
         props["publish.commits"] = len(ids)
