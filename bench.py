@@ -177,6 +177,14 @@ ADDITIONS_R15 = [
     "s_group_wap_rebuild",
 ]
 
+# Round-16 STAGED queries (plans/roundsixteen.py — held for a cap
+# ruling, registry frozen at 221; timed here as staged_r16 so the
+# staged→registered delta series continues when they register).
+STAGED_R16 = [
+    "s_schema_evolution_fieldid",
+    "t_curation_pipeline",
+]
+
 # Round-9 registrations (plans/roundnine.py — registered round 10 per
 # the r09 cap ruling; benched as staged_r9 in BENCH_r08/r09 for the
 # staged→registered delta series, registry-backed from r10 on).
@@ -307,6 +315,11 @@ def main() -> None:
     additions_r15 = time_queries(
         spark, specs, ADDITIONS_R15, sf_dir, reps, errors
     )
+    from turnover_odata_etl_spark.plans.roundsixteen import STAGED as _R16
+    staged_specs = {**specs, **_R16}
+    staged_r16 = time_queries(
+        spark, staged_specs, STAGED_R16, sf_dir, reps, errors
+    )
 
     # Streaming: dedicated pre-created checkpoint root (each query
     # still gets its own sub-directory via its unique queryName —
@@ -342,6 +355,7 @@ def main() -> None:
     additions_r13_total = round(sum(additions_r13.values()), 3)
     additions_r14_total = round(sum(additions_r14.values()), 3)
     additions_r15_total = round(sum(additions_r15.values()), 3)
+    staged_r16_total = round(sum(staged_r16.values()), 3)
     # Fixture fingerprint: the driver regenerates /root/testdata
     # between rounds (it did at round-5 start), which silently resets
     # per-query comparability for data-dependent timings (the dedup /
@@ -389,6 +403,8 @@ def main() -> None:
         "additions_r14_total": additions_r14_total,
         "additions_r15": additions_r15,
         "additions_r15_total": additions_r15_total,
+        "staged_r16": staged_r16,
+        "staged_r16_total": staged_r16_total,
         "all_total": round(
             total
             + streaming_total
@@ -418,7 +434,9 @@ def main() -> None:
     # from the front and the headline section was lost ("parsed":
     # null). Three layers so that can never happen again:
     #   1. the FULL payload is written to bench_out.json next to this
-    #      script (the artifact of record for deep dives);
+    #      script (the artifact of record for deep dives; UNTRACKED
+    #      since round 16 — it drifted as a working-tree change after
+    #      every driver pass, VERDICT r15 "What's wrong #3");
     #   2. each section prints as its own small JSON line (any one
     #      survives a tail capture independently);
     #   3. the LAST stdout line is a compact contract line — metric /
@@ -449,6 +467,7 @@ def main() -> None:
         "additions_r13": additions_r13_total,
         "additions_r14": additions_r14_total,
         "additions_r15": additions_r15_total,
+        "staged_r16": staged_r16_total,
         "all": payload["all_total"],
     }
     for name, queries in (
@@ -467,6 +486,7 @@ def main() -> None:
         ("additions_r13", additions_r13),
         ("additions_r14", additions_r14),
         ("additions_r15", additions_r15),
+        ("staged_r16", staged_r16),
     ):
         print(
             json.dumps({"section": name, "total": section_totals[name],

@@ -57,3 +57,16 @@ def test_query_survives_empty_input(spark, empty_dir, name):
 # queries in round 15 (r14 cap ruling), and round-15 queries in round
 # 16 (r15 cap ruling) — the registry sweep above covers them all; the
 # dedicated staged blocks were removed per the activation checklists.
+
+# Round-16 STAGED queries (plans/roundsixteen.py — held for a cap
+# ruling) get the same treatment below until registration folds them
+# into the sweep.
+from turnover_odata_etl_spark.plans.roundsixteen import STAGED as STAGED_R16
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R16))
+def test_staged_query_survives_empty_input(spark, empty_dir, name):
+    spec = STAGED_R16[name]
+    df = spec.fn(spark, empty_dir)
+    assert df.columns, f"{name}: no columns on empty input"
+    df.collect()
