@@ -183,6 +183,7 @@ ADDITIONS_R15 = [
 STAGED_R16 = [
     "s_schema_evolution_fieldid",
     "t_curation_pipeline",
+    "s_knn_ivfpq",
 ]
 
 # Round-9 registrations (plans/roundnine.py — registered round 10 per

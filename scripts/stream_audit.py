@@ -153,10 +153,13 @@ def main() -> None:
             "table the batch function merges into.",
             "",
             "`watermark = yes` means the event-time watermark ADVANCED during",
-            "the run (requires ≥2 micro-batches — the windowed aggregations",
-            "declare `withWatermark` too, but a single-batch availableNow",
-            "drain finishes before the watermark moves, so they show `—`;",
-            "their late-data semantics are asserted separately in",
+            "the run (requires ≥2 micro-batches). Since round 16 the windowed",
+            "aggregations drain a two-file split feed one file per trigger",
+            "(`read_events_stream_split`, complete mode — result-identical to",
+            "the single-batch feed), so their watermark advancement is",
+            "OBSERVED here rather than asserted in tests; `—` rows either",
+            "declare no watermark or are emission-sensitive single-batch",
+            "queries (late-data semantics stay pinned in",
             "tests/test_streaming_semantics.py).",
             "",
             "| query | streams | progress events | state operators (rows) | watermark | sink |",

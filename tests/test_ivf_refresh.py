@@ -404,3 +404,153 @@ def test_ivf_index_stage_rebuild_empty_index_returns_none(
     idx = IvfIndex(spark, str(tmp_path / "emptyidx"), n_buckets=2)
     assert idx.stage_rebuild("rb") is None
     assert idx.postings.branches() == []
+
+
+# ---------------------------------------------------------------------
+# IVFPQ (round 16 — VERDICT r15 item 4, the FAISS IVFPQ shape): PQ
+# codes stored WITH the postings (third group member for the subspace
+# codebooks), ADC candidate pass over probed cells, exact re-rank of
+# the short list only.
+
+
+def _pq_corpus(spark):
+    import random
+
+    rng = random.Random(29)
+    vecs = _clustered_vectors(rng, 25)
+    return spark.createDataFrame(
+        [(n, v) for n, v, _ in vecs], "nid long, vec array<float>"
+    )
+
+
+def _recall(approx, exact) -> float:
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return 100.0 * len(ap & ex) / max(len(ex), 1)
+
+
+def test_ivfpq_lifecycle_and_recall(spark, tmp_path):
+    """Waves encode codes atomically with the postings; a COLD handle
+    self-detects PQ from the durable pqbooks table; search serves the
+    ADC + exact-re-rank path under a recall floor vs brute force."""
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    all_df = _pq_corpus(spark)
+    ix = IvfIndex(
+        spark, str(tmp_path / "pq"), pq=True, pq_m=4, pq_ksub=16,
+    )
+    for ver in (1, 2, 3):
+        ix.wave(all_df.filter(F.col("nid") % 3 == ver - 1), ver,
+                n_cells=4)
+    # postings carry codes + norm; codes are m ints
+    served = IvfIndex(spark, str(tmp_path / "pq"))  # no pq flag
+    assert served.pq_enabled
+    row = served.postings.read().first()
+    assert len(row["codes"]) == 4 and row["norm"] > 0
+    q = all_df.filter(F.col("nid") % 11 == 0).select(
+        F.col("nid").alias("query_id"), "vec"
+    )
+    approx = served.topk(q, k=5, nprobe=2)
+    exact = cosine_topk(all_df, all_df, "nid", "vec", k=5).join(
+        q.select(F.col("query_id")), "query_id", "left_semi"
+    )
+    assert _recall(approx, exact) >= 50.0
+    # emitted cosines are EXACT (re-rank contract): spot-check one
+    # pair against the brute-force value
+    a = {(r["query_id"], r["neighbor_id"]): r["cos"]
+         for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]): r["cos"]
+         for r in exact.collect()}
+    shared = set(a) & set(e)
+    assert shared and all(abs(a[p] - e[p]) < 1e-9 for p in shared)
+
+
+def test_ivfpq_refresh_retrains_and_reencodes(spark, tmp_path):
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    all_df = _pq_corpus(spark)
+    ix = IvfIndex(
+        spark, str(tmp_path / "pq"), pq=True, pq_m=4, pq_ksub=16,
+    )
+    ix.wave(all_df, 1, n_cells=4)
+    books_before = IvfIndex(spark, str(tmp_path / "pq"))._pq_books_np()
+    ix2 = IvfIndex(spark, str(tmp_path / "pq"), pq=True, pq_m=4,
+                   pq_ksub=16)
+    assert ix2.refresh(n_cells=4) is not None
+    served = IvfIndex(spark, str(tmp_path / "pq"))
+    assert served.pq_enabled
+    # postings still carry codes after the overwrite (re-encoded)
+    assert served.postings.read().filter(
+        F.col("codes").isNull()
+    ).count() == 0
+    assert served._pq_books_np().shape == books_before.shape
+    q = all_df.limit(5).select(F.col("nid").alias("query_id"), "vec")
+    assert served.topk(q, k=3, nprobe=2).count() > 0
+
+
+def test_ivfpq_stage_rebuild_brances_all_three_members(
+    spark, tmp_path
+):
+    """The WAP rebuild stages THREE branches (postings + codebook +
+    pqbooks) and publishes them in one group transaction — a prober
+    can never read rebuilt codes against the wrong codebooks."""
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    all_df = _pq_corpus(spark)
+    ix = IvfIndex(
+        spark, str(tmp_path / "pq"), pq=True, pq_m=4, pq_ksub=16,
+    )
+    ix.wave(all_df, 1, n_cells=4)
+    branches = ix.stage_rebuild("rb", n_cells=4)
+    assert set(branches) == {"postings", "codebook", "pqbooks"}
+    # invisible until publish
+    pre = IvfIndex(spark, str(tmp_path / "pq"))
+    assert pre.postings.branches() == ["rb"]
+    ix.publish_rebuild(branches)
+    served = IvfIndex(spark, str(tmp_path / "pq"))
+    assert served.postings.branches() == []
+    assert served.postings.read().filter(
+        F.col("codes").isNull()
+    ).count() == 0
+    q = all_df.limit(3).select(F.col("nid").alias("query_id"), "vec")
+    assert served.topk(q, k=3, nprobe=2).count() > 0
+
+
+def test_ivfpq_upgrade_requires_refresh(spark, tmp_path):
+    """Turning pq=True on an existing non-PQ index refuses to append
+    un-coded waves (old rows would crash the ADC scan); refresh() is
+    the documented upgrade path, after which waves and PQ serving
+    work."""
+    import pytest as _pytest
+
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    all_df = _pq_corpus(spark)
+    plain = IvfIndex(spark, str(tmp_path / "up"))
+    plain.wave(all_df.filter(F.col("nid") < 50), 1, n_cells=4)
+    up = IvfIndex(spark, str(tmp_path / "up"), pq=True, pq_m=4,
+                  pq_ksub=16)
+    with _pytest.raises(ValueError, match="refresh"):
+        up.wave(all_df.filter(F.col("nid") >= 50), 2)
+    up.refresh(n_cells=4)
+    up.wave(all_df.filter(F.col("nid") >= 50), 2)
+    served = IvfIndex(spark, str(tmp_path / "up"))
+    assert served.pq_enabled
+    assert served.postings.read().filter(
+        F.col("codes").isNull()
+    ).count() == 0
+
+
+def test_ivfpq_empty_first_wave_is_schema_stable(spark, tmp_path):
+    from turnover_odata_etl_spark.operators.similarity import IvfIndex
+
+    ix = IvfIndex(
+        spark, str(tmp_path / "pq"), pq=True, pq_m=4, pq_ksub=16,
+    )
+    empty = spark.createDataFrame([], "nid long, vec array<float>")
+    ix.wave(empty, 1)
+    served = IvfIndex(spark, str(tmp_path / "pq"))
+    assert served.current_wave() == 1
+    assert "codes" in served.postings.read().columns
+    q = spark.createDataFrame([], "query_id long, vec array<float>")
+    assert served.topk(q, k=3).count() == 0

@@ -641,3 +641,180 @@ def test_branch_publish_refuses_when_main_inserts_probed_key(
     assert sid == t.current_id()
     got = {r["k"]: r["ver"] for r in t.read().collect()}
     assert got[k_upd] == 20 and got[k_b] == 20 and got[k_free] == 1
+
+
+# ---------------------------------------------------------------------
+# Predicate-verb rebase via stats disjointness (round 16 — VERDICT r15
+# item 6): delete_where/update_where record their predicate as the
+# commit's read set; on a lost CAS the rebase lands iff every file the
+# winner ADDED is stats-proven unable to match the predicate, and
+# re-plans otherwise (the always-correct default).
+
+
+def spy_plans(monkeypatch):
+    """Count full (re-)plan passes of the predicate verbs — each
+    attempt calls _split_candidates exactly once (both COW and MOR),
+    so a rebase shows one call, a re-plan two."""
+    counts = {"n": 0}
+    orig = SnapshotTable._split_candidates
+
+    def counting(self, base_bb, bounds):
+        counts["n"] += 1
+        return orig(self, base_bb, bounds)
+
+    monkeypatch.setattr(SnapshotTable, "_split_candidates", counting)
+    return counts
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_where_rebases_when_winner_provably_disjoint(
+    spark, tdir, monkeypatch, mode
+):
+    sub = os.path.join(tdir, mode)
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_del = by_bucket[buckets[0]]
+    k_win = by_bucket[buckets[1]]
+    t1 = mk(spark, sub)
+    t2 = mk(spark, sub)
+    t1.append(batch(spark, [(k_del, 150), (k_win, 150)]))
+
+    counts = spy_plans(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        # winner's new file: ver = 1, stats window [1, 1] — provably
+        # outside the loser's BETWEEN 100 AND 200 read set
+        lambda: t2.append(batch(spark, [(k_win, 1)])),
+    )
+    base_plans = counts["n"]
+    t1.delete_where(f"ver BETWEEN 100 AND 200 AND k = {k_del}",
+                    mode=mode)
+    assert counts["n"] - base_plans == 1, mode  # rebase — no re-plan
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == sorted([(k_win, 150), (k_win, 1)]), mode
+    assert mk(spark, sub).read().count() == 2
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_where_replans_when_winner_adds_matching_rows(
+    spark, tdir, monkeypatch, mode
+):
+    """Winner inserts a row INSIDE the predicate window (disjoint
+    bucket, so the write sets never overlap): the stats check must
+    refuse the rebase, and the re-plan then deletes the winner's row
+    too — the winner-first serial outcome."""
+    sub = os.path.join(tdir, mode)
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_del = by_bucket[buckets[0]]
+    k_win = by_bucket[buckets[1]]
+    t1 = mk(spark, sub)
+    t2 = mk(spark, sub)
+    t1.append(batch(spark, [(k_del, 150), (k_win, 1)]))
+
+    counts = spy_plans(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_win, 160)])),
+    )
+    base_plans = counts["n"]
+    t1.delete_where("ver BETWEEN 100 AND 200", mode=mode)
+    assert counts["n"] - base_plans == 2, mode  # refused, re-planned
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == [(k_win, 1)], mode
+    assert mk(spark, sub).read().count() == 1
+
+
+def test_update_where_rebases_when_winner_provably_disjoint(
+    spark, tdir, monkeypatch
+):
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_upd = by_bucket[buckets[0]]
+    k_win = by_bucket[buckets[1]]
+    t1 = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+    )
+    t2 = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+    )
+    # k_win's base row sits OUTSIDE the predicate window, so the
+    # update touches only k_upd's bucket and the winner's bucket is
+    # genuinely disjoint
+    t1.append(
+        spark.createDataFrame(
+            [(k_upd, 150, 10), (k_win, 1, 20)],
+            "k long, ver long, v long",
+        )
+    )
+
+    counts = spy_plans(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(
+            spark.createDataFrame(
+                [(k_win, 2, 30)], "k long, ver long, v long"
+            )
+        ),
+    )
+    base_plans = counts["n"]
+    t1.update_where("ver BETWEEN 100 AND 200", {"v": "v + 1000"})
+    assert counts["n"] - base_plans == 1  # rebase — no re-plan
+    got = sorted((r["k"], r["ver"], r["v"]) for r in t1.read().collect())
+    assert got == sorted(
+        [(k_upd, 150, 1010), (k_win, 1, 20), (k_win, 2, 30)]
+    )
+
+
+def test_unparseable_predicate_always_replans(spark, tdir, monkeypatch):
+    """OR predicates yield no bounds — the rebase can prove nothing
+    and must take the always-correct re-plan, whatever the winner
+    wrote."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_del = by_bucket[buckets[0]]
+    k_win = by_bucket[buckets[1]]
+    t1 = mk(spark, tdir)
+    t2 = mk(spark, tdir)
+    t1.append(batch(spark, [(k_del, 150), (k_win, 1)]))
+
+    counts = spy_plans(monkeypatch)
+    inject_race(
+        monkeypatch, t1,
+        lambda: t2.append(batch(spark, [(k_win, 2)])),
+    )
+    base_plans = counts["n"]
+    t1.delete_where("ver = 150 OR ver = 9999")
+    assert counts["n"] - base_plans == 2  # no bounds — re-plan
+    got = sorted((r["k"], r["ver"]) for r in t1.read().collect())
+    assert got == [(k_win, 1), (k_win, 2)]
+
+
+def test_branch_publish_predicate_guard(spark, tdir):
+    """Publish half: a branch predicate delete records its read
+    predicate; main adding a MATCHING row after the fork refuses the
+    publish, a provably-disjoint main move still absorbs."""
+    by_bucket = keys_in_distinct_buckets(spark)
+    buckets = sorted(by_bucket)
+    k_del = by_bucket[buckets[0]]
+    k_main = by_bucket[buckets[1]]
+    t = mk(spark, tdir)
+    t.append(batch(spark, [(k_del, 150), (k_main, 1)]))
+    b = t.create_branch("wap")
+    b.delete_where("ver BETWEEN 100 AND 200")
+    t.append(batch(spark, [(k_main, 160)]))  # matching — must refuse
+    with pytest.raises(CommitConflict):
+        b.publish()
+    b.drop()
+
+    # after the drop, main holds (k_del,150),(k_main,1),(k_main,160);
+    # use a THIRD bucket for main's disjoint move so the branch
+    # delete's write set (both matched buckets) never overlaps it
+    k_free = by_bucket[buckets[2]]
+    b2 = t.create_branch("wap2")
+    b2.delete_where("ver BETWEEN 100 AND 200")
+    t.append(batch(spark, [(k_free, 2)]))  # provably disjoint
+    sid = b2.publish()
+    assert sid == t.current_id()
+    got = sorted((r["k"], r["ver"]) for r in t.read().collect())
+    assert got == sorted([(k_main, 1), (k_free, 2)])

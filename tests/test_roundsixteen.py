@@ -49,3 +49,13 @@ def test_curation_pipeline_matches_oracle(spark, sf_dir):
         spec.oracle,
         "t_curation_pipeline",
     )
+
+
+def test_ivfpq_query_matches_oracle(spark, sf_dir):
+    spec = STAGED["s_knn_ivfpq"]
+    compare_spark_vs_oracle(
+        spec.fn(spark, sf_dir),
+        _con(sf_dir),
+        spec.oracle,
+        "s_knn_ivfpq",
+    )

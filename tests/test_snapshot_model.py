@@ -272,7 +272,6 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                     ver_counter += 1
                     rows.append((k, f"r{ver_counter}", ver_counter))
             wdf = frame(wrows)
-            ldf = frame(lrows)
             armed = {"on": True}
             orig_claim = SnapshotTable._claim
 
@@ -283,19 +282,52 @@ def test_snapshot_protocol_against_model(spark, tmp_path, seed):
                     _t2.merge(_wdf)
                 return orig_claim(self, manifest, new_id)
 
-            SnapshotTable._claim = racing
-            try:
-                lsid = t.merge(ldf)
-            finally:
-                SnapshotTable._claim = orig_claim
-            for k, v, ver in wrows:  # winner lands first
-                if k not in cur or cur[k][0] < ver:
-                    cur[k] = (ver, v)
-            live_states[lsid - 1] = dict(cur)  # the winner's snapshot
-            for k, v, ver in lrows:  # loser lands on top
-                if k not in cur or cur[k][0] < ver:
-                    cur[k] = (ver, v)
-            live_states[lsid] = dict(cur)
+            loser_kind = rng.choice(["merge", "delete_where"])
+            if loser_kind == "merge" or not cur:
+                ldf = frame(lrows)
+                SnapshotTable._claim = racing
+                try:
+                    lsid = t.merge(ldf)
+                finally:
+                    SnapshotTable._claim = orig_claim
+                for k, v, ver in wrows:  # winner lands first
+                    if k not in cur or cur[k][0] < ver:
+                        cur[k] = (ver, v)
+                live_states[lsid - 1] = dict(cur)  # winner's snapshot
+                for k, v, ver in lrows:  # loser lands on top
+                    if k not in cur or cur[k][0] < ver:
+                        cur[k] = (ver, v)
+                live_states[lsid] = dict(cur)
+            else:
+                # predicate-delete loser (round 16 — stats-disjoint
+                # rebase or re-plan, chosen live by the engine; the
+                # outcome must equal winner-then-delete either way).
+                # lo anchors on an EXISTING ver so the delete matches
+                # at base and genuinely reaches its claim.
+                lo = rng.choice([ver for (ver, _x) in cur.values()])
+                hi = lo + rng.randint(0, 5)
+                SnapshotTable._claim = racing
+                try:
+                    lsid = t.delete_where(
+                        f"ver BETWEEN {lo} AND {hi}",
+                        mode=rng.choice(["cow", "mor"]),
+                    )
+                finally:
+                    SnapshotTable._claim = orig_claim
+                for k, v, ver in wrows:  # winner lands first
+                    if k not in cur or cur[k][0] < ver:
+                        cur[k] = (ver, v)
+                wstate = dict(cur)
+                new_cur = {
+                    k: kv for k, kv in cur.items()
+                    if not (lo <= kv[0] <= hi)
+                }
+                if new_cur != cur:
+                    live_states[lsid - 1] = wstate
+                    cur = new_cur
+                    live_states[lsid] = dict(cur)
+                else:  # delete no-opped post-winner: lsid IS winner's
+                    live_states[lsid] = wstate
         elif op == "rebucket":
             if t.current_id() is None:
                 continue

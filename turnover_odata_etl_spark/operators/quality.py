@@ -251,10 +251,19 @@ def train_quality_lr(
     s = feats.groupBy(F.col("id").alias("sid")).agg(
         F.sum("x").alias("s")
     )
+    # Persist PRE-PARTITIONED on id (VERDICT r15 item 7): every
+    # step's margin aggregation groups the broadcast-joined frame on
+    # id and its residual join keys on id — with the cache laid out
+    # as hashpartitioning(id), both reuse the cached exchange and
+    # each step stops re-shuffling the full feature frame (~2 fewer
+    # fl-sized exchanges per step; the j-grain gradient aggregate
+    # keeps its cheap partial-agg shuffle). Measured A/B in
+    # BASELINE.md round 16.
     fl = (
         feats.join(labels, feats["id"] == labels["id"], "inner")
         .join(s, feats["id"] == s["sid"])
         .select(feats["id"].alias("id"), "j", "x", "y", "s")
+        .repartition("id")
         .persist()
     )
     try:

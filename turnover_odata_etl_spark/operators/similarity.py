@@ -728,9 +728,31 @@ class IvfIndex:
     vectors only, consecutive ``ver`` via the ``ivf.wave`` property;
     replays skip, gaps refuse. Per-wave cost is O(batch) (map-only
     GEMM assign + append fast path); :meth:`refresh` is O(table) by
-    design and runs at maintenance cadence."""
+    design and runs at maintenance cadence.
 
-    def __init__(self, spark, base_dir: str, n_buckets: int = 8):
+    PQ tier (round 16 — ``pq=True``, the FAISS IVFPQ production
+    shape): postings additionally carry ``codes`` (m per-subspace
+    product-quantization code indices) and ``norm``, encoded against
+    per-subspace codebooks stored in a THIRD group member
+    (``pqbooks``) so codes and the books that decode them version
+    atomically with the postings. Serving's candidate pass reads
+    (nid, codes, norm) — m·4 bytes instead of 4·dim — scores by
+    asymmetric distance (per-query LUT gathers), and only the
+    top-``rerank`` short list joins back to full vectors for the
+    exact re-rank. ``refresh``/``stage_rebuild`` retrain and
+    re-encode (refresh is also the upgrade path for a pre-PQ
+    index); a cold handle self-detects PQ from the durable books."""
+
+    def __init__(
+        self,
+        spark,
+        base_dir: str,
+        n_buckets: int = 8,
+        pq: bool = False,
+        pq_m: int = 8,
+        pq_ksub: int = 64,
+        pq_train_n: int = 2048,
+    ):
         import os
 
         from ..storage import SnapshotGroup, SnapshotTable
@@ -745,9 +767,121 @@ class IvfIndex:
             spark, os.path.join(base_dir, "codebook"),
             key_cols=["cell"], order_col="__ver", n_buckets=1,
         )
+        # IVFPQ (round 16 — VERDICT r15 item 4; the FAISS IVFPQ
+        # production shape): per-subspace PQ codebooks as a third
+        # group member, versioned atomically with the postings they
+        # encode. ``pq=True`` at create opts in; a fresh handle on an
+        # existing PQ index self-detects from the durable table, so
+        # serving needs no ctor flag.
+        self.pqbooks = SnapshotTable(
+            spark, os.path.join(base_dir, "pqbooks"),
+            key_cols=["j", "kk"], order_col="__ver", n_buckets=1,
+        )
+        self._pq_requested = bool(pq)
+        self.pq_m = int(pq_m)
+        self.pq_ksub = int(pq_ksub)
+        self.pq_train_n = int(pq_train_n)
         self.group = SnapshotGroup(
-            {"postings": self.postings, "codebook": self.codebook},
+            {
+                "postings": self.postings,
+                "codebook": self.codebook,
+                "pqbooks": self.pqbooks,
+            },
             base_dir,
+        )
+
+    @property
+    def pq_enabled(self) -> bool:
+        """PQ is on when requested at create OR already durable on
+        disk (a cold serving handle needs no flag)."""
+        return self._pq_requested or self.pqbooks.current_id() is not None
+
+    def _pq_books_np(self):
+        """The durable PQ codebooks as the (m, ksub, dsub) numpy
+        array the encode/ADC kernels take, or ``None`` before the
+        first trained wave. m·ksub·dsub floats — metadata-sized."""
+        if self.pqbooks.current_id() is None:
+            return None
+        rows = self.pqbooks.read().select("j", "kk", "vec").collect()
+        if not rows:
+            return None
+        m = 1 + max(int(r["j"]) for r in rows)
+        ksub = 1 + max(int(r["kk"]) for r in rows)
+        dsub = len(rows[0]["vec"])
+        books = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for r in rows:
+            books[int(r["j"]), int(r["kk"])] = r["vec"]
+        return books
+
+    def _pq_books_df(self, books, ver: int) -> DataFrame:
+        m, ksub, _ = books.shape
+        return self.spark.createDataFrame(
+            [
+                (int(j), int(kk), [float(x) for x in books[j, kk]])
+                for j in range(m)
+                for kk in range(ksub)
+            ],
+            "j long, kk long, vec array<float>",
+        ).withColumn("__ver", F.lit(int(ver)).cast("long"))
+
+    def _train_pq_books(self, vecs: DataFrame):
+        """Deterministic per-subspace k-means codebooks from the
+        first ``pq_train_n`` vectors by nid (the :func:`pq_topk`
+        sampling rule) — a driver-small training read; ``None`` on an
+        empty frame."""
+        train = (
+            vecs.select("nid", "vec")
+            .orderBy("nid")
+            .limit(self.pq_train_n)
+            .select("vec")
+            .collect()
+        )
+        if not train:
+            return None
+        sample = np.array([r["vec"] for r in train], dtype=np.float64)
+        return _pq_train_codebooks(sample, self.pq_m, self.pq_ksub)
+
+    @staticmethod
+    def _encode_postings(df: DataFrame, books) -> DataFrame:
+        """``df`` (any schema containing ``vec``) with ``codes``
+        (m subspace code indices, array<int>) and ``norm`` appended —
+        the map-only Arrow pass that makes the serving scan m·4-byte
+        codes instead of 4·dim-byte vectors (column pruning does the
+        rest). Works for any nid type (unlike :func:`pq_encode`'s
+        long-id contract)."""
+        b = books
+
+        def enc(batches):
+            import numpy as _np
+
+            m, ksub, dsub = b.shape
+            for pdf in batches:
+                out = pdf.copy()
+                if not len(pdf):
+                    out["codes"] = []
+                    out["norm"] = []
+                    yield out
+                    continue
+                V = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+                out["norm"] = _np.linalg.norm(V, axis=1)
+                codes = _np.empty((len(V), m), dtype=_np.int32)
+                for j in range(m):
+                    sub = V[:, j * dsub : (j + 1) * dsub]
+                    d2 = (
+                        (sub**2).sum(axis=1, keepdims=True)
+                        - 2 * sub @ b[j].T
+                        + (b[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                out["codes"] = list(codes)
+                yield out
+
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        return df.mapInPandas(
+            enc, f"{fields}, codes array<int>, norm double"
         )
 
     def current_wave(self) -> int:
@@ -794,21 +928,28 @@ class IvfIndex:
         if cents is None:
             _, cents = kmeans_assign(vecs, n_cells)
             if cents is None:  # empty wave before any codebook:
-                # metadata-only checkpoint advance on both members
+                # metadata-only checkpoint advance on the members
                 nid_t = vecs.schema["nid"].dataType.simpleString()
-                self.group.append_all(
-                    {
-                        "postings": self.spark.createDataFrame(
-                            [],
-                            f"cell long, nid {nid_t}, "
-                            "vec array<float>, __ver long",
-                        ),
-                        "codebook": self.spark.createDataFrame(
-                            [], "cell long, vec array<float>, __ver long"
-                        ),
-                    },
-                    properties=props,
+                post_cols = f"cell long, nid {nid_t}, " + (
+                    "vec array<float>, codes array<int>, "
+                    "norm double, __ver long"
+                    if self.pq_enabled
+                    else "vec array<float>, __ver long"
                 )
+                empties = {
+                    "postings": self.spark.createDataFrame(
+                        [], post_cols
+                    ),
+                    "codebook": self.spark.createDataFrame(
+                        [], "cell long, vec array<float>, __ver long"
+                    ),
+                }
+                if self.pq_enabled:
+                    empties["pqbooks"] = self.spark.createDataFrame(
+                        [], "j long, kk long, vec array<float>, "
+                        "__ver long"
+                    )
+                self.group.append_all(empties, properties=props)
                 return
             cb = self.spark.createDataFrame(
                 [
@@ -817,29 +958,41 @@ class IvfIndex:
                 ],
                 "cell long, vec array<float>",
             ).withColumn("__ver", F.lit(ver))
-            self.group.apply_all(
-                {
-                    "postings": (
-                        "append",
-                        assign_to_centroids(vecs, cents)
-                        .select("cell", "nid", "vec")
-                        .withColumn("__ver", F.lit(ver)),
-                    ),
-                    "codebook": ("merge", cb),
-                },
-                properties=props,
+            assigned = (
+                assign_to_centroids(vecs, cents)
+                .select("cell", "nid", "vec")
+                .withColumn("__ver", F.lit(ver))
             )
+            ops = {
+                "postings": ("append", assigned),
+                "codebook": ("merge", cb),
+            }
+            if self.pq_enabled:
+                books = self._train_pq_books(vecs)
+                ops["postings"] = (
+                    "append", self._encode_postings(assigned, books)
+                )
+                ops["pqbooks"] = (
+                    "merge", self._pq_books_df(books, ver)
+                )
+            self.group.apply_all(ops, properties=props)
             return
+        assigned = (
+            assign_to_centroids(vecs, cents)
+            .select("cell", "nid", "vec")
+            .withColumn("__ver", F.lit(ver))
+        )
+        if self.pq_enabled:
+            books = self._pq_books_np()
+            if books is None:
+                raise ValueError(
+                    "IvfIndex: PQ requested on an index whose "
+                    "postings predate PQ — run refresh() once to "
+                    "train the codebooks and re-encode"
+                )
+            assigned = self._encode_postings(assigned, books)
         self.group.apply_all(
-            {
-                "postings": (
-                    "append",
-                    assign_to_centroids(vecs, cents)
-                    .select("cell", "nid", "vec")
-                    .withColumn("__ver", F.lit(ver)),
-                ),
-            },
-            properties=props,
+            {"postings": ("append", assigned)}, properties=props,
         )
 
     def refresh(
@@ -869,11 +1022,37 @@ class IvfIndex:
             ],
             "cell long, vec array<float>",
         ).withColumn("__ver", F.lit(wave).cast("long"))
+        ops = {
+            "postings": ("overwrite", reassigned),
+            "codebook": ("overwrite", cb),
+        }
+        if self.pq_enabled:
+            # retrain the PQ codebooks over the rebalanced postings
+            # and re-encode — the refresh is ALSO the upgrade path
+            # for a pre-PQ index (wave refuses until this runs; the
+            # first books commit must APPEND — overwrite refuses on
+            # a commit-less table)
+            books = self._train_pq_books(reassigned)
+            encoded = self._encode_postings(reassigned, books)
+            if "codes" not in self.postings.read().columns:
+                # upgrade: overwrite refuses NEW columns, so evolve
+                # the postings schema first with a metadata-only
+                # GROUP commit (members may only be written through
+                # the group — a direct append would poison the txn
+                # roll-forward)
+                self.group.append_all(
+                    {"postings": encoded.limit(0)},
+                    properties={"ivf.pq.evolve": "1"},
+                )
+            ops["postings"] = ("overwrite", encoded)
+            pq_verb = (
+                "overwrite"
+                if self.pqbooks.current_id() is not None
+                else "append"
+            )
+            ops["pqbooks"] = (pq_verb, self._pq_books_df(books, wave))
         self.group.apply_all(
-            {
-                "postings": ("overwrite", reassigned),
-                "codebook": ("overwrite", cb),
-            },
+            ops,
             properties={
                 "ivf.wave": wave,
                 "ivf.refresh.cells": str(int(cents.shape[0])),
@@ -908,12 +1087,12 @@ class IvfIndex:
         if old is None:
             return None
         k = int(n_cells) if n_cells is not None else int(old.shape[0])
-        bp = bc = None
+        bp = bc = bq = None
 
         def discard():
             # best-effort: a failed drop must not mask the original
-            # error or strand the OTHER member's branch marker
-            for b in (bp, bc):
+            # error or strand the OTHER members' branch markers
+            for b in (bp, bc, bq):
                 if b is None:
                     continue
                 try:
@@ -934,6 +1113,24 @@ class IvfIndex:
                 "ivf.wave": wave,
                 "ivf.refresh.cells": str(int(cents.shape[0])),
             }
+            if self.pq_enabled:
+                bq = self.pqbooks.create_branch(name)
+                books = self._train_pq_books(reassigned)
+                bdf = self._pq_books_df(books, wave)
+                if bq.current_id() is None:  # upgrade: first commit
+                    bq.append(bdf, properties=props)
+                else:
+                    bq.overwrite(bdf, properties=props)
+                reassigned = self._encode_postings(reassigned, books)
+                if "codes" not in bp.read().columns:
+                    # upgrade staged on the branch: evolve the
+                    # postings schema with a metadata-only branch
+                    # append before the overwrite (same rule as
+                    # refresh; branch commits stay branch-local)
+                    bp.append(
+                        reassigned.limit(0),
+                        properties={"ivf.pq.evolve": "1"},
+                    )
             bp.overwrite(reassigned, properties=props)
             cb = self.spark.createDataFrame(
                 [
@@ -946,7 +1143,10 @@ class IvfIndex:
         except Exception:
             discard()
             raise
-        return {"postings": bp, "codebook": bc}
+        out = {"postings": bp, "codebook": bc}
+        if bq is not None:
+            out["pqbooks"] = bq
+        return out
 
     def publish_rebuild(self, branches: dict) -> "dict[str, int]":
         """Atomically publish a staged rebuild (:meth:`stage_rebuild`):
@@ -956,12 +1156,27 @@ class IvfIndex:
         return self.group.publish_branches(branches)
 
     def topk(
-        self, queries: DataFrame, k: int = 5, nprobe: int = 4
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        rerank: int = 64,
     ) -> DataFrame:
         """Top-``k`` neighbors per (query_id, vec) query row over
         everything indexed so far: probe ``nprobe`` cells against the
         durable codebook, read only those cells' buckets, exact
-        re-rank (:func:`topk_from_cells`)."""
+        re-rank (:func:`topk_from_cells`).
+
+        On a PQ index the candidate pass is ASYMMETRIC-DISTANCE over
+        the stored codes (the FAISS IVFPQ serving shape): the probed
+        cells' scan reads (nid, codes, norm) — m·4 bytes of codes
+        instead of 4·dim bytes of vector, and the (query × candidate)
+        join moves codes, not vectors — then only the per-query
+        top-``rerank`` short list joins back to full vectors for the
+        EXACT re-rank, so emitted cosines are exact and only recall
+        is approximate (rises with rerank/nprobe). Query sets larger
+        than the driver-small contract fall back to the exact path
+        (same output contract)."""
         cents = self.centroids()
         if cents is None:
             # cold start: derive neighbor_id's type from the postings
@@ -982,8 +1197,108 @@ class IvfIndex:
             )
         q = queries.select("query_id", "vec")
         probes = ivf_probe_cells(q, cents, nprobe=nprobe)
+        if self.pq_enabled:
+            out = self._topk_pq(q, probes, k=k, rerank=rerank)
+            if out is not None:
+                return out
         pruned = self.postings.read_matching(probes.select("cell"))
         return topk_from_cells(probes, pruned, k=k)
+
+    def _topk_pq(
+        self, q: DataFrame, probes: DataFrame, k: int, rerank: int
+    ):
+        """The ADC candidate pass + exact re-rank (see :meth:`topk`).
+        Returns ``None`` to fall back to the exact path (no durable
+        codebooks yet, or a query set past the driver-small
+        contract)."""
+        books = self._pq_books_np()
+        if books is None:
+            return None
+        q_rows = q.limit(DRIVER_SMALL_MAX_QUERIES + 1).collect()
+        if not q_rows or len(q_rows) > DRIVER_SMALL_MAX_QUERIES:
+            return None
+        qids = [r["query_id"] for r in q_rows]
+        Q = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+        q_norms = np.linalg.norm(Q, axis=1)
+        m, ksub, dsub = books.shape
+        lut = np.einsum(
+            "qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), books
+        )
+        qindex = {qid: i for i, qid in enumerate(qids)}
+        pruned = self.postings.read_matching(
+            probes.select("cell")
+        ).select("cell", "nid", "codes", "norm")
+        cand = probes.select("query_id", "cell").join(pruned, "cell")
+        nid_t = pruned.schema["nid"].dataType.simpleString()
+
+        def adc(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qi = (
+                    pdf["query_id"].map(qindex).to_numpy(dtype=_np.int64)
+                )
+                codes = _np.array(
+                    pdf["codes"].tolist(), dtype=_np.int64
+                )
+                dots = _np.zeros(len(pdf))
+                for j in range(m):
+                    dots += lut[qi, j, codes[:, j]]
+                denom = _np.maximum(
+                    q_norms[qi] * pdf["norm"].to_numpy(), 1e-12
+                )
+                yield _pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["nid"],
+                        "approx": dots / denom,
+                    }
+                )
+
+        scored = cand.mapInPandas(
+            adc, f"query_id long, neighbor_id {nid_t}, approx double"
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), "neighbor_id"
+        )
+        short = (
+            scored.withColumn("rn0", F.row_number().over(w0))
+            .filter(F.col("rn0") <= int(rerank))
+            .select("query_id", "neighbor_id")
+        )
+        # exact re-rank: the probed cells' vec column, short-list
+        # rows only (the scan is still bucket-pruned; the join moves
+        # rerank·|Q| vectors, never the candidate set)
+        vecs = (
+            self.postings.read_matching(probes.select("cell"))
+            .select(
+                F.col("nid").alias("neighbor_id"),
+                F.col("vec").alias("c_vec"),
+            )
+            .dropDuplicates(["neighbor_id"])
+        )
+        qv = q.select("query_id", F.col("vec").alias("q_vec"))
+        rer = (
+            short.join(vecs, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("cos", cosine("q_vec", "c_vec"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "neighbor_id"
+        )
+        return (
+            rer.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("cos", 4).alias("cos"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
 
 
 def srp_lsh_topk(

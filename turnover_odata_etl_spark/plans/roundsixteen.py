@@ -33,6 +33,15 @@ oracle replays the whole composition closed-form: the LANGID_ORACLE
 chain, the E124 generated 12-step MATERIALIZED fit chain, and the
 pack chain, in one program.
 
+``s_knn_ivfpq`` — the FAISS IVFPQ composition (SURVEY E127,
+``IvfIndex(pq=True)``): PQ codes stored with the cell-bucketed
+postings, per-subspace codebooks as a third atomically-versioned
+group member, ADC candidate pass over probed cells (32-byte codes
+instead of 256-byte vectors through the scan AND the candidate
+join), exact re-rank of the short list only; served flag-free from
+a fresh handle under a recall contract (floor 50; measured
+74/70/84).
+
 Activation checklist (mirror of roundfifteen's, executed at ruling):
 1. move the specs into ``@register`` form (oracles are eager
    constants), import roundsixteen in ``plans/__init__``,
@@ -538,6 +547,89 @@ def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretrain_stages(quality)
 
 
+# ------------------------------------------------------------ E127
+
+# Approximate neighbor lists aren't SQL-reproducible (the candidate
+# set depends on the engine-side codebooks), so the query emits the
+# recall-contract constants — the s_knn_ivf device: the oracle hash
+# fails exactly when recall collapses or the cardinality breaks.
+IVFPQ_ORACLE = """
+    SELECT CAST(5 AS BIGINT) AS k, CAST(50 AS BIGINT) AS floor_pct,
+           CAST(100 AS BIGINT) AS n_true, CAST(1 AS BIGINT) AS meets_floor
+"""
+
+
+def s_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ lifecycle end-to-end (SURVEY E127 — the FAISS IVFPQ
+    production composition, ``IvfIndex(pq=True)``): three waves
+    encode per-subspace PQ codes atomically with their postings and
+    the codebooks that decode them (a THIRD group member), and a
+    FRESH handle — no ctor flag, PQ self-detected from the durable
+    books — serves the ADC path: the candidate pass over the probed
+    cells reads (nid, codes, norm) — m·4 = 32 bytes of codes
+    instead of 4·dim = 256 bytes of vector — scores by per-query
+    LUT gathers, and only the top-rerank short list joins back to
+    full vectors for the EXACT re-rank. Recall contract at floor 50
+    (measured 74/70/84 at sf0.001/0.01/0.1 with m=8, ksub=64,
+    nprobe=4, rerank=64 — the worst measurement sits 20 points
+    above the floor, the family's fixture-regeneration discipline).
+
+    Plan shape: per-wave cost O(batch) (assign GEMM + encode, both
+    map-only Arrow passes); the serving scan is bucket-pruned to
+    probed cells AND column-pruned to codes; the (query × candidate)
+    join moves 32-byte codes, not 256-byte vectors — the 8× wire
+    reduction that dominates ANN serving cost at 100 TB; the exact
+    re-rank join moves only rerank·|Q| vectors. The brute-force
+    verification is the contract's cost, not the serving path."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+        recall_contract,
+    )
+    from .roundten import _exact_order_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "k long, floor_pct long, n_true long, meets_floor long"
+        )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/spark_graft_layout/{tag}/ivfpq_e2e"
+    shutil.rmtree(base, ignore_errors=True)
+    index = IvfIndex(spark, base, n_buckets=8, pq=True)
+
+    vecs = emb.select(
+        F.col("vec_id").cast("long").alias("nid"),
+        F.col("embedding").alias("vec"),
+    )
+    qs = [math.ceil(n * i / 3.0) for i in (1, 2)]
+    cuts = _exact_order_stats(vecs, "nid", qs)
+    c1, c2 = (cuts.get(q) for q in qs)
+    bounds = [(None, c1), (c1, c2), (c2, None)]
+    for ver, (lo, hi) in enumerate(bounds, start=1):
+        chunk = vecs
+        if lo is not None:
+            chunk = chunk.filter(F.col("nid") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("nid") <= hi)
+        index.wave(chunk, ver, n_cells=16)
+
+    served = IvfIndex(spark, base, n_buckets=8)  # fresh, flag-free
+    queries = emb.filter(F.col("vec_id") < 20)
+    q = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("vec"),
+    )
+    approx = served.topk(q, k=5, nprobe=4, rerank=64)
+    exact = cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    return recall_contract(approx, exact, k=5, floor_pct=50)
+
+
 # Staged specs — same shape the registry holds, NOT registered (cap).
 STAGED: dict[str, QuerySpec] = {
     "s_schema_evolution_fieldid": QuerySpec(
@@ -551,5 +643,11 @@ STAGED: dict[str, QuerySpec] = {
         fn=t_curation_pipeline,
         oracle=CURATION_PIPELINE_ORACLE,
         tags=("llm", "pipeline", "langid", "quality", "ml"),
+    ),
+    "s_knn_ivfpq": QuerySpec(
+        name="s_knn_ivfpq",
+        fn=s_knn_ivfpq,
+        oracle=IVFPQ_ORACLE,
+        tags=("llm", "similarity", "storage", "pq"),
     ),
 }

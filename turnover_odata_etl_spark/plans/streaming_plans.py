@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.windows import (
     read_events_stream,
+    read_events_stream_split,
     run_stream_to_table,
     session_windows,
     sliding_counts,
@@ -42,7 +43,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark + availableNow + memory sink). Complete output mode so
     the final trigger emits every window — append would withhold
     windows newer than the closing watermark."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream_split(spark, sf_dir)
     return run_stream_to_table(tumbling_counts(events), spark, mode="complete")
 
 
@@ -67,7 +68,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes: every event lands in
     exactly two windows; the oracle unnests both window starts."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream_split(spark, sf_dir)
     return run_stream_to_table(sliding_counts(events), spark, mode="complete")
 
 
@@ -103,7 +104,7 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the classic gaps-and-islands rewrite. Boundary semantics
     (event at exactly last_ts+gap starts a NEW session) are encoded in
     the oracle's strict `<` comparison."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream_split(spark, sf_dir)
     return run_stream_to_table(session_windows(events), spark, mode="complete")
 
 

@@ -2159,7 +2159,12 @@ class SnapshotTable:
             props = dict(properties or {})
             props.setdefault("delete.predicate", predicate)
             props.setdefault("delete.mode", "mor")
-            return self._commit_dv(base_id, base_raw, base_bb, cand, matched, props)
+            # the predicate IS the read set — see _rebase_commit
+            props["read.predicate"] = predicate
+            return self._commit_dv(
+                base_id, base_raw, base_bb, cand, matched, props,
+                rebase_ok=True,
+            )
         finally:
             matched.unpersist()
 
@@ -2344,9 +2349,13 @@ class SnapshotTable:
             touched_new[f["bucket"]].append(f)
         props = dict(properties or {})
         props.setdefault("delete.predicate", predicate)
+        # the predicate IS the read set — the rebase validates the
+        # winner's new files against its bounds (round 16)
+        props["read.predicate"] = predicate
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="delete", base_id=base_id, properties=props,
+            rebase_ok=True,
         )
 
     def _split_candidates(
@@ -2545,10 +2554,13 @@ class SnapshotTable:
             props.setdefault("update.predicate", predicate)
             props.setdefault("update.columns", sorted(assignments))
             props.setdefault("update.mode", "mor")
+            # the predicate IS the read set — see _rebase_commit
+            props["read.predicate"] = predicate
             return self._commit_dv(
                 base_id, base_raw, base_bb, cand,
                 matched.select("__fname", "__pos"), props,
                 extra_files=new_files, operation="update",
+                rebase_ok=True,
             )
         finally:
             matched.unpersist()
@@ -2638,9 +2650,12 @@ class SnapshotTable:
         props = dict(properties or {})
         props.setdefault("update.predicate", predicate)
         props.setdefault("update.columns", sorted(assignments))
+        # the predicate IS the read set — see _rebase_commit
+        props["read.predicate"] = predicate
         return self._commit_delta(
             base_raw["schema"], base_bb, touched_new,
             operation="update", base_id=base_id, properties=props,
+            rebase_ok=True,
         )
 
     def delete_keys(
@@ -4203,6 +4218,28 @@ class SnapshotTable:
         }
 
     @staticmethod
+    def _entries_cannot_match(entries: list, bounds: dict) -> bool:
+        """True iff EVERY entry's per-file stats PROVE no row in it
+        can satisfy ``bounds`` (``predicate_bounds`` output).
+        Strictly conservative: empty bounds (unparseable predicate),
+        an entry without stats on any bound column, or any stats
+        window overlapping its bound all return False — the caller
+        must then take the always-correct path."""
+        if not bounds:
+            return False
+        for f in entries:
+            st = f.get("stats") or {}
+            proven = False
+            for col, (lo, hi) in bounds.items():
+                s = st.get(col)
+                if s is not None and not _stats_overlap(s, lo, hi):
+                    proven = True
+                    break
+            if not proven:
+                return False
+        return True
+
+    @staticmethod
     def _permissive_type(dt):
         """``dt`` with every NESTED nullability flag (containsNull /
         valueContainsNull / inner struct-field nullable) forced True.
@@ -4311,10 +4348,20 @@ class SnapshotTable:
         outcome no serial order produces; ADVICE r15). This is
         Iceberg's validate-added-files-against-the-operation's-read-
         filter, specialized to hash-bucket granularity. Predicate
-        verbs (delete_where/update_where) and whole-table rewrites
-        (overwrite/zorder/rebucket) never take this path: their read
-        set is the table, and a disjoint-bucket winner can still
-        change what the predicate should have matched.
+        verbs (delete_where/update_where) qualify CONDITIONALLY
+        (round 16 — VERDICT r15 item 6): their read set is the whole
+        table filtered by the predicate, so beyond bucket
+        disjointness the rebase demands PROOF that no file the
+        winner ADDED could hold a predicate-matching row — the
+        commit records ``read.predicate`` and the check below runs
+        ``predicate_bounds``' strictly-conservative parser against
+        the per-file stats of every new-vs-base entry in the
+        winner's changed buckets (dv-only growth is excluded by
+        path identity: deletion vectors only shrink visible rows).
+        An unparseable predicate, a stats-less new file, or any
+        overlap refuses — the GDPR predicate delete only absorbs
+        winners it can prove irrelevant. Whole-table rewrites
+        (overwrite/zorder/rebucket) never take this path.
 
         Raises ``CommitConflict`` when validation refuses (the verb's
         existing retry loop re-plans on the winner's state — the
@@ -4359,6 +4406,29 @@ class SnapshotTable:
                     f"since base {base_id} — overlapping writes or "
                     "probed keys, re-plan"
                 ) from last
+            pred = (properties or {}).get("read.predicate")
+            if pred is not None and changed:
+                bounds = predicate_bounds(pred)
+                base_bb_v = self._by_bucket(base_id)
+                cur_bb_v = self._by_bucket(cur)
+                for bkt in changed:
+                    base_paths = {
+                        e["path"]
+                        for e in self._entries(base_bb_v.get(bkt, []))
+                    }
+                    fresh = [
+                        e
+                        for e in self._entries(cur_bb_v.get(bkt, []))
+                        if e["path"] not in base_paths
+                    ]
+                    if fresh and not self._entries_cannot_match(
+                        fresh, bounds
+                    ):
+                        raise CommitConflict(
+                            f"rebase: bucket {bkt} gained files the "
+                            f"predicate {pred!r} could match — "
+                            "re-plan"
+                        ) from last
             # Segment large touched buckets ONCE: the first attempt
             # writes the segment files, and the refs then carry
             # VERBATIM through _maybe_segment on every further
@@ -5448,19 +5518,51 @@ class SnapshotBranch(SnapshotTable):
             # _rebase_commit (ADVICE r15). Branch commits stamp
             # "read.buckets" into their properties; metas are cached.
             read_bk: set = set()
+            preds: list[str] = []
             for sid in ids:
                 p = self._raw_meta(sid).get("properties") or {}
                 read_bk.update(
                     int(b) for b in p.get("read.buckets") or ()
                 )
+                if p.get("read.predicate"):
+                    preds.append(p["read.predicate"])
             if changed & (set(touched_new) | read_bk):
                 raise refusal
+            # branch predicate verbs read the whole table filtered by
+            # their predicate: every file main ADDED since the fork
+            # must be stats-proven unable to match EACH predicate
+            # (the _rebase_commit round-16 rule, applied at publish)
+            if preds and changed:
+                head_bb_m = self._main._by_bucket(main_head)
+                base_bb_m = self._main._by_bucket(base_for)
+                for bkt in changed:
+                    old_paths = {
+                        e["path"]
+                        for e in self._main._entries(
+                            base_bb_m.get(bkt, [])
+                        )
+                    }
+                    fresh = [
+                        e
+                        for e in self._main._entries(
+                            head_bb_m.get(bkt, [])
+                        )
+                        if e["path"] not in old_paths
+                    ]
+                    if fresh and not all(
+                        self._entries_cannot_match(
+                            fresh, predicate_bounds(pr)
+                        )
+                        for pr in preds
+                    ):
+                        raise refusal
             base_for = main_head  # disjoint: rebase onto the head
             base_bb = self._main._by_bucket(main_head)
         head_raw = self._raw_meta(head)
         props = dict(head_raw.get("properties") or {})
         # the squash's read set is the UNION over branch commits, not
-        # whatever the head commit alone recorded
+        # whatever the head commit alone recorded; a single commit's
+        # read.predicate likewise must not masquerade as the squash's
         all_read: set = set()
         for sid in ids:
             p = self._raw_meta(sid).get("properties") or {}
@@ -5469,6 +5571,7 @@ class SnapshotBranch(SnapshotTable):
             props["read.buckets"] = sorted(all_read)
         else:
             props.pop("read.buckets", None)
+        props.pop("read.predicate", None)
         props["publish.branch"] = self.branch_name
         props["publish.head"] = head
         props["publish.commits"] = len(ids)
