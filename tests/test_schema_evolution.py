@@ -458,3 +458,136 @@ def test_legacy_table_upgrades_on_first_evolution(spark, tdir):
     assert sorted(
         (r["k"], r["amount"]) for r in t3.read().collect()
     ) == [(1, 10)]
+
+
+# ---------------------------------------------------------------------
+# Round-16 review regressions (the /code-review pass on the round
+# diff): publish must carry the evolution state, whole-table rewrites
+# reclaim the name machinery coherently, and handle-vs-manifest
+# key-config mismatches resolve through the rename lineage or refuse.
+
+
+def test_publish_preserves_evolution_state(spark, tdir):
+    """CONFIRMED review repro: the squash publish built through a
+    COLD main handle dropped last_fid/retired, silently disabling
+    the reserved-name guard — a later append reusing a dropped name
+    then resurrected the dropped column's bytes. The publish must
+    adopt the branch head's evolution state."""
+    t = mk(spark, tdir)
+    t.append(
+        b(
+            spark,
+            [(1, 1, 10, "F")],
+            "k long, ver long, value int, flag string",
+        )
+    )
+    t.drop_column("flag")
+    t2 = SnapshotTable(  # cold handle — empty in-memory state
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+    )
+    br = t2.create_branch("wap")
+    br.append(b(spark, [(2, 1, 20)]))
+    br.publish()
+    t3 = SnapshotTable.load(spark, tdir)
+    assert t3._last_fid >= 4
+    assert "flag" in t3._retired
+    with pytest.raises(ValueError, match="reserved"):
+        t3.append(
+            b(
+                spark,
+                [(3, 1, 30, "NEW")],
+                "k long, ver long, value int, flag string",
+            )
+        )
+
+
+def test_overwrite_reclaims_retired_names_and_keeps_fids(spark, tdir):
+    """A whole-table rewrite leaves no pre-rewrite file, so the
+    retired registry and prior lineages are RECLAIMED in the same
+    commit — and surviving columns keep their field ids by name
+    (review r16: a stale retired entry next to a re-created live
+    column contradicted the schema)."""
+    t = mk(spark, tdir)
+    t.append(
+        b(
+            spark,
+            [(1, 1, 10, "x")],
+            "k long, ver long, value int, note string",
+        )
+    )
+    t.rename_column("value", "amount")
+    t.drop_column("note")
+    fid_before = {
+        f.name: (f.metadata or {}).get("fid")
+        for f in t.read().schema.fields
+    }
+    # whole-table rewrite (current schema — overwrite refuses new
+    # columns by contract): no pre-rewrite file survives
+    t.overwrite(
+        b(spark, [(1, 2, 11)], "k long, ver long, amount int")
+    )
+    t2 = SnapshotTable.load(spark, tdir)
+    assert t2._retired == {}
+    fid_after = {
+        f.name: (f.metadata or {}).get("fid")
+        for f in t2.read().schema.fields
+    }
+    for name in ("k", "ver", "amount"):  # survivors keep their ids
+        assert fid_after[name] == fid_before[name], name
+    # and priors are gone: no coalesce left in the read plan
+    plan = t2.read()._jdf.queryExecution().executedPlan().toString()
+    assert "coalesce" not in plan.lower()
+    # the retired name is RECLAIMED: appendable again (the stale
+    # registry would have refused this forever)
+    t2.append(
+        b(
+            spark,
+            [(2, 3, 20, "y")],
+            "k long, ver long, amount int, note string",
+        )
+    )
+    got = sorted(
+        (r["k"], r["amount"], r["note"]) for r in t2.read().collect()
+    )
+    assert got == [(1, 11, None), (2, 20, "y")]
+
+
+def test_stale_named_handle_writes_after_key_rename(spark, tdir):
+    """A handle constructed with the PRE-rename key/order names must
+    accept correctly-named batches (adoption resolves the names
+    through the rename lineage BEFORE validation — review r16)."""
+    t = mk(spark, tdir)
+    t.append(b(spark, [(1, 1, 10)]))
+    t.rename_column("k", "id")
+    stale = SnapshotTable(  # still says key_cols=["k"]
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+    )
+    stale.append(
+        spark.createDataFrame(
+            [(2, 1, 20)], "id long, ver long, value int"
+        )
+    )
+    got = sorted(r["id"] for r in stale.read().collect())
+    assert got == [1, 2]
+    keys = spark.createDataFrame([(1,)], "id long")
+    stale2 = SnapshotTable(
+        spark, tdir, key_cols=["k"], order_col="ver", n_buckets=4,
+    )
+    stale2.delete_keys(keys)
+    assert [r["id"] for r in stale2.read().collect()] == [2]
+
+
+def test_rekeying_handle_refuses_loudly(spark, tdir):
+    """A handle whose key list names DIFFERENT fields than the
+    manifest is a re-keying attempt — never a supported write path;
+    pre-r16 it silently re-keyed, silent adoption would silently
+    ignore it (and keep-latest would collapse on the wrong keys) —
+    it must refuse (review r16)."""
+    t = mk(spark, tdir)
+    t.merge(b(spark, [(1, 1, 10)]))
+    wrong = SnapshotTable(
+        spark, tdir, key_cols=["k", "value"], order_col="ver",
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="re-keying"):
+        wrong.merge(b(spark, [(1, 2, 11)]))

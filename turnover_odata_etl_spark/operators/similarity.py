@@ -781,6 +781,11 @@ class IvfIndex:
         self.pq_m = int(pq_m)
         self.pq_ksub = int(pq_ksub)
         self.pq_train_n = int(pq_train_n)
+        # (snapshot id, books) — the codebooks are immutable between
+        # refreshes, so serving/wave hot paths must not re-collect
+        # them per call (review r16); keyed by current_id, which a
+        # refresh/publish moves
+        self._pq_cache: "tuple[int | None, object]" = (None, None)
         self.group = SnapshotGroup(
             {
                 "postings": self.postings,
@@ -800,8 +805,11 @@ class IvfIndex:
         """The durable PQ codebooks as the (m, ksub, dsub) numpy
         array the encode/ADC kernels take, or ``None`` before the
         first trained wave. m·ksub·dsub floats — metadata-sized."""
-        if self.pqbooks.current_id() is None:
+        sid = self.pqbooks.current_id()
+        if sid is None:
             return None
+        if self._pq_cache[0] == sid:
+            return self._pq_cache[1]
         rows = self.pqbooks.read().select("j", "kk", "vec").collect()
         if not rows:
             return None
@@ -811,6 +819,7 @@ class IvfIndex:
         books = np.zeros((m, ksub, dsub), dtype=np.float64)
         for r in rows:
             books[int(r["j"]), int(r["kk"])] = r["vec"]
+        self._pq_cache = (sid, books)
         return books
 
     def _pq_books_df(self, books, ver: int) -> DataFrame:

@@ -865,6 +865,44 @@ class SnapshotTable:
             fields.append(f)
         return T.StructType(fields).json() if changed else schema_json
 
+    @staticmethod
+    def _strip_priors_json(schema_json: str) -> str:
+        """``schema_json`` with every field's name lineage removed —
+        for whole-table rewrites, after which no file carrying a
+        former name survives."""
+        st = T.StructType.fromJson(json.loads(schema_json))
+        fields, changed = [], False
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if "prior" in md:
+                md.pop("prior")
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+                changed = True
+            fields.append(f)
+        return T.StructType(fields).json() if changed else schema_json
+
+    @staticmethod
+    def _inherit_fids_json(schema_json: str, base_json: str) -> str:
+        """fid-less fields of ``schema_json`` inherit the id of the
+        base field with the SAME name — an overwrite with a
+        user-built (metadata-free) frame keeps stable field ids for
+        the columns it preserves; genuinely new names fall through to
+        a fresh stamp."""
+        base = T.StructType.fromJson(json.loads(base_json))
+        by_name = {
+            f.name: (f.metadata or {}).get("fid") for f in base.fields
+        }
+        st = T.StructType.fromJson(json.loads(schema_json))
+        fields, changed = [], False
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if "fid" not in md and by_name.get(f.name) is not None:
+                md["fid"] = by_name[f.name]
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+                changed = True
+            fields.append(f)
+        return T.StructType(fields).json() if changed else schema_json
+
     def _guarded_append_schema(self, schema_json: str) -> str:
         """Commit-time hook for fid-tracked tables: any fid-less
         field is a NEW column (append's additive evolution) — refuse
@@ -1473,10 +1511,47 @@ class SnapshotTable:
         # registry must continue from the on-disk truth
         self._last_fid = int(base_raw.get("last_fid") or 0)
         self._retired = dict(base_raw.get("retired") or {})
-        if base_raw.get("key_cols"):
-            self.key_cols = list(base_raw["key_cols"])
-        if base_raw.get("order_col"):
-            self.order_col = base_raw["order_col"]
+        # Key/order adoption (round 16): the manifest wins, but ONLY
+        # when the handle's names resolve to the SAME fields through
+        # the rename lineage (a handle constructed with pre-rename
+        # names keeps working). A handle whose key list names
+        # DIFFERENT fields is a re-keying attempt, which was never a
+        # supported write path — pre-r16 it silently re-keyed the
+        # table, post-r16 silent adoption would silently IGNORE the
+        # caller's intent (and a keep-latest merge would collapse on
+        # fewer keys than the caller assumed — review r16). Refuse
+        # loudly instead.
+        mk = list(base_raw.get("key_cols") or [])
+        mo = base_raw.get("order_col") or ""
+        if (self.key_cols and mk and self.key_cols != mk) or (
+            self.order_col and mo and self.order_col != mo
+        ):
+            st = T.StructType.fromJson(json.loads(base_raw["schema"]))
+            lineage = {}
+            for f in st.fields:
+                for nm in (f.name, *self._priors_of(f)):
+                    lineage[nm] = f.name
+            if self.key_cols and mk and self.key_cols != mk:
+                if [lineage.get(c) for c in self.key_cols] != mk:
+                    raise ValueError(
+                        f"handle key_cols {self.key_cols} do not "
+                        f"resolve to the table's keys {mk} (through "
+                        "any rename lineage) — re-keying a table "
+                        "through a differently-keyed handle is not "
+                        "supported; the manifest is the truth"
+                    )
+            if self.order_col and mo and self.order_col != mo:
+                if lineage.get(self.order_col) != mo:
+                    raise ValueError(
+                        f"handle order_col {self.order_col!r} does "
+                        f"not resolve to the table's {mo!r} (through "
+                        "any rename lineage) — the manifest is the "
+                        "truth"
+                    )
+        if mk:
+            self.key_cols = mk
+        if mo:
+            self.order_col = mo
 
     def _prime_meta(self, sid: int, manifest: dict) -> None:
         """Prime the payload-free config cache with a dict already in
@@ -1552,6 +1627,12 @@ class SnapshotTable:
         from the current manifest, optional commit ``properties``,
         CAS retry on a lost race, and an empty batch leaving history
         clean (metadata-only commit iff ``properties`` given)."""
+        # adopt BEFORE validating (round 16 review: a rename moves
+        # the key/order names, and a handle constructed with the
+        # pre-rename names must accept correctly-named batches)
+        sid0 = self.current_id()
+        if sid0 is not None:
+            self._adopt_layout(self._raw_meta(sid0))
         missing = [
             c
             for c in (*self.key_cols, self.order_col)
@@ -2046,8 +2127,17 @@ class SnapshotTable:
         touched_new: dict[int, list[dict]] = {b: [] for b in touched}
         for f in new_files:
             touched_new[f["bucket"]].append(f)
+        schema_json = base_raw["schema"]
+        if self._last_fid:
+            # whole-table rewrite: no pre-rewrite file survives, so
+            # prior-name lineages and the retired registry are
+            # RECLAIMED with the rewrite (review r16 — the
+            # _build_commit rule; overwrite commits through the
+            # delta builder, so it applies here too)
+            schema_json = self._strip_priors_json(schema_json)
+            self._retired = {}
         return self._build_delta(
-            base_raw["schema"], base_bb, touched_new,
+            schema_json, base_bb, touched_new,
             operation=operation, base_id=base_id,
             properties=properties,
         )
@@ -2683,6 +2773,9 @@ class SnapshotTable:
         rewriting files — see :meth:`delete_where`; for the keyed
         GDPR batch this is THE intended mode at scale (kilobytes of
         positions instead of terabytes of rewrite)."""
+        sid0 = self.current_id()
+        if sid0 is not None:  # adopt before validating (see append)
+            self._adopt_layout(self._raw_meta(sid0))
         missing = [c for c in self.key_cols if c not in keys_df.columns]
         if missing:
             raise ValueError(
@@ -3247,15 +3340,6 @@ class SnapshotTable:
         claim (see :meth:`_prepare_append` for the contract); used
         directly by :meth:`_merge_once` and as one member of a
         grouped transaction (:meth:`SnapshotGroup.merge_all`)."""
-        missing = [
-            c
-            for c in (*self.key_cols, self.order_col)
-            if c not in batch_df.columns
-        ]
-        if missing:
-            raise ValueError(
-                f"merge: batch is missing key/order columns {missing}"
-            )
         base_id = self.current_id()
         if base_id:
             # Config + schema come from the RAW manifest (O(1) read)
@@ -3272,6 +3356,17 @@ class SnapshotTable:
             base_bb = self._by_bucket(base_id)
         else:
             base_bb = {}
+        # validated AFTER adoption (round 16 review: post-rename key/
+        # order names are the ones a batch must carry)
+        missing = [
+            c
+            for c in (*self.key_cols, self.order_col)
+            if c not in batch_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"merge: batch is missing key/order columns {missing}"
+            )
 
         b = self._with_bucket(batch_df)
         touched = sorted(
@@ -4109,8 +4204,21 @@ class SnapshotTable:
         member's manifest BEFORE the single group claim."""
         # Field-id tracking (round 16): a FRESH table stamps stable
         # ids at create; a whole-table rewrite on a tracked table
-        # stamps any genuinely new columns. Legacy (pre-fid) tables
-        # are left untouched until an evolution verb upgrades them.
+        # inherits ids BY NAME for fields the frame didn't stamp (an
+        # overwrite with a user-built frame keeps stable ids), stamps
+        # genuinely new columns fresh, and RECLAIMS the name
+        # machinery — no pre-rewrite file survives, so prior-name
+        # lineages and the retired registry would only contradict the
+        # post-rewrite schema (review r16: a stale retired entry next
+        # to a re-created live column of the same name). Legacy
+        # (pre-fid) tables are left untouched until an evolution verb
+        # upgrades them.
+        if self._last_fid and base_id is not None:
+            schema_json = self._inherit_fids_json(
+                schema_json, self._raw_meta(base_id)["schema"]
+            )
+            schema_json = self._strip_priors_json(schema_json)
+            self._retired = {}
         if base_id is None or self._last_fid:
             schema_json = self._stamp_fids_json(schema_json)
         new_id = (base_id or 0) + 1
@@ -5492,6 +5600,17 @@ class SnapshotBranch(SnapshotTable):
             self.branch_base if self.branch_base in main_ids else None
         )
         main_head = main_ids_l[-1] if main_ids_l else None
+        # ONE pass over the branch commits' properties — the read set
+        # and read predicates feed BOTH the main-moved refusal below
+        # and the squash's recorded read set (review r16: two copies
+        # of this fold drifted apart by construction).
+        read_bk: set = set()
+        preds: list[str] = []
+        for sid in ids:
+            p = self._raw_meta(sid).get("properties") or {}
+            read_bk.update(int(b) for b in p.get("read.buckets") or ())
+            if p.get("read.predicate"):
+                preds.append(p["read.predicate"])
         if main_head is not None and main_head != base_for:
             refusal = CommitConflict(
                 f"publish: main moved past the fork base "
@@ -5517,15 +5636,6 @@ class SnapshotBranch(SnapshotTable):
             # must still refuse — the same write-skew guard as
             # _rebase_commit (ADVICE r15). Branch commits stamp
             # "read.buckets" into their properties; metas are cached.
-            read_bk: set = set()
-            preds: list[str] = []
-            for sid in ids:
-                p = self._raw_meta(sid).get("properties") or {}
-                read_bk.update(
-                    int(b) for b in p.get("read.buckets") or ()
-                )
-                if p.get("read.predicate"):
-                    preds.append(p["read.predicate"])
             if changed & (set(touched_new) | read_bk):
                 raise refusal
             # branch predicate verbs read the whole table filtered by
@@ -5559,16 +5669,21 @@ class SnapshotBranch(SnapshotTable):
             base_for = main_head  # disjoint: rebase onto the head
             base_bb = self._main._by_bucket(main_head)
         head_raw = self._raw_meta(head)
+        # The squash manifest is built THROUGH the main handle, whose
+        # in-memory evolution/config state (_last_fid, _retired,
+        # key/order/bucket/bloom columns) may predate both the fork
+        # and any branch-side evolution — a cold main handle would
+        # silently publish last_fid=0 and an empty retired registry,
+        # resurrecting dropped columns' bytes on the next name reuse
+        # (review r16, CONFIRMED repro). The branch HEAD's raw meta
+        # is the truth the squash must carry.
+        self._main._adopt_layout(head_raw)
         props = dict(head_raw.get("properties") or {})
         # the squash's read set is the UNION over branch commits, not
         # whatever the head commit alone recorded; a single commit's
         # read.predicate likewise must not masquerade as the squash's
-        all_read: set = set()
-        for sid in ids:
-            p = self._raw_meta(sid).get("properties") or {}
-            all_read.update(int(b) for b in p.get("read.buckets") or ())
-        if all_read:
-            props["read.buckets"] = sorted(all_read)
+        if read_bk:
+            props["read.buckets"] = sorted(read_bk)
         else:
             props.pop("read.buckets", None)
         props.pop("read.predicate", None)

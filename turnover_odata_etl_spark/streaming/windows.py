@@ -100,6 +100,20 @@ def read_events_stream_split(
             os.rename(tmp, split_dir)
         except OSError:  # a racer staged it first — use theirs
             shutil.rmtree(tmp, ignore_errors=True)
+        # sweep SUPERSEDED stamps (review r16): each driver fixture
+        # regeneration changes (size, mtime), and without this the
+        # old full-corpus copies accumulate under /tmp forever
+        parent = os.path.dirname(split_dir)
+        keep = os.path.basename(split_dir)
+        for name in os.listdir(parent):
+            if (
+                name.startswith("events_split_")
+                and name != keep
+                and not name.startswith(f"{keep}.tmp-")
+            ):
+                shutil.rmtree(
+                    os.path.join(parent, name), ignore_errors=True
+                )
     raw_schema = spark.read.parquet(split_dir).schema
     stream = (
         spark.readStream.schema(raw_schema)
