@@ -208,8 +208,22 @@ def lexicon_weak_label(
 
 
 def _weights_frame(spark: SparkSession, w: "list[float]") -> DataFrame:
+    """D-row (j, w) frame. Built from a pandas frame so the Arrow
+    fast path ships it as ONE record batch (round 16, guide §6
+    "Arrow for driver transfers"): the tuple-list form pickled 1025
+    rows through Py4J on EVERY training step — measured ~0.18 s of
+    pure driver time per step, ~4.4 s of the 24-step fit at sf0.1.
+    Falls back to the row path (same values) when Arrow is off."""
+    import numpy as np
+    import pandas as pd
+
     return spark.createDataFrame(
-        [(int(j), float(v)) for j, v in enumerate(w)],
+        pd.DataFrame(
+            {
+                "j": np.arange(len(w), dtype="int64"),
+                "w": np.asarray(w, dtype="float64"),
+            }
+        ),
         "j long, w double",
     )
 
@@ -259,11 +273,32 @@ def train_quality_lr(
     # fl-sized exchanges per step; the j-grain gradient aggregate
     # keeps its cheap partial-agg shuffle). Measured A/B in
     # BASELINE.md round 16.
+    # Partition count sized to the CORPUS, not the session constant
+    # (round 16, guide §2.2/§2.5 "scale-adaptive partitioning"): each
+    # of the `steps` sequential jobs re-reads this cache, so its
+    # partition count is a per-step task-scheduling multiplier. Small
+    # fits get a partition per ~2k docs (the 5k-doc sf0.1 fit runs 3
+    # tasks/step instead of 32 — measured 18.6 → 11.0 s); mid-size
+    # corpora rise to full cluster parallelism; huge corpora outgrow
+    # it at ~50k docs/partition so per-task state stays bounded.
+    n_parts = min(
+        max(1, -(-n // 2000)),
+        max(
+            feats.sparkSession.sparkContext.defaultParallelism,
+            -(-n // 50_000),
+        ),
+    )
     fl = (
         feats.join(labels, feats["id"] == labels["id"], "inner")
         .join(s, feats["id"] == s["sid"])
         .select(feats["id"].alias("id"), "j", "x", "y", "s")
-        .repartition("id")
+        .repartition(n_parts, "id")
+        # Sorted WITHIN the cached partitions (round 16): the cache
+        # reports its child's ordering, so every step's per-doc
+        # margin window reuses it — the sort is paid once at cache
+        # build instead of once per step (guide §2.4: establish the
+        # partitioning/ordering once, let every keyed step share it).
+        .sortWithinPartitions("id")
         .persist()
     )
     try:
@@ -279,14 +314,25 @@ def train_quality_lr(
                     "id", "j", "x", (F.col("y") - F.lit(p0)).alias("r")
                 )
             else:
+                # Per-doc margin as a WINDOW sum over the cache's own
+                # hashpartitioning(id) layout (round 16, guide §2.4:
+                # an operation keyed like the established partitioning
+                # needs no second exchange). The previous shape
+                # aggregated to a per-doc frame and sort-merge-joined
+                # it back onto fl — a second full pass over the
+                # feature frame plus a join, every step. The window
+                # computes the same Σ_j x·w per doc in the SAME pass
+                # that reads fl: one broadcast join, one intra-
+                # partition sort on id, zero joins, zero extra
+                # corpus-sized exchanges per step.
+                from pyspark.sql import Window as _W
+
                 wf = F.broadcast(_weights_frame(spark, w))
-                z = (
-                    fl.join(wf, "j")
-                    .groupBy(F.col("id").alias("zid"))
-                    .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+                z = F.sum(F.col("x") * F.col("w")).over(
+                    _W.partitionBy("id")
                 )
-                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
-                resid = fl.join(z, fl["id"] == z["zid"]).select(
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                resid = fl.join(wf, "j").select(
                     "id", "j", "x", (F.col("y") - p).alias("r")
                 )
             grad = (

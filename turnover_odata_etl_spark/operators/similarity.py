@@ -470,17 +470,28 @@ def kmeans_assign(
     cents = cents / _safe_norm(cents)
 
     assigned0 = assign_to_centroids(c, cents)
-    # One Lloyd iteration: per-cell mean, computed distributed as a
-    # (cell, dim) aggregation; only the n_cells×dim result is collected.
+    # One Lloyd iteration: per-cell mean. Computed as ONE grouped
+    # aggregate of dim `avg(vec[i])` columns (round 16, guide §2.3
+    # "aggregate before you shuffle"): partial aggregation runs
+    # map-side, so the exchange carries n_cells×dim partial states
+    # instead of the posexplode shape's n_rows×dim exploded rows —
+    # the former is metadata-sized at any corpus scale, the latter
+    # was a corpus×dim shuffle. Same per-cell means: avg(vec[i])
+    # skips missing/short positions exactly as the exploded grouping
+    # only saw present positions.
+    dim = int(cents.shape[1])
     means = (
-        assigned0.select("cell", F.posexplode("vec").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("x").alias("m"))
+        assigned0.groupBy("cell")
+        .agg(*[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)])
         .collect()
     )
     cents2 = cents.copy()
     for r in means:
-        cents2[r.cell][r.dim] = r.m
+        cell = r["cell"]
+        for i in range(dim):
+            m = r[f"m{i}"]
+            if m is not None:
+                cents2[cell][i] = m
     cents2 = cents2 / _safe_norm(cents2)
 
     assigned = assign_to_centroids(c, cents2)
