@@ -167,6 +167,17 @@ def fit_langid(
             .select("g")
         )
         counts = counts.join(F.broadcast(sel), "g")
+    # Persist the SELECTED counts (round 16, guide §5 "caching is
+    # worth it when a DataFrame is reused and recomputing is more
+    # expensive than the memory"): this K×|langs|-row model frame is
+    # the parent of ~4 broadcast subtrees (the scoring join, the
+    # vocabulary semi-join, per-language totals, |V|), and broadcast
+    # builds do not share work — without the pin each one re-ran the
+    # whole corpus gram aggregation + feature selection (measured 4
+    # concurrent ~4 s rebuilds at sf0.1). K-sized by construction
+    # (max_features), so the cache stays model-scale at any corpus
+    # size; lazily materialized at the first consumer.
+    counts = counts.persist()
     tots = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     # priors over documents that SURVIVED normalization (length >= n)
     # — the population the gram model describes

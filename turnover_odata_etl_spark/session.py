@@ -36,6 +36,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Extend AQE partition coalescing to CACHED plans (off by
+        # default for partitioning-reuse compatibility; round 16,
+        # guide §2.2): the incremental index operators persist
+        # probe/signature frames whose exchanges otherwise keep the
+        # static shuffle-partition count, so every downstream job
+        # schedules that many tasks over a few MB of cache. With the
+        # conf on, AQE sizes cached exchanges by advisory bytes —
+        # small caches collapse to a few partitions, corpus-sized
+        # caches keep theirs (measured: s_bm25_incremental −19% at
+        # sf0.1, no regression elsewhere; explicit repartition(n, k)
+        # calls remain un-coalesced by AQE's contract).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Fixture-encoding armor: earlier fixture generations stored
