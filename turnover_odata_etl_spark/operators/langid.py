@@ -167,17 +167,14 @@ def fit_langid(
             .select("g")
         )
         counts = counts.join(F.broadcast(sel), "g")
-    # Persist the SELECTED counts (round 16, guide §5 "caching is
-    # worth it when a DataFrame is reused and recomputing is more
-    # expensive than the memory"): this K×|langs|-row model frame is
-    # the parent of ~4 broadcast subtrees (the scoring join, the
-    # vocabulary semi-join, per-language totals, |V|), and broadcast
-    # builds do not share work — without the pin each one re-ran the
-    # whole corpus gram aggregation + feature selection (measured 4
-    # concurrent ~4 s rebuilds at sf0.1). K-sized by construction
-    # (max_features), so the cache stays model-scale at any corpus
-    # size; lazily materialized at the first consumer.
-    counts = counts.persist()
+    # NOT persisted (round 16, measured): this model frame parents
+    # ~4 broadcast subtrees that each re-derive the corpus gram
+    # aggregation — but those builds run CONCURRENTLY in the
+    # broadcast thread pool and overlap on idle cores (guide §2.6),
+    # so the duplicated work costs no wall-clock, while a persist
+    # serializes them behind the cache lock. Interleaved A/B at
+    # sf0.1: persist 5.0–7.9 s vs unpersisted 4.6–5.3 s for
+    # t_langid_confusion. Revisit only for a CPU-saturated cluster.
     tots = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     # priors over documents that SURVIVED normalization (length >= n)
     # — the population the gram model describes

@@ -1354,9 +1354,15 @@ def degree_orient(edges: DataFrame) -> DataFrame:
     wedges — total oriented wedge volume is O(m^1.5) regardless of the
     degree distribution (pinned by the celebrity-graph wedge test),
     vs Σ deg(v)² for the naive per-node form."""
+    # Degrees via ONE pass over the edge list (round 16, guide §5
+    # duplicated-subtree discipline): explode(array(u, v)) references
+    # the edges subtree once where the two-branch union recomputed
+    # the whole upstream edge derivation per branch — same multiset
+    # of endpoints, identical counts.
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -1405,15 +1411,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     closed against the canonical edge set (orientation of the closing
     edge is degree-dependent — canonical is not); each triangle is
     found exactly once, at its minimum-(degree, id) vertex."""
+    # Pin the edge set (round 16, guide §5): it feeds the degree
+    # aggregation, the orientation join, and the closing-edge probe —
+    # without the pin each reference re-ran the caller's whole edge
+    # derivation (the co-purchase self-join + distinct), and the
+    # three-branch member union below re-ran the wedge JOIN per
+    # branch (~66 scans in the AQE-final plan at sf0.1). The edge
+    # set is the graph, not the corpus (distinct pairs), and
+    # MEMORY_AND_DISK spills — the same discipline every iterative
+    # graph engine applies to its edge RDD.
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     wedges = oriented_wedges(edges)
     closing = edges.select(
         F.least("u", "v").alias("t1"), F.greatest("u", "v").alias("t2")
     )
     tri = wedges.join(closing, ["t1", "t2"], "left_semi")
-    members = (
-        tri.select(F.col("apex").alias("node"))
-        .unionByName(tri.select(F.col("t1").alias("node")))
-        .unionByName(tri.select(F.col("t2").alias("node")))
+    members = tri.select(
+        F.explode(
+            F.array(F.col("apex"), F.col("t1"), F.col("t2"))
+        ).alias("node")
     )
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
