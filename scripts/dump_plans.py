@@ -45,7 +45,10 @@ def main() -> None:
             n for n, s in specs.items() if "streaming" not in s.tags
         ]
     for name in names:
-        spec = specs[name]
+        spec = specs.get(name)
+        if spec is None:  # typo in an explicit CLI list — keep going
+            print(f"[{suffix}] {name}: UNKNOWN QUERY (skipped)", flush=True)
+            continue
         try:
             df = spec.fn(spark, sf_dir)
             df.collect()  # drive AQE to isFinalPlan=true

@@ -38,6 +38,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep planner parity with session.get_spark (review r16: a
+        # profile under a different planner config misattributes time)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,6 +74,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Resolve the UI address Spark actually bound (review r16: 4099
+    # may be taken and Spark silently retries upward — a hardcoded
+    # port would then query a DIFFERENT process's UI and 404).
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/jobs"
+    # jobs before this id are warm-up — exclude them from the
+    # breakdown (review r16)
+    first_job = len(json.load(urllib.request.urlopen(url)))
+
     best = float("inf")
     for _ in range(reps):
         spark.catalog.clearCache()
@@ -75,10 +91,18 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     print(f"TOTAL {name}: {best:.3f}s (min of {reps})", flush=True)
+    if reps > 1:
+        print(
+            f"note: job breakdown below aggregates ALL {reps} reps "
+            "(sum-of-jobs ≈ reps × one run)",
+            flush=True,
+        )
 
-    app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:4099/api/v1/applications/{app_id}/jobs"
-    jobs = json.load(urllib.request.urlopen(url))
+    jobs = [
+        j
+        for j in json.load(urllib.request.urlopen(url))
+        if j["jobId"] >= first_job
+    ]
     rows = []
     for j in jobs:
         try:

