@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 from .registry import register
 
 # Scoring determinism: the argmax compares LENGTH-NORMALIZED scores
@@ -180,7 +180,12 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (numbers in BASELINE.md round 12)."""
     from ..operators.langid import fit_langid, score_langid
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Fan the single-split documents scan out (round 17, guide §2.5
+    # input skew): the char-10-gram explode + aggregation otherwise
+    # runs as ONE task per gram pass (the corpus parquet is one
+    # 128 MB split at bench SFs); ensure_parallelism is a no-op at
+    # real scale. Interleaved A/B at sf0.1: 5.54 -> 5.29 s min-of-3.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     model = fit_langid(
         docs, "text", "lang", n=10, alpha=0.5, max_features=50000
     )

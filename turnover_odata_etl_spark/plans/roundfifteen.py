@@ -61,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import ensure_parallelism, load_table
 from .registry import register
 from .roundthirteen import _append_id_slices
 
@@ -204,7 +204,11 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_lr,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Fan the single-split documents scan out (round 17, guide §2.5
+    # input skew): tokenize + gram-hash otherwise run as ONE task at
+    # bench SFs (one 128 MB split); no-op at real scale. Interleaved
+    # A/B at sf0.1: 11.30 -> 10.36 s min-of-3.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     labels = docs.select(
         F.col("doc_id").alias("id"),
         lexicon_weak_label(

@@ -495,6 +495,12 @@ def t_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     model_dir = os.path.join(base, "quality_model")
 
+    # NOT fanned out (round 17, measured): wrapping this scan (and the
+    # kept checkpoint read below) in ensure_parallelism helps the
+    # standalone langid/quality queries but is a wash here — the
+    # single-task gram stages overlap with the pipeline's concurrent
+    # broadcast builds. Interleaved A/B at sf0.1: plain 15.79/16.29 s
+    # vs fanned 16.45/16.75 s min-of-3.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
