@@ -1118,7 +1118,6 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
     pairs = exact_jaccard(cands, both, threshold).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pairs.count()  # force: pairs durable-in-session BEFORE the commit
     # APPEND, not MERGE (round 10): a wave's keys are new by
     # construction (the anti-joins above are what ENFORCE that on
     # replay), so the keep-latest copy-on-write rewrite is pure waste
@@ -1133,17 +1132,32 @@ def neardup_wave(index: NeardupIndex, chunk, text_col: str, id_col: str,
         # properties force a metadata-only commit on zero-row waves —
         # the checkpoint advances on EVERY trigger (review r11: an
         # empty micro-batch must not wedge the consecutive-wave guard)
-        index.group.append_all(
-            {
-                "bands": bn_w.select(
-                    "band", "bucket", F.col("n_id").alias("doc_id")
-                ).withColumn("__ver", F.lit(ver)),
-                "sigs": wave.select("doc_id", "shingles").withColumn(
-                    "__ver", F.lit(ver)
-                ),
-            },
-            properties={"wave": int(ver)},
-        )
+        #
+        # §2.6 overlap (round 17): the verify join (pairs) and the
+        # member staged writes are independent jobs — force pairs
+        # from a driver thread while append_all stages, and hand its
+        # completion to the commit as before_claim. The protocol is
+        # unchanged: pairs are durable-in-session BEFORE the CAS (the
+        # claim waits on the force), only the wall overlaps.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            forced = pool.submit(pairs.count)
+            index.group.append_all(
+                {
+                    "bands": bn_w.select(
+                        "band", "bucket", F.col("n_id").alias("doc_id")
+                    ).withColumn("__ver", F.lit(ver)),
+                    "sigs": wave.select("doc_id", "shingles").withColumn(
+                        "__ver", F.lit(ver)
+                    ),
+                },
+                properties={"wave": int(ver)},
+                before_claim=forced.result,
+            )
+            forced.result()
+    else:
+        pairs.count()  # replay: no commit — force pairs directly
     sigs_new.unpersist()  # corpus-sized; pairs are answer-sized
     if wave is not sigs_new:
         wave.unpersist()

@@ -225,6 +225,7 @@ class SnapshotGroup:
         batches: dict[str, DataFrame],
         max_retries: int = 5,
         properties: dict | None = None,
+        before_claim=None,
     ) -> dict[str, int]:
         """APPEND every batch to its member table as ONE atomic
         transaction: either every member's new snapshot becomes
@@ -235,7 +236,20 @@ class SnapshotGroup:
         given, in which case every member advances with a
         metadata-only commit (the empty-micro-batch watermark
         contract: a checkpoint consumer like ``NeardupIndex`` needs
-        ids to advance even on zero-row triggers)."""
+        ids to advance even on zero-row triggers).
+
+        ``before_claim``: optional zero-arg callable invoked after
+        every member's prepare is durable and IMMEDIATELY BEFORE the
+        txn claim (the commit point), on every claim attempt. The
+        §2.6 overlap hook: a caller whose protocol requires its own
+        artifact to be secured before the commit (the incremental
+        near-dup wave's verified pairs) can compute it in a driver
+        thread CONCURRENT with the member staged writes and pass the
+        future's ``result`` here — ordering is preserved, the wall
+        is not. If it raises, nothing has been claimed: temp
+        manifests are reclaimed and the error propagates (staged
+        data files stay orphans, the normal crash-before-claim
+        contract)."""
         return self._txn_all(
             batches,
             max_retries,
@@ -243,6 +257,7 @@ class SnapshotGroup:
                 df, properties=properties
             ),
             op="append",
+            before_claim=before_claim,
         )
 
     def merge_all(
@@ -384,7 +399,7 @@ class SnapshotGroup:
         return self._txn_all(ops, max_retries, prepare, op="apply")
 
     def _txn_all(
-        self, batches, max_retries, prepare, op: str
+        self, batches, max_retries, prepare, op: str, before_claim=None
     ) -> dict[str, int]:
         unknown = set(batches) - set(self.tables)
         if unknown:
@@ -401,9 +416,46 @@ class SnapshotGroup:
             out: dict[str, int] = {}
             prepared: dict[str, tuple] = {}
             try:
-                for name, df in batches.items():
+                # Member prepares are independent until the claim
+                # (each stages under its OWN data/ and manifest dir),
+                # so run them from driver threads (round 17, guide
+                # §2.6): the next member's staged-write tasks
+                # back-fill executors freed by the current member's
+                # tail instead of waiting for it. Results are
+                # consumed in the caller's member order below, so
+                # the txn record is byte-identical to the serial
+                # form. A failed prepare leaves its siblings'
+                # staged files as orphans — exactly the existing
+                # crash-before-claim contract.
+                if len(batches) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                        max_workers=min(len(batches), 4)
+                    ) as pool:
+                        futs = {
+                            name: pool.submit(
+                                prepare, name, self.tables[name], df
+                            )
+                            for name, df in batches.items()
+                        }
+                        errs = []
+                        preps: dict[str, object] = {}
+                        for name, fut in futs.items():
+                            try:
+                                preps[name] = fut.result()
+                            except BaseException as e:  # noqa: BLE001
+                                errs.append(e)
+                        if errs:
+                            raise errs[0]
+                else:
+                    preps = {
+                        name: prepare(name, self.tables[name], df)
+                        for name, df in batches.items()
+                    }
+                for name in batches:
                     t = self.tables[name]
-                    prep = prepare(name, t, df)
+                    prep = preps[name]
                     if isinstance(prep, int):
                         out[name] = prep  # empty batch — no-op member
                         continue
@@ -411,12 +463,16 @@ class SnapshotGroup:
                     manifest["txn"] = txn_uid
                     tmp = t._write_manifest_tmp(manifest)
                     prepared[name] = (t, manifest, new_id, merged_bb, tmp)
+                if before_claim is not None:
+                    # The caller's own durable-before-commit artifact
+                    # (see append_all): must complete before ANY claim
+                    # attempt can land.
+                    before_claim()
             except BaseException:
-                # A later member's prepare failed (bad batch, lost
-                # resources): earlier members' durable TEMP manifests
-                # must not leak — staged data files are swept by the
-                # normal orphan contract, but nothing else ever
-                # removes .tmp-*.json (review r11).
+                # A member's prepare (or before_claim) failed: durable
+                # TEMP manifests must not leak — staged data files are
+                # swept by the normal orphan contract, but nothing
+                # else ever removes .tmp-*.json (review r11).
                 for _t, _m, _id, _bb, tmp in prepared.values():
                     if os.path.exists(tmp):
                         os.unlink(tmp)
