@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries to plans/r16/.
+"""Dump .explain("formatted") for named queries to plans/<round>/.
 
 Runs each query once (collect) so AQE reaches its final plan, then
 writes the formatted explain string to
-``plans/r16/<name>_<suffix>.txt`` — the judge-checkable before/after
-artifact for the optimization round.
+``plans/<round>/<name>_<suffix>.txt`` — the judge-checkable
+before/after artifact for the optimization round. The round directory
+comes from $SPARK_GRAFT_PLAN_ROUND (default r17).
 
 Usage:
     python scripts/dump_plans.py before [sf_dir] [name1,name2,...]
@@ -32,7 +33,9 @@ def main() -> None:
     from turnover_odata_etl_spark.plans.roundsixteen import STAGED
     from turnover_odata_etl_spark.session import get_spark
 
-    out_dir = os.path.join(REPO, "plans", "r16")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="dump-plans")
