@@ -37,25 +37,58 @@ def batch(spark, pairs):
 
 
 def bucket_of(spark, k, n=4):
-    return (
-        spark.createDataFrame([(int(k),)], "k long")
-        .select(F.pmod(F.hash("k"), F.lit(n)).alias("b"))
-        .first()["b"]
-    )
+    return _bucket_list(spark, n, int(k) + 1)[int(k)]
+
+
+# {n: [bucket(k) for k ascending]} — Spark's own hash still decides
+# (the tests must never re-implement the layout hash), but the probes
+# are BATCHED into one memoized job instead of one createDataFrame +
+# first() job per key: the original sequential probing cost ~0.6 s per
+# key and ~9 s per keys_in_distinct_buckets() call, ~212 s across this
+# file's 23 calls (round 17 — the driver's pytest window).
+_BUCKETS: dict[int, list[int]] = {}
+
+
+def _bucket_list(spark, n, hi):
+    cur = _BUCKETS.get(n, [])
+    if len(cur) < hi:
+        rows = (
+            spark.range(max(hi, 2048))
+            .select(
+                "id", F.pmod(F.hash(F.col("id")), F.lit(n)).alias("b")
+            )
+            .collect()
+        )
+        rows.sort(key=lambda r: r["id"])
+        _BUCKETS[n] = [int(r["b"]) for r in rows]
+    return _BUCKETS[n]
 
 
 def keys_in_distinct_buckets(spark, n=4):
-    """One probe key per bucket, by exhaustive search — lets each
-    test pick guaranteed-disjoint or guaranteed-overlapping keys
-    without depending on hash details."""
+    """One probe key per bucket — the first key of each bucket
+    ascending (exactly the original exhaustive search's answer), from
+    the batched bucket map; lets each test pick guaranteed-disjoint or
+    guaranteed-overlapping keys without depending on hash details."""
+    bs = _bucket_list(spark, n, 500)
     found = {}
-    k = 0
-    while len(found) < n and k < 500:
-        b = bucket_of(spark, k, n)
-        found.setdefault(b, k)
-        k += 1
+    for k in range(500):
+        found.setdefault(bs[k], k)
+        if len(found) == n:
+            break
     assert len(found) == n
     return found  # {bucket: key}
+
+
+def keys_in_bucket(spark, b, count, n=4, exclude=()):
+    """``count`` fresh ascending keys that hash into bucket ``b``
+    (batched probe, same hash-decides rule)."""
+    bs = _bucket_list(spark, n, 4096)
+    skip = set(exclude)
+    out = [
+        k for k in range(len(bs)) if bs[k] == b and k not in skip
+    ][:count]
+    assert len(out) == count
+    return out
 
 
 def inject_race(monkeypatch, loser, winner_fn):
@@ -430,22 +463,21 @@ def test_threaded_writers_disjoint_buckets_all_land(spark, tdir):
     errors = []
     per_writer = 5
 
+    # fresh keys per writer, all hashed into THAT writer's bucket —
+    # found by the batched probe, so disjointness is guaranteed (and
+    # the key search costs one memoized job, not a probe job per key)
+    fresh = {
+        b: keys_in_bucket(
+            spark, b, per_writer, exclude=(by_bucket[buckets[0]],)
+        )
+        for b in buckets
+    }
+
     def writer(b):
-        base_key = by_bucket[b]
         t = mk(spark, tdir)
         try:
             for i in range(per_writer):
-                # fresh keys, all hashed into THIS writer's bucket —
-                # found by probing, so disjointness is guaranteed
-                k = base_key
-                probe = base_key + 1
-                while True:
-                    if bucket_of(spark, probe) == b:
-                        k = probe + i * 100000
-                        if bucket_of(spark, k) == b:
-                            break
-                    probe += 1
-                t.append(batch(spark, [(k, i + 1)]))
+                t.append(batch(spark, [(fresh[b][i], i + 1)]))
         except Exception as e:  # noqa: BLE001 — surfaced below
             errors.append((b, repr(e)))
 

@@ -743,17 +743,15 @@ def test_publish_branches_absorbs_disjoint_main_move(spark, gdir):
     bb.append(batch(spark, [(2, 2)]))
 
     # pick a key whose bucket differs from key 2's, so a hash change
-    # can't silently turn this into the overlapping case
-    def bucket_of(k):
-        return (
-            spark.createDataFrame([(k,)], "k long")
-            .select(F.pmod(F.hash("k"), F.lit(2)).alias("b"))
-            .first()["b"]
-        )
-
-    other = next(
-        x for x in range(3, 50) if bucket_of(x) != bucket_of(2)
+    # can't silently turn this into the overlapping case (one batched
+    # probe job — Spark's hash still decides)
+    brows = (
+        spark.range(50)
+        .select("id", F.pmod(F.hash(F.col("id")), F.lit(2)).alias("b"))
+        .collect()
     )
+    bmap = {int(r["id"]): int(r["b"]) for r in brows}
+    other = next(x for x in range(3, 50) if bmap[x] != bmap[2])
     g.append_all(
         {"a": batch(spark, [(other, 3)]), "b": batch(spark, [])}
     )

@@ -53,7 +53,19 @@ def model_diff(old: dict, new: dict) -> set:
     return out
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        11,
+        # seeds 23/47 draw op mixes heavy on rebucket/zorder and ran
+        # 23 s/61 s — same invariants, bigger dice; slow-marked so the
+        # driver-window run keeps one full 20-op model check (seed 11)
+        # and the round-close SPARK_GRAFT_FULL_TESTS run covers all
+        # three (round 17)
+        pytest.param(23, marks=pytest.mark.slow),
+        pytest.param(47, marks=pytest.mark.slow),
+    ],
+)
 def test_snapshot_protocol_against_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = SnapshotTable(
