@@ -473,9 +473,18 @@ def s_group_wap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "vec_set", "predicate": "vec IS NOT NULL"},
             ],
         )
-        expectations_ok = report.filter("NOT passed").isEmpty()
-        count_ok = bp.read().count() == n_main
-        return expectations_ok and count_ok
+        # The expectations report and the count-preservation check are
+        # independent actions over the staged branch — run them from
+        # driver threads (round 17, guide §2.6) so the count's tasks
+        # back-fill the report's tail.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exp = pool.submit(
+                lambda: report.filter("NOT passed").isEmpty()
+            )
+            f_cnt = pool.submit(lambda: bp.read().count())
+            return f_exp.result() and f_cnt.result() == n_main
 
     viol = 0
     # Attempt 1: stage, corrupt the staged postings, audit, drop.
@@ -503,8 +512,13 @@ def s_group_wap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     served = IvfIndex(spark, base, n_buckets=8)  # fresh handle
     post = served.postings.read()
-    n_post = post.count()
-    n_nids = post.select("nid").distinct().count()
+    # One aggregation pass instead of a count job plus a
+    # distinct+count job (round 17): same two integers.
+    prow = post.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.count_distinct("nid").alias("nn"),
+    ).first()
+    n_post, n_nids = int(prow["np"]), int(prow["nn"])
     if n_post != n_nids:
         viol += 1  # a rebuild may never duplicate a vector
     left = len(served.postings.branches()) + len(

@@ -375,7 +375,11 @@ def semdedup_wave(
         .drop("is_new")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    flags.count()  # force BEFORE the append commit (wave checkpoint)
+    # No explicit force (round 17): keeps filters the PERSISTED flags
+    # frame, so the append's staged-write job computes and caches
+    # every flags partition BEFORE the commit claim — the flags-
+    # durable-in-session-before-the-checkpoint contract holds with
+    # one fewer full greedy-sweep job per wave.
     keeps = (
         flags.filter("keep")
         .select("nid", "cell")
