@@ -1243,9 +1243,13 @@ class IvfIndex:
             "qjd,jkd->qjk", Q.reshape(len(Q), m, dsub), books
         )
         qindex = {qid: i for i, qid in enumerate(qids)}
-        pruned = self.postings.read_matching(
-            probes.select("cell")
-        ).select("cell", "nid", "codes", "norm")
+        # ONE bucket-pruned read serves both passes (round 17): the
+        # candidate scan prunes to (nid, codes, norm) and the re-rank
+        # below to (nid, vec) through their own selects, but the
+        # driver-side probe (distinct bucket ids -> file list) runs
+        # once instead of twice.
+        pruned_all = self.postings.read_matching(probes.select("cell"))
+        pruned = pruned_all.select("cell", "nid", "codes", "norm")
         cand = probes.select("query_id", "cell").join(pruned, "cell")
         nid_t = pruned.schema["nid"].dataType.simpleString()
 
@@ -1291,8 +1295,7 @@ class IvfIndex:
         # rows only (the scan is still bucket-pruned; the join moves
         # rerank·|Q| vectors, never the candidate set)
         vecs = (
-            self.postings.read_matching(probes.select("cell"))
-            .select(
+            pruned_all.select(
                 F.col("nid").alias("neighbor_id"),
                 F.col("vec").alias("c_vec"),
             )
